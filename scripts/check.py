@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Local dev-loop oracle check (mirrors the driver's t2 gate).
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+
+Reads oracle_sql.json from the verify output dir, registers the sfDir
+parquet tables as DuckDB views, runs each oracle SQL, and compares
+(row count, column names, sorted values) against the parquet the Spark
+Verify main wrote. NOT part of the Scala library — python/duckdb are
+driver-side tools.
+"""
+import json, math, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision
+    return repr(v)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            exp = con.sql(sql).fetchall()
+            cols_exp = [d[0] for d in con.sql(sql).description]
+            got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            got = got_rel.fetchall()
+            cols_got = [d[0] for d in got_rel.description]
+            # sort columns by name (driver semantics), then sort rows
+            def norm(rows, cols):
+                idx = [cols.index(c) for c in sorted(cols)]
+                return sorted(tuple(canon(r[i]) for i in idx) for r in rows)
+            if sorted(cols_exp) != sorted(cols_got):
+                print(f"FAIL {name}: cols oracle={sorted(cols_exp)} spark={sorted(cols_got)}")
+                n_fail += 1
+            elif norm(exp, cols_exp) != norm(got, cols_got):
+                e, g = norm(exp, cols_exp), norm(got, cols_got)
+                diff = next(((i, a, b) for i, (a, b) in enumerate(zip(e, g)) if a != b),
+                            ("len", len(e), len(g)))
+                print(f"FAIL {name}: rows exp={len(exp)} got={len(got)} first-diff={diff}")
+                n_fail += 1
+            else:
+                print(f"PASS {name} ({len(exp)} rows)")
+                n_pass += 1
+        except Exception as ex:
+            print(f"ERROR {name}: {ex}")
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,0 +1,501 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import Det._
+
+/** The declared relational analytics surface (SURVEY.md §2.B).
+  *
+  * Everything here is a composition of Spark built-ins — Catalyst gets
+  * predicate pushdown, column pruning, partial aggregation, broadcast
+  * selection and whole-stage codegen for free. Each builder is paired
+  * with DuckDB oracle SQL in [[Relational.all]]; column names/aliases are
+  * kept identical on both sides (driver hash-compares after sorting by
+  * column name).
+  *
+  * Scale notes (100 TB): every aggregation below is a partial+final hash
+  * aggregate (map-side combine before the shuffle); joins against the
+  * small dimensions (region/nation/customer/part) are broadcast — no
+  * shuffle of the fact table; top-k queries plan as
+  * TakeOrderedAndProject (per-partition heap, no global sort).
+  */
+object Relational {
+
+  // ---------------------------------------------------------------- scans
+
+  /** Q-SCAN-1: full-scan count of the events stream table. */
+  def scanCount(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).agg(count(lit(1)).as("n"))
+
+  /** Q-SCAN-2: row count of every table (scan each source once). */
+  def scanTables(s: SparkSession, d: String): DataFrame =
+    Tables.names
+      .map(n => Tables.t(s, d, n).agg(count(lit(1)).as("n")).select(lit(n).as("table_name"), col("n")))
+      .reduce(_ unionAll _)
+
+  // ------------------------------------------------------- filter/project
+
+  /** Q-FILT-1: purchase events in the first week; pushed-down predicate +
+    * pruned projection (only 4 of 6 columns reach the scan).
+    */
+  def filtEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type") === "purchase" && col("ts") < to_timestamp(lit("2024-01-08 00:00:00")))
+      .select(col("event_id"), col("user_id"), col("value"), tsUs(col("ts")).as("ts_us"))
+
+  /** Q-FILT-2: lineitem shipped in 1996 with arithmetic projection
+    * `l_extendedprice * (1 - l_discount)` in exact decimals.
+    */
+  def filtLineitem(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+              col("l_shipdate") <  to_timestamp(lit("1997-01-01 00:00:00")))
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        (dec(col("l_extendedprice"), 14, 2) * (lit(1) - dec(col("l_discount"), 14, 2)))
+          .cast(DoubleType).as("revenue"))
+
+  // ----------------------------------------------------------------- joins
+
+  /** Q-JOIN-1: multi-way equi join orders⋈customer⋈nation⋈region with a
+    * per-(region, nation) revenue rollup. region/nation/customer are
+    * dimension-sized → Catalyst broadcasts them; only orders shuffles
+    * (for the final group-by), and AQE coalesces the post-shuffle
+    * partitions.
+    */
+  def joinMulti(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), sumd(col("o_totalprice"), 18, 2).as("revenue"))
+
+  /** Q-JOIN-2: enrichment join — events stream ⋈ customer dimension,
+    * explicitly broadcast (the person/dimension-enrichment pattern: at
+    * 100 TB the fact side never shuffles for this join).
+    */
+  def joinBroadcast(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("user_id") === col("c_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), sumd(col("value"), 14, 2).as("sum_value"))
+
+  /** Q-JOIN-3: customers with at least one order (left-semi: no
+    * duplication, no payload columns from the build side).
+    */
+  def joinSemi(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+
+  /** Q-JOIN-4: customers with no orders (left-anti). */
+  def joinAnti(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+
+  /** Q-JOIN-5: as-of join — each purchase matched to the latest
+    * signup at-or-before it for the same user. Implemented the
+    * Spark-native way: ONE pass over the unioned stream with a running
+    * `last(ignoreNulls)` window — a single shuffle on user_id, no
+    * self-join, no N² range-join blowup. This is the pattern that holds
+    * at 100 TB (shuffle ∝ data size, state ∝ 1 row per key).
+    */
+  def joinAsOf(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.select(
+        col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "signup", col("ts")).as("sig_ts"))
+      .withColumn("asof_ts", last("sig_ts", ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), tsUs(col("ts")).as("ts_us"),
+              tsUs(col("asof_ts")).as("asof_signup_us"))
+  }
+
+  // ----------------------------------------------------------- aggregation
+
+  /** Q-AGG-1: events per type per day — count/sum/avg/min/max. Exact
+    * decimal folds (order-independent → identical on any partitioning).
+    */
+  def aggDaily(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n"),
+        sumd(col("value")).as("sum_value"),
+        avgd(col("value")).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+
+  /** Q-AGG-2: TPC-H Q1 pricing summary on lineitem. */
+  def aggQ1(s: SparkSession, d: String): DataFrame = {
+    val ext  = dec(col("l_extendedprice"), 14, 2)
+    val disc = dec(col("l_discount"), 14, 2)
+    val tax  = dec(col("l_tax"), 14, 2)
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"), 14, 2)).cast(DoubleType).as("sum_qty"),
+        sum(ext).cast(DoubleType).as("sum_base_price"),
+        sum(ext * (lit(1) - disc)).cast(DoubleType).as("sum_disc_price"),
+        sum(ext * (lit(1) - disc) * (lit(1) + tax)).cast(DoubleType).as("sum_charge"),
+        (sum(dec(col("l_quantity"), 14, 2)).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+        (sum(ext).cast(DoubleType) / count(lit(1))).as("avg_price"),
+        (sum(disc).cast(DoubleType) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** Q-AGG-3: exact distinct users per day (expands to a two-phase
+    * distinct aggregate under AQE — no driver-side distinct).
+    */
+  def aggDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
+
+  /** Q-AGG-4: approximate distinct (HyperLogLog++) per event type —
+    * bench/scale path for cardinality at 100 TB (no oracle: HLL estimates
+    * are engine-specific; driver records a rows-only check).
+    */
+  def aggApprox(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+
+  /** Q-AGG-5: rollup(event_type, day). */
+  def aggRollup(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .rollup(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), sumd(col("value")).as("sum_value"))
+
+  /** Q-AGG-6: cube(mktsegment, nation) over order totals. */
+  def aggCube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .cube(col("c_mktsegment"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), sumd(col("o_totalprice"), 18, 2).as("revenue"))
+
+  // ---------------------------------------------------------------- window
+
+  /** Q-WIN-1: top-3 events per user by value (row_number, unique
+    * tiebreak on event_id → fully deterministic).
+    */
+  def winTop3(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("user_id"), col("event_id"), col("value"), col("rn"))
+  }
+
+  /** Q-WIN-2: rank + dense_rank customers by total spend within nation.
+    * Spend is an exact decimal sum → tie structure is identical across
+    * engines, making rank() deterministic.
+    */
+  def winRank(s: SparkSession, d: String): DataFrame = {
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sumd(col("o_totalprice"), 18, 2).as("spend"))
+    val w = Window.partitionBy("n_name").orderBy(col("spend").desc)
+    Tables.customer(s, d)
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(spend, col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("spend"))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .filter(col("rnk") <= 10)
+  }
+
+  /** Q-WIN-3: running sum of value per user (rows frame). Decimal fold →
+    * order-independent within the (totally ordered) frame.
+    */
+  def winRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+              sum(dec(col("value"))).over(w).cast(DoubleType).as("running_value"))
+  }
+
+  /** Q-WIN-4: lag() inter-event gap per user in microseconds (session
+    * gap primitive).
+    */
+  def winLag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), tsUs(col("ts")).as("ts_us"))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+  }
+
+  // ----------------------------------------------------------- sort/limit
+
+  /** Q-SORT-1: global top-100 events by value — plans as
+    * TakeOrderedAndProject (per-partition heaps, only 100 rows cross the
+    * network), never a full global sort.
+    */
+  def sortTop100(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .orderBy(col("value").desc, col("event_id"))
+      .limit(100)
+      .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+
+  /** Q-SORT-2: top-50 orders by totalprice. */
+  def sortOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(50)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  // -------------------------------------------------------------- set ops
+
+  private def users(s: SparkSession, d: String, et: String): DataFrame =
+    Tables.events(s, d).filter(col("event_type") === et).select(col("user_id"))
+
+  /** Q-SET-1: distinct union of signup ∪ purchase user sets. */
+  def setUnion(s: SparkSession, d: String): DataFrame =
+    users(s, d, "signup").union(users(s, d, "purchase")).distinct()
+
+  /** Q-SET-2: users with both purchase ∩ error. */
+  def setIntersect(s: SparkSession, d: String): DataFrame =
+    users(s, d, "purchase").intersect(users(s, d, "error"))
+
+  /** Q-SET-3: users with view but no purchase. */
+  def setExcept(s: SparkSession, d: String): DataFrame =
+    users(s, d, "view").except(users(s, d, "purchase"))
+
+  // ----------------------------------------------------------- scalar fns
+
+  /** Q-FN-1: string functions over part. */
+  def fnString(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_name").like("%widget%"))
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_up"),
+        concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+        substring(col("p_name"), 1, 4).as("name4"),
+        split(col("p_name"), " ").getItem(0).as("first_word"),
+        length(col("p_name")).as("name_len"),
+        replace(col("p_name"), lit("widget"), lit("gadget")).as("renamed"))
+
+  /** Q-FN-2: date/time functions over orders (RFC3339 parse mirrored by
+    * the ingest path; here: extraction + truncation + diff).
+    */
+  def fnDate(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("yr"),
+      month(col("o_orderdate")).as("mo"),
+      quarter(col("o_orderdate")).as("qtr"),
+      dayofweek(col("o_orderdate")).as("dow"),
+      date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+      datediff(col("o_orderdate").cast("date"), to_date(lit("1995-01-01"))).as("days_since"))
+
+  /** Q-FN-3: math functions over lineitem. */
+  def fnMath(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 100 === 0)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - lit(0.05)).as("abs_disc"),
+        floor(col("l_extendedprice")).as("floor_price"),
+        round(dec(col("l_quantity"), 10, 2) * dec(col("l_extendedprice"), 14, 2), 0)
+          .cast(LongType).as("qty_price"),
+        pow(col("l_quantity"), 2).as("qty_sq"),
+        sqrt(col("l_extendedprice")).as("sqrt_price"),
+        (col("l_orderkey") % 7).as("key_mod"))
+
+  /** Q-FN-4: JSON extraction from the dynamic `props` payload (the
+    * reference's schemaless-properties pattern, `fake_pipeline.py:62`).
+    */
+  def fnJson(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .filter(col("k") > 50)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("k")).as("sum_k"),
+           (sum(col("k")).cast(DoubleType) / count(lit(1))).as("avg_k"))
+
+  /** Q-FN-5: array functions over the embedding column — size, element
+    * access, and an L2-norm² via the `aggregate` higher-order function
+    * (codegen'd; the exact same left-fold the DuckDB oracle runs).
+    */
+  def fnArray(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"), col("label"),
+      size(col("embedding")).as("dim"),
+      element_at(col("embedding"), 1).cast(DoubleType).as("first_elem"),
+      aggregate(
+        col("embedding"),
+        lit(0.0),
+        (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)).as("norm_sq"))
+
+  // ---------------------------------------------------------------- oracle
+
+  /** All relational queries with their DuckDB oracles. */
+  val all: Seq[Q] = Seq(
+    Q("q_scan_count", scanCount, Some("SELECT count(*) AS n FROM events")),
+    Q("q_scan_tables", scanTables, Some(
+      Tables.names.map(n => s"SELECT '$n' AS table_name, count(*) AS n FROM $n")
+        .mkString(" UNION ALL "))),
+    Q("q_filt_events", filtEvents, Some(
+      """SELECT event_id, user_id, value, epoch_us(ts) AS ts_us
+        |FROM events
+        |WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-08 00:00:00'""".stripMargin)),
+    Q("q_filt_lineitem", filtLineitem, Some(
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'""".stripMargin)),
+    Q("q_join_multi", joinMulti, Some(
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin)),
+    Q("q_join_bcast", joinBroadcast, Some(
+      """SELECT c_mktsegment, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        |FROM events LEFT JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin)),
+    Q("q_join_semi", joinSemi, Some(
+      """SELECT c_custkey, c_name, c_acctbal FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin)),
+    Q("q_join_anti", joinAnti, Some(
+      """SELECT c_custkey, c_name, c_acctbal FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin)),
+    Q("q_join_asof", joinAsOf, Some(
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  (SELECT epoch_us(max(s.ts)) FROM events s
+        |    WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+        |      AND (s.ts < e.ts OR (s.ts = e.ts AND s.event_id <= e.event_id))) AS asof_signup_us
+        |FROM events e WHERE e.event_type = 'purchase'""".stripMargin)),
+    Q("q_agg_daily", aggDaily, Some(
+      """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
+        |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / count(*) AS avg_value,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY event_type, CAST(ts AS DATE)""".stripMargin)),
+    Q("q_agg_q1", aggQ1, Some(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(14,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(14,2))) * (1 + CAST(l_tax AS DECIMAL(14,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / count(*) AS avg_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(14,2))) AS DOUBLE) / count(*) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+    Q("q_agg_distinct", aggDistinct, Some(
+      """SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS n_users, count(*) AS n
+        |FROM events GROUP BY CAST(ts AS DATE)""".stripMargin)),
+    Q("q_agg_approx", aggApprox, None),
+    Q("q_agg_rollup", aggRollup, Some(
+      """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY ROLLUP(event_type, CAST(ts AS DATE))""".stripMargin)),
+    Q("q_agg_cube", aggCube, Some(
+      """SELECT c_mktsegment, n_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE(c_mktsegment, n_name)""".stripMargin)),
+    Q("q_win_top3", winTop3, Some(
+      """SELECT user_id, event_id, value, CAST(rn AS INT) AS rn FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+        |  FROM events) WHERE rn <= 3""".stripMargin)),
+    Q("q_win_rank", winRank, Some(
+      """SELECT c_custkey, c_name, n_name, spend, CAST(rnk AS INT) AS rnk, CAST(drnk AS INT) AS drnk FROM (
+        |  SELECT c_custkey, c_name, n_name, spend,
+        |    rank() OVER (PARTITION BY n_name ORDER BY spend DESC) AS rnk,
+        |    dense_rank() OVER (PARTITION BY n_name ORDER BY spend DESC) AS drnk
+        |  FROM (
+        |    SELECT c_custkey, c_name, n_name,
+        |      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |    FROM orders
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |    GROUP BY c_custkey, c_name, n_name))
+        |WHERE rnk <= 10""".stripMargin)),
+    Q("q_win_running", winRunning, Some(
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(14,2))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events""".stripMargin)),
+    Q("q_win_lag", winLag, Some(
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |FROM events""".stripMargin)),
+    Q("q_sort_top100", sortTop100, Some(
+      """SELECT event_id, event_type, user_id, value FROM events
+        |ORDER BY value DESC, event_id LIMIT 100""".stripMargin)),
+    Q("q_sort_orders", sortOrders, Some(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin)),
+    Q("q_set_union", setUnion, Some(
+      """SELECT user_id FROM events WHERE event_type = 'signup'
+        |UNION
+        |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin)),
+    Q("q_set_intersect", setIntersect, Some(
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'error'""".stripMargin)),
+    Q("q_set_except", setExcept, Some(
+      """SELECT user_id FROM events WHERE event_type = 'view'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin)),
+    Q("q_fn_string", fnString, Some(
+      """SELECT p_partkey, upper(p_name) AS name_up,
+        |  concat(p_brand, '/', p_type) AS brand_type,
+        |  substr(p_name, 1, 4) AS name4,
+        |  string_split(p_name, ' ')[1] AS first_word,
+        |  length(p_name) AS name_len,
+        |  replace(p_name, 'widget', 'gadget') AS renamed
+        |FROM part WHERE p_name LIKE '%widget%'""".stripMargin)),
+    Q("q_fn_date", fnDate, Some(
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since
+        |FROM orders""".stripMargin)),
+    Q("q_fn_math", fnMath, Some(
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_discount - 0.05) AS abs_disc,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+        |  CAST(round(CAST(l_quantity AS DECIMAL(10,2)) * CAST(l_extendedprice AS DECIMAL(14,2)), 0) AS BIGINT) AS qty_price,
+        |  pow(l_quantity, 2) AS qty_sq,
+        |  sqrt(l_extendedprice) AS sqrt_price,
+        |  l_orderkey % 7 AS key_mod
+        |FROM lineitem WHERE l_orderkey % 100 = 0""".stripMargin)),
+    Q("q_fn_json", fnJson, Some(
+      """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(sum(k) AS DOUBLE) / count(*) AS avg_k
+        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |WHERE k > 50 GROUP BY event_type""".stripMargin)),
+    Q("q_fn_array", fnArray, Some(
+      """SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim,
+        |  CAST(embedding[1] AS DOUBLE) AS first_elem,
+        |  list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) AS norm_sq
+        |FROM embeddings""".stripMargin))
+  )
+}
