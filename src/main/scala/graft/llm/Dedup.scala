@@ -1,0 +1,270 @@
+package graft.llm
+
+import graft.Tables
+import graft.queries.Q
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import Portable._
+
+/** Deduplication operators over `documents` — the core of any
+  * large-scale training-data pipeline:
+  *
+  *   - exact dedup (content-hash groupBy),
+  *   - n-gram Jaccard near-dup (exact, via inverted shingle index),
+  *   - MinHash + LSH banding (the 100 TB scale path: candidates come
+  *     from a band-hash equi-join, never an all-pairs product),
+  *   - SimHash with pigeonhole chunk blocking (provably complete for
+  *     the declared hamming radius),
+  *   - embedding-cosine near-dup.
+  *
+  * Scale design: signatures/fingerprints are computed in a map-only
+  * pass (pure codegen'd expressions, no UDF); the only shuffles are
+  * equi-joins on compact keys (band hash, chunk value, shingle hash).
+  * Hot keys (a shingle shared by k docs → k² candidate pairs) are the
+  * classic LSH skew; AQE skew-join handles moderate skew, and the
+  * MinHash path bounds candidates by construction.
+  */
+object Dedup {
+
+  /** MinHash parameters: 32 permutations over a 31-bit hash space,
+    * banded 8 × 4 for LSH. perm_i(x) = ((2i+1)·x + (12345+789i)) mod p.
+    * Intermediates: (2·31+1)·(2^31) ≈ 2^37 — no overflow anywhere.
+    */
+  val P31 = 2147483647L // 2^31 - 1 (Mersenne prime)
+  val NumPerms = 32
+  val Bands = 8
+  val RowsPerBand = 4
+  def permA(i: Int): Long = 2L * i + 1
+  def permB(i: Int): Long = 12345L + 789L * i
+
+  /** Per-doc shingle-hash array (each shingle → h60 mod p). */
+  private def hashedShingles: Column =
+    transform(shingles3(tokens(col("text"))), s => h60(s) % P31)
+
+  private def hashedShinglesSql: String =
+    s"list_transform(${shingles3Sql(tokensSql("text"))}, s -> ${h60Sql("s")} % ${P31})"
+
+  /** 32-element MinHash signature as one array column. */
+  private def signature(hs: Column): Column =
+    array((0 until NumPerms).map(i =>
+      array_min(transform(hs, x => (x * permA(i) + permB(i)) % P31))): _*)
+
+  private def signatureSql(hs: String): String =
+    "[" + (0 until NumPerms).map(i =>
+      s"list_min(list_transform($hs, x -> (x * ${permA(i)} + ${permB(i)}) % ${P31}))").mkString(", ") + "]"
+
+  /** Band hash: exact base-131 packing of the band's 4 sig values —
+    * max ((2^31·131 + 2^31)·131 + 2^31)·131 + 2^31 < 2^53, no modulus
+    * needed, zero collision ambiguity across engines.
+    */
+  private def bandHash(sig: Column, b: Int): Column =
+    (0 until RowsPerBand).map(r => element_at(sig, b * RowsPerBand + r + 1))
+      .reduce((acc, v) => acc * 131L + v)
+
+  private def bandHashSql(sig: String, b: Int): String =
+    (0 until RowsPerBand).map(r => s"($sig)[${b * RowsPerBand + r + 1}]")
+      .reduce((acc, v) => s"($acc * 131 + $v)")
+
+  // ------------------------------------------------------------- queries
+
+  /** Q-DEDUP-1: exact dedup — group by content hash, keep min doc_id.
+    * At 100 TB: a single shuffle on a 16-byte key with map-side partial
+    * aggregation; the document payload never shuffles (only id + hash).
+    */
+  def exact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  val exactSql: String =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  /** Q-DEDUP-2: exact n-gram Jaccard near-dup pairs (j ≥ 0.8) via an
+    * inverted shingle index: explode distinct shingles → equi-join on
+    * the 60-bit shingle hash → count intersections → filter. Never
+    * materializes the all-pairs product; shuffle keys are int64 hashes.
+    */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), h60(col("s")).as("hs"))
+    val inter = inv.as("a")
+      .join(inv.as("b"), col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        (col("n_inter").cast(DoubleType) /
+          (col("na.n") + col("nb.n") - col("n_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  val ngramJaccardSql: String = {
+    val sh = shingles3Sql(tokensSql("text"))
+    s"""WITH docs AS (SELECT doc_id, $sh AS sh FROM documents),
+       |sizes AS (SELECT doc_id, len(sh)::BIGINT AS n FROM docs),
+       |inv AS (SELECT doc_id, ${h60Sql("s")} AS hs FROM docs, unnest(sh) AS u(s)),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM inv a JOIN inv b ON a.hs = b.hs AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_inter,
+       |  n_inter::DOUBLE / (na.n + nb.n - n_inter) AS jaccard
+       |FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
+       |WHERE n_inter::DOUBLE / (na.n + nb.n - n_inter) >= 0.8""".stripMargin
+  }
+
+  /** Q-DEDUP-3: MinHash signatures → LSH band hashes, one row per
+    * (doc, band). This is the shuffle-ready form: near-dup candidates
+    * are exactly the groups sharing (band, band_hash).
+    */
+  def minhashBands(s: SparkSession, d: String): DataFrame = {
+    val sig = Tables.documents(s, d)
+      .select(col("doc_id"), signature(hashedShingles).as("sig"))
+    sig.select(col("doc_id"),
+        posexplode(array((0 until Bands).map(b => bandHash(col("sig"), b)): _*)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_hash"))
+  }
+
+  val minhashBandsSql: String = {
+    val sig = signatureSql(hashedShinglesSql)
+    val bands = (0 until Bands).map(b => bandHashSql("sig", b)).mkString(", ")
+    s"""WITH sigs AS (SELECT doc_id, $sig AS sig FROM documents),
+       |bh AS (SELECT doc_id, [$bands] AS bands FROM sigs)
+       |SELECT doc_id, i - 1 AS band, bands[i] AS band_hash
+       |FROM bh, unnest(generate_series(1, ${Bands})) AS g(i)""".stripMargin
+  }
+
+  /** Q-DEDUP-4: full MinHash-LSH dedup — candidates from the band-hash
+    * equi-join, then **verified** with exact Jaccard (so LSH recall
+    * gaps can't produce false positives). Output = confirmed near-dup
+    * pairs with their band support. The all-pairs product never forms:
+    * at 100 TB the band join shuffles (doc_id, int64) pairs only.
+    */
+  def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val bands = minhashBands(s, d)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
+    cand
+      .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
+      .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_bands"),
+        (size(array_intersect(col("da.sh"), col("db.sh"))).cast(DoubleType) /
+          size(array_union(col("da.sh"), col("db.sh")))).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  val minhashPairsSql: String = {
+    val sh = shingles3Sql(tokensSql("text"))
+    s"""WITH b AS ($minhashBandsSql),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b, count(*) AS n_bands
+       |  FROM b a JOIN b b2 ON a.band = b2.band AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id
+       |  GROUP BY 1, 2),
+       |docs AS (SELECT doc_id, $sh AS sh FROM documents)
+       |SELECT doc_a, doc_b, n_bands,
+       |  len(list_intersect(da.sh, db.sh))::DOUBLE / len(list_distinct(list_concat(da.sh, db.sh))) AS jaccard
+       |FROM cand JOIN docs da ON doc_a = da.doc_id JOIN docs db ON doc_b = db.doc_id
+       |WHERE len(list_intersect(da.sh, db.sh))::DOUBLE / len(list_distinct(list_concat(da.sh, db.sh))) >= 0.8""".stripMargin
+  }
+
+  /** 60-bit SimHash over the token multiset: bit j set iff the sum of
+    * ±1 votes from each token hash's bit j is positive.
+    */
+  private def simhashCol(hts: Column): Column =
+    (0 until 60).map { j =>
+      val votes = aggregate(hts, lit(0L), (a, x) =>
+        a + when(shiftright(x, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(votes > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+
+  private val simhashSqlExpr: String =
+    """list_reduce(list_transform(generate_series(0, 59), j ->
+      |  CASE WHEN list_sum(list_transform(hts, x -> CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+      |       THEN (1::BIGINT << j) ELSE 0::BIGINT END), (a, b) -> a + b)""".stripMargin
+
+  /** Q-DEDUP-5: SimHash fingerprint per document. */
+  def simhash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), transform(tokens(col("text")), t => h60(t)).as("hts"))
+      .select(col("doc_id"), simhashCol(col("hts")).as("simhash"), size(col("hts")).as("n_tokens"))
+
+  val simhashSql: String =
+    s"""SELECT doc_id, $simhashSqlExpr AS simhash, len(hts)::BIGINT AS n_tokens
+       |FROM (SELECT doc_id, list_transform(${tokensSql("text")}, t -> ${h60Sql("t")}) AS hts FROM documents)""".stripMargin
+
+  /** Q-DEDUP-6: SimHash near-dup pairs (hamming ≤ 9) found via
+    * pigeonhole chunk blocking: 10 chunks × 6 bits — any pair within
+    * hamming 9 differs in ≤ 9 chunks, so it must agree on ≥ 1 of the 10
+    * ⇒ the chunk equi-join has **provably complete recall**, and the
+    * oracle can brute-force the same answer. At 100 TB: candidates come
+    * from a join on (chunk_idx, 6-bit value), never an all-pairs scan.
+    */
+  def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = simhash(s, d).select(col("doc_id"), col("simhash"))
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 10).map(k =>
+          shiftright(col("simhash"), 6 * k).bitwiseAND(lit(63L))): _*)))
+      .select(col("doc_id"), col("simhash"), col("pos").as("k"), col("col").as("chunk"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.k") === col("b.k") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast(LongType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 9)
+  }
+
+  val simhashPairsSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, $simhashSqlExpr AS simhash
+       |  FROM (SELECT doc_id, list_transform(${tokensSql("text")}, t -> ${h60Sql("t")}) AS hts FROM documents))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 9""".stripMargin
+
+  /** Q-DEDUP-7: embedding-cosine near-dup pairs (cos ≥ 0.4). The sf
+    * implementation is the exact all-pairs baseline (oracle-checkable);
+    * the scale path for 100 TB is [[Similarity.lshBuckets]] blocking —
+    * same cosine expression, candidates restricted to shared buckets.
+    */
+  def cosinePairs(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+  }
+
+  val cosinePairsSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, ${l2normSql("embedding")} AS nrm FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q_dedup_exact", exact, Some(exactSql)),
+    Q("q_dedup_ngram", ngramJaccard, Some(ngramJaccardSql)),
+    Q("q_dedup_minhash", minhashBands, Some(minhashBandsSql)),
+    Q("q_dedup_minhash_pairs", minhashPairs, Some(minhashPairsSql)),
+    Q("q_dedup_simhash", simhash, Some(simhashSql)),
+    Q("q_dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
+    Q("q_dedup_cosine", cosinePairs, Some(cosinePairsSql)))
+}

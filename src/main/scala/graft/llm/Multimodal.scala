@@ -1,0 +1,125 @@
+package graft.llm
+
+import graft.Tables
+import graft.queries.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed per-partition.
+  *
+  * The actual media codecs are NOT available in this environment, so the
+  * decode step is a clearly-marked deterministic STUB ([[StubCodec]]).
+  * What is real — and what this module demonstrates/tests — is the
+  * Spark-side plumbing a 100 TB media pipeline needs:
+  *
+  *   - a stable binary+metadata schema (media payload never inflated to
+  *     strings, metadata strongly typed),
+  *   - typed `Dataset[MediaRow]` with case-class encoders,
+  *   - `mapPartitions` batch processing (the Scala analogue of
+  *     `mapInPandas`: one codec init per partition, streamed iterator,
+  *     no per-row setup cost, no driver collect),
+  *   - frame sampling producing an exploded (media, frame_idx) table.
+  *
+  * At scale: binaries live in the lake; partitions are sized by
+  * `spark.sql.files.maxPartitionBytes` so a partition of payloads fits
+  * executor memory; decode parallelism = partition count, no shuffle.
+  */
+object Multimodal {
+
+  /** Input row: opaque payload + envelope metadata. */
+  final case class MediaRow(doc_id: Long, kind: String, payload: Array[Byte])
+
+  /** Decoded metadata row (stub-decoded). */
+  final case class MediaMeta(
+      doc_id: Long, kind: String, n_bytes: Long,
+      width: Long, height: Long, n_frames: Long, checksum: Long)
+
+  /** STUB media codec — replace with a real decoder (e.g. javacpp
+    * ffmpeg / ImageIO) in production. Deterministic so tests and the
+    * DuckDB oracle can verify the surrounding plumbing end-to-end:
+    * "width/height" are derived from the first payload bytes, the
+    * "frame count" from the payload length, the checksum is a byte sum.
+    */
+  object StubCodec {
+    def decode(r: MediaRow): MediaMeta = {
+      val b = r.payload
+      val b0 = if (b.length > 0) b(0) & 0xffL else 0L
+      val b1 = if (b.length > 1) b(1) & 0xffL else 0L
+      var sum = 0L
+      var i = 0
+      while (i < b.length) { sum += (b(i) & 0xffL); i += 1 }
+      MediaMeta(
+        doc_id = r.doc_id, kind = r.kind, n_bytes = b.length.toLong,
+        width = (b0 * 256 + b1) % 1920, height = (b1 * 256 + b0) % 1080,
+        n_frames = math.min(b.length.toLong / 32 + 1, 16L),
+        checksum = sum)
+    }
+  }
+
+  /** Synthesize the media table from `documents` (UTF-8 payload bytes;
+    * the corpus has no real binaries). kind cycles image/audio/video.
+    */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      element_at(typedLit(Seq("image", "audio", "video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  /** Q-MEDIA-1: per-partition stub decode → typed metadata table.
+    * Real plumbing: Dataset encoder, mapPartitions, one codec per
+    * partition. Oracle recomputes the stub's arithmetic from `text`
+    * directly (ascii-only corpus ⇒ byte i == char i).
+    */
+  def mediaMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d).as[MediaRow]
+      .mapPartitions { rows =>
+        // codec init happens once per partition here
+        rows.map(StubCodec.decode)
+      }
+      .toDF()
+  }
+
+  val mediaMetaSql: String =
+    """SELECT doc_id,
+      |  ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS kind,
+      |  len(text)::BIGINT AS n_bytes,
+      |  (ascii(substr(text, 1, 1)) * 256 + ascii(substr(text, 2, 1))) % 1920 AS width,
+      |  (ascii(substr(text, 2, 1)) * 256 + ascii(substr(text, 1, 1))) % 1080 AS height,
+      |  least(len(text) // 32 + 1, 16)::BIGINT AS n_frames,
+      |  list_reduce(list_prepend(0, list_transform(generate_series(1, len(text)), i -> ascii(substr(text, i, 1)))), (a, b) -> a + b)::BIGINT AS checksum
+      |FROM documents""".stripMargin
+
+  /** Q-MEDIA-2: frame sampling — every media row explodes into its
+    * sampled frame index list with a per-frame byte offset (the shape a
+    * real frame extractor emits; at 100 TB this is the pre-shuffle form
+    * for frame-level feature extraction).
+    */
+  def frameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val meta = mediaTable(s, d).as[MediaRow]
+      .mapPartitions(rows => rows.map(StubCodec.decode)).toDF()
+    meta
+      .select(col("doc_id"), col("kind"), col("n_bytes"), col("n_frames"),
+        posexplode(sequence(lit(0L), col("n_frames") - 1)))
+      .select(col("doc_id"), col("kind"),
+        col("col").as("frame_idx"),
+        (col("col") * expr("n_bytes DIV n_frames")).as("byte_offset"))
+  }
+
+  val frameSampleSql: String =
+    """WITH meta AS (
+      |  SELECT doc_id,
+      |    ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS kind,
+      |    len(text)::BIGINT AS n_bytes,
+      |    least(len(text) // 32 + 1, 16)::BIGINT AS n_frames
+      |  FROM documents)
+      |SELECT doc_id, kind, f AS frame_idx, f * (n_bytes // n_frames) AS byte_offset
+      |FROM meta, unnest(generate_series(0, n_frames - 1)) AS g(f)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q_media_meta", mediaMeta, Some(mediaMetaSql)),
+    Q("q_media_frames", frameSample, Some(frameSampleSql)))
+}

@@ -1,0 +1,127 @@
+package graft.llm
+
+import graft.Tables
+import graft.queries.Q
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import Portable._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (64-dim float vectors).
+  *
+  *   - brute-force cosine top-k: the exact baseline. Queries are a small
+  *     set → **broadcast** against the vector corpus; scoring is a
+  *     map-only codegen'd fold; per-query top-k is a windowed rank (at
+  *     100 TB: per-partition heaps via TakeOrdered semantics, only k
+  *     rows per query cross the network).
+  *   - random-hyperplane LSH bucketing: the scale path. 16 deterministic
+  *     hyperplanes → 16-bit bucket per vector; search only compares
+  *     vectors sharing the query's bucket (or neighboring buckets) —
+  *     candidates shrink ~2^16× while the bucket assignment itself is a
+  *     map-only pass.
+  *   - IVF (inverted-file) assignment: nearest-of-c centroids per
+  *     vector, the k-means-style coarse quantizer — probe only the
+  *     query's cell at search time.
+  *
+  * All scoring folds are bit-identical to the DuckDB oracle (see
+  * [[Portable]]).
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random hyperplanes: 16 planes × 64 dims via an
+    * LCG — c(p,d) = ((1103515245·(64p+d) + 12345) mod 2001 − 1000)/1000.
+    * Reproducible in plain SQL, so the oracle can re-derive them.
+    */
+  val NumPlanes = 16
+  val Dim = 64
+  def planeCoef(p: Int, d: Int): Double =
+    (((1103515245L * (p * Dim + d) + 12345L) % 2001L) - 1000L) / 1000.0
+
+  /** Q-SIM-1: brute-force cosine top-10 per query vector (every 50th
+    * vector is a query; self excluded). Exact, deterministic tiebreak.
+    */
+  def topK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+  }
+
+  val topKSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, ${l2normSql("embedding")} AS nrm FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT q_id, vec_id, ${dotSql("embedding", "q_emb")} / (nrm * q_nrm) AS cosine
+       |  FROM e JOIN q ON vec_id <> q_id)
+       |SELECT q_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored) WHERE rank <= 10""".stripMargin
+
+  /** Q-SIM-2: random-hyperplane LSH bucket per vector (16-bit code).
+    * Map-only; this is the blocking key for ANN at 100 TB.
+    */
+  def lshBuckets(s: SparkSession, d: String): DataFrame = {
+    val bucket: Column = (0 until NumPlanes).map { p =>
+      val plane = typedLit((0 until Dim).map(planeCoef(p, _)))
+      when(dot(col("embedding"), plane) > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), bucket.as("bucket"))
+  }
+
+  val lshBucketsSql: String = {
+    def dotPlane(p: Int) =
+      s"""list_reduce(list_transform(generate_series(0, ${Dim - 1}), d ->
+         |  embedding[d + 1]::DOUBLE * (((1103515245 * (${p * Dim} + d) + 12345) % 2001 - 1000) / 1000.0)),
+         |  (x, y) -> x + y)""".stripMargin
+    val terms = (0 until NumPlanes).map(p =>
+      s"CASE WHEN (${dotPlane(p)}) > 0 THEN ${1L << p}::BIGINT ELSE 0::BIGINT END").mkString(" + ")
+    s"SELECT vec_id, label, ($terms) AS bucket FROM embeddings"
+  }
+
+  /** Q-SIM-3: IVF coarse quantizer — assign each vector to its nearest
+    * of 8 centroids (L2²; centroids = vec_id < 8 for determinism).
+    * Centroids broadcast; assignment is map-only + a rank-1 window.
+    */
+  def ivfAssign(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val c = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val d2 = aggregate(
+      zip_with(col("embedding"), col("c_emb"),
+        (x, y) => (x.cast(DoubleType) - y.cast(DoubleType)) * (x.cast(DoubleType) - y.cast(DoubleType))),
+      lit(0.0), (acc, v) => acc + v)
+    val w = Window.partitionBy("vec_id").orderBy(col("dist2"), col("centroid_id"))
+    e.crossJoin(broadcast(c))
+      .select(col("vec_id"), col("centroid_id"), d2.as("dist2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("dist2"))
+  }
+
+  val ivfAssignSql: String = {
+    val d2 =
+      """list_reduce(list_transform(generate_series(1, len(embedding)), i ->
+        |  (embedding[i]::DOUBLE - c_emb[i]::DOUBLE) * (embedding[i]::DOUBLE - c_emb[i]::DOUBLE)),
+        |  (x, y) -> x + y)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM e WHERE vec_id < 8),
+       |scored AS (SELECT vec_id, centroid_id, $d2 AS dist2 FROM e, c)
+       |SELECT vec_id, centroid_id, dist2 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, centroid_id) AS rn
+       |  FROM scored) WHERE rn = 1""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q_sim_topk", topK, Some(topKSql)),
+    Q("q_sim_lsh", lshBuckets, Some(lshBucketsSql)),
+    Q("q_sim_ivf", ivfAssign, Some(ivfAssignSql)))
+}

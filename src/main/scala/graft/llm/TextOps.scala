@@ -1,0 +1,149 @@
+package graft.llm
+
+import graft.Tables
+import graft.queries.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import Portable._
+
+/** Text-analysis operators for a training-data pipeline: token counting,
+  * quality scoring, n-gram language ID, and document fingerprinting —
+  * all over `documents.text`.
+  *
+  * Everything is a pure per-row Catalyst expression (no UDF, no shuffle,
+  * fully codegen'd): at 100 TB these run as a map-only scan with column
+  * pruning down to (doc_id, text).
+  */
+object TextOps {
+
+  private val stopEn = Seq("the", "a", "of", "to", "and", "is", "in", "it", "on", "for")
+  private val stopDe = Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu")
+  private val stopFr = Seq("le", "la", "les", "et", "est", "une", "pas", "dans")
+  private val stopEs = Seq("el", "los", "las", "es", "y", "una", "no", "por")
+
+  private def hits(toks: org.apache.spark.sql.Column, ws: Seq[String]) =
+    size(filter(toks, t => t.isin(ws: _*)))
+
+  private def hitsSql(toks: String, ws: Seq[String]) =
+    s"len(list_filter($toks, t -> list_contains([${ws.map("'" + _ + "'").mkString(",")}], t)))"
+
+  /** Q-TEXT-1: token counts + quality-score features per document.
+    * Ratios are a single integer/integer double division ⇒ bit-exact
+    * across engines.
+    */
+  def textStats(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), toks.as("toks"))
+      .select(
+        col("doc_id"), col("n_chars"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_uniq_tokens"),
+        aggregate(col("toks"), lit(0L), (a, t) => a + length(t)).as("n_token_chars"),
+        hits(col("toks"), stopEn).as("n_stopwords"))
+      .select(
+        col("doc_id"), col("n_chars"), col("n_tokens"), col("n_uniq_tokens"),
+        (col("n_token_chars").cast(DoubleType) / col("n_tokens")).as("avg_token_len"),
+        (col("n_stopwords").cast(DoubleType) / col("n_tokens")).as("stopword_ratio"),
+        (col("n_uniq_tokens").cast(DoubleType) / col("n_tokens")).as("uniq_ratio"),
+        (col("n_tokens") >= 10 && col("n_tokens") <= 1000 &&
+          col("n_uniq_tokens") * 2 >= col("n_tokens") * 1).as("is_quality"))
+  }
+
+  val textStatsSql: String = {
+    val toks = tokensSql("text")
+    s"""SELECT doc_id, n_chars, n_tokens, n_uniq_tokens,
+       |  n_token_chars::DOUBLE / n_tokens AS avg_token_len,
+       |  n_stopwords::DOUBLE / n_tokens AS stopword_ratio,
+       |  n_uniq_tokens::DOUBLE / n_tokens AS uniq_ratio,
+       |  (n_tokens >= 10 AND n_tokens <= 1000 AND n_uniq_tokens * 2 >= n_tokens * 1) AS is_quality
+       |FROM (
+       |  SELECT doc_id, n_chars,
+       |    len(toks)::BIGINT AS n_tokens,
+       |    len(list_distinct(toks))::BIGINT AS n_uniq_tokens,
+       |    list_reduce(list_prepend(0, list_transform(toks, t -> len(t))), (a, b) -> a + b)::BIGINT AS n_token_chars,
+       |    ${hitsSql("toks", stopEn)}::BIGINT AS n_stopwords
+       |  FROM (SELECT doc_id, n_chars, $toks AS toks FROM documents))""".stripMargin
+  }
+
+  /** Q-TEXT-2: stopword-overlap language ID (n-gram heuristic family).
+    * Deterministic argmax with a fixed preference order on ties.
+    */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), toks.as("toks"))
+      .select(
+        col("doc_id"), col("lang"),
+        hits(col("toks"), stopEn).as("en_hits"),
+        hits(col("toks"), stopDe).as("de_hits"),
+        hits(col("toks"), stopFr).as("fr_hits"),
+        hits(col("toks"), stopEs).as("es_hits"))
+    base.withColumn("pred_lang",
+      when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits") &&
+           col("en_hits") >= col("es_hits") && col("en_hits") > 0, "en")
+        .when(col("de_hits") >= col("fr_hits") && col("de_hits") >= col("es_hits") &&
+              col("de_hits") > 0, "de")
+        .when(col("fr_hits") >= col("es_hits") && col("fr_hits") > 0, "fr")
+        .when(col("es_hits") > 0, "es")
+        .otherwise("und"))
+  }
+
+  val langIdSql: String = {
+    val toks = tokensSql("text")
+    s"""SELECT doc_id, lang, en_hits, de_hits, fr_hits, es_hits,
+       |  CASE
+       |    WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+       |    WHEN de_hits >= fr_hits AND de_hits >= es_hits AND de_hits > 0 THEN 'de'
+       |    WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+       |    WHEN es_hits > 0 THEN 'es'
+       |    ELSE 'und' END AS pred_lang
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    ${hitsSql("toks", stopEn)}::BIGINT AS en_hits,
+       |    ${hitsSql("toks", stopDe)}::BIGINT AS de_hits,
+       |    ${hitsSql("toks", stopFr)}::BIGINT AS fr_hits,
+       |    ${hitsSql("toks", stopEs)}::BIGINT AS es_hits
+       |  FROM (SELECT doc_id, lang, $toks AS toks FROM documents))""".stripMargin
+  }
+
+  /** Q-TEXT-3: document fingerprinting — a token-sequence polynomial
+    * rolling hash (order-sensitive) plus a char-8-gram min-hash
+    * (order-insensitive, robust to small edits). All int64 modular
+    * arithmetic with intermediates < 2^63:
+    * acc < 1e9+7, acc*31 + (h60 mod M) < 3.1e10 + 1e9 < 2^63.
+    */
+  def fingerprint(s: SparkSession, d: String): DataFrame = {
+    val M = 1000000007L
+    val toks = tokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), toks.as("toks"))
+      .select(
+        col("doc_id"),
+        aggregate(col("toks"), lit(0L), (a, t) => (a * 31L + h60(t) % M) % M).as("seq_fp"),
+        when(length(col("text")) >= 8,
+          array_min(transform(sequence(lit(1), length(col("text")) - 7), i =>
+            h60(col("text").substr(i, lit(8))))))
+          .otherwise(h60(col("text"))).as("min_gram_fp"))
+  }
+
+  // NB: Spark's substring(col, pos, len) only takes int literals; the
+  // column-position variant is Column.substr(Column, Column) — used above.
+
+  val fingerprintSql: String = {
+    val toks = tokensSql("text")
+    s"""SELECT doc_id,
+       |  list_reduce(list_prepend(0::BIGINT, list_transform(toks, t -> ${h60Sql("t")} % 1000000007)),
+       |              (a, b) -> (a * 31 + b) % 1000000007) AS seq_fp,
+       |  CASE WHEN len(text) >= 8
+       |    THEN list_min(list_transform(generate_series(1, len(text) - 7), i -> ${h60Sql("substr(text, i, 8)")}))
+       |    ELSE ${h60Sql("text")} END AS min_gram_fp
+       |FROM (SELECT doc_id, text, $toks AS toks FROM documents)""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q_text_stats", textStats, Some(textStatsSql)),
+    Q("q_text_langid", langId, Some(langIdSql)),
+    Q("q_text_fingerprint", fingerprint, Some(fingerprintSql)))
+}
