@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Q, Relational}
+import graft.ingest.IngestQueries
 import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -15,7 +16,8 @@ object SparkEntry {
 
   /** All query registries (grows as modules land). */
   def registry: Seq[Q] =
-    Relational.all ++ TextOps.all ++ Dedup.all ++ Similarity.all ++ Multimodal.all
+    Relational.all ++ TextOps.all ++ Dedup.all ++ Similarity.all ++
+      Multimodal.all ++ IngestQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

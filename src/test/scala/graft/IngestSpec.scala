@@ -1,0 +1,197 @@
+package graft
+
+import graft.ingest.{Codecs, EventSchema, Normalizer}
+import graft.ingest.Normalizer.IngestContext
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Unit vectors for the ingest chain, mirroring the reference's own
+  * tests (FIXTURES.md §1; extractors.rs:764-1091, models.rs:178-274,
+  * pipeline.rs:458-600, posthog_endpoints.rs).
+  */
+class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ingestOne(body: String, ctx: IngestContext = IngestContext()) = {
+    import spark.implicits._
+    Normalizer.ingest(Seq(body).toDF("body"), col("body"), ctx)
+  }
+
+  // FIXTURES 1.1 — capture with unknown key routing + header precedence
+  test("capture: field routing, unknown keys → extra, api_key precedence") {
+    val body =
+      """{"event":"integration-capture","distinct_id":"capture-user",
+        |"properties":{"plan":"pro"},"library":"tests","api_key":"phc_item"}""".stripMargin.replaceAll("\n", "")
+    val ctx = IngestContext(
+      headerApiKey = lit("phc_header"),
+      sentAtHeader = lit("2024-05-01T10:00:00Z"))
+    val r = ingestOne(body, ctx).collect().head
+    assert(r.getAs[String]("event") == "integration-capture")
+    assert(r.getAs[String]("distinct_id") == "capture-user")
+    assert(r.getAs[String]("api_key") == "phc_item") // item wins over header
+    val extra = r.getAs[Map[String, String]]("extra")
+    assert(extra("library") == "tests")
+    assert(extra("$sent_at") == "2024-05-01T10:00:00Z")
+    assert(r.getAs[String]("properties").contains("\"plan\""))
+    assert(r.getAs[String]("kind") == "capture")
+  }
+
+  test("capture: header api_key only used when body has none") {
+    val r = ingestOne("""{"event":"e","distinct_id":"d"}""",
+      IngestContext(headerApiKey = lit("phc_header"))).collect().head
+    assert(r.getAs[String]("api_key") == "phc_header")
+  }
+
+  // FIXTURES 1.3 — identify: props land in person_properties
+  test("identify: event=$identify, properties → person_properties") {
+    val body =
+      """{"type":"identify","distinct_id":"person-1",
+        |"properties":{"$set":{"email":"p1@example.com"},"$set_once":{"created_at":"2024-01-01"}}}"""
+        .stripMargin.replaceAll("\n", "")
+    val r = ingestOne(body).collect().head
+    assert(r.getAs[String]("event") == "$identify")
+    assert(r.getAs[String]("properties") == null)
+    assert(r.getAs[String]("person_properties").contains("email"))
+  }
+
+  test("identify classified from event sentinel") {
+    val r = ingestOne("""{"event":"$identify","distinct_id":"d"}""").collect().head
+    assert(r.getAs[String]("kind") == "identify")
+  }
+
+  // FIXTURES 1.4 — alias
+  test("alias: $create_alias with extra.alias") {
+    val r = ingestOne("""{"distinct_id":"person-1","alias":"anon-1"}""").collect().head
+    assert(r.getAs[String]("event") == "$create_alias")
+    assert(r.getAs[Map[String, String]]("extra")("alias") == "anon-1")
+    assert(r.getAs[String]("kind") == "alias")
+  }
+
+  // FIXTURES 1.5 — engage
+  test("engage: top-level $set/$unset routed to extra") {
+    val r = ingestOne("""{"distinct_id":"people-1","$set":{"name":"Alex"},"$unset":["temp"]}""")
+      .collect().head
+    assert(r.getAs[String]("event") == "$engage")
+    val extra = r.getAs[Map[String, String]]("extra")
+    assert(extra("$set").contains("Alex"))
+    assert(extra("$unset") == """["temp"]""")
+  }
+
+  // FIXTURES 1.6 — group identify
+  test("group identify: distinct_id := group_key; type/key in extra") {
+    val body = """{"type":"groupidentify","group_type":"team","group_key":"team-42","properties":{"members":3}}"""
+    val r = ingestOne(body).collect().head
+    assert(r.getAs[String]("event") == "$groupidentify")
+    assert(r.getAs[String]("distinct_id") == "team-42")
+    val extra = r.getAs[Map[String, String]]("extra")
+    assert(extra("group_type") == "team" && extra("group_key") == "team-42")
+  }
+
+  // FIXTURES 1.7 — mixed batch with envelope inheritance
+  test("batch: explode + per-item classification + shared api_key") {
+    val body =
+      """{"api_key":"phc_env","batch":[
+        |{"event":"page_view","distinct_id":"u1"},
+        |{"type":"identify","distinct_id":"u1","properties":{"plan":"pro"}},
+        |{"distinct_id":"u1","alias":"anon-7"}]}""".stripMargin.replaceAll("\n", "")
+    val rows = ingestOne(body).orderBy("item_idx").collect()
+    assert(rows.map(_.getAs[String]("kind")).toSeq == Seq("capture", "identify", "alias"))
+    assert(rows.forall(_.getAs[String]("api_key") == "phc_env"))
+  }
+
+  test("envelope forms: {data: obj}, {data: [..]}, bare array") {
+    assert(ingestOne("""{"data":{"event":"e1","distinct_id":"d"}}""").count() == 1)
+    assert(ingestOne("""{"data":[{"event":"e1","distinct_id":"d"},{"event":"e2","distinct_id":"d"}]}""").count() == 2)
+    assert(ingestOne("""[{"event":"e1","distinct_id":"d"}]""").count() == 1)
+    assert(ingestOne("""{"data":{"batch":[{"event":"e1","distinct_id":"d"}]}}""").count() == 1)
+  }
+
+  // browser /e: token + distinct_id inside properties
+  test("browser capture: token → api_key, distinct_id from properties") {
+    val body = """{"event":"click","token":"phc_tok","properties":{"$distinct_id":"bu-1"}}"""
+    val r = ingestOne(body).collect().head
+    assert(r.getAs[String]("api_key") == "phc_tok")
+    assert(r.getAs[String]("distinct_id") == "bu-1")
+  }
+
+  // P8 enrichment: insert-if-absent only
+  test("enrichment never overwrites client properties") {
+    import spark.implicits._
+    val df = Seq(
+      """{"event":"e","distinct_id":"d","properties":{"$ip":"client-ip"}}""",
+      """{"event":"e","distinct_id":"d","properties":{"x":"1"}}""").toDF("body")
+    val ctx = IngestContext(requestIp = lit("7.7.7.7"),
+      geo = Seq("$geoip_country_code" -> lit("DE")))
+    val out = Normalizer.enrich(Normalizer.ingest(df, col("body"), ctx), ctx)
+      .select(get_json_object(col("properties"), "$.$ip").as("ip"),
+        get_json_object(col("properties"), "$.$geoip_country_code").as("cc"))
+      .collect()
+    assert(out(0).getAs[String]("ip") == "client-ip") // kept (pipeline.rs:420-424)
+    assert(out(0).getAs[String]("cc") == "DE")
+    assert(out(1).getAs[String]("ip") == "7.7.7.7")
+  }
+
+  // P10 group slots
+  test("group slot mapping via configured type order") {
+    val body = """{"event":"e","distinct_id":"d","properties":{"$groups":{"team":"t-9","company":"acme"}}}"""
+    val r = Normalizer.groupSlots(ingestOne(body), IngestContext()).collect().head
+    assert(r.getAs[String]("group0") == "acme") // company = slot 0
+    assert(r.getAs[String]("group1") == "t-9")  // team = slot 1
+    assert(r.getAs[String]("group2") == null)
+  }
+
+  // S2/S3 codecs
+  test("codec round-trips + sniffing (extractors.rs:593-631)") {
+    val s = """{"event":"e"}"""
+    val b = s.getBytes("UTF-8")
+    assert(new String(Codecs.decodeAuto(Codecs.gzipCompress(b), "gzip")) == s)
+    assert(new String(Codecs.decodeAuto(Codecs.zlibCompress(b), "zlib")) == s)
+    assert(new String(Codecs.decodeAuto(Codecs.gzipCompress(b), "gzip-js")) == s)
+    // sniffed (no label): gzip magic, zlib magic, passthrough
+    assert(new String(Codecs.decodeAuto(Codecs.gzipCompress(b), null)) == s)
+    assert(new String(Codecs.decodeAuto(Codecs.zlibCompress(b), null)) == s)
+    assert(new String(Codecs.decodeAuto(b, null)) == s)
+    assert(Codecs.decodeAuto("not-compressed-garbage".getBytes, "gzip") == null)
+  }
+
+  test("HMAC verification (sha256= and sha1= prefixes, constant-time)") {
+    val body = "payload-bytes".getBytes("UTF-8")
+    val sig256 = "sha256=" + Codecs.hmacSha256Hex("secret", body)
+    val sig1 = "sha1=" + Codecs.hmacSha1Hex("secret", body)
+    assert(Codecs.verifySignature("secret", body, sig256))
+    assert(Codecs.verifySignature("secret", body, sig1))
+    assert(!Codecs.verifySignature("wrong", body, sig256))
+    assert(!Codecs.verifySignature("secret", "other".getBytes, sig256))
+    assert(!Codecs.verifySignature("secret", body, null))
+    // independently generated vectors (python hmac module):
+    assert(Codecs.hmacSha256Hex("k", "msg".getBytes) ==
+      "bf1a0c1242929b6464a6c0a9ac6298a67e09bd1cd4ef1f182ce0141691fc17a0")
+    assert(Codecs.hmacSha1Hex("k", "msg".getBytes) ==
+      "d399ee7220448ae3e41d547804291b39302cedc7")
+  }
+
+  test("deterministic uuid shape + stability") {
+    import spark.implicits._
+    val df = Seq("x").toDF("s")
+    val u = df.select(Normalizer.uuidDet(col("s")).as("u")).collect().head.getString(0)
+    assert(u.matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
+    val u2 = df.select(Normalizer.uuidDet(col("s")).as("u")).collect().head.getString(0)
+    assert(u == u2)
+  }
+
+  test("canonical schema fields all present") {
+    val out = ingestOne("""{"event":"e","distinct_id":"d"}""")
+    val names = out.columns.toSet
+    EventSchema.schema.fields.foreach(f => assert(names.contains(f.name), f.name))
+  }
+}
