@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Q, Relational}
 import graft.ingest.IngestQueries
 import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+import graft.state.StateQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +18,7 @@ object SparkEntry {
   /** All query registries (grows as modules land). */
   def registry: Seq[Q] =
     Relational.all ++ TextOps.all ++ Dedup.all ++ Similarity.all ++
-      Multimodal.all ++ IngestQueries.all
+      Multimodal.all ++ IngestQueries.all ++ StateQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,181 @@
+package graft.state
+
+import graft.Tables
+import graft.queries.Q
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Oracle-checked drives of the stateful replay engine (SURVEY §2.B
+  * Q-PIPE-1/2): synthesize a person/group op log from `events` that a
+  * PostHog SDK would emit (anonymous browsing → signup → identified,
+  * with an alias merge at signup), run the REAL generic replay
+  * (CC identity fixpoint + ordered fold), and compare against a DuckDB
+  * oracle that computes the final state in closed form.
+  *
+  * Op derivation (deterministic; k = props.k):
+  *   - raw id: `anon-u<uid>` before the user's first signup, `u<uid>`
+  *     from the signup on. Signup carries the alias edge
+  *     anon-u<uid> → u<uid> (identify's $anon_distinct_id merge).
+  *   - purchase: $set {plan: p<k%3>} + $set_once {first_plan: p<k%3>}
+  *   - error: $unset [plan, first_plan]
+  *   - every event: $set_once {first_et: <event_type>}
+  *   - every non-error event: $set {last_event: <event_type>}
+  *
+  * Closed-form expectations the oracle computes independently:
+  * plan = value of the last purchase after the last error (else null);
+  * first_plan = value of the FIRST purchase after the last error
+  * ($set_once refires after $unset); first_et = first event's type;
+  * last_event = last non-error event's type; version = op count;
+  * distinct_ids = {uX, anon-uX} iff the user ever signed up.
+  */
+object StateQueries {
+
+  /** Identified ids out-rank anonymous ids for canonical election. */
+  private val prio: Column => Column =
+    id => concat(when(id.startsWith("anon-"), lit("1")).otherwise(lit("0")), lit("|"), id)
+
+  def personOps(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val firstSignup = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("event_id")).as("first_signup"))
+    val k = get_json_object(col("props"), "$.k").cast(LongType)
+    val planVal = concat(lit("p"), k % 3)
+    e.join(firstSignup, Seq("user_id"), "left")
+      .select(
+        when(col("first_signup").isNull || col("event_id") < col("first_signup"),
+          concat(lit("anon-u"), col("user_id")))
+          .otherwise(concat(lit("u"), col("user_id"))).as("raw_id"),
+        col("event_id").as("ord"),
+        map_filter(map_concat(
+          when(col("event_type") === "purchase", map(lit("plan"), planVal))
+            .otherwise(map().cast("map<string,string>")),
+          when(col("event_type") =!= "error", map(lit("last_event"), col("event_type")))
+            .otherwise(map().cast("map<string,string>"))),
+          (_, v) => v.isNotNull).as("set"),
+        map_filter(map_concat(
+          map(lit("first_et"), col("event_type")),
+          when(col("event_type") === "purchase", map(lit("first_plan"), planVal))
+            .otherwise(map().cast("map<string,string>"))),
+          (_, v) => v.isNotNull).as("set_once"),
+        when(col("event_type") === "error", typedLit(Seq("plan", "first_plan")))
+          .otherwise(typedLit(Seq.empty[String])).as("unset"),
+        when(col("event_id") === col("first_signup"),
+          concat(lit("anon-u"), col("user_id"))).as("alias_to"))
+  }
+
+  /** Q-PIPE-1: full person replay — identity fixpoint + ordered fold +
+    * dense sequence ids, projected to scalar columns for the oracle.
+    */
+  def pipePersons(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ops = personOps(s, d).as[PersonOp]
+    Replay.persons(s, ops, prio).toDF()
+      .select(
+        col("canonical_id"), col("person_seq_id"), col("version"),
+        size(col("distinct_ids")).as("n_distinct_ids"),
+        col("first_ord"),
+        element_at(col("properties"), "plan").as("plan"),
+        element_at(col("properties"), "last_event").as("last_event"),
+        element_at(col("properties_set_once"), "first_et").as("first_et"),
+        element_at(col("properties_set_once"), "first_plan").as("first_plan"))
+  }
+
+  val pipePersonsSql: String =
+    """WITH sg AS (
+      |  SELECT user_id, min(event_id) AS first_signup
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |base AS (
+      |  SELECT e.*, s.first_signup,
+      |    json_extract_string(e.props, '$.k')::BIGINT AS k
+      |  FROM events e LEFT JOIN sg s USING (user_id)),
+      |err AS (
+      |  SELECT user_id, coalesce(max(event_id) FILTER (WHERE event_type = 'error'), -1) AS last_err
+      |  FROM base GROUP BY user_id),
+      |agg AS (
+      |  SELECT b.user_id,
+      |    CASE WHEN b.first_signup IS NOT NULL THEN 'u' || b.user_id
+      |         ELSE 'anon-u' || b.user_id END AS canonical_id,
+      |    count(*) AS version,
+      |    CASE WHEN b.first_signup IS NOT NULL THEN 2 ELSE 1 END AS n_distinct_ids,
+      |    min(b.event_id) AS first_ord,
+      |    arg_max('p' || (b.k % 3), b.event_id)
+      |      FILTER (WHERE b.event_type = 'purchase' AND b.event_id > er.last_err) AS plan,
+      |    arg_max(b.event_type, b.event_id) FILTER (WHERE b.event_type <> 'error') AS last_event,
+      |    arg_min(b.event_type, b.event_id) AS first_et,
+      |    arg_min('p' || (b.k % 3), b.event_id)
+      |      FILTER (WHERE b.event_type = 'purchase' AND b.event_id > er.last_err) AS first_plan
+      |  FROM base b JOIN err er USING (user_id)
+      |  GROUP BY b.user_id, b.first_signup)
+      |SELECT canonical_id,
+      |  (row_number() OVER (ORDER BY first_ord, canonical_id)) AS person_seq_id,
+      |  version, n_distinct_ids, first_ord, plan, last_event, first_et, first_plan
+      |FROM agg""".stripMargin
+
+  def groupOps(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    e.select(
+      lit("segment").as("group_type"),
+      concat(lit("seg-"), col("user_id") % 10).as("group_key"),
+      col("event_id").as("ord"),
+      map(lit("last_et"), col("event_type"),
+        lit("last_k"), get_json_object(col("props"), "$.k")).as("set"))
+  }
+
+  /** Q-PIPE-2: group replay — last-write-wins upsert per
+    * (group_type, group_key), version = op count, first-touch ord.
+    */
+  def pipeGroups(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ops = groupOps(s, d).as[GroupOp]
+    Replay.groups(s, ops).toDF()
+      .select(col("group_type"), col("group_key"), col("version"), col("first_ord"),
+        element_at(col("properties"), "last_et").as("last_et"),
+        element_at(col("properties"), "last_k").cast(LongType).as("last_k"))
+  }
+
+  val pipeGroupsSql: String =
+    """SELECT 'segment' AS group_type, 'seg-' || (user_id % 10) AS group_key,
+      |  count(*) AS version, min(event_id) AS first_ord,
+      |  arg_max(event_type, event_id) AS last_et,
+      |  arg_max(json_extract_string(props, '$.k')::BIGINT, event_id) AS last_k
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Q-PIPE-3: person-snapshot attachment (P9) — every event left-joins
+    * the replayed person dimension on the resolved canonical id (the
+    * enrichment join that stamps person_id/person_properties onto
+    * events; broadcast at serving scale).
+    */
+  def pipeSnapshot(s: SparkSession, d: String): DataFrame = {
+    val persons = pipePersons(s, d)
+      .select(col("canonical_id"), col("person_seq_id"), col("plan"))
+    val e = Tables.events(s, d)
+    val firstSignup = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("event_id")).as("first_signup"))
+    e.join(firstSignup, Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        when(col("first_signup").isNull, concat(lit("anon-u"), col("user_id")))
+          .otherwise(concat(lit("u"), col("user_id"))).as("canonical_id"))
+      .join(broadcast(persons), Seq("canonical_id"), "left")
+      .select(col("event_id"), col("canonical_id"),
+        col("person_seq_id").as("person_id"), col("plan").as("person_plan"))
+  }
+
+  val pipeSnapshotSql: String =
+    s"""WITH p AS ($pipePersonsSql),
+       |sg AS (SELECT user_id, min(event_id) AS first_signup
+       |       FROM events WHERE event_type = 'signup' GROUP BY 1)
+       |SELECT e.event_id,
+       |  CASE WHEN s.first_signup IS NULL THEN 'anon-u' || e.user_id
+       |       ELSE 'u' || e.user_id END AS canonical_id,
+       |  p.person_seq_id AS person_id, p.plan AS person_plan
+       |FROM events e
+       |LEFT JOIN sg s USING (user_id)
+       |LEFT JOIN p ON p.canonical_id = (CASE WHEN s.first_signup IS NULL
+       |  THEN 'anon-u' || e.user_id ELSE 'u' || e.user_id END)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q_pipe_persons", pipePersons, Some(pipePersonsSql)),
+    Q("q_pipe_groups", pipeGroups, Some(pipeGroupsSql)),
+    Q("q_pipe_snapshot", pipeSnapshot, Some(pipeSnapshotSql)))
+}

@@ -1,0 +1,148 @@
+package graft
+
+import graft.state._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Person/group state machine vectors ported from the reference's unit
+  * tests (`persons.rs:863-961`, `groups.rs`), plus identity-resolution
+  * fixpoint cases.
+  */
+class StateSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def op(id: String, ord: Long,
+      set: Map[String, String] = Map.empty,
+      setOnce: Map[String, String] = Map.empty,
+      unset: Seq[String] = Nil,
+      aliasTo: Option[String] = None) =
+    PersonOp(id, ord, set, setOnce, unset, aliasTo)
+
+  private def replay(ops: PersonOp*): Map[String, PersonRecord] = {
+    import spark.implicits._
+    Replay.persons(spark, ops.toDS()).collect().map(r => r.canonical_id -> r).toMap
+  }
+
+  // persons.rs:869-884 — $set overwrites
+  test("$set overwrites existing properties") {
+    val r = replay(
+      op("d1", 1, set = Map("plan" -> "free")),
+      op("d1", 2, set = Map("plan" -> "pro")))("d1")
+    assert(r.properties == Map("plan" -> "pro"))
+    assert(r.version == 2)
+  }
+
+  // persons.rs:887-908 — $set_once ignored when key present in either map
+  test("$set_once writes only when absent from both maps") {
+    val r = replay(
+      op("d1", 1, setOnce = Map("first" -> "a")),
+      op("d1", 2, setOnce = Map("first" -> "b")))("d1")
+    assert(r.properties_set_once == Map("first" -> "a"))
+
+    val r2 = replay(
+      op("d1", 1, set = Map("k" -> "set-val")),
+      op("d1", 2, setOnce = Map("k" -> "once-val")))("d1")
+    assert(r2.properties == Map("k" -> "set-val"))
+    assert(r2.properties_set_once.isEmpty)
+  }
+
+  // persons.rs:911-928 — $unset removes from both maps
+  test("$unset removes from properties and set_once") {
+    val r = replay(
+      op("d1", 1, set = Map("a" -> "1"), setOnce = Map("b" -> "2")),
+      op("d1", 2, unset = Seq("a", "b")))("d1")
+    assert(r.properties.isEmpty && r.properties_set_once.isEmpty)
+    assert(r.version == 2)
+  }
+
+  test("set after unset re-establishes; set_once after unset re-fires") {
+    val r = replay(
+      op("d1", 1, set = Map("p" -> "1"), setOnce = Map("q" -> "1")),
+      op("d1", 2, unset = Seq("p", "q")),
+      op("d1", 3, set = Map("p" -> "2"), setOnce = Map("q" -> "2")))("d1")
+    assert(r.properties == Map("p" -> "2"))
+    assert(r.properties_set_once == Map("q" -> "2"))
+  }
+
+  // persons.rs:931-960 — merge unions ids; fold order decides conflicts
+  test("alias merges two persons: distinct_ids union, single record") {
+    val rs = replay(
+      op("anon-1", 1, set = Map("pre" -> "anon")),
+      op("u1", 2, set = Map("plan" -> "pro"), aliasTo = Some("anon-1")),
+      op("anon-1", 3, set = Map("post" -> "yes")))
+    assert(rs.size == 1)
+    val r = rs.values.head
+    assert(r.distinct_ids == Seq("anon-1", "u1"))
+    assert(r.properties == Map("pre" -> "anon", "plan" -> "pro", "post" -> "yes"))
+  }
+
+  test("alias chain resolves transitively (redirect chain)") {
+    val rs = replay(
+      op("a", 1, set = Map("k" -> "a")),
+      op("b", 2, aliasTo = Some("a")),
+      op("c", 3, aliasTo = Some("b")),
+      op("c", 4, set = Map("k2" -> "c")))
+    assert(rs.size == 1)
+    assert(rs.values.head.distinct_ids == Seq("a", "b", "c"))
+    assert(rs.values.head.properties == Map("k" -> "a", "k2" -> "c"))
+  }
+
+  test("labelOf priority elects identified id as canonical") {
+    import spark.implicits._
+    val prio: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      id => concat(when(id.startsWith("anon-"), "1").otherwise("0"), lit("|"), id)
+    val recs = Replay.persons(spark, Seq(
+      op("anon-9", 1, set = Map("x" -> "1")),
+      op("u9", 2, aliasTo = Some("anon-9"))).toDS(), prio).collect()
+    assert(recs.length == 1)
+    assert(recs.head.canonical_id == "u9")
+  }
+
+  test("sequential person ids are dense, first-touch ordered") {
+    val rs = replay(
+      op("z", 10, set = Map("k" -> "1")),
+      op("a", 20, set = Map("k" -> "1")),
+      op("m", 5, set = Map("k" -> "1")))
+    assert(rs("m").person_seq_id == 1)
+    assert(rs("z").person_seq_id == 2)
+    assert(rs("a").person_seq_id == 3)
+  }
+
+  test("merged view: set wins over set_once (persons.rs:112-120)") {
+    val r = replay(
+      op("d", 1, setOnce = Map("k" -> "once", "only" -> "o")),
+      op("d", 2, set = Map("k" -> "set")))("d")
+    assert(Replay.mergedProperties(r) == Map("k" -> "set", "only" -> "o"))
+  }
+
+  test("group replay: last-write-wins upsert, version counts ops") {
+    import spark.implicits._
+    val gs = Replay.groups(spark, Seq(
+      GroupOp("team", "t1", 1, Map("n" -> "1", "keep" -> "x")),
+      GroupOp("team", "t1", 2, Map("n" -> "2")),
+      GroupOp("org", "o1", 1, Map("a" -> "b"))).toDS())
+      .collect().map(g => (g.group_type, g.group_key) -> g).toMap
+    assert(gs(("team", "t1")).properties == Map("n" -> "2", "keep" -> "x"))
+    assert(gs(("team", "t1")).version == 2)
+    assert(gs(("org", "o1")).properties == Map("a" -> "b"))
+  }
+
+  test("out-of-order ops fold by ord, not arrival order") {
+    val r = replay(
+      op("d", 3, set = Map("k" -> "late")),
+      op("d", 1, set = Map("k" -> "early")),
+      op("d", 2, setOnce = Map("f" -> "mid")))("d")
+    assert(r.properties == Map("k" -> "late"))
+    assert(r.properties_set_once("f") == "mid")
+  }
+}
