@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Q, Relational}
+import graft.flags.FlagQueries
 import graft.ingest.IngestQueries
 import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
 import graft.state.StateQueries
@@ -18,7 +19,7 @@ object SparkEntry {
   /** All query registries (grows as modules land). */
   def registry: Seq[Q] =
     Relational.all ++ TextOps.all ++ Dedup.all ++ Similarity.all ++
-      Multimodal.all ++ IngestQueries.all ++ StateQueries.all
+      Multimodal.all ++ IngestQueries.all ++ StateQueries.all ++ FlagQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
