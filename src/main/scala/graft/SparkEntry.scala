@@ -6,6 +6,7 @@ import graft.flags.FlagQueries
 import graft.ingest.IngestQueries
 import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
 import graft.state.StateQueries
+import graft.streaming.StreamQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +20,8 @@ object SparkEntry {
   /** All query registries (grows as modules land). */
   def registry: Seq[Q] =
     Relational.all ++ TextOps.all ++ Dedup.all ++ Similarity.all ++
-      Multimodal.all ++ IngestQueries.all ++ StateQueries.all ++ FlagQueries.all
+      Multimodal.all ++ IngestQueries.all ++ StateQueries.all ++ FlagQueries.all ++
+      StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

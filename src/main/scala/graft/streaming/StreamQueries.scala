@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.Tables
+import graft.queries.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked batch-equivalents of the streaming transforms: the
+  * exact same `Streaming.*` builders run over the batch events table
+  * (Spark executes `window`/`session_window` identically in batch and
+  * micro-batch; StreamingSpec separately proves batch↔stream parity on
+  * MemoryStream). The DuckDB oracle recomputes windows arithmetically.
+  */
+object StreamQueries {
+
+  /** Q-STR-1: tumbling 6h windows (epoch-aligned). */
+  def tumbling(s: SparkSession, d: String): DataFrame =
+    Streaming.tumblingCounts(Tables.events(s, d))
+
+  val tumblingSql: String =
+    """SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS window_start_us,
+      |  event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Q-STR-2: sliding 6h/3h windows — each event lands in 2 windows. */
+  def sliding(s: SparkSession, d: String): DataFrame =
+    Streaming.slidingCounts(Tables.events(s, d))
+
+  val slidingSql: String =
+    """WITH shifted AS (
+      |  SELECT ((epoch_us(ts) - off) // 21600000000) * 21600000000 + off AS window_start_us,
+      |    event_type
+      |  FROM events, unnest([0, 10800000000]) AS o(off))
+      |SELECT window_start_us, event_type, count(*) AS n
+      |FROM shifted GROUP BY 1, 2""".stripMargin
+
+  /** Q-STR-3: per-user 30-minute-gap session windows (start/end/n/sum);
+    * oracle = lag/cumsum sessionization (new session when the gap to
+    * the previous event is ≥ the inactivity gap; end = last ts + gap).
+    */
+  def sessions(s: SparkSession, d: String): DataFrame =
+    Streaming.sessionize(Tables.events(s, d))
+
+  val sessionsSql: String =
+    """WITH g AS (
+      |  SELECT user_id, value, epoch_us(ts) AS ts_us,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+      |         OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM g)
+      |SELECT min(ts_us) AS session_start_us,
+      |  max(ts_us) + 1800000000 AS session_end_us,
+      |  user_id, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+      |FROM s GROUP BY user_id, sess_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q_stream_tumbling", tumbling, Some(tumblingSql)),
+    Q("q_stream_sliding", sliding, Some(slidingSql)),
+    Q("q_stream_sessions", sessions, Some(sessionsSql)))
+}

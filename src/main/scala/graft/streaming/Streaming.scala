@@ -1,0 +1,99 @@
+package graft.streaming
+
+import graft.state.{PersonOp, PersonRecord, Replay}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface: the same declarative transforms run
+  * unchanged over `readStream` sources (file/Kafka) and batch frames —
+  * Spark's incrementalization does the rest. This replaces the
+  * reference's per-request micro-batching + per-entity Durable Object
+  * serialization (`/root/reference/src/lib.rs:414-473`,
+  * `persons.rs:488-542`): the per-key total order becomes
+  * shuffle-by-key + ordered fold within each micro-batch, and keyed
+  * state lives in the state store (RocksDB provider at scale).
+  *
+  * Watermarks bound state: `withWatermark` drops late data past the
+  * configured horizon and lets window state evict. The reference has
+  * no late-data story (client `timestamp` vs server `created_at`
+  * reconciliation is deferred to query time) — here it is explicit.
+  */
+object Streaming {
+
+  /** File-source event stream with the canonical event schema. */
+  def eventStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream
+      .schema(graft.ingest.EventSchema.schema)
+      .json(path)
+
+  // ------------------------------------------------ windowed aggregations
+
+  /** Tumbling per-type counts (epoch-aligned, watermark 1h). */
+  def tumblingCounts(events: DataFrame, windowLen: String = "6 hours"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding windows (6h length, 3h slide → 2 windows per event). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"))
+
+  /** Per-user session windows, 30-minute inactivity gap. */
+  def sessionize(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"))
+      .select(unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  // ------------------------------------------------------- keyed state
+
+  /** Incremental person-state fold: `flatMapGroupsWithState` keyed by
+    * canonical id, applying each micro-batch's ops in `ord` order on
+    * top of the persisted record — the streaming twin of
+    * `Replay.persons` (identical fold function, shared code). Alias
+    * edges that arrive mid-stream are resolved per micro-batch
+    * upstream (`IdentityResolver` on the batch's edges ∪ the known
+    * redirect dimension) before ops reach this operator.
+    */
+  def personStateStream(ops: Dataset[PersonOp]): Dataset[PersonRecord] = {
+    import ops.sparkSession.implicits._
+    ops.groupByKey(_.raw_id)
+      .flatMapGroupsWithState[PersonRecord, PersonRecord](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (id: String, it: Iterator[PersonOp], state: GroupState[PersonRecord]) =>
+          val prev = state.getOption.getOrElse(
+            PersonRecord(id, -1L, 0L, Seq(id), Map.empty, Map.empty, Long.MaxValue))
+          val sorted = it.toArray.sortBy(_.ord)
+          var props = prev.properties
+          var setOnce = prev.properties_set_once
+          var dids = prev.distinct_ids.toVector
+          var version = prev.version
+          var firstOrd = prev.first_ord
+          sorted.foreach { op =>
+            if (!dids.contains(op.raw_id)) dids :+= op.raw_id
+            val r = Replay.applyUpdate(props, setOnce, op)
+            props = r._1; setOnce = r._2
+            version += 1
+            firstOrd = math.min(firstOrd, op.ord)
+          }
+          val next = prev.copy(version = version, distinct_ids = dids.sorted,
+            properties = props, properties_set_once = setOnce, first_ord = firstOrd)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import graft.state.PersonOp
+import graft.streaming.Streaming
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.sql.Timestamp
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Batch ↔ streaming parity: the same transforms over a MemoryStream
+  * (micro-batched, watermarked, stateful) must equal their batch
+  * execution on the union of all micro-batches.
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(min: Int): Timestamp = new Timestamp(1704067200000L + min * 60000L)
+
+  private val batch1 = Seq(
+    Ev(1, ts(0), 1, "view", 1.0), Ev(2, ts(10), 1, "click", 2.0),
+    Ev(3, ts(5), 2, "view", 3.0))
+  private val batch2 = Seq(
+    Ev(4, ts(20), 1, "view", 4.0),   // continues user 1's session (gap 10m)
+    Ev(5, ts(400), 1, "view", 5.0),  // new session (gap > 30m), new tumbling window
+    Ev(6, ts(45), 2, "purchase", 6.0)) // user 2: gap 40m → new session
+
+  private def runStream(transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      mode: OutputMode): Array[org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = transform(mem.toDF())
+      .writeStream.format("memory").queryName("parity_out").outputMode(mode).start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      spark.table("parity_out").collect()
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS parity_out") }
+  }
+
+  private def canon(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
+    rows.map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+
+  test("tumbling window counts: stream == batch") {
+    import spark.implicits._
+    val streamed = runStream(Streaming.tumblingCounts(_), OutputMode.Complete())
+    val batch = Streaming.tumblingCounts((batch1 ++ batch2).toDF()).collect()
+    assert(canon(streamed) == canon(batch))
+    assert(batch.nonEmpty)
+  }
+
+  test("sliding window counts: stream == batch") {
+    import spark.implicits._
+    val streamed = runStream(Streaming.slidingCounts(_), OutputMode.Complete())
+    val batch = Streaming.slidingCounts((batch1 ++ batch2).toDF()).collect()
+    assert(canon(streamed) == canon(batch))
+  }
+
+  test("session windows merge across micro-batches: stream == batch") {
+    import spark.implicits._
+    // complete mode re-emits the full session table each micro-batch;
+    // the final table must equal batch execution — including the session
+    // MERGE across batches (user 1: events at 0,10 then +20 fuse into
+    // one session because the gap stays under 30 minutes).
+    val streamed = runStream(Streaming.sessionize(_), OutputMode.Complete())
+    val batch = Streaming.sessionize((batch1 ++ batch2).toDF()).collect()
+    assert(canon(streamed) == canon(batch))
+    // user 1 has exactly 2 sessions (0-20min merged, 400min separate)
+    assert(batch.count(_.getLong(2) == 1L) == 2)
+  }
+
+  test("keyed person state accumulates across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[PersonOp]
+    val q = Streaming.personStateStream(mem.toDS())
+      .writeStream.format("memory").queryName("pstate").outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(
+        PersonOp("u1", 1, Map("plan" -> "free"), Map("first" -> "a"), Nil, None))
+      q.processAllAvailable()
+      mem.addData(
+        PersonOp("u1", 2, Map("plan" -> "pro"), Map("first" -> "b"), Nil, None),
+        PersonOp("u1", 3, Map.empty, Map.empty, Seq("plan"), None))
+      q.processAllAvailable()
+      val rows = spark.table("pstate").as[graft.state.PersonRecord].collect()
+      val last = rows.maxBy(_.version)
+      assert(last.version == 3)
+      assert(last.properties.get("plan").isEmpty)      // unset in batch 2
+      assert(last.properties_set_once("first") == "a") // set_once survived
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS pstate") }
+  }
+}
