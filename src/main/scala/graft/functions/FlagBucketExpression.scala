@@ -1,0 +1,80 @@
+package graft.functions
+
+import graft.flags.FlagEval
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen entry points — static forwarders callable from generated
+  * Java. The math is the exact serving-path function
+  * ([[FlagEval.bucketFor]]); one definition, three call sites
+  * (interpreter, UDF, codegen) so assignment can never drift.
+  */
+object FlagBucketFn {
+  def bucketUTF8(salt: UTF8String, id: UTF8String): Double =
+    FlagEval.bucketFor(salt.toString, id.toString)
+}
+
+/** `flag_bucket(salt, distinct_id)` as a native Catalyst expression
+  * with whole-stage codegen — unlike a Scala UDF there is no
+  * encoder/boxing boundary: the generated code calls a static method
+  * on two UTF8Strings inline inside the stage. On a 100 TB cohort
+  * backfill this keeps the flag predicate inside one codegen'd map
+  * stage end-to-end.
+  *
+  * Semantics (bit-exact, defines production flag assignment —
+  * `/root/reference/src/feature_flags.rs:392-402`):
+  * `u64_be(sha1(salt ":" id)[0..8]) mod 100`, as double.
+  */
+case class FlagBucket(left: Expression, right: Expression)
+    extends BinaryExpression with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+
+  override protected def nullSafeEval(salt: Any, id: Any): Any =
+    FlagBucketFn.bucketUTF8(salt.asInstanceOf[UTF8String], id.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, i) =>
+      s"graft.functions.FlagBucketFn.bucketUTF8($s, $i)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FlagBucket =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "flag_bucket"
+}
+
+/** Session extension wiring (`SparkSessionExtensions.injectFunction`):
+  * deploy with `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  * or `builder.withExtensions`. [[GraftExtensions.register]] also
+  * installs into an already-running session (tests, notebooks).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.flagBucketDescriptor)
+}
+
+object GraftExtensions {
+  private[functions] val flagBucketDescriptor = (
+    FunctionIdentifier("flag_bucket"),
+    new ExpressionInfo(classOf[FlagBucket].getName, "flag_bucket"),
+    (children: Seq[Expression]) => FlagBucket(children(0), children(1)))
+
+  /** Install into an existing session's function registry. */
+  def register(spark: SparkSession): Unit = {
+    val (id, info, builder) = flagBucketDescriptor
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+
+  /** Column API for the native expression (resolves through the
+    * session registry, so [[register]]/extensions must have run).
+    */
+  def flagBucket(salt: Column, id: Column): Column =
+    org.apache.spark.sql.functions.call_function("flag_bucket", salt, id)
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.ingest.Normalizer
+import graft.ingest.Normalizer.IngestContext
+import graft.sources.Lake
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.Files
+
+class LakeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def canonical(bodies: String*) = {
+    import spark.implicits._
+    Normalizer.ingest(bodies.toDF("body"), col("body"),
+      IngestContext(now = to_timestamp(lit("2024-03-05 10:00:00"))))
+      .select("uuid", "team_id", "source", "event", "distinct_id", "timestamp",
+        "created_at", "properties", "api_key")
+  }
+
+  test("partitioned append + read-back + partition pruning layout") {
+    val dir = Files.createTempDirectory("lake").toString
+    val events = canonical(
+      """{"event":"a","distinct_id":"d1","timestamp":"2024-03-01T00:00:00Z"}""",
+      """{"event":"b","distinct_id":"d2","timestamp":"2024-03-02T00:00:00Z"}""")
+    Lake.writeEvents(events, dir)
+    // hive-style partition dirs by event day
+    val parts = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("event_date=")).sorted
+    assert(parts.toSeq == Seq("event_date=2024-03-01", "event_date=2024-03-02"))
+    val back = Lake.readEvents(spark, dir)
+    assert(back.count() == 2)
+    // timestamp-less events partition by created_at (server now)
+    Lake.writeEvents(canonical("""{"event":"c","distinct_id":"d3"}"""), dir)
+    assert(Lake.readEvents(spark, dir)
+      .filter(col("event_date") === "2024-03-05").count() == 1)
+  }
+
+  test("idempotent replay: duplicate uuids dropped within an append") {
+    val dir = Files.createTempDirectory("lake").toString
+    val events = canonical(
+      """{"event":"a","distinct_id":"d1","timestamp":"2024-03-01T00:00:00Z"}""")
+    // same payload twice in one batch → same deterministic uuid → one row
+    Lake.writeEvents(events.union(events), dir)
+    assert(Lake.readEvents(spark, dir).count() == 1)
+  }
+
+  test("partition filter prunes at scan (PartitionFilters in plan)") {
+    val dir = Files.createTempDirectory("lake").toString
+    Lake.writeEvents(canonical(
+      """{"event":"a","distinct_id":"d1","timestamp":"2024-03-01T00:00:00Z"}""",
+      """{"event":"b","distinct_id":"d2","timestamp":"2024-03-02T00:00:00Z"}"""), dir)
+    val q = Lake.readEvents(spark, dir).filter(col("event_date") === "2024-03-01")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_date"), plan)
+  }
+}
