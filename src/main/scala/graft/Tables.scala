@@ -30,6 +30,17 @@ object Tables {
     else df
   }
 
+  /** Spread a table across the session's shuffle parallelism before a
+    * compute-heavy per-row stage. The generated test tables are single
+    * parquet files (= one input split), which would serialize per-row
+    * work like hashing/signatures on one core; one cheap shuffle of the
+    * compact rows unlocks all of them. On a real multi-file lake the
+    * scan already has enough splits and this is a near-no-op (AQE
+    * coalesces it away when the input is already well-partitioned).
+    */
+  def par(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = t(s, d, "customer")

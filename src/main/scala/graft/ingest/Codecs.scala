@@ -38,24 +38,34 @@ object Codecs {
 
   def zlibCompress(data: Array[Byte]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
-    val d = new DeflaterOutputStream(bos, new Deflater())
-    d.write(data); d.close()
+    val deflater = new Deflater()
+    val d = new DeflaterOutputStream(bos, deflater)
+    try { d.write(data); d.finish() } finally { d.close(); deflater.end() }
     bos.toByteArray
   }
 
+  // Streams MUST be closed (and explicit Inflaters/Deflaters end()ed):
+  // each java.util.zip native object holds ~tens of KB off-heap, and at
+  // millions of payloads per executor, leaking them to finalizers turns
+  // the decode stage into a GC stall.
   private def readAll(in: java.io.InputStream): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    var n = in.read(buf)
-    while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+    try {
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
     bos.toByteArray
   }
 
   def gzipDecompress(data: Array[Byte]): Array[Byte] =
     readAll(new GZIPInputStream(new ByteArrayInputStream(data)))
 
-  def zlibDecompress(data: Array[Byte]): Array[Byte] =
-    readAll(new InflaterInputStream(new ByteArrayInputStream(data), new Inflater()))
+  def zlibDecompress(data: Array[Byte]): Array[Byte] = {
+    val inflater = new Inflater()
+    try readAll(new InflaterInputStream(new ByteArrayInputStream(data), inflater))
+    finally inflater.end()
+  }
 
   /** Decode with explicit method, else sniff (extractors.rs:593-631). */
   def decodeAuto(data: Array[Byte], method: String): Array[Byte] = {

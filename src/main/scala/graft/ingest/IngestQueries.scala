@@ -23,7 +23,7 @@ object IngestQueries {
     * (item > header), unknown-key→extra routing, $sent_at header.
     */
   def capture(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.events(s, d)
+    val e = Tables.par(Tables.events(s, d))
     val body = to_json(struct(
       col("event_type").as("event"),
       concat(lit("u"), col("user_id")).as("distinct_id"),
@@ -54,7 +54,7 @@ object IngestQueries {
     * through the real compress→decode UDF round-trip.
     */
   def wire(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.events(s, d)
+    val e = Tables.par(Tables.events(s, d))
     val body = to_json(struct(
       col("event_type").as("event"),
       concat(lit("u"), col("user_id")).as("distinct_id")))
@@ -78,7 +78,7 @@ object IngestQueries {
     * (lib.rs:1447-1592), group-identify distinct_id:=group_key.
     */
   def batch(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.events(s, d)
+    val e = Tables.par(Tables.events(s, d))
     val item = when(col("user_id") % 5 === 0, to_json(struct(
         lit("identify").as("type"),
         concat(lit("u"), col("user_id")).as("distinct_id"),
@@ -126,7 +126,7 @@ object IngestQueries {
     * ip (pipeline.rs:418-429 no-overwrite semantics).
     */
   def enrichQ(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.events(s, d)
+    val e = Tables.par(Tables.events(s, d))
     val k = get_json_object(col("props"), "$.k").cast(LongType)
     val body = to_json(struct(
       lit("e").as("event"),
@@ -154,7 +154,7 @@ object IngestQueries {
     * tampered bytes and must be rejected (extractors.rs:320-399).
     */
   def hmac(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.events(s, d)
+    val e = Tables.par(Tables.events(s, d))
     val body = to_json(struct(lit("e").as("event"), col("event_id").cast("string").as("distinct_id")))
     val signedOver = when(col("event_id") % 7 === 0, concat(body, lit("tampered"))).otherwise(body)
     val sig = concat(lit("sha256="), Codecs.hmacSha256Udf(lit("top-secret"), signedOver.cast("binary")))
@@ -169,7 +169,7 @@ object IngestQueries {
     * configured positional columns (lib.rs:1378-1391).
     */
   def groups(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.events(s, d)
+    val e = Tables.par(Tables.events(s, d))
     val body = to_json(struct(
       lit("e").as("event"),
       col("event_id").cast("string").as("distinct_id"),

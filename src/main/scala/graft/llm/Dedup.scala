@@ -45,6 +45,17 @@ object Dedup {
   private def hashedShinglesSql: String =
     s"list_transform(${shingles3Sql(tokensSql("text"))}, s -> ${h60Sql("s")} % ${P31})"
 
+  /** docs → (doc_id, hp): the hashed-shingle array **materialized in its
+    * own projection**. The 32 permutation folds below each reference
+    * `hp` as a plain attribute; without this boundary every fold would
+    * re-run tokenize→shingle→distinct→md5 (codegen subexpression
+    * elimination does not reach through higher-order-function lambdas,
+    * and CollapseProject keeps the boundary because the alias is
+    * non-cheap and multiply-referenced). 32× less per-doc work.
+    */
+  private def hashedShingleDocs(s: SparkSession, d: String): DataFrame =
+    Tables.par(Tables.documents(s, d)).select(col("doc_id"), hashedShingles.as("hp"))
+
   /** 32-element MinHash signature as one array column. */
   private def signature(hs: Column): Column =
     array((0 until NumPerms).map(i =>
@@ -88,11 +99,13 @@ object Dedup {
     * materializes the all-pairs product; shuffle keys are int64 hashes.
     */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    val docs = Tables.par(Tables.documents(s, d))
       .select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
-    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
     val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), h60(col("s")).as("hs"))
+    // shingles are distinct per doc ⇒ |sh| = the inverted index's row
+    // count per doc — no third pass over the shingle pipeline
+    val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = inv.as("a")
       .join(inv.as("b"), col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -126,8 +139,8 @@ object Dedup {
     * are exactly the groups sharing (band, band_hash).
     */
   def minhashBands(s: SparkSession, d: String): DataFrame = {
-    val sig = Tables.documents(s, d)
-      .select(col("doc_id"), signature(hashedShingles).as("sig"))
+    val sig = hashedShingleDocs(s, d)
+      .select(col("doc_id"), signature(col("hp")).as("sig"))
     sig.select(col("doc_id"),
         posexplode(array((0 until Bands).map(b => bandHash(col("sig"), b)): _*)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("band_hash"))
@@ -156,7 +169,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
-    val docs = Tables.documents(s, d)
+    val docs = Tables.par(Tables.documents(s, d))
       .select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
     cand
       .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
@@ -198,7 +211,7 @@ object Dedup {
 
   /** Q-DEDUP-5: SimHash fingerprint per document. */
   def simhash(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.par(Tables.documents(s, d))
       .select(col("doc_id"), transform(tokens(col("text")), t => h60(t)).as("hts"))
       .select(col("doc_id"), simhashCol(col("hts")).as("simhash"), size(col("hts")).as("n_tokens"))
 
@@ -244,7 +257,7 @@ object Dedup {
     * same cosine expression, candidates restricted to shared buckets.
     */
   def cosinePairs(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+    val e = Tables.par(Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

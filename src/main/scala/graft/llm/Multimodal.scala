@@ -61,7 +61,7 @@ object Multimodal {
     * the corpus has no real binaries). kind cycles image/audio/video.
     */
   def mediaTable(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(
+    Tables.par(Tables.documents(s, d)).select(
       col("doc_id"),
       element_at(typedLit(Seq("image", "audio", "video")),
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),

@@ -43,7 +43,7 @@ object Similarity {
     * vector is a query; self excluded). Exact, deterministic tiebreak.
     */
   def topK(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+    val e = Tables.par(Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
@@ -73,7 +73,7 @@ object Similarity {
       val plane = typedLit((0 until Dim).map(planeCoef(p, _)))
       when(dot(col("embedding"), plane) > 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
-    Tables.embeddings(s, d)
+    Tables.par(Tables.embeddings(s, d))
       .select(col("vec_id"), col("label"), bucket.as("bucket"))
   }
 
@@ -92,7 +92,7 @@ object Similarity {
     * Centroids broadcast; assignment is map-only + a rank-1 window.
     */
   def ivfAssign(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val e = Tables.par(Tables.embeddings(s, d)).select(col("vec_id"), col("embedding"))
     val c = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
     val d2 = aggregate(

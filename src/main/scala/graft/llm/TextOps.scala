@@ -34,7 +34,7 @@ object TextOps {
     */
   def textStats(s: SparkSession, d: String): DataFrame = {
     val toks = tokens(col("text"))
-    Tables.documents(s, d)
+    Tables.par(Tables.documents(s, d))
       .select(col("doc_id"), col("n_chars"), toks.as("toks"))
       .select(
         col("doc_id"), col("n_chars"),
@@ -72,7 +72,7 @@ object TextOps {
     */
   def langId(s: SparkSession, d: String): DataFrame = {
     val toks = tokens(col("text"))
-    val base = Tables.documents(s, d)
+    val base = Tables.par(Tables.documents(s, d))
       .select(col("doc_id"), col("lang"), toks.as("toks"))
       .select(
         col("doc_id"), col("lang"),
@@ -117,7 +117,7 @@ object TextOps {
   def fingerprint(s: SparkSession, d: String): DataFrame = {
     val M = 1000000007L
     val toks = tokens(col("text"))
-    Tables.documents(s, d)
+    Tables.par(Tables.documents(s, d))
       .select(col("doc_id"), col("text"), toks.as("toks"))
       .select(
         col("doc_id"),
