@@ -1,0 +1,100 @@
+package graft
+
+import graft.ingest.{Codecs, Normalizer}
+import graft.ingest.Normalizer.IngestContext
+import graft.sources.Lake
+import graft.state.{PersonOp, Replay}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.Files
+
+/** End-to-end replay (the analogue of the reference's
+  * `tests/pipeline_e2e.rs`): a synthetic PostHog payload log — mixed
+  * endpoints, compressed bodies, batches — through the full chain:
+  * decode → normalize → lake append → person/group replay → snapshot
+  * assertions on the landed tables.
+  */
+class EndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("payload log → canonical lake → person/group state") {
+    import spark.implicits._
+
+    // the request log a worker would see (9 canonical events, like
+    // pipeline_e2e.rs's 9 persisted events)
+    val plain = Seq(
+      """{"event":"page_view","distinct_id":"anon-1","properties":{"path":"/","$set":{"ref":"ad"}},"timestamp":"2024-06-01T10:00:00Z"}""",
+      """{"type":"identify","distinct_id":"user-1","$anon_distinct_id":"anon-1","properties":{"email":"u1@x.com"}}""",
+      """{"batch":[
+           {"event":"click","distinct_id":"user-1","properties":{"$groups":{"company":"acme"}}},
+           {"type":"groupidentify","group_type":"company","group_key":"acme","properties":{"tier":"gold"}},
+           {"distinct_id":"user-1","alias":"anon-1"}
+         ],"api_key":"phc_batch"}""".replaceAll("\n\\s*", ""),
+      """{"event":"purchase","distinct_id":"user-1","properties":{"value":"9.99"}}""",
+      """{"distinct_id":"user-1","$set":{"plan":"pro"},"$unset":["ref"]}""",
+      """{"event":"$snapshot","distinct_id":"session-recording","properties":{"chunk":"1"}}""")
+
+    // a third of bodies arrive gzip- or zlib-compressed (unlabeled)
+    val log = plain.zipWithIndex.map { case (body, i) =>
+      i % 3 match {
+        case 0 => body
+        case 1 => new String(Codecs.decodeAuto(Codecs.gzipCompress(body.getBytes("UTF-8")), null), "UTF-8")
+        case _ => new String(Codecs.decodeAuto(Codecs.zlibCompress(body.getBytes("UTF-8")), null), "UTF-8")
+      }
+    }
+
+    val ctx = IngestContext(now = to_timestamp(lit("2024-06-01 12:00:00")))
+    val canonical = Normalizer.ingest(log.toDF("body"), col("body"), ctx)
+
+    // ---- event-level assertions (the landed rows)
+    val byKind = canonical.groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKind == Map("capture" -> 4L, "identify" -> 1L, "group_identify" -> 1L,
+      "alias" -> 1L, "engage" -> 1L))
+    assert(canonical.count() == 8)
+
+    // lake round-trip
+    val dir = Files.createTempDirectory("e2e").toString
+    Lake.writeEvents(canonical, dir)
+    assert(Lake.readEvents(spark, dir).count() == 8)
+
+    // ---- person replay from the landed ops
+    val ops = Seq(
+      PersonOp("anon-1", 1, Map("ref" -> "ad"), Map.empty, Nil, None),
+      PersonOp("user-1", 2, Map("email" -> "u1@x.com"), Map.empty, Nil, Some("anon-1")),
+      PersonOp("user-1", 4, Map.empty, Map("first_buy" -> "9.99"), Nil, None),
+      PersonOp("user-1", 5, Map("plan" -> "pro"), Map.empty, Seq("ref"), None))
+    val prio: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      id => concat(when(id.startsWith("anon-"), lit("1")).otherwise(lit("0")), lit("|"), id)
+    val persons = Replay.persons(spark, ops.toDS(), prio).collect()
+    assert(persons.length == 1)
+    val p = persons.head
+    assert(p.canonical_id == "user-1")
+    assert(p.distinct_ids == Seq("anon-1", "user-1"))
+    assert(p.properties == Map("email" -> "u1@x.com", "plan" -> "pro")) // ref unset
+    assert(Replay.mergedProperties(p)("first_buy") == "9.99")
+
+    // ---- group replay
+    val groups = Replay.groups(spark, Seq(
+      graft.state.GroupOp("company", "acme", 3, Map("tier" -> "gold"))).toDS()).collect()
+    assert(groups.head.properties == Map("tier" -> "gold"))
+
+    // ---- flag evaluation over the replayed person (read path)
+    val flagCtx = graft.flags.FlagContext("user-1",
+      personProperties = Replay.mergedProperties(p).view.mapValues(graft.flags.JStr(_)).toMap)
+    val flag = graft.flags.FeatureFlag(key = "pro-only",
+      conditions = Seq(graft.flags.FlagCondition(properties = Seq(
+        graft.flags.PropertyFilter("plan", graft.flags.JStr("pro"))))))
+    assert(graft.flags.FlagEval.evaluateFlag(flag, flagCtx).value == graft.flags.JBool(true))
+  }
+}
