@@ -174,6 +174,37 @@ object Normalizer {
   def ingest(df: DataFrame, body: Column, ctx: IngestContext): DataFrame =
     groupSlots(toCanonical(explodeItems(df, body), ctx), ctx)
 
+  /** S9: session-recording intake (`/s`) — the raw snapshot chunk lands
+    * as a `$snapshot` event with the whole payload in `properties`;
+    * distinct_id resolves via the `/data/metadata/distinct_id` JSON
+    * pointer, then top-level `distinct_id`, then the literal
+    * `"session-recording"` (lib.rs:1149-1189, pipeline.rs:338-365).
+    */
+  def sessionIntake(df: DataFrame, body: Column, ctx: IngestContext): DataFrame =
+    df.select(
+      col("*"),
+      uuidDet(body).as("uuid"),
+      lit(null).cast("long").as("team_id"),
+      lit("posthog").as("source"),
+      lit("$snapshot").as("event"),
+      coalesce(
+        get_json_object(body, "$.data.metadata.distinct_id"),
+        get_json_object(body, "$.distinct_id"),
+        lit("session-recording")).as("distinct_id"),
+      lit(null).cast("timestamp").as("timestamp"),
+      ctx.now.as("created_at"),
+      body.as("properties"),
+      lit(null).cast("string").as("context"),
+      lit(null).cast("string").as("person_id"),
+      lit(null).cast("timestamp").as("person_created_at"),
+      lit(null).cast("string").as("person_properties"),
+      lit(null).cast("string").as("group0"), lit(null).cast("string").as("group1"),
+      lit(null).cast("string").as("group2"), lit(null).cast("string").as("group3"),
+      lit(null).cast("string").as("group4"),
+      lit(null).cast("string").as("group_properties"),
+      coalesce(ctx.headerApiKey, get_json_object(body, "$.token")).as("api_key"),
+      map_filter(map(lit("$sent_at"), ctx.sentAtHeader), (_, v) => v.isNotNull).as("extra"))
+
   // ----------------------------------------------------- P8: enrichment
 
   /** Insert-if-absent property enrichment (extractors.rs:82-178 +

@@ -152,6 +152,18 @@ object Replay {
     spark.createDataset(withIds)
   }
 
+  /** T9: person debug snapshot — the point query behind
+    * `GET /__debug/person/:id` (`lib.rs:1196-1226`): resolve any known
+    * distinct_id to its record. On the replayed dimension this is a
+    * membership filter over `distinct_ids` (at serving scale: a
+    * broadcast redirect map + key lookup).
+    */
+  def personSnapshot(persons: Dataset[PersonRecord], distinctId: String): Option[PersonRecord] = {
+    import persons.sparkSession.implicits._
+    persons.filter(p => p.distinct_ids.contains(distinctId) || p.canonical_id == distinctId)
+      .collect().headOption
+  }
+
   /** Replay group ops: last-write-wins per-key upsert in `ord` order
     * (`groups.rs:25-42`), keyed by (group_type, group_key).
     */
