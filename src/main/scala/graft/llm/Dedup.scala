@@ -103,6 +103,7 @@ object Dedup {
       .select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
     val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), h60(col("s")).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // shingles are distinct per doc ⇒ |sh| = the inverted index's row
     // count per doc — no third pass over the shingle pipeline
     val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -162,7 +163,10 @@ object Dedup {
     * at 100 TB the band join shuffles (doc_id, int64) pairs only.
     */
   def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val bands = minhashBands(s, d)
+    // cache the signature table: both sides of the band self-join (and
+    // a possible broadcast build) would otherwise recompute the whole
+    // shingle+signature pipeline
+    val bands = minhashBands(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
@@ -171,6 +175,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
     val docs = Tables.par(Tables.documents(s, d))
       .select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cand
       .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
       .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
