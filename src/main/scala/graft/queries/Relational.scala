@@ -169,6 +169,19 @@ object Relational {
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
 
+  /** Q-AGG-7: explicit GROUPING SETS through the SQL entry point (the
+    * engine's spark.sql surface — temp view + ANSI SQL text).
+    */
+  def aggGroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("events_v")
+    s.sql(
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        |FROM events_v
+        |GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())""".stripMargin)
+  }
+
   /** Q-AGG-5: rollup(event_type, day). */
   def aggRollup(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -403,6 +416,10 @@ object Relational {
       """SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS n_users, count(*) AS n
         |FROM events GROUP BY CAST(ts AS DATE)""".stripMargin)),
     Q("q_agg_approx", aggApprox, None),
+    Q("q_agg_groupingsets", aggGroupingSets, Some(
+      """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())""".stripMargin)),
     Q("q_agg_rollup", aggRollup, Some(
       """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value

@@ -45,6 +45,24 @@ object Lake {
   def readEvents(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Compaction (the parquet analogue of Iceberg's
+    * `rewrite_data_files`): rewrite each date-partition's accumulated
+    * small files into one file — streaming appends produce a file per
+    * epoch per partition, and scan planning degrades with file count.
+    * Hash-clustering on the partition column sends each date to exactly
+    * one task (`parallelism` bounds concurrent tasks, not files/date).
+    * Rewrites into a fresh directory (an atomic catalog swap in a real
+    * lake; callers point readers at the new path).
+    */
+  def compact(spark: SparkSession, path: String, outPath: String,
+      parallelism: Int = 32): Unit =
+    spark.read.parquet(path)
+      .repartition(parallelism, col(PartitionCol))
+      .write
+      .partitionBy(PartitionCol)
+      .mode("overwrite")
+      .parquet(outPath)
+
   /** Streaming append: per-epoch dedup + partitioned write via
     * foreachBatch (the exactly-once-per-epoch pattern; uuid dedup makes
     * replayed epochs idempotent).

@@ -54,6 +54,23 @@ class LakeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Lake.readEvents(spark, dir).count() == 1)
   }
 
+  test("compaction: many small appends → one file per date partition") {
+    val dir = Files.createTempDirectory("lake").toString
+    val out = Files.createTempDirectory("lake_c").toString
+    // 3 appends into the same date → 3+ files in that partition
+    (1 to 3).foreach { i =>
+      Lake.writeEvents(canonical(
+        s"""{"event":"e$i","distinct_id":"d$i","timestamp":"2024-03-01T0$i:00:00Z"}"""), dir)
+    }
+    def parquetFiles(base: String) =
+      new java.io.File(s"$base/event_date=2024-03-01").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(dir) >= 3)
+    Lake.compact(spark, dir, out, parallelism = 2)
+    assert(parquetFiles(out) == 1)
+    assert(Lake.readEvents(spark, out).count() == 3)
+  }
+
   test("partition filter prunes at scan (PartitionFilters in plan)") {
     val dir = Files.createTempDirectory("lake").toString
     Lake.writeEvents(canonical(
