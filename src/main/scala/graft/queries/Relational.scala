@@ -196,6 +196,27 @@ object Relational {
       .cube(col("c_mktsegment"), col("n_name"))
       .agg(count(lit(1)).as("n_orders"), sumd(col("o_totalprice"), 18, 2).as("revenue"))
 
+  /** Q-AGG-8: skew-safe two-phase aggregation — explicit salting. A hot
+    * grouping key (one event_type carrying most rows) funnels its whole
+    * partition through one reducer; salting splits each key into 16
+    * shards for the partial aggregate, then a second (tiny) aggregate
+    * merges shards. Exact decimal folds ⇒ bit-identical to the plain
+    * single-phase oracle on any shard count. (AQE's skewJoin handles
+    * the join-side analogue automatically; this is the groupBy-side
+    * pattern you reach for at 100 TB when one tenant is 30% of rows.)
+    */
+  def aggSalted(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"), pmod(hash(col("event_id")), lit(16)).as("__salt"))
+      .agg(count(lit(1)).as("pn"), sum(dec(col("value"))).as("psum"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"), sum(col("psum")).cast(DoubleType).as("sum_value"))
+
+  val aggSaltedSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- window
 
   /** Q-WIN-1: top-3 events per user by value (row_number, unique
@@ -420,6 +441,7 @@ object Relational {
       """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())""".stripMargin)),
+    Q("q_agg_salted", aggSalted, Some(aggSaltedSql)),
     Q("q_agg_rollup", aggRollup, Some(
       """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
