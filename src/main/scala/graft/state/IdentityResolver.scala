@@ -34,6 +34,40 @@ object IdentityResolver {
 
   val MaxIters = 15
 
+  /** Below this edge count the component computation runs as a
+    * driver-local union-find over the collected edge list (alias
+    * graphs are orders of magnitude smaller than the event sets they
+    * resolve — the reference holds the whole redirect map in one
+    * Durable Object). Above it, the distributed fixpoint takes over.
+    * 5M edges ≈ a few hundred MB of driver heap, far under a normal
+    * driver's budget.
+    */
+  val LocalThreshold = 5000000L
+
+  private def localComponents(
+      edges: Seq[(String, String)],
+      labelOf: String => String): Seq[(String, String)] = {
+    val parent = collection.mutable.Map.empty[String, String]
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val members = parent.keys.toSeq
+    val byRoot = members.groupBy(find)
+    byRoot.valuesIterator.flatMap { comp =>
+      val canonical = comp.minBy(labelOf)
+      comp.map(_ -> canonical)
+    }.toSeq
+  }
+
   /** edges: DataFrame with string columns (`src`, `dst`).
     * labelRank: maps an id to a sortable label prefix rank (lower wins
     * canonical election). Returns (`id`, `canonical`).
@@ -41,11 +75,31 @@ object IdentityResolver {
   def components(
       spark: SparkSession,
       edges: DataFrame,
-      labelOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column = identity)
+      labelOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column = identity,
+      localThreshold: Long = LocalThreshold)
     : DataFrame = {
 
-    val e = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    import spark.implicits._
+
+    val undirected = edges.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edgeCount = undirected.count()
+
+    if (edgeCount <= localThreshold) {
+      // driver-local union-find; labelOf still evaluated by Spark so
+      // both paths share one canonical-election definition
+      val pairs = undirected.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      undirected.unpersist()
+      if (pairs.isEmpty) return Seq.empty[(String, String)].toDF("id", "canonical")
+      val ids = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val lbl = ids.toDF("id")
+        .select(col("id"), labelOf(col("id")).cast("string").as("lbl"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      return localComponents(pairs, lbl).toDF("id", "canonical")
+    }
+
+    val e = undirected
+      .union(undirected.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 

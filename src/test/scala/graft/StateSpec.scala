@@ -137,6 +137,20 @@ class StateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gs(("org", "o1")).properties == Map("a" -> "b"))
   }
 
+  test("distributed CC fixpoint agrees with local union-find") {
+    import spark.implicits._
+    val edges = Seq(
+      ("b", "a"), ("c", "b"), ("d", "c"),          // chain → a
+      ("x", "y"),                                   // pair → x
+      ("m", "n"), ("n", "o"), ("o", "m")).toDF("src", "dst") // cycle → m
+    val local = IdentityResolver.components(spark, edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val dist = IdentityResolver.components(spark, edges, localThreshold = 0)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(local == dist)
+    assert(local("d") == "a" && local("y") == "x" && local("o") == "m")
+  }
+
   test("out-of-order ops fold by ord, not arrival order") {
     val r = replay(
       op("d", 3, set = Map("k" -> "late")),
