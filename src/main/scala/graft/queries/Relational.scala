@@ -269,6 +269,42 @@ object Relational {
       .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
   }
 
+  /** Q-PIVOT-1: per-user event-type matrix — `pivot` with an explicit
+    * value list (explicit values keep the plan single-pass: no
+    * distinct-values pre-query, fixed output schema at 100 TB).
+    */
+  def pivotEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  val pivotEventsSql: String =
+    """SELECT user_id,
+      |  count(*) FILTER (WHERE event_type = 'view') AS view,
+      |  count(*) FILTER (WHERE event_type = 'click') AS click,
+      |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  count(*) FILTER (WHERE event_type = 'error') AS error
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** Q-PIVOT-2: unpivot (melt) the order's price/key columns back to
+    * long form — the inverse reshape.
+    */
+  def unpivotOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_custkey").cast(DoubleType).as("o_custkey_d"))
+      .unpivot(
+        Array(col("o_orderkey")),
+        Array(col("o_totalprice"), col("o_custkey_d")),
+        "metric", "val")
+
+  val unpivotOrdersSql: String =
+    """SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice AS val FROM orders
+      |UNION ALL
+      |SELECT o_orderkey, 'o_custkey_d', CAST(o_custkey AS DOUBLE) FROM orders""".stripMargin
+
   // ----------------------------------------------------------- sort/limit
 
   /** Q-SORT-1: global top-100 events by value — plans as
@@ -482,6 +518,8 @@ object Relational {
         |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
         |    PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
         |FROM events""".stripMargin)),
+    Q("q_pivot_events", pivotEvents, Some(pivotEventsSql)),
+    Q("q_unpivot_orders", unpivotOrders, Some(unpivotOrdersSql)),
     Q("q_sort_top100", sortTop100, Some(
       """SELECT event_id, event_type, user_id, value FROM events
         |ORDER BY value DESC, event_id LIMIT 100""".stripMargin)),
