@@ -120,8 +120,45 @@ object Similarity {
        |  FROM scored) WHERE rn = 1""".stripMargin
   }
 
+  /** Q-SIM-4: IVF probe-side search — cosine top-5 per query restricted
+    * to the query's own IVF cell (single-probe). The scale win: each
+    * query scores |cell| ≈ N/c vectors instead of N; the trade is
+    * recall at cell boundaries (raise nprobe for more). Exact and
+    * oracle-checkable because the cell assignment is deterministic.
+    */
+  def ivfSearch(s: SparkSession, d: String): DataFrame = {
+    val assign = ivfAssign(s, d).select(col("vec_id"), col("centroid_id"))
+    val e = Tables.par(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+      .join(assign, Seq("vec_id"))
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("centroid_id").as("q_cell"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    e.join(broadcast(q), col("centroid_id") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+  }
+
+  val ivfSearchSql: String =
+    s"""WITH assign AS ($ivfAssignSql),
+       |e AS (
+       |  SELECT emb.vec_id, emb.embedding, ${l2normSql("emb.embedding")} AS nrm, a.centroid_id
+       |  FROM embeddings emb JOIN assign a ON emb.vec_id = a.vec_id),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, centroid_id AS q_cell
+       |      FROM e WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT q_id, e.vec_id, ${dotSql("e.embedding", "q_emb")} / (e.nrm * q_nrm) AS cosine
+       |  FROM e JOIN q ON e.centroid_id = q_cell AND e.vec_id <> q_id)
+       |SELECT q_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored) WHERE rank <= 5""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_sim_topk", topK, Some(topKSql)),
     Q("q_sim_lsh", lshBuckets, Some(lshBucketsSql)),
-    Q("q_sim_ivf", ivfAssign, Some(ivfAssignSql)))
+    Q("q_sim_ivf", ivfAssign, Some(ivfAssignSql)),
+    Q("q_sim_ivf_search", ivfSearch, Some(ivfSearchSql)))
 }

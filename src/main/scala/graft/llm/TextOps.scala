@@ -35,15 +35,16 @@ object TextOps {
   def textStats(s: SparkSession, d: String): DataFrame = {
     val toks = tokens(col("text"))
     Tables.par(Tables.documents(s, d))
-      .select(col("doc_id"), col("n_chars"), toks.as("toks"))
+      .select(col("doc_id"), col("n_chars"), col("text"), toks.as("toks"))
       .select(
         col("doc_id"), col("n_chars"),
         size(col("toks")).as("n_tokens"),
         size(array_distinct(col("toks"))).as("n_uniq_tokens"),
         aggregate(col("toks"), lit(0L), (a, t) => a + length(t)).as("n_token_chars"),
-        hits(col("toks"), stopEn).as("n_stopwords"))
+        hits(col("toks"), stopEn).as("n_stopwords"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))).as("n_bpe_tokens"))
       .select(
-        col("doc_id"), col("n_chars"), col("n_tokens"), col("n_uniq_tokens"),
+        col("doc_id"), col("n_chars"), col("n_tokens"), col("n_uniq_tokens"), col("n_bpe_tokens"),
         (col("n_token_chars").cast(DoubleType) / col("n_tokens")).as("avg_token_len"),
         (col("n_stopwords").cast(DoubleType) / col("n_tokens")).as("stopword_ratio"),
         (col("n_uniq_tokens").cast(DoubleType) / col("n_tokens")).as("uniq_ratio"),
@@ -53,7 +54,7 @@ object TextOps {
 
   val textStatsSql: String = {
     val toks = tokensSql("text")
-    s"""SELECT doc_id, n_chars, n_tokens, n_uniq_tokens,
+    s"""SELECT doc_id, n_chars, n_tokens, n_uniq_tokens, n_bpe_tokens,
        |  n_token_chars::DOUBLE / n_tokens AS avg_token_len,
        |  n_stopwords::DOUBLE / n_tokens AS stopword_ratio,
        |  n_uniq_tokens::DOUBLE / n_tokens AS uniq_ratio,
@@ -63,8 +64,9 @@ object TextOps {
        |    len(toks)::BIGINT AS n_tokens,
        |    len(list_distinct(toks))::BIGINT AS n_uniq_tokens,
        |    list_reduce(list_prepend(0, list_transform(toks, t -> len(t))), (a, b) -> a + b)::BIGINT AS n_token_chars,
-       |    ${hitsSql("toks", stopEn)}::BIGINT AS n_stopwords
-       |  FROM (SELECT doc_id, n_chars, $toks AS toks FROM documents))""".stripMargin
+       |    ${hitsSql("toks", stopEn)}::BIGINT AS n_stopwords,
+       |    len(regexp_extract_all(text, '[a-z]+|[0-9]+'))::INT AS n_bpe_tokens
+       |  FROM (SELECT doc_id, n_chars, text, $toks AS toks FROM documents))""".stripMargin
   }
 
   /** Q-TEXT-2: stopword-overlap language ID (n-gram heuristic family).
