@@ -219,11 +219,16 @@ object Normalizer {
         ctx.geo.map { case (k, v) => lit(k) -> v })
         .flatMap { case (k, v) => Seq(k, v) }: _*),
       (_, v) => v.isNotNull)
-    val propsMap = from_json(coalesce(col("properties"), lit("{}")), mapSS)
+    // parse properties once behind a projection boundary; `missing`
+    // references the parsed attribute (the expression is used three
+    // times below — condition, concat, and the filter lambda)
+    val propsMap = col("__props_map")
     val missing = map_filter(enrichMap, (k, _) => !map_contains_key(propsMap, k))
-    df.withColumn("properties",
-      when(size(map_keys(missing)) > 0, to_json(map_concat(propsMap, missing)))
-        .otherwise(col("properties")))
+    df.withColumn("__props_map", from_json(coalesce(col("properties"), lit("{}")), mapSS))
+      .withColumn("properties",
+        when(size(map_keys(missing)) > 0, to_json(map_concat(propsMap, missing)))
+          .otherwise(col("properties")))
+      .drop("__props_map")
   }
 
   // ---------------------------------------------- P10: group slot mapping
