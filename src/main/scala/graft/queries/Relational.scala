@@ -324,6 +324,61 @@ object Relational {
       .limit(50)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
 
+  /** Q-TPCH-3: shipping-priority style — filtered fact⋈dim join, group,
+    * exact-decimal revenue, global top-10 (TakeOrderedAndProject after
+    * a broadcast join + partial agg).
+    */
+  def tpchQ3(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > to_timestamp(lit("1995-03-15 00:00:00")))
+      .join(Tables.orders(s, d).filter(col("o_orderdate") < to_timestamp(lit("1995-03-15 00:00:00"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_date"))
+      .agg(sum(dec(col("l_extendedprice"), 14, 2) * (lit(1) - dec(col("l_discount"), 14, 2)))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  val tpchQ3Sql: String =
+    """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(14,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      |  AND c_mktsegment = 'BUILDING'
+      |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** Q-SUB-1: correlated scalar subquery — customers above their
+    * nation's average balance; Catalyst decorrelates this into an
+    * aggregate + join (the §4 "free" optimization), expressed through
+    * the SQL surface.
+    */
+  def subCorrelated(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    // exact-decimal comparison (bal·n > Σbal) — a float avg() would be
+    // summation-order-dependent across engines
+    s.sql(
+      """SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS bal
+        |FROM customer_v c
+        |WHERE CAST(c_acctbal AS DECIMAL(14,2)) *
+        |      (SELECT count(*) FROM customer_v c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |    > (SELECT sum(CAST(c2.c_acctbal AS DECIMAL(14,2))) FROM customer_v c2
+        |       WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin)
+  }
+
+  val subCorrelatedSql: String =
+    """SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS bal
+      |FROM customer c
+      |WHERE CAST(c_acctbal AS DECIMAL(14,2)) *
+      |      (SELECT count(*) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+      |    > (SELECT sum(CAST(c2.c_acctbal AS DECIMAL(14,2))) FROM customer c2
+      |       WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin
+
   // -------------------------------------------------------------- set ops
 
   private def users(s: SparkSession, d: String, et: String): DataFrame =
@@ -526,6 +581,8 @@ object Relational {
     Q("q_sort_orders", sortOrders, Some(
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin)),
+    Q("q_tpch_q3", tpchQ3, Some(tpchQ3Sql)),
+    Q("q_sub_correlated", subCorrelated, Some(subCorrelatedSql)),
     Q("q_set_union", setUnion, Some(
       """SELECT user_id FROM events WHERE event_type = 'signup'
         |UNION
