@@ -1,9 +1,10 @@
 package graft.streaming
 
 import graft.state.{PersonOp, PersonRecord, Replay}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface: the same declarative transforms run
   * unchanged over `readStream` sources (file/Kafka) and batch frames —
@@ -69,6 +70,52 @@ object Streaming {
     * upstream (`IdentityResolver` on the batch's edges ∪ the known
     * redirect dimension) before ops reach this operator.
     */
+  /** The same person fold on Spark 4's `transformWithState` API — a
+    * [[StatefulProcessor]] with an explicit [[ValueState]] handle (the
+    * state-store-v2 path: per-state-variable columns in RocksDB,
+    * timers/TTL available). Shares [[Replay.applyUpdate]] with batch
+    * replay and the fMGWS twin; StreamingSpec pins all three to agree.
+    */
+  class PersonStateProcessor extends StatefulProcessor[String, PersonOp, PersonRecord] {
+    @transient private var state: ValueState[PersonRecord] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[PersonRecord](
+        "person", Encoders.product[PersonRecord], org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String, rows: Iterator[PersonOp],
+        timerValues: TimerValues): Iterator[PersonRecord] = {
+      val prev = Option(state.get()).getOrElse(
+        PersonRecord(key, -1L, 0L, Seq(key), Map.empty, Map.empty, Long.MaxValue))
+      val sorted = rows.toArray.sortBy(_.ord)
+      var props = prev.properties
+      var setOnce = prev.properties_set_once
+      var dids = prev.distinct_ids.toVector
+      var version = prev.version
+      var firstOrd = prev.first_ord
+      sorted.foreach { op =>
+        if (!dids.contains(op.raw_id)) dids :+= op.raw_id
+        val r = Replay.applyUpdate(props, setOnce, op)
+        props = r._1; setOnce = r._2
+        version += 1
+        firstOrd = math.min(firstOrd, op.ord)
+      }
+      val next = prev.copy(version = version, distinct_ids = dids.sorted,
+        properties = props, properties_set_once = setOnce, first_ord = firstOrd)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** transformWithState wiring of [[PersonStateProcessor]]. */
+  def personStateTws(ops: Dataset[PersonOp]): Dataset[PersonRecord] = {
+    import ops.sparkSession.implicits._
+    ops.groupByKey(_.raw_id)
+      .transformWithState(new PersonStateProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   def personStateStream(ops: Dataset[PersonOp]): Dataset[PersonRecord] = {
     import ops.sparkSession.implicits._
     ops.groupByKey(_.raw_id)

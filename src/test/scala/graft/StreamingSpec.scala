@@ -82,6 +82,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.count(_.getLong(2) == 1L) == 2)
   }
 
+  test("transformWithState person fold agrees with fMGWS across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState's state-v2 (column families) needs RocksDB
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[PersonOp]
+    val q = Streaming.personStateTws(mem.toDS())
+      .writeStream.format("memory").queryName("pstate_tws")
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("tws_ckpt").toString)
+      .start()
+    try {
+      mem.addData(
+        PersonOp("u1", 1, Map("plan" -> "free"), Map("first" -> "a"), Nil, None))
+      q.processAllAvailable()
+      mem.addData(
+        PersonOp("u1", 2, Map("plan" -> "pro"), Map("first" -> "b"), Nil, None),
+        PersonOp("u1", 3, Map.empty, Map.empty, Seq("plan"), None))
+      q.processAllAvailable()
+      val rows = spark.table("pstate_tws").as[graft.state.PersonRecord].collect()
+      val last = rows.maxBy(_.version)
+      assert(last.version == 3)
+      assert(last.properties.get("plan").isEmpty)
+      assert(last.properties_set_once("first") == "a")
+    } finally {
+      q.stop(); spark.sql("DROP TABLE IF EXISTS pstate_tws")
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("keyed person state accumulates across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
