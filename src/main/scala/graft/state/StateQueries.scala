@@ -174,8 +174,34 @@ object StateQueries {
        |LEFT JOIN p ON p.canonical_id = (CASE WHEN s.first_signup IS NULL
        |  THEN 'anon-u' || e.user_id ELSE 'u' || e.user_id END)""".stripMargin
 
+  /** Q-PIPE-4: group property hydration (P11) — each event's `$groups`
+    * entry looked up against the replayed group dimension and stamped
+    * back onto the event (`hydrate_group_properties`, lib.rs:1393-1411).
+    * The group dimension broadcasts; the fact side never shuffles.
+    */
+  def pipeHydrate(s: SparkSession, d: String): DataFrame = {
+    val groups = pipeGroups(s, d)
+      .select(col("group_key"), col("last_et"), col("last_k"), col("version"))
+    Tables.events(s, d)
+      .select(col("event_id"),
+        concat(lit("seg-"), col("user_id") % 10).as("group_key"))
+      .join(broadcast(groups), Seq("group_key"), "left")
+      .select(col("event_id"), col("group_key"),
+        col("last_et").as("group_last_et"),
+        col("last_k").as("group_last_k"),
+        col("version").as("group_version"))
+  }
+
+  val pipeHydrateSql: String =
+    s"""WITH g AS ($pipeGroupsSql)
+       |SELECT e.event_id, 'seg-' || (e.user_id % 10) AS group_key,
+       |  g.last_et AS group_last_et, g.last_k AS group_last_k,
+       |  g.version AS group_version
+       |FROM events e LEFT JOIN g ON g.group_key = 'seg-' || (e.user_id % 10)""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_pipe_persons", pipePersons, Some(pipePersonsSql)),
     Q("q_pipe_groups", pipeGroups, Some(pipeGroupsSql)),
-    Q("q_pipe_snapshot", pipeSnapshot, Some(pipeSnapshotSql)))
+    Q("q_pipe_snapshot", pipeSnapshot, Some(pipeSnapshotSql)),
+    Q("q_pipe_hydrate", pipeHydrate, Some(pipeHydrateSql)))
 }
