@@ -118,7 +118,7 @@ object FlagStore {
     PropertyFilter(
       key = str(o, "key").getOrElse(""),
       value = o.v.getOrElse("value", JNull),
-      operator = str(o, "operator"),
+      operator = str(o, "operator").orElse(str(o, "op")), // serde alias "op" (feature_flags.rs PropertyFilter)
       propertyType = str(o, "type"),
       groupType = str(o, "group_type"))
 

@@ -1,20 +1,25 @@
 package graft.flags
 
 import graft.Tables
+import graft.functions.GraftExtensions
 import graft.queries.Q
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import FlagColumns.FlagFrame
 
-/** Oracle-checked drives of the vectorized flag engine (Q-FLAG-1):
-  * a person table derived from `customer`, a fixed flag config
-  * exercising the full operator matrix, evaluated with the REAL
-  * [[FlagColumns]] builders; the oracle recomputes expectations as
-  * plain SQL.
+/** Oracle-checked drives of the vectorized flag engine (Q-FLAG-1..4):
+  * a person table derived from `customer`, fixed flag configs
+  * exercising the full operator matrix, group-typed flags, and
+  * multivariate selection, evaluated with the REAL [[FlagColumns]]
+  * builders; the oracle recomputes expectations as plain SQL.
   *
-  * The SHA1 rollout bucket is NOT SQL-expressible in the oracle engine
-  * (no sha1()), so bucketing correctness is pinned by unit vectors
-  * generated with an independent implementation (FlagSpec), and the
-  * rollout query ships without an oracle (rows-only driver check).
+  * SHA1 bucketing in oracles: DuckDB has no sha1(), so
+  * `q_flag_variants` joins the precomputed [[FlagBucketFixture]]
+  * (generated offline from the reference algorithm) while Spark
+  * computes buckets live through the native codegen expression — the
+  * hash compare gates bucket bit-exactness AND the variant walk.
+  * The unfixtured distribution query (`q_flag_rollout`) stays
+  * rows-only; scalar bucket vectors are pinned in FlagSpec.
   */
 object FlagQueries {
 
@@ -35,7 +40,7 @@ object FlagQueries {
       |  {"key": "f_in", "conditions": [{"properties": [{"key": "segment", "operator": "in", "value": ["AUTOMOBILE", "MACHINERY"]}]}]},
       |  {"key": "f_not_in", "conditions": [{"properties": [{"key": "segment", "operator": "not_in", "value": ["HOUSEHOLD"]}]}]},
       |  {"key": "f_gt", "conditions": [{"properties": [{"key": "balance", "operator": "gt", "value": 5000}]}]},
-      |  {"key": "f_lte", "conditions": [{"properties": [{"key": "nation", "operator": "lte", "value": "11"}]}]},
+      |  {"key": "f_lte", "conditions": [{"properties": [{"key": "nation", "op": "lte", "value": "11"}]}]},
       |  {"key": "f_contains", "conditions": [{"properties": [{"key": "name", "operator": "contains", "value": "00001"}]}]},
       |  {"key": "f_regex", "conditions": [{"properties": [{"key": "name", "operator": "regex", "value": "[02468]$"}]}]},
       |  {"key": "f_is_set", "conditions": [{"properties": [{"key": "missing_key", "operator": "is_set", "value": null}]}]},
@@ -55,12 +60,15 @@ object FlagQueries {
   /** Q-FLAG-1: property-operator matrix over the person table —
     * 12 flags (eq/in/not_in/gt/lte/contains/regex/is_set/is_not,
     * AND-of-filters, multi-condition first-match, inactive) with 100%
-    * rollout so the oracle can verify pure filter semantics.
+    * rollout so the oracle can verify pure filter semantics. All
+    * rollouts fold to literals → the whole query is one codegen'd
+    * map stage over the customer scan (no UDF, no SHA1).
     */
   def flagFilters(s: SparkSession, d: String): DataFrame = {
+    GraftExtensions.register(s)
     val p = persons(s, d)
-    val cols = config.map(f =>
-      FlagColumns.enabledCol(col("distinct_id"), col("props"), f).as(f.key))
+    val frame = FlagFrame(col("distinct_id"), col("props"))
+    val cols = config.map(f => FlagColumns.enabledCol(frame, f).as(f.key))
     p.select(col("c_custkey") +: cols: _*)
   }
 
@@ -80,19 +88,138 @@ object FlagQueries {
       |  false AS f_inactive
       |FROM customer""".stripMargin
 
-  /** Q-FLAG-2: rollout bucketing + variant distribution (SHA1; no SQL
-    * oracle — bit-exactness pinned by FlagSpec vectors; driver records
-    * rows>0). Buckets must be uniform-ish: the output is the per-bucket
-    * histogram a cohort analysis would read.
+  /** Q-FLAG-2: rollout bucketing distribution (native SHA1 expression;
+    * no SQL oracle — bit-exactness pinned by FlagSpec vectors + the
+    * fixtured q_flag_variants; driver records rows>0). The output is
+    * the per-bucket histogram a cohort analysis would read.
     */
   def flagRollout(s: SparkSession, d: String): DataFrame = {
+    GraftExtensions.register(s)
     val p = persons(s, d)
-    p.select(FlagColumns.bucketUdf(lit("beta-flag"), col("distinct_id")).as("bucket"))
+    p.select(FlagColumns.bucket("beta-flag", col("distinct_id")).as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Multivariate config for Q-FLAG-3: condition-level variant
+    * override, fixed `variant` short-circuit, flag-level variants with
+    * partial rollout — every branch of `evaluate_condition` +
+    * `pick_variant`.
+    */
+  private val variantsConfigJson: String =
+    """{"flags": [
+      |  {"key": "exp", "type": "multivariate",
+      |   "variants": [
+      |     {"key": "control", "rollout_percentage": 25},
+      |     {"key": "test_a", "rollout_percentage": 25},
+      |     {"key": "test_b", "rollout_percentage": 50}],
+      |   "conditions": [
+      |     {"properties": [{"key": "tier", "value": "gold"}],
+      |      "rollout_percentage": 80,
+      |      "variants": [
+      |        {"key": "alpha", "rollout_percentage": 50},
+      |        {"key": "beta", "rollout_percentage": 50}]},
+      |     {"properties": [{"key": "tier", "value": "silver"}],
+      |      "variant": "pinned"},
+      |     {"properties": [], "rollout_percentage": 60}
+      |   ]}
+      |]}""".stripMargin
+
+  def variantsConfig: Seq[FeatureFlag] = FlagStore.fromJson(variantsConfigJson)
+
+  /** Q-FLAG-3: vectorized multivariate selection over synthetic ids
+    * user-0..N-1 (SF-independent): real native-SHA1 bucket + Column
+    * variant walk on the Spark side; the oracle replays the walk in
+    * SQL over the precomputed bucket fixture.
+    */
+  def flagVariants(s: SparkSession, d: String): DataFrame = {
+    GraftExtensions.register(s)
+    val ids = s.range(0, FlagBucketFixture.n.toLong).select(
+      col("id"),
+      concat(lit("user-"), col("id")).as("distinct_id"),
+      map(lit("tier"),
+        when(col("id") % 3 === 0, "gold")
+          .when(col("id") % 3 === 1, "silver")
+          .otherwise("bronze")).as("props"))
+    val frame = FlagFrame(col("distinct_id"), col("props"))
+    val flag = variantsConfig.head
+    ids.select(
+      col("distinct_id"),
+      FlagColumns.resultCol(frame, flag).as("r"))
+      .select(col("distinct_id"),
+        col("r.enabled").as("enabled"), col("r.variant").as("variant"))
+  }
+
+  val flagVariantsSql: String =
+    s"""WITH b AS (SELECT * FROM (VALUES ${FlagBucketFixture.valuesSql}) AS v(i, bucket)),
+       |j AS (
+       |  SELECT 'user-' || b.i AS distinct_id, b.bucket,
+       |    CASE b.i % 3 WHEN 0 THEN 'gold' WHEN 1 THEN 'silver' ELSE 'bronze' END AS tier
+       |  FROM b)
+       |SELECT distinct_id,
+       |  CASE WHEN tier = 'gold' THEN bucket < 80
+       |       WHEN tier = 'silver' THEN true
+       |       ELSE bucket < 60 END AS enabled,
+       |  CASE WHEN tier = 'gold' THEN
+       |         (CASE WHEN bucket >= 80 THEN NULL
+       |               WHEN bucket < 50 THEN 'alpha' ELSE 'beta' END)
+       |       WHEN tier = 'silver' THEN 'pinned'
+       |       ELSE (CASE WHEN bucket >= 60 THEN NULL
+       |                  WHEN bucket < 25 THEN 'control'
+       |                  WHEN bucket < 50 THEN 'test_a' ELSE 'test_b' END)
+       |  END AS variant
+       |FROM j""".stripMargin
+
+  /** Group-typed config for Q-FLAG-4: flag hashes/filters on the
+    * "company" group (reference `resolve_hash_id` + group property
+    * filters), plus a mixed person+group condition.
+    */
+  private val groupConfigJson: String =
+    """{"flags": [
+      |  {"key": "f_grp", "group_type": "company",
+      |   "conditions": [{"properties": [
+      |     {"key": "region", "operator": "lte", "value": 2,
+      |      "type": "group", "group_type": "company"}]}]},
+      |  {"key": "f_mixed", "group_type": "company",
+      |   "conditions": [{"properties": [
+      |     {"key": "segment", "value": "BUILDING"},
+      |     {"key": "region", "operator": "lte", "value": 2,
+      |      "type": "group", "group_type": "company"}]}]}
+      |]}""".stripMargin
+
+  def groupConfig: Seq[FeatureFlag] = FlagStore.fromJson(groupConfigJson)
+
+  /** Q-FLAG-4: group-typed flag backfill — persons carry their
+    * "company" group (nation) via one broadcast join; the flag buckets
+    * on the group key and filters on group properties. 100% rollout so
+    * the oracle verifies the group routing in pure SQL.
+    */
+  def flagGroups(s: SparkSession, d: String): DataFrame = {
+    GraftExtensions.register(s)
+    val nations = Tables.nation(s, d).select(
+      col("n_nationkey"),
+      concat(lit("nation-"), col("n_nationkey")).as("gkey"),
+      map(lit("region"), col("n_regionkey").cast("string"),
+        lit("gname"), col("n_name")).as("gprops"))
+    val p = persons(s, d)
+      .join(broadcast(nations),
+        element_at(col("props"), "nation") === col("n_nationkey").cast("string"))
+    val frame = FlagFrame(col("distinct_id"), col("props"),
+      groupKeys = Map("company" -> col("gkey")),
+      groupProps = Map("company" -> col("gprops")))
+    p.select(col("c_custkey") +:
+      groupConfig.map(f => FlagColumns.enabledCol(frame, f).as(f.key)): _*)
+  }
+
+  val flagGroupsSql: String =
+    """SELECT c_custkey,
+      |  n_regionkey <= 2 AS f_grp,
+      |  (c_mktsegment = 'BUILDING' AND n_regionkey <= 2) AS f_mixed
+      |FROM customer JOIN nation ON n_nationkey = c_nationkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_flag_filters", flagFilters, Some(flagFiltersSql)),
-    Q("q_flag_rollout", flagRollout, None))
+    Q("q_flag_rollout", flagRollout, None),
+    Q("q_flag_variants", flagVariants, Some(flagVariantsSql)),
+    Q("q_flag_groups", flagGroups, Some(flagGroupsSql)))
 }

@@ -199,26 +199,34 @@ object Dedup {
        |WHERE len(list_intersect(da.sh, db.sh))::DOUBLE / len(list_distinct(list_concat(da.sh, db.sh))) >= 0.8""".stripMargin
   }
 
-  /** 60-bit SimHash over the token multiset: bit j set iff the sum of
-    * ±1 votes from each token hash's bit j is positive.
-    */
-  private def simhashCol(hts: Column): Column =
-    (0 until 60).map { j =>
-      val votes = aggregate(hts, lit(0L), (a, x) =>
-        a + when(shiftright(x, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      when(votes > 0, lit(1L << j)).otherwise(0L)
-    }.reduce(_ + _)
-
   private val simhashSqlExpr: String =
     """list_reduce(list_transform(generate_series(0, 59), j ->
       |  CASE WHEN list_sum(list_transform(hts, x -> CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
       |       THEN (1::BIGINT << j) ELSE 0::BIGINT END), (a, b) -> a + b)""".stripMargin
 
-  /** Q-DEDUP-5: SimHash fingerprint per document. */
-  def simhash(s: SparkSession, d: String): DataFrame =
-    Tables.par(Tables.documents(s, d))
-      .select(col("doc_id"), transform(tokens(col("text")), t => h60(t)).as("hts"))
-      .select(col("doc_id"), simhashCol(col("hts")).as("simhash"), size(col("hts")).as("n_tokens"))
+  /** Q-DEDUP-5: 60-bit SimHash per document — bit j set iff the ±1
+    * votes from each token hash's bit j sum positive, i.e. iff
+    * `2·ones_j > n_tokens`.
+    *
+    * Single-pass plan: explode token hashes → one hash aggregate with
+    * 60 codegen'd bit-count sums (map-side partial combine collapses
+    * each doc to one row per partition before the shuffle, so only
+    * ~60×8 bytes per doc cross the network). Replaces the previous
+    * 60-separate-`aggregate()`-folds form (~60 array traversals per
+    * document, `weak` in the round-1 plan audit).
+    */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.par(Tables.documents(s, d))
+      .select(col("doc_id"), explode_outer(transform(tokens(col("text")), t => h60(t))).as("x"))
+    val ones = (0 until 60).map(j =>
+      sum(shiftright(col("x"), j).bitwiseAND(lit(1L))).as(s"o$j"))
+    val fingerprint = (0 until 60)
+      .map(j => when(col(s"o$j") * 2 > col("n_tokens"), lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    toks.groupBy(col("doc_id"))
+      .agg(count(col("x")).as("n_tokens"), ones: _*)
+      .select(col("doc_id"), fingerprint.as("simhash"), col("n_tokens"))
+  }
 
   val simhashSql: String =
     s"""SELECT doc_id, $simhashSqlExpr AS simhash, len(hts)::BIGINT AS n_tokens
@@ -232,7 +240,10 @@ object Dedup {
     * from a join on (chunk_idx, 6-bit value), never an all-pairs scan.
     */
   def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    // one row per doc; persist so the chunk self-join's two sides don't
+    // re-run the fingerprint aggregation
     val sh = simhash(s, d).select(col("doc_id"), col("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = sh.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 10).map(k =>
           shiftright(col("simhash"), 6 * k).bitwiseAND(lit(63L))): _*)))
@@ -277,6 +288,37 @@ object Dedup {
        |FROM e a JOIN e b ON a.vec_id < b.vec_id
        |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4""".stripMargin
 
+  /** Q-DEDUP-8: the 100 TB cosine-dedup path — candidates restricted to
+    * pairs sharing their 16-bit hyperplane LSH bucket
+    * ([[Similarity.bucketCol]]), then **verified** with the exact cosine
+    * (no false positives; recall is the LSH trade, tunable via more
+    * tables/probes). The all-pairs product never forms: the self-join
+    * shuffles (vec_id, bucket, embedding) on a 16-bit key, candidate
+    * count ≈ N²/2¹⁶ instead of N². The oracle recomputes the identical
+    * deterministic buckets, so the scale path is itself hash-gated.
+    */
+  def cosineBlocked(s: SparkSession, d: String): DataFrame = {
+    // persist: both sides of the bucket self-join would otherwise
+    // recompute the 16 hyperplane dot products per vector
+    val e = Tables.par(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"),
+        Similarity.bucketCol(col("embedding")).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+  }
+
+  val cosineBlockedSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, ${l2normSql("embedding")} AS nrm,
+       |  (${Similarity.bucketSqlExpr("embedding")}) AS bucket FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+       |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_dedup_exact", exact, Some(exactSql)),
     Q("q_dedup_ngram", ngramJaccard, Some(ngramJaccardSql)),
@@ -284,5 +326,6 @@ object Dedup {
     Q("q_dedup_minhash_pairs", minhashPairs, Some(minhashPairsSql)),
     Q("q_dedup_simhash", simhash, Some(simhashSql)),
     Q("q_dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
-    Q("q_dedup_cosine", cosinePairs, Some(cosinePairsSql)))
+    Q("q_dedup_cosine", cosinePairs, Some(cosinePairsSql)),
+    Q("q_dedup_cosine_blocked", cosineBlocked, Some(cosineBlockedSql)))
 }

@@ -65,27 +65,34 @@ object Similarity {
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
        |  FROM scored) WHERE rank <= 10""".stripMargin
 
+  /** The 16-bit hyperplane code of an embedding column — shared by the
+    * bucket query and the blocked-cosine dedup path ([[Dedup]]).
+    */
+  def bucketCol(embedding: Column): Column =
+    (0 until NumPlanes).map { p =>
+      val plane = typedLit((0 until Dim).map(planeCoef(p, _)))
+      when(dot(embedding, plane) > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** DuckDB rendering of [[bucketCol]]. */
+  def bucketSqlExpr(embedding: String): String = {
+    def dotPlane(p: Int) =
+      s"""list_reduce(list_transform(generate_series(0, ${Dim - 1}), d ->
+         |  $embedding[d + 1]::DOUBLE * (((1103515245 * (${p * Dim} + d) + 12345) % 2001 - 1000) / 1000.0)),
+         |  (x, y) -> x + y)""".stripMargin
+    (0 until NumPlanes).map(p =>
+      s"CASE WHEN (${dotPlane(p)}) > 0 THEN ${1L << p}::BIGINT ELSE 0::BIGINT END").mkString(" + ")
+  }
+
   /** Q-SIM-2: random-hyperplane LSH bucket per vector (16-bit code).
     * Map-only; this is the blocking key for ANN at 100 TB.
     */
-  def lshBuckets(s: SparkSession, d: String): DataFrame = {
-    val bucket: Column = (0 until NumPlanes).map { p =>
-      val plane = typedLit((0 until Dim).map(planeCoef(p, _)))
-      when(dot(col("embedding"), plane) > 0, lit(1L << p)).otherwise(0L)
-    }.reduce(_ + _)
+  def lshBuckets(s: SparkSession, d: String): DataFrame =
     Tables.par(Tables.embeddings(s, d))
-      .select(col("vec_id"), col("label"), bucket.as("bucket"))
-  }
+      .select(col("vec_id"), col("label"), bucketCol(col("embedding")).as("bucket"))
 
-  val lshBucketsSql: String = {
-    def dotPlane(p: Int) =
-      s"""list_reduce(list_transform(generate_series(0, ${Dim - 1}), d ->
-         |  embedding[d + 1]::DOUBLE * (((1103515245 * (${p * Dim} + d) + 12345) % 2001 - 1000) / 1000.0)),
-         |  (x, y) -> x + y)""".stripMargin
-    val terms = (0 until NumPlanes).map(p =>
-      s"CASE WHEN (${dotPlane(p)}) > 0 THEN ${1L << p}::BIGINT ELSE 0::BIGINT END").mkString(" + ")
-    s"SELECT vec_id, label, ($terms) AS bucket FROM embeddings"
-  }
+  val lshBucketsSql: String =
+    s"SELECT vec_id, label, (${bucketSqlExpr("embedding")}) AS bucket FROM embeddings"
 
   /** Q-SIM-3: IVF coarse quantizer — assign each vector to its nearest
     * of 8 centroids (L2²; centroids = vec_id < 8 for determinism).
