@@ -109,9 +109,157 @@ object Codecs {
     java.security.MessageDigest.isEqual(expected.getBytes, hex.toLowerCase.getBytes)
   }
 
+  // ------------------------------------- S3: form/base64 `data` envelopes
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** The `data`-field decode ladder (`extractors.rs:593-631`): optional
+    * base64 (invalid base64 falls back to the raw bytes), then
+    *   - labeled `gzip` → gzip; `gzip-js`/`zlib`/`deflate` → zlib
+    *     (gzip-js is a zlib stream — posthog-js wraps with pako),
+    *   - any other label → undecodable (null),
+    *   - unlabeled: parse raw; on parse failure try zlib, then gzip.
+    * Returns decoded JSON bytes whose root is an object/array, else
+    * null (the reference rejects scalar roots).
+    */
+  def decodeDataString(data: String, compression: String): Array[Byte] = {
+    if (data == null) return null
+    val raw =
+      try java.util.Base64.getDecoder.decode(data)
+      catch { case _: IllegalArgumentException => data.getBytes("UTF-8") }
+    def containerOrNull(bytes: Array[Byte]): Array[Byte] =
+      try { val n = mapper.readTree(bytes); if (n != null && n.isContainerNode) bytes else null }
+      catch { case _: Exception => null }
+    Option(compression).map(_.toLowerCase) match {
+      case Some("gzip") =>
+        try containerOrNull(gzipDecompress(raw)) catch { case _: Exception => null }
+      case Some("gzip-js") | Some("zlib") | Some("deflate") =>
+        try containerOrNull(zlibDecompress(raw)) catch { case _: Exception => null }
+      case Some(_) => null // unsupported compression label
+      case None =>
+        val plain = containerOrNull(raw)
+        if (plain != null) plain
+        else {
+          val z = try containerOrNull(zlibDecompress(raw)) catch { case _: Exception => null }
+          if (z != null) z
+          else try containerOrNull(gzipDecompress(raw)) catch { case _: Exception => null }
+        }
+    }
+  }
+
+  /** S3: normalize a form-encoded or `data:`-enveloped body to the
+    * plain JSON envelope `{<shared fields>, batch: [items]}` that the
+    * declarative explode/normalize chain already understands.
+    *
+    *   - form bodies (`application/x-www-form-urlencoded` or a
+    *     `data=` prefix): urlencoded pairs; `data` is the (possibly
+    *     base64/compressed) payload, `compression`/`compression_method`
+    *     labels it, every other pair is a shared field
+    *     (`extractors.rs:457-505`);
+    *   - JSON bodies whose `data` field is a STRING (double-encoded,
+    *     base64, compressed — posthog-js emits all three): decode it,
+    *     the sibling keys are shared fields (`parse_json_payload`);
+    *   - shared fields merge into each item, item wins
+    *     (`deserialize_events` or_insert), and stay on the envelope for
+    *     envelope-level handling (api_key precedence, sent_at);
+    *   - `{batch:}`/bare-object/bare-array data contents per
+    *     `apply_batch_data`/`normalize_batch_array`.
+    *
+    * Returns null for undecodable payloads (dead-letter row, never an
+    * abort). Bodies needing none of this pass through unchanged (same
+    * String instance — the gating `when` in [[Normalizer]] makes this a
+    * no-op for the JSON hot path).
+    */
+  def normalizeEnvelope(body: String, isForm: Boolean): String = {
+    import com.fasterxml.jackson.databind.JsonNode
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    if (body == null) return null
+    try {
+      if (isForm || body.startsWith("data=")) {
+        var data: String = null
+        var compression: String = null
+        val shared = mapper.createObjectNode()
+        body.split("&").iterator.filter(_.nonEmpty).foreach { kv =>
+          val i = kv.indexOf('=')
+          val k = java.net.URLDecoder.decode(if (i < 0) kv else kv.substring(0, i), "UTF-8")
+          val v = java.net.URLDecoder.decode(if (i < 0) "" else kv.substring(i + 1), "UTF-8")
+          k match {
+            case "data" => data = v
+            case "compression" | "compression_method" => compression = v
+            case other => shared.put(other, v)
+          }
+        }
+        if (data == null) return null
+        rebuild(mapper.readTree(decodeDataString(data, compression)), shared)
+      } else {
+        val root = try mapper.readTree(body) catch { case _: Exception => return body }
+        if (root == null || !root.isObject) return body
+        val obj = root.asInstanceOf[ObjectNode]
+        val comp = {
+          val c = obj.remove("compression")
+          if (c != null) c else obj.remove("compression_method")
+        }
+        val dataNode = obj.remove("data")
+        if (dataNode == null) {
+          // no data envelope: body minus any stray compression labels
+          if (comp == null) body else mapper.writeValueAsString(obj)
+        } else if (dataNode.isTextual) {
+          val compStr = if (comp != null && comp.isTextual) comp.asText() else null
+          rebuild(mapper.readTree(decodeDataString(dataNode.asText(), compStr)), obj)
+        } else if (dataNode.isContainerNode) {
+          rebuild(dataNode, obj) // {data:{...}}/{data:[...]}: compression ignored
+        } else null // scalar data → reject
+      }
+    } catch { case _: Exception => null }
+  }
+
+  /** `apply_batch_data` + `deserialize_events`: content → batch array,
+    * leftover content-object keys or_insert into the envelope, shared
+    * envelope fields or_insert into each item (item wins).
+    */
+  private def rebuild(
+      content: com.fasterxml.jackson.databind.JsonNode,
+      shared: com.fasterxml.jackson.databind.node.ObjectNode): String = {
+    import com.fasterxml.jackson.databind.JsonNode
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    import scala.jdk.CollectionConverters._
+    if (content == null) return null
+    val batch: ArrayNode = mapper.createArrayNode()
+    if (content.isArray) {
+      content.elements().asScala.foreach(batch.add)
+    } else if (content.isObject) {
+      val cObj = content.asInstanceOf[ObjectNode].deepCopy()
+      val b = cObj.remove("batch")
+      if (b != null) {
+        if (b.isArray) b.elements().asScala.foreach(batch.add)
+        else if (b.isObject) batch.add(b)
+        else return null
+      } else batch.add(cObj.deepCopy())
+      // leftover content keys join the envelope (or_insert)
+      cObj.properties().asScala.foreach { e =>
+        if (!shared.has(e.getKey)) shared.set[JsonNode](e.getKey, e.getValue)
+      }
+    } else return null
+    // shared fields merge into each item, item wins (deserialize_events)
+    val mergedBatch = mapper.createArrayNode()
+    batch.elements().asScala.foreach {
+      case o: ObjectNode =>
+        val m = o.deepCopy()
+        shared.properties().asScala.foreach { e =>
+          if (!m.has(e.getKey)) m.set[JsonNode](e.getKey, e.getValue)
+        }
+        mergedBatch.add(m)
+      case _ => return null // reference: non-object items are a structure error
+    }
+    val out = shared.deepCopy()
+    out.set[JsonNode]("batch", mergedBatch)
+    mapper.writeValueAsString(out)
+  }
+
   // ------------------------------------------------------------ Column API
 
   val decodeAutoUdf = udf((data: Array[Byte], method: String) => decodeAuto(data, method))
+  val normalizeEnvelopeUdf = udf((body: String, isForm: Boolean) => normalizeEnvelope(body, isForm))
   val gzipUdf = udf((s: String) => gzipCompress(s.getBytes("UTF-8")))
   val zlibUdf = udf((s: String) => zlibCompress(s.getBytes("UTF-8")))
   val hmacSha256Udf = udf((secret: String, data: Array[Byte]) => hmacSha256Hex(secret, data))

@@ -12,28 +12,65 @@ import Normalizer.IngestContext
   * Each query synthesizes wire payloads deterministically FROM the
   * `events` table, pushes them through the REAL ingest path (envelope
   * explode → classification → canonical projection, and for the wire
-  * query an actual gzip/zlib compress→decode round-trip), then emits
-  * scalar fields. The DuckDB oracle computes the expected output
-  * directly from `events` — an independent derivation, so any
-  * normalization bug (precedence, routing, decode) hash-mismatches.
+  * query an actual decompress round-trip), then emits scalar fields.
+  * The DuckDB oracle computes the expected output directly from
+  * `events` — an independent derivation, so any normalization bug
+  * (precedence, routing, decode) hash-mismatches.
+  *
+  * **Bench hygiene**: payload synthesis (to_json, compress UDFs,
+  * batch assembly) is NOT part of the measured operator — each query's
+  * synthesized input is materialized once to a deterministic scratch
+  * parquet ([[synth]]) and the query proper starts from that scan, so
+  * BENCH numbers reflect decode+normalize only. [[prepare]] lets the
+  * bench main pre-materialize outside its timers; correctness runs
+  * simply pay the one-time write inline.
   */
 object IngestQueries {
+
+  /** Materialize-once scratch input: build `df` and park it under a
+    * path keyed by (sfDir, name); subsequent calls scan the parquet.
+    * Synthesis is deterministic, so reuse across JVMs is safe.
+    */
+  private def synth(s: SparkSession, d: String, name: String)(df: => DataFrame): DataFrame = {
+    val dir = new java.io.File(s"/tmp/graft_synth/${d.replaceAll("[^A-Za-z0-9.]", "_")}/$name")
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      dir.getParentFile.mkdirs()
+      df.write.mode("overwrite").parquet(dir.toString)
+    }
+    s.read.parquet(dir.toString)
+  }
+
+  /** Pre-materialize every synthesized input (bench calls this before
+    * starting timers).
+    */
+  def prepare(s: SparkSession, d: String): Unit =
+    Seq(captureInput(s, d), wireInput(s, d), batchInput(s, d),
+      enrichInput(s, d), hmacInput(s, d), groupsInput(s, d),
+      formInput(s, d), browserInput(s, d))
+      .foreach(_.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ()))
+
+  // ------------------------------------------------------------ Q-ING-1
+
+  private def captureInput(s: SparkSession, d: String): DataFrame =
+    synth(s, d, "capture") {
+      val e = Tables.par(Tables.events(s, d))
+      val body = to_json(struct(
+        col("event_type").as("event"),
+        concat(lit("u"), col("user_id")).as("distinct_id"),
+        struct(get_json_object(col("props"), "$.k").cast(LongType).as("k")).as("properties"),
+        when(col("event_id") % 2 === 0, concat(lit("key-"), col("user_id"))).as("api_key"),
+        lit("sdk-scala").as("library")))
+      e.select(col("ts"), body.as("body"))
+    }
 
   /** Q-ING-1: capture normalization — api_key precedence
     * (item > header), unknown-key→extra routing, $sent_at header.
     */
   def capture(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.par(Tables.events(s, d))
-    val body = to_json(struct(
-      col("event_type").as("event"),
-      concat(lit("u"), col("user_id")).as("distinct_id"),
-      struct(get_json_object(col("props"), "$.k").cast(LongType).as("k")).as("properties"),
-      when(col("event_id") % 2 === 0, concat(lit("key-"), col("user_id"))).as("api_key"),
-      lit("sdk-scala").as("library")))
     val ctx = IngestContext(
       headerApiKey = lit("hdr-key"),
       sentAtHeader = date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
-    Normalizer.ingest(e.select(col("ts"), body.as("body")), col("body"), ctx)
+    Normalizer.ingest(captureInput(s, d), col("body"), ctx)
       .select(
         col("event"), col("distinct_id"), col("api_key"),
         get_json_object(col("properties"), "$.k").cast(LongType).as("prop_k"),
@@ -49,21 +86,33 @@ object IngestQueries {
       |  strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS sent_at
       |FROM events""".stripMargin
 
-  /** Q-ING-2: wire decode — a third of payloads plain, a third
-    * gzip-labeled, a third zlib-UNlabeled (magic-byte sniffing), all
-    * through the real compress→decode UDF round-trip.
+  // ------------------------------------------------------------ Q-ING-2
+
+  /** Wire bodies at rest: a third plain UTF-8 bytes, a third gzip bytes
+    * (labeled), a third zlib bytes (UNlabeled → magic-byte sniffing).
+    */
+  private def wireInput(s: SparkSession, d: String): DataFrame =
+    synth(s, d, "wire") {
+      val e = Tables.par(Tables.events(s, d))
+      val body = to_json(struct(
+        col("event_type").as("event"),
+        concat(lit("u"), col("user_id")).as("distinct_id")))
+      val mode = (col("event_id") % 3).cast("int")
+      e.select(
+        col("event_id"), mode.as("mode"),
+        when(mode === 0, body.cast("binary"))
+          .when(mode === 1, Codecs.gzipUdf(body))
+          .otherwise(Codecs.zlibUdf(body)).as("payload"),
+        when(mode === 1, lit("gzip")).otherwise(lit(null).cast("string")).as("method"))
+    }
+
+  /** Q-ING-2: wire decode — the real decompress/sniff UDF over
+    * at-rest payload bytes, then the full normalize chain.
     */
   def wire(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.par(Tables.events(s, d))
-    val body = to_json(struct(
-      col("event_type").as("event"),
-      concat(lit("u"), col("user_id")).as("distinct_id")))
-    val mode = (col("event_id") % 3).cast("int")
-    val decoded = when(mode === 0, body)
-      .when(mode === 1, Codecs.decodeToString(Codecs.gzipUdf(body), lit("gzip")))
-      .otherwise(Codecs.decodeToString(Codecs.zlibUdf(body), lit(null).cast("string")))
-    Normalizer.ingest(
-        e.select(col("event_id"), mode.as("mode"), decoded.as("body")),
+    val in = wireInput(s, d)
+      .withColumn("body", Codecs.decodeToString(col("payload"), col("method")))
+    Normalizer.ingest(in.select(col("event_id"), col("mode"), col("body")),
         col("body"), IngestContext())
       .select(col("event_id"), col("mode"), col("event"), col("distinct_id"))
   }
@@ -73,42 +122,151 @@ object IngestQueries {
       |  'u' || user_id AS distinct_id
       |FROM events""".stripMargin
 
+  // ----------------------------------------------------------- Q-ING-7
+
+  /** Browser-SDK bodies at rest: a third form+base64 plain, a third
+    * form+base64+`compression=gzip-js` (a ZLIB stream — pako), a third
+    * JSON `{data: <base64 zlib>}` with NO label (implicit-compression
+    * sniff). Shared fields ride the form pairs / JSON envelope
+    * (`extractors.rs:764-1091` test shapes).
+    */
+  private def formInput(s: SparkSession, d: String): DataFrame =
+    synth(s, d, "form") {
+      val e = Tables.par(Tables.events(s, d))
+      val item = to_json(struct(
+        col("event_type").as("event"),
+        concat(lit("u"), col("user_id")).as("distinct_id")))
+      val mode = (col("event_id") % 3).cast("int")
+      val body = when(mode === 0, concat(
+          lit("data="), url_encode(base64(item.cast("binary"))),
+          lit("&api_key=fk-"), col("user_id") % 5))
+        .when(mode === 1, concat(
+          lit("data="), url_encode(base64(Codecs.zlibUdf(item))),
+          lit("&compression=gzip-js")))
+        .otherwise(to_json(struct(
+          base64(Codecs.zlibUdf(item)).as("data"),
+          concat(lit("jk-"), col("user_id") % 5).as("api_key"))))
+      e.select(col("event_id"), mode.as("mode"), body.as("body"))
+    }
+
+  /** Q-ING-7 (S3): form-encoded / base64 / compressed `data` envelopes
+    * through the full decode→normalize chain — urlencoded parse, base64,
+    * labeled gzip-js (zlib), unlabeled sniff, shared-field inheritance
+    * into items (`extractors.rs:457-505,593-631`).
+    */
+  def form(s: SparkSession, d: String): DataFrame =
+    Normalizer.ingest(formInput(s, d), col("body"), IngestContext())
+      .select(col("event_id"), col("mode"), col("event"), col("distinct_id"),
+        col("api_key"))
+
+  val formSql: String =
+    """SELECT event_id, (event_id % 3)::INT AS mode, event_type AS event,
+      |  'u' || user_id AS distinct_id,
+      |  CASE (event_id % 3) WHEN 0 THEN 'fk-' || (user_id % 5)
+      |       WHEN 2 THEN 'jk-' || (user_id % 5) END AS api_key
+      |FROM events""".stripMargin
+
+  // ----------------------------------------------------------- Q-ING-8
+
+  private def browserInput(s: SparkSession, d: String): DataFrame =
+    synth(s, d, "browser") {
+      val e = Tables.par(Tables.events(s, d))
+      val k = get_json_object(col("props"), "$.k").cast(LongType)
+      val body = when(col("user_id") % 3 === 0, to_json(struct(
+          lit("$identify").as("event"),
+          struct(concat(lit("u"), col("user_id")).as("$distinct_id")).as("properties"),
+          struct(concat(lit("p"), k % 3).as("plan")).as("$set"),
+          struct(concat(lit("f"), col("user_id") % 7).as("first")).as("$set_once"),
+          concat(lit("tok-"), col("user_id") % 5).as("token"),
+          col("event_id").cast("string").as("eid"))))
+        .when(col("user_id") % 3 === 1, to_json(struct(
+          lit("$groupidentify").as("event"),
+          concat(lit("u"), col("user_id")).as("distinct_id"),
+          struct(
+            lit("team").as("$group_type"),
+            concat(lit("t"), col("user_id") % 7).as("$group_key"),
+            struct(concat(lit("g"), k % 2).as("tier")).as("$group_set")).as("properties"),
+          col("event_id").cast("string").as("eid"))))
+        .otherwise(to_json(struct(
+          lit("$groupidentify").as("event"),
+          concat(lit("u"), col("user_id")).as("distinct_id"),
+          struct(struct(concat(lit("g"), k % 2).as("tier")).as("$group_set")).as("properties"),
+          col("event_id").cast("string").as("eid"))))
+      e.select(body.as("body"))
+    }
+
+  /** Q-ING-8 (P6): browser `/e` sentinel rewrites — `$identify`
+    * top-level `$set`→person_properties and `$set_once`→extra,
+    * `properties.$distinct_id` resolution, token→api_key;
+    * `$groupidentify` `properties.$group_type/$group_key/$group_set`
+    * routing with the reference's `"unknown"` defaults
+    * (lib.rs:500-581).
+    */
+  def browser(s: SparkSession, d: String): DataFrame =
+    Normalizer.ingest(browserInput(s, d), col("body"), IngestContext())
+      .select(
+        element_at(col("extra"), "eid").cast(LongType).as("event_id"),
+        col("event"), col("distinct_id"), col("api_key"),
+        get_json_object(col("person_properties"), "$.plan").as("pp_plan"),
+        get_json_object(element_at(col("extra"), "$set_once"), "$.first").as("so_first"),
+        get_json_object(col("properties"), "$.tier").as("gp_tier"),
+        element_at(col("extra"), "group_type").as("group_type"),
+        element_at(col("extra"), "group_key").as("group_key"))
+
+  val browserSql: String =
+    """SELECT event_id,
+      |  CASE user_id % 3 WHEN 0 THEN '$identify' ELSE '$groupidentify' END AS event,
+      |  CASE user_id % 3 WHEN 0 THEN 'u' || user_id
+      |       WHEN 1 THEN 't' || (user_id % 7) ELSE 'unknown' END AS distinct_id,
+      |  CASE user_id % 3 WHEN 0 THEN 'tok-' || (user_id % 5) END AS api_key,
+      |  CASE user_id % 3 WHEN 0 THEN 'p' || (json_extract_string(props, '$.k')::BIGINT % 3) END AS pp_plan,
+      |  CASE user_id % 3 WHEN 0 THEN 'f' || (user_id % 7) END AS so_first,
+      |  CASE user_id % 3 WHEN 0 THEN NULL
+      |       ELSE 'g' || (json_extract_string(props, '$.k')::BIGINT % 2) END AS gp_tier,
+      |  CASE user_id % 3 WHEN 0 THEN NULL WHEN 1 THEN 'team' ELSE 'unknown' END AS group_type,
+      |  CASE user_id % 3 WHEN 0 THEN NULL WHEN 1 THEN 't' || (user_id % 7) ELSE 'unknown' END AS group_key
+      |FROM events""".stripMargin
+
+  // ------------------------------------------------------------ Q-ING-3
+
+  private def batchInput(s: SparkSession, d: String): DataFrame =
+    synth(s, d, "batch") {
+      val e = Tables.par(Tables.events(s, d))
+      val item = when(col("user_id") % 5 === 0, to_json(struct(
+          lit("identify").as("type"),
+          concat(lit("u"), col("user_id")).as("distinct_id"),
+          struct(lit("pro").as("plan")).as("properties"))))
+        .when(col("user_id") % 5 === 1, to_json(struct(
+          concat(lit("u"), col("user_id")).as("distinct_id"),
+          concat(lit("anon-"), col("user_id")).as("alias"))))
+        .when(col("user_id") % 5 === 2, to_json(struct(
+          lit("groupidentify").as("type"),
+          lit("team").as("group_type"),
+          concat(lit("team-"), col("user_id") % 7).as("group_key"))))
+        .when(col("user_id") % 5 === 3, to_json(struct(
+          concat(lit("u"), col("user_id")).as("distinct_id"),
+          struct(lit("gold").as("tier")).as("$set"))))
+        .otherwise(to_json(struct(
+          col("event_type").as("event"),
+          concat(lit("u"), col("user_id")).as("distinct_id"))))
+      e.select((col("event_id") / 5).cast(LongType).as("batch_id"), col("event_id"), item.as("item"))
+        .groupBy(col("batch_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("event_id"), col("item")))),
+          x => x.getField("item")), ",").as("items"))
+        .select(col("batch_id"), concat(
+          lit("{\"api_key\":\"bk-"), col("batch_id"),
+          lit("\",\"batch\":["), col("items"), lit("]}")).as("body"))
+    }
+
   /** Q-ING-3: mixed-batch dispatch — batches of 5 items of rotating
     * kinds, envelope api_key inheritance, per-item classification
     * (lib.rs:1447-1592), group-identify distinct_id:=group_key.
     */
-  def batch(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.par(Tables.events(s, d))
-    val item = when(col("user_id") % 5 === 0, to_json(struct(
-        lit("identify").as("type"),
-        concat(lit("u"), col("user_id")).as("distinct_id"),
-        struct(lit("pro").as("plan")).as("properties"))))
-      .when(col("user_id") % 5 === 1, to_json(struct(
-        concat(lit("u"), col("user_id")).as("distinct_id"),
-        concat(lit("anon-"), col("user_id")).as("alias"))))
-      .when(col("user_id") % 5 === 2, to_json(struct(
-        lit("groupidentify").as("type"),
-        lit("team").as("group_type"),
-        concat(lit("team-"), col("user_id") % 7).as("group_key"))))
-      .when(col("user_id") % 5 === 3, to_json(struct(
-        concat(lit("u"), col("user_id")).as("distinct_id"),
-        struct(lit("gold").as("tier")).as("$set"))))
-      .otherwise(to_json(struct(
-        col("event_type").as("event"),
-        concat(lit("u"), col("user_id")).as("distinct_id"))))
-    val bodies = e
-      .select((col("event_id") / 5).cast(LongType).as("batch_id"), col("event_id"), item.as("item"))
-      .groupBy(col("batch_id"))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("event_id"), col("item")))),
-        x => x.getField("item")), ",").as("items"))
-      .select(col("batch_id"), concat(
-        lit("{\"api_key\":\"bk-"), col("batch_id"),
-        lit("\",\"batch\":["), col("items"), lit("]}")).as("body"))
-    Normalizer.ingest(bodies, col("body"), IngestContext())
+  def batch(s: SparkSession, d: String): DataFrame =
+    Normalizer.ingest(batchInput(s, d), col("body"), IngestContext())
       .select(col("batch_id"), col("item_idx"), col("kind"), col("event"),
         col("distinct_id"), col("api_key"))
-  }
 
   val batchSql: String =
     """SELECT event_id // 5 AS batch_id,
@@ -121,65 +279,94 @@ object IngestQueries {
       |  'bk-' || (event_id // 5) AS api_key
       |FROM events""".stripMargin
 
+  // ------------------------------------------------------------ Q-ING-4
+
+  private def enrichInput(s: SparkSession, d: String): DataFrame =
+    synth(s, d, "enrich") {
+      val e = Tables.par(Tables.events(s, d))
+      val k = get_json_object(col("props"), "$.k").cast(LongType)
+      val body = to_json(struct(
+        lit("e").as("event"),
+        col("event_id").cast("string").as("distinct_id"),
+        when(k % 2 === 0, struct(lit("client-ip").as("$ip"), k.as("k")))
+          .otherwise(struct(lit(null).cast("string").as("$ip"), k.as("k"))).as("properties")))
+      e.select(col("user_id"), body.as("body"))
+    }
+
   /** Q-ING-4: enrichment insert-if-absent — rows with even `k` already
     * carry a client `$ip` that must survive; odd rows get the request
-    * ip (pipeline.rs:418-429 no-overwrite semantics).
+    * ip (pipeline.rs:418-429 no-overwrite semantics). Also covers the
+    * cf_* request fields (`extractors.rs:82-178`): cf_ray inserts,
+    * a whitespace-only cf_colo header is dropped entirely
+    * (header_value trim+non-empty filter).
     */
   def enrichQ(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.par(Tables.events(s, d))
-    val k = get_json_object(col("props"), "$.k").cast(LongType)
-    val body = to_json(struct(
-      lit("e").as("event"),
-      col("event_id").cast("string").as("distinct_id"),
-      when(k % 2 === 0, struct(lit("client-ip").as("$ip"), k.as("k")))
-        .otherwise(struct(lit(null).cast("string").as("$ip"), k.as("k"))).as("properties")))
     val ctx = IngestContext(requestIp = concat(lit("ip-"), col("user_id")),
-      geo = Seq("$geoip_country_code" -> lit("DE")))
+      geo = Seq(
+        "$geoip_country_code" -> lit("DE"),
+        "cf_ray" -> concat(lit("ray-"), col("user_id") % 100),
+        "cf_colo" -> lit("   ")))
     Normalizer.enrich(
-        Normalizer.ingest(e.select(col("user_id"), body.as("body")), col("body"), ctx), ctx)
+        Normalizer.ingest(enrichInput(s, d), col("body"), ctx), ctx)
       .select(
         col("distinct_id").cast(LongType).as("event_id"),
         get_json_object(col("properties"), "$.$ip").as("ip"),
-        get_json_object(col("properties"), "$.$geoip_country_code").as("country"))
+        get_json_object(col("properties"), "$.$geoip_country_code").as("country"),
+        get_json_object(col("properties"), "$.cf_ray").as("cf_ray"),
+        get_json_object(col("properties"), "$.cf_colo").as("cf_colo"))
   }
 
   val enrichSql: String =
     """SELECT event_id,
       |  CASE WHEN json_extract_string(props, '$.k')::BIGINT % 2 = 0
       |       THEN 'client-ip' ELSE 'ip-' || user_id END AS ip,
-      |  'DE' AS country
+      |  'DE' AS country,
+      |  'ray-' || (user_id % 100) AS cf_ray,
+      |  NULL::VARCHAR AS cf_colo
       |FROM events""".stripMargin
+
+  // ------------------------------------------------------------ Q-ING-5
+
+  private def hmacInput(s: SparkSession, d: String): DataFrame =
+    synth(s, d, "hmac") {
+      val e = Tables.par(Tables.events(s, d))
+      val body = to_json(struct(lit("e").as("event"), col("event_id").cast("string").as("distinct_id")))
+      val signedOver = when(col("event_id") % 7 === 0, concat(body, lit("tampered"))).otherwise(body)
+      val sig = concat(lit("sha256="), Codecs.hmacSha256Udf(lit("top-secret"), signedOver.cast("binary")))
+      e.select(col("event_id"), body.as("body"), sig.as("sig"))
+    }
 
   /** Q-ING-5: HMAC signature gate — every 7th payload is signed over
     * tampered bytes and must be rejected (extractors.rs:320-399).
     */
-  def hmac(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.par(Tables.events(s, d))
-    val body = to_json(struct(lit("e").as("event"), col("event_id").cast("string").as("distinct_id")))
-    val signedOver = when(col("event_id") % 7 === 0, concat(body, lit("tampered"))).otherwise(body)
-    val sig = concat(lit("sha256="), Codecs.hmacSha256Udf(lit("top-secret"), signedOver.cast("binary")))
-    e.select(col("event_id"),
-        Codecs.verifySigUdf(lit("top-secret"), body.cast("binary"), sig).as("valid"))
-  }
+  def hmac(s: SparkSession, d: String): DataFrame =
+    hmacInput(s, d).select(col("event_id"),
+      Codecs.verifySigUdf(lit("top-secret"), col("body").cast("binary"), col("sig")).as("valid"))
 
   val hmacSql: String =
     "SELECT event_id, event_id % 7 <> 0 AS valid FROM events"
 
+  // ------------------------------------------------------------ Q-ING-6
+
+  private def groupsInput(s: SparkSession, d: String): DataFrame =
+    synth(s, d, "groups") {
+      val e = Tables.par(Tables.events(s, d))
+      val body = to_json(struct(
+        lit("e").as("event"),
+        col("event_id").cast("string").as("distinct_id"),
+        struct(struct(
+          concat(lit("c"), col("user_id") % 3).as("company"),
+          concat(lit("t"), col("user_id") % 5).as("team")).as("$groups")).as("properties")))
+      e.select(body.as("body"))
+    }
+
   /** Q-ING-6: group slot mapping — `$groups` map pivoted into the five
     * configured positional columns (lib.rs:1378-1391).
     */
-  def groups(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.par(Tables.events(s, d))
-    val body = to_json(struct(
-      lit("e").as("event"),
-      col("event_id").cast("string").as("distinct_id"),
-      struct(struct(
-        concat(lit("c"), col("user_id") % 3).as("company"),
-        concat(lit("t"), col("user_id") % 5).as("team")).as("$groups")).as("properties")))
-    Normalizer.ingest(e.select(body.as("body")), col("body"), IngestContext())
+  def groups(s: SparkSession, d: String): DataFrame =
+    Normalizer.ingest(groupsInput(s, d), col("body"), IngestContext())
       .select(col("distinct_id").cast(LongType).as("event_id"),
         col("group0"), col("group1"), col("group2"))
-  }
 
   val groupsSql: String =
     """SELECT event_id, 'c' || (user_id % 3) AS group0, 't' || (user_id % 5) AS group1,
@@ -192,5 +379,7 @@ object IngestQueries {
     Q("q_ingest_batch", batch, Some(batchSql)),
     Q("q_ingest_enrich", enrichQ, Some(enrichSql)),
     Q("q_ingest_hmac", hmac, Some(hmacSql)),
-    Q("q_ingest_groups", groups, Some(groupsSql)))
+    Q("q_ingest_groups", groups, Some(groupsSql)),
+    Q("q_ingest_form", form, Some(formSql)),
+    Q("q_ingest_browser", browser, Some(browserSql)))
 }

@@ -41,6 +41,21 @@ object Normalizer {
       substring(h, 17, 4), substring(h, 21, 12))
   }
 
+  // --------------------------------------- S3: form/base64 data envelopes
+
+  /** Pre-normalize form-encoded and `data:`-string envelopes to plain
+    * JSON (see [[Codecs.normalizeEnvelope]]). The decode UDF runs ONLY
+    * for rows that can need it — form content-type, a `data=` body
+    * prefix, or a body mentioning a `data`/`compression` key (cheap
+    * substring gates, no JSON parse); the JSON hot path passes through
+    * untouched inside whole-stage codegen.
+    */
+  def decodeEnvelope(body: Column, isForm: Column = lit(false)): Column = {
+    val needs = isForm || body.startsWith("data=") ||
+      body.contains("\"data\"") || body.contains("\"compression")
+    when(needs, Codecs.normalizeEnvelopeUdf(body, isForm)).otherwise(body)
+  }
+
   // ------------------------------------------------- S4/S5: item explode
 
   /** Normalize the payload envelope and explode to one row per item:
@@ -98,6 +113,7 @@ object Normalizer {
   val knownKeys: Seq[String] = Seq(
     "event", "distinct_id", "properties", "api_key", "token", "timestamp",
     "uuid", "type", "batch", "data", "alias", "group_type", "group_key",
+    "context", "sent_at",
     "$anon_distinct_id", "$set", "$set_once", "$unset", "$group_set")
 
   /** Normalize exploded items to the canonical 21-column envelope.
@@ -115,25 +131,36 @@ object Normalizer {
     val kind = col("kind")
     val props = element_at(m, "properties")
     val ev = element_at(m, "event")
-    val groupKey = coalesce(element_at(m, "group_key"), element_at(pm, "$group_key"))
-    val groupType = coalesce(element_at(m, "group_type"), element_at(pm, "$group_type"))
+    val typ = element_at(m, "type")
+    // browser `/e` rewrites (lib.rs:500-581): sentinel EVENT name with no
+    // explicit item `type` — person props live in top-level $set/$set_once,
+    // group identity in properties.$group_type/$group_key/$group_set
+    val browserIdentify = kind === "identify" && typ.isNull
+    val browserGroupIdentify = kind === "group_identify" && typ.isNull
+    val groupKey = coalesce(element_at(m, "group_key"), element_at(pm, "$group_key"),
+      when(browserGroupIdentify, lit("unknown")))
+    val groupType = coalesce(element_at(m, "group_type"), element_at(pm, "$group_type"),
+      when(browserGroupIdentify, lit("unknown")))
     val distinctId = coalesce(
       element_at(m, "distinct_id"),
       element_at(pm, "distinct_id"),
       element_at(pm, "$distinct_id"))
+    // envelope-level sent_at beats the transport header (extractors.rs:279-282)
+    val sentAt = coalesce(get_json_object(col("envelope"), "$.sent_at"), ctx.sentAtHeader)
 
-    // extra = unknown top-level keys + routed copies (+ $sent_at header)
+    // extra = unknown top-level keys + routed copies (+ $sent_at)
     val unknown = map_filter(m, (k, _) => !k.isin(knownKeys: _*))
     val routed = map_filter(
       map(
         lit("alias"), element_at(m, "alias"),
         lit("group_type"), when(kind === "group_identify", groupType),
         lit("group_key"), when(kind === "group_identify", groupKey),
+        lit("$anon_distinct_id"), element_at(m, "$anon_distinct_id"),
         lit("$set"), when(kind === "engage", element_at(m, "$set")),
-        lit("$set_once"), when(kind === "engage", element_at(m, "$set_once")),
+        lit("$set_once"), when(kind === "engage" || browserIdentify, element_at(m, "$set_once")),
         lit("$unset"), when(kind === "engage", element_at(m, "$unset")),
         lit("$group_set"), when(kind === "engage", element_at(m, "$group_set")),
-        lit("$sent_at"), ctx.sentAtHeader),
+        lit("$sent_at"), sentAt),
       (_, v) => v.isNotNull)
     val extra = map_concat(unknown, map_filter(routed, (k, _) => !map_contains_key(unknown, k)))
 
@@ -154,9 +181,19 @@ object Normalizer {
           .otherwise(distinctId).as("distinct_id"),
         to_timestamp(element_at(m, "timestamp")).as("timestamp"),
         ctx.now.as("created_at"),
-        when(kind === "capture", props).as("properties"),
-        when(kind === "identify", props).as("person_properties"),
-        lit(null).cast("string").as("context"),
+        // group_identify carries the group's property updates (server:
+        // item `properties`; browser: `properties.$group_set`) —
+        // pipeline.rs from_group_identify properties = payload.properties
+        when(kind === "capture", props)
+          .when(kind === "group_identify",
+            when(typ === "groupidentify", props).otherwise(element_at(pm, "$group_set")))
+          .as("properties"),
+        // identify person props: server items carry them in `properties`;
+        // browser $identify carries them in top-level $set (lib.rs:532-546)
+        when(kind === "identify",
+          when(browserIdentify, element_at(m, "$set")).otherwise(props))
+          .as("person_properties"),
+        element_at(m, "context").as("context"),
         lit(null).cast("string").as("person_id"),
         lit(null).cast("timestamp").as("person_created_at"),
         lit(null).cast("string").as("group_properties"),
@@ -170,9 +207,14 @@ object Normalizer {
       .drop("__m", "__pm")
   }
 
-  /** Full pipeline: body → explode → canonical → group slots. */
-  def ingest(df: DataFrame, body: Column, ctx: IngestContext): DataFrame =
-    groupSlots(toCanonical(explodeItems(df, body), ctx), ctx)
+  /** Full pipeline: body → envelope decode (form/base64/compressed
+    * `data:` payloads, gated off the JSON hot path) → explode →
+    * canonical → group slots. `isForm` marks rows whose request
+    * content-type was `application/x-www-form-urlencoded`.
+    */
+  def ingest(df: DataFrame, body: Column, ctx: IngestContext,
+      isForm: Column = lit(false)): DataFrame =
+    groupSlots(toCanonical(explodeItems(df, decodeEnvelope(body, isForm)), ctx), ctx)
 
   /** S9: session-recording intake (`/s`) — the raw snapshot chunk lands
     * as a `$snapshot` event with the whole payload in `properties`;
@@ -214,11 +256,13 @@ object Normalizer {
     * (full JSON fidelity).
     */
   def enrich(df: DataFrame, ctx: IngestContext): DataFrame = {
+    // header values are trimmed and empty ones dropped entirely
+    // (extractors.rs header_value: .trim + filter non-empty)
     val enrichMap = map_filter(
       map((Seq(lit("$ip") -> ctx.requestIp) ++
         ctx.geo.map { case (k, v) => lit(k) -> v })
-        .flatMap { case (k, v) => Seq(k, v) }: _*),
-      (_, v) => v.isNotNull)
+        .flatMap { case (k, v) => Seq(k, trim(v)) }: _*),
+      (_, v) => v.isNotNull && length(v) > 0)
     // parse properties once behind a projection boundary; `missing`
     // references the parsed attribute (the expression is used three
     // times below — condition, concat, and the filter lambda)

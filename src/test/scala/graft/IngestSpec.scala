@@ -150,6 +150,120 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[String]("group2") == null)
   }
 
+  // S3 — form-encoded / base64 / compressed data envelopes
+  // (ported from extractors.rs:829-1091 test vectors)
+
+  private def b64(bytes: Array[Byte]): String =
+    java.util.Base64.getEncoder.encodeToString(bytes)
+
+  test("form: data=<base64 json>&api_key (parses_form_encoded_payload)") {
+    val event = """{"event":"form-test","distinct_id":"user"}"""
+    val body = s"data=${b64(event.getBytes("UTF-8"))}&api_key=phc_form"
+    val r = ingestOne(body).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[String]("event") == "form-test")
+    assert(r.head.getAs[String]("distinct_id") == "user")
+    assert(r.head.getAs[String]("api_key") == "phc_form")
+  }
+
+  test("form: compression=gzip-js is a ZLIB stream (parses_form_payload_with_compression)") {
+    val event = """{"event":"compressed-form","distinct_id":"form-user"}"""
+    val enc = java.net.URLEncoder.encode(b64(Codecs.zlibCompress(event.getBytes("UTF-8"))), "UTF-8")
+    val body = s"data=$enc&compression=gzip-js&api_key=phc_compressed"
+    val r = ingestOne(body).collect().head
+    assert(r.getAs[String]("event") == "compressed-form")
+    assert(r.getAs[String]("distinct_id") == "form-user")
+    assert(r.getAs[String]("api_key") == "phc_compressed")
+  }
+
+  test("json {data:<base64 zlib>} with no label sniffs (parses_json_payload_with_implicit_compression)") {
+    val event = """{"event":"implicit-compression","distinct_id":"json-user"}"""
+    val body = s"""{"data":"${b64(Codecs.zlibCompress(event.getBytes("UTF-8")))}","api_key":"phc_json_compressed"}"""
+    val r = ingestOne(body).collect().head
+    assert(r.getAs[String]("event") == "implicit-compression")
+    assert(r.getAs[String]("api_key") == "phc_json_compressed")
+  }
+
+  test("json {data:<base64 zlib {batch:..}>, compression:gzip-js} (parses_compressed_batch_payload)") {
+    val inner = """{"batch":[{"event":"wrapped-batch","distinct_id":"wrapped-user"}],"sent_at":"2025-02-02T00:00:00Z"}"""
+    val body = s"""{"data":"${b64(Codecs.zlibCompress(inner.getBytes("UTF-8")))}","compression":"gzip-js","api_key":"phc_wrapped_batch"}"""
+    val r = ingestOne(body).collect().head
+    assert(r.getAs[String]("event") == "wrapped-batch")
+    assert(r.getAs[String]("distinct_id") == "wrapped-user")
+    assert(r.getAs[String]("api_key") == "phc_wrapped_batch")
+    assert(r.getAs[Map[String, String]]("extra")("$sent_at") == "2025-02-02T00:00:00Z")
+  }
+
+  test("double-encoded data: JSON-string data field with plain JSON inside") {
+    val event = """{"event":"double-enc","distinct_id":"dd"}"""
+    // data value is a JSON *string* holding JSON text (posthog-js emits
+    // this shape in some modes) — must decode, not be mis-sniffed
+    val body = s"""{"data":${com.fasterxml.jackson.databind.json.JsonMapper.builder().build().writeValueAsString(event)}}"""
+    val r = ingestOne(body).collect().head
+    assert(r.getAs[String]("event") == "double-enc")
+    assert(r.getAs[String]("distinct_id") == "dd")
+  }
+
+  test("form: undecodable / unsupported-compression rows dead-letter to zero rows") {
+    assert(ingestOne("data=%%%garbage&compression=lz64").count() == 0)
+    assert(ingestOne("api_key=phc_only").count() == 0) // no data pair → MissingData
+  }
+
+  test("decodeDataString ladder: labeled gzip, labeled zlib aliases, scalar roots rejected") {
+    val json = """{"a":1}"""
+    val jb = json.getBytes("UTF-8")
+    assert(new String(Codecs.decodeDataString(b64(Codecs.gzipCompress(jb)), "gzip")) == json)
+    for (label <- Seq("gzip-js", "zlib", "deflate"))
+      assert(new String(Codecs.decodeDataString(b64(Codecs.zlibCompress(jb)), label)) == json)
+    assert(Codecs.decodeDataString(b64(Codecs.zlibCompress(jb)), "br") == null) // unsupported
+    assert(Codecs.decodeDataString(b64("42".getBytes("UTF-8")), null) == null)  // scalar root
+    assert(new String(Codecs.decodeDataString(json, null)) == json)             // raw fallback
+  }
+
+  // P6 — browser $identify / $groupidentify rewrites (lib.rs:500-581)
+
+  test("browser $identify: top-level $set → person_properties, $set_once → extra") {
+    val body =
+      """{"event":"$identify","properties":{"$distinct_id":"bu-2"},
+        |"$set":{"plan":"pro"},"$set_once":{"first_seen":"2024-01-01"},"token":"phc_b"}"""
+        .stripMargin.replaceAll("\n", "")
+    val r = ingestOne(body).collect().head
+    assert(r.getAs[String]("event") == "$identify")
+    assert(r.getAs[String]("distinct_id") == "bu-2")
+    assert(r.getAs[String]("person_properties").contains("\"plan\""))
+    assert(r.getAs[Map[String, String]]("extra")("$set_once").contains("first_seen"))
+    assert(r.getAs[String]("api_key") == "phc_b")
+  }
+
+  test("server identify (type) keeps properties → person_properties, no $set rerouting") {
+    val body = """{"type":"identify","distinct_id":"sv-1","properties":{"email":"a@b.c"}}"""
+    val r = ingestOne(body).collect().head
+    assert(r.getAs[String]("person_properties").contains("email"))
+  }
+
+  test("browser $groupidentify: $group_type/$group_key/$group_set routing + unknown defaults") {
+    val body =
+      """{"event":"$groupidentify","distinct_id":"u9",
+        |"properties":{"$group_type":"team","$group_key":"t-1","$group_set":{"tier":"gold"}}}"""
+        .stripMargin.replaceAll("\n", "")
+    val r = ingestOne(body).collect().head
+    assert(r.getAs[String]("distinct_id") == "t-1") // group_key becomes distinct_id
+    assert(r.getAs[String]("properties").contains("gold")) // $group_set → properties
+    val extra = r.getAs[Map[String, String]]("extra")
+    assert(extra("group_type") == "team" && extra("group_key") == "t-1")
+
+    val missing = ingestOne("""{"event":"$groupidentify","distinct_id":"u9","properties":{}}""")
+      .collect().head
+    assert(missing.getAs[String]("distinct_id") == "unknown") // unwrap_or("unknown")
+    assert(missing.getAs[Map[String, String]]("extra")("group_type") == "unknown")
+  }
+
+  test("context field lands in the context column") {
+    val r = ingestOne("""{"event":"e","distinct_id":"d","context":{"page":"/home"}}""")
+      .collect().head
+    assert(r.getAs[String]("context").contains("/home"))
+  }
+
   // S2/S3 codecs
   test("codec round-trips + sniffing (extractors.rs:593-631)") {
     val s = """{"event":"e"}"""
