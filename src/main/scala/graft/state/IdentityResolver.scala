@@ -126,8 +126,17 @@ object IdentityResolver {
       iter += 1
     }
     e.unpersist()
+    // an unconverged exit would silently split components and hand out
+    // wrong canonical ids — fail loudly instead (graphs that deep are
+    // pathological; raise MaxIters or pre-contract the chains)
+    if (!converged) throw new IllegalStateException(
+      s"identity CC fixpoint did not converge within $MaxIters iterations — " +
+        "alias graph diameter exceeds the cap; refusing to emit split components")
 
-    // lbl elects the canonical; map back to the elected member's id
+    // lbl elects the canonical; map back to the elected member's id.
+    // NOTE: the join below requires labelOf to be INJECTIVE (two ids
+    // mapping to one label would cross-join components) — the default
+    // identity and any "rank|id" prefix scheme satisfy this.
     val canon = labels.as("l")
       .join(labels.select(labelOf(col("id")).as("lbl"), col("id").as("canonical")).as("c"), Seq("lbl"))
       .select(col("l.id").as("id"), col("canonical"))

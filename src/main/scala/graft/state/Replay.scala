@@ -86,14 +86,55 @@ object Replay {
   def mergedProperties(r: PersonRecord): Map[String, String] =
     r.properties_set_once ++ r.properties
 
-  /** Replay person ops to final person records.
+  /** Mutable per-record state inside the per-component DO simulation. */
+  private final class Rec(firstId: String, val createdOrd: Long) {
+    var version: Long = 0L
+    var dids: Vector[String] = Vector(firstId)
+    var props: Map[String, String] = Map.empty
+    var so: Map[String, String] = Map.empty
+    var minOrd: Long = createdOrd
+    def register(id: String): Unit = if (!dids.contains(id)) dids :+= id
+  }
+
+  /** Replay person ops to final person records with the reference
+    * store's EXACT ordering semantics (`persons.rs:255-338`).
     *
-    * ops must carry: raw_id, ord, set, set_once, unset, alias_to.
-    * Identity resolution first (CC fixpoint over alias edges), then a
-    * shuffle on canonical id + an in-group ordered fold, then dense
-    * sequential ids assigned by first-touch order (`persons.rs:544-570`
-    * counter semantics) — via sort + zipWithIndex, which stays fully
-    * distributed (no single-partition window).
+    * The alias-edge connected components (CC fixpoint) give the shuffle
+    * key only; within each component the fold simulates the Durable
+    * Object verbatim, in `ord` order:
+    *
+    *   - update → resolve redirect chain, create-if-absent, apply
+    *     (`apply_update`: version bump, register distinct_id);
+    *     an EMPTY update (no set/set_once/unset) is `ensure_person`
+    *     — registration without a version bump;
+    *   - alias op → `apply_alias`: resolve both sides; already-same →
+    *     no-op; else **merge prefers primary** (`PersonRecord::merge`,
+    *     vectors `persons.rs:931-960`): primary's properties win at
+    *     merge time — even over a later-`ord` pre-merge secondary
+    *     write — secondary fills gaps, set_once skips keys the primary
+    *     holds in either map, version = primary.version + 1 (the
+    *     secondary's update count is absorbed, not summed), and the
+    *     secondary id redirects to the primary from then on;
+    *   - an op carrying both an alias and an update applies the alias
+    *     FIRST (identify: `apply_alias` then `update_from_identify`,
+    *     lib.rs:690-718).
+    *
+    * The surviving record's canonical id is therefore the primary-chain
+    * root — the same id the reference's `resolve_id` returns — not a
+    * label election. Exactly one record survives per component (every
+    * alias edge merges or is a no-op on an already-merged pair).
+    *
+    * Divergence (deliberate, documented): person ids are dense
+    * first-touch sequence numbers over surviving persons (distributed
+    * sort + zipWithIndex); the reference's counter also burns ids on
+    * merged-away secondary records, leaving gaps. Dense ids are the
+    * useful dimension-key form; nothing downstream reads the gaps.
+    * `distinct_ids` is emitted sorted (the reference keeps insertion
+    * order) so output is deterministic under any partitioning.
+    *
+    * At 100 TB: ops shuffle once on the component key; each component
+    * folds in one task (components are user-sized — a handful of ids);
+    * the redirect map broadcasts.
     */
   def persons(spark: SparkSession, ops: Dataset[PersonOp],
       labelOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column = identity)
@@ -104,44 +145,65 @@ object Replay {
       .map(o => (o.raw_id, o.alias_to.get)).toDF("src", "dst")
     val redirects = IdentityResolver.components(spark, edges, labelOf)
 
-    // resolve raw ids; ids without alias edges are their own canonical
+    // component key; ids without alias edges form singleton components
     val resolved = ops.toDF()
       .join(broadcast(redirects), col("raw_id") === col("id"), "left")
-      .withColumn("canonical", coalesce(col("canonical"), col("raw_id")))
-      .drop("id")
+      .withColumn("comp", coalesce(col("canonical"), col("raw_id")))
+      .drop("id", "canonical")
 
-    // alias also registers the *target* id on the person (ensure_person
-    // on both sides of a merge, persons.rs:281-326): emit a no-op
-    // registration for alias_to so distinct_ids unions it.
-    val aliasReg = resolved.filter(col("alias_to").isNotNull)
-      .select(col("alias_to").as("raw_id"), col("ord"),
-        typedLit(Map.empty[String, String]).as("set"),
-        typedLit(Map.empty[String, String]).as("set_once"),
-        typedLit(Seq.empty[String]).as("unset"),
-        lit(null).cast("string").as("alias_to"), col("canonical"))
-      .withColumn("register_only", lit(true))
-    val folded = resolved.withColumn("register_only", lit(false))
-      .unionByName(aliasReg)
-      .select(col("canonical"), col("raw_id"), col("ord"), col("set"),
-        col("set_once"), col("unset"), col("register_only"))
-      .as[(String, String, Long, Map[String, String], Map[String, String], Seq[String], Boolean)]
+    val folded = resolved
+      .select(col("comp"), col("raw_id"), col("ord"), col("set"),
+        col("set_once"), col("unset"), col("alias_to"))
+      .as[(String, String, Long, Map[String, String], Map[String, String], Seq[String], Option[String])]
       .groupByKey(_._1)
-      .mapGroups { (canonical, it) =>
+      .mapGroups { (_, it) =>
         val sorted = it.toArray.sortBy(t => (t._3, t._2))
-        var props = Map.empty[String, String]
-        var setOnce = Map.empty[String, String]
-        var dids = Vector.empty[String]
-        var version = 0L
-        sorted.foreach { case (_, rawId, ord, set, so, unset, regOnly) =>
-          if (!dids.contains(rawId)) dids :+= rawId
-          if (!regOnly) {
-            val r = applyUpdate(props, setOnce, PersonOp(rawId, ord, set, so, unset, None))
-            props = r._1; setOnce = r._2
-            version += 1
-          }
+        val records = scala.collection.mutable.Map.empty[String, Rec]
+        val redirect = scala.collection.mutable.Map.empty[String, String]
+        def resolve(id: String): String = {
+          var c = id; var hops = 0
+          while (redirect.contains(c) && hops <= 10) { c = redirect(c); hops += 1 }
+          c
         }
-        PersonRecord(canonical, -1L, version, dids.sorted,
-          props, setOnce, sorted.head._3)
+        def ensureRec(canonical: String, ord: Long): Rec =
+          records.getOrElseUpdate(canonical, new Rec(canonical, ord))
+
+        sorted.foreach { case (_, rawId, ord, set, so, unset, aliasTo) =>
+          // apply_alias first (identify orders alias before update)
+          aliasTo.filter(_ != rawId).foreach { alias =>
+            val primaryId = resolve(rawId)
+            val secondaryId = resolve(alias)
+            if (primaryId != secondaryId) {
+              val p = ensureRec(primaryId, ord); p.register(rawId)
+              val sec = ensureRec(secondaryId, ord); sec.register(alias)
+              // PersonRecord::merge — primary wins
+              p.props = p.props ++ sec.props.view.filterKeys(k => !p.props.contains(k)).toMap
+              p.so = p.so ++ sec.so.view
+                .filterKeys(k => !p.props.contains(k) && !p.so.contains(k)).toMap
+              p.dids = p.dids ++ sec.dids.filterNot(p.dids.contains)
+              p.minOrd = math.min(p.minOrd, sec.minOrd) // created_at min
+              p.version += 1
+              records.remove(secondaryId)
+              redirect(secondaryId) = primaryId
+              redirect(alias) = primaryId
+              p.dids.foreach(d => if (d != primaryId) redirect(d) = primaryId)
+            }
+          }
+          val canonical = resolve(rawId)
+          val r = ensureRec(canonical, ord)
+          r.register(rawId)
+          if (set.nonEmpty || so.nonEmpty || unset.nonEmpty) {
+            val u = applyUpdate(r.props, r.so, PersonOp(rawId, ord, set, so, unset, None))
+            r.props = u._1; r.so = u._2
+            r.version += 1
+          } // else: ensure_person — registration only, no version bump
+        }
+        require(records.size == 1,
+          s"component fold invariant violated: ${records.size} surviving records " +
+            s"for ids ${records.keys.mkString(",")}")
+        val (canonical, rec) = records.head
+        PersonRecord(canonical, -1L, rec.version, rec.dids.sorted,
+          rec.props, rec.so, rec.minOrd)
       }
 
     // dense first-touch sequence ids: distributed sort + zipWithIndex

@@ -26,7 +26,10 @@ import org.apache.spark.sql.types.LongType
   * plan = value of the last purchase after the last error (else null);
   * first_plan = value of the FIRST purchase after the last error
   * ($set_once refires after $unset); first_et = first event's type;
-  * last_event = last non-error event's type; version = op count;
+  * last_event = last non-error event's type; version follows the DO
+  * merge semantics (the signup merge absorbs the anonymous record's
+  * update count: merged.version = primary.version + 1, persons.rs:106)
+  * so signed users count 1 + ops at/after signup, others all ops;
   * distinct_ids = {uX, anon-uX} iff the user ever signed up.
   */
 object StateQueries {
@@ -96,7 +99,8 @@ object StateQueries {
       |  SELECT b.user_id,
       |    CASE WHEN b.first_signup IS NOT NULL THEN 'u' || b.user_id
       |         ELSE 'anon-u' || b.user_id END AS canonical_id,
-      |    count(*) AS version,
+      |    CASE WHEN b.first_signup IS NULL THEN count(*)
+      |         ELSE 1 + count(*) FILTER (WHERE b.event_id >= b.first_signup) END AS version,
       |    CASE WHEN b.first_signup IS NOT NULL THEN 2 ELSE 1 END AS n_distinct_ids,
       |    min(b.event_id) AS first_ord,
       |    arg_max('p' || (b.k % 3), b.event_id)
@@ -199,9 +203,123 @@ object StateQueries {
        |  g.version AS group_version
        |FROM events e LEFT JOIN g ON g.group_key = 'seg-' || (e.user_id % 10)""".stripMargin
 
+  /** Wire-format bodies for the end-to-end pipeline drive: one PostHog
+    * payload per event —
+    *   - the user's FIRST signup → a server identify with bare props
+    *     (email) + `$anon_distinct_id` (the implicit alias merge),
+    *   - purchase → capture with `properties.$set{plan}` +
+    *     `$set_once{first_plan}`,
+    *   - error → engage `$unset` rotating through the reference's three
+    *     accepted forms by k%3: string array / object-keys / bare string
+    *     (the bare-string form unsets only `plan`),
+    *   - everything else (view/click/late signups) → capture with
+    *     `$set{last_event}` + `$set_once{first_et}`.
+    * `eid` rides as an unknown key → `extra` (the replay's total order).
+    */
+  private def wireBodies(s: SparkSession, d: String): DataFrame = {
+    val e = graft.Tables.par(Tables.events(s, d))
+    val firstSignup = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("event_id")).as("first_signup"))
+    val k = get_json_object(col("props"), "$.k").cast(LongType)
+    val anonId = concat(lit("anon-u"), col("user_id"))
+    val uId = concat(lit("u"), col("user_id"))
+    val id = when(col("first_signup").isNull || col("event_id") < col("first_signup"), anonId)
+      .otherwise(uId)
+    val eid = col("event_id").cast("string")
+    val planVal = concat(lit("p"), k % 3)
+    val et = col("event_type")
+    val body =
+      when(et === "signup" && col("event_id") === col("first_signup"), to_json(struct(
+        lit("identify").as("type"), uId.as("distinct_id"), anonId.as("$anon_distinct_id"),
+        struct(concat(uId, lit("@x.com")).as("email")).as("properties"), eid.as("eid"))))
+      .when(et === "purchase", to_json(struct(
+        lit("purchase").as("event"), id.as("distinct_id"),
+        struct(struct(planVal.as("plan")).as("$set"),
+          struct(planVal.as("first_plan")).as("$set_once")).as("properties"),
+        eid.as("eid"))))
+      .when(et === "error" && k % 3 === 0, to_json(struct(
+        id.as("distinct_id"), array(lit("plan"), lit("first_plan")).as("$unset"), eid.as("eid"))))
+      .when(et === "error" && k % 3 === 1, to_json(struct(
+        id.as("distinct_id"), struct(lit(1).as("plan"), lit(1).as("first_plan")).as("$unset"),
+        eid.as("eid"))))
+      .when(et === "error", to_json(struct(
+        id.as("distinct_id"), lit("plan").as("$unset"), eid.as("eid"))))
+      .otherwise(to_json(struct(
+        et.as("event"), id.as("distinct_id"),
+        struct(struct(et.as("last_event")).as("$set"),
+          struct(et.as("first_et")).as("$set_once")).as("properties"),
+        eid.as("eid"))))
+    e.join(firstSignup, Seq("user_id"), "left").select(body.as("body"))
+  }
+
+  /** Q-PIPE-5 (T1 end-to-end): wire payloads → REAL ingest
+    * (explode/classify/canonical) → REAL PersonOp extraction
+    * ([[PersonOpExtract.fromCanonical]]) → identity CC + DO-exact fold
+    * ([[Replay.persons]]) — the reference's whole person pipeline as
+    * one composed dataflow, against a closed-form oracle.
+    */
+  def pipeWire(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val canonical = graft.ingest.Normalizer.ingest(
+      wireBodies(s, d), col("body"), graft.ingest.Normalizer.IngestContext())
+    val ops = PersonOpExtract
+      .fromCanonical(canonical, element_at(col("extra"), "eid").cast(LongType))
+      .as[PersonOp]
+    Replay.persons(s, ops).toDF()
+      .select(
+        col("canonical_id"), col("person_seq_id"), col("version"),
+        size(col("distinct_ids")).as("n_distinct_ids"),
+        col("first_ord"),
+        element_at(col("properties"), "email").as("email"),
+        element_at(col("properties"), "plan").as("plan"),
+        element_at(col("properties"), "last_event").as("last_event"),
+        element_at(col("properties_set_once"), "first_plan").as("first_plan"),
+        element_at(col("properties_set_once"), "first_et").as("first_et"))
+  }
+
+  val pipeWireSql: String =
+    """WITH sg AS (
+      |  SELECT user_id, min(event_id) AS first_signup
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |base AS (
+      |  SELECT e.*, s.first_signup,
+      |    json_extract_string(e.props, '$.k')::BIGINT AS k
+      |  FROM events e LEFT JOIN sg s USING (user_id)),
+      |err AS (
+      |  SELECT user_id,
+      |    coalesce(max(event_id) FILTER (WHERE event_type = 'error'), -1) AS last_err_plan,
+      |    coalesce(max(event_id) FILTER (WHERE event_type = 'error' AND k % 3 IN (0, 1)), -1) AS last_err_fp
+      |  FROM base GROUP BY user_id),
+      |agg AS (
+      |  SELECT b.user_id,
+      |    CASE WHEN b.first_signup IS NOT NULL THEN 'u' || b.user_id
+      |         ELSE 'anon-u' || b.user_id END AS canonical_id,
+      |    CASE WHEN b.first_signup IS NULL THEN count(*)
+      |         ELSE 1 + count(*) FILTER (WHERE b.event_id >= b.first_signup) END AS version,
+      |    CASE WHEN b.first_signup IS NOT NULL THEN 2 ELSE 1 END AS n_distinct_ids,
+      |    min(b.event_id) AS first_ord,
+      |    CASE WHEN b.first_signup IS NOT NULL THEN 'u' || b.user_id || '@x.com' END AS email,
+      |    arg_max('p' || (b.k % 3), b.event_id)
+      |      FILTER (WHERE b.event_type = 'purchase' AND b.event_id > er.last_err_plan) AS plan,
+      |    arg_min('p' || (b.k % 3), b.event_id)
+      |      FILTER (WHERE b.event_type = 'purchase' AND b.event_id > er.last_err_fp) AS first_plan,
+      |    arg_max(b.event_type, b.event_id)
+      |      FILTER (WHERE b.event_type IN ('view', 'click')
+      |              OR (b.event_type = 'signup' AND b.event_id <> b.first_signup)) AS last_event,
+      |    arg_min(b.event_type, b.event_id)
+      |      FILTER (WHERE b.event_type IN ('view', 'click')
+      |              OR (b.event_type = 'signup' AND b.event_id <> b.first_signup)) AS first_et
+      |  FROM base b JOIN err er USING (user_id)
+      |  GROUP BY b.user_id, b.first_signup)
+      |SELECT canonical_id,
+      |  (row_number() OVER (ORDER BY first_ord, canonical_id)) AS person_seq_id,
+      |  version, n_distinct_ids, first_ord, email, plan, last_event, first_plan, first_et
+      |FROM agg""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_pipe_persons", pipePersons, Some(pipePersonsSql)),
     Q("q_pipe_groups", pipeGroups, Some(pipeGroupsSql)),
     Q("q_pipe_snapshot", pipeSnapshot, Some(pipeSnapshotSql)),
-    Q("q_pipe_hydrate", pipeHydrate, Some(pipeHydrateSql)))
+    Q("q_pipe_hydrate", pipeHydrate, Some(pipeHydrateSql)),
+    Q("q_pipe_wire", pipeWire, Some(pipeWireSql)))
 }

@@ -3,7 +3,7 @@ package graft
 import graft.ingest.{Codecs, Normalizer}
 import graft.ingest.Normalizer.IngestContext
 import graft.sources.Lake
-import graft.state.{PersonOp, Replay}
+import graft.state.{PersonOp, PersonOpExtract, Replay}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -40,7 +40,7 @@ class EndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
            {"type":"groupidentify","group_type":"company","group_key":"acme","properties":{"tier":"gold"}},
            {"distinct_id":"user-1","alias":"anon-1"}
          ],"api_key":"phc_batch"}""".replaceAll("\n\\s*", ""),
-      """{"event":"purchase","distinct_id":"user-1","properties":{"value":"9.99"}}""",
+      """{"event":"purchase","distinct_id":"user-1","properties":{"value":"9.99","$set_once":{"first_buy":"9.99"}}}""",
       """{"distinct_id":"user-1","$set":{"plan":"pro"},"$unset":["ref"]}""",
       """{"event":"$snapshot","distinct_id":"session-recording","properties":{"chunk":"1"}}""")
 
@@ -54,7 +54,8 @@ class EndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
 
     val ctx = IngestContext(now = to_timestamp(lit("2024-06-01 12:00:00")))
-    val canonical = Normalizer.ingest(log.toDF("body"), col("body"), ctx)
+    val canonical = Normalizer.ingest(
+      log.zipWithIndex.toDF("body", "bidx"), col("body"), ctx)
 
     // ---- event-level assertions (the landed rows)
     val byKind = canonical.groupBy("kind").count().collect()
@@ -68,15 +69,12 @@ class EndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
     Lake.writeEvents(canonical, dir)
     assert(Lake.readEvents(spark, dir).count() == 8)
 
-    // ---- person replay from the landed ops
-    val ops = Seq(
-      PersonOp("anon-1", 1, Map("ref" -> "ad"), Map.empty, Nil, None),
-      PersonOp("user-1", 2, Map("email" -> "u1@x.com"), Map.empty, Nil, Some("anon-1")),
-      PersonOp("user-1", 4, Map.empty, Map("first_buy" -> "9.99"), Nil, None),
-      PersonOp("user-1", 5, Map("plan" -> "pro"), Map.empty, Seq("ref"), None))
-    val prio: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      id => concat(when(id.startsWith("anon-"), lit("1")).otherwise(lit("0")), lit("|"), id)
-    val persons = Replay.persons(spark, ops.toDS(), prio).collect()
+    // ---- person replay from the REAL extraction over the landed events
+    // (T1: no hand-built ops — ingest output drives the state machine)
+    val ops = PersonOpExtract
+      .fromCanonical(canonical, col("bidx").cast("long") * 100 + col("item_idx"))
+      .as[PersonOp]
+    val persons = Replay.persons(spark, ops).collect()
     assert(persons.length == 1)
     val p = persons.head
     assert(p.canonical_id == "user-1")

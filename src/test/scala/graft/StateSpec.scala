@@ -125,6 +125,128 @@ class StateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Replay.mergedProperties(r) == Map("k" -> "set", "only" -> "o"))
   }
 
+  // persons.rs:931-960 — merge PREFERS PRIMARY at merge time, even when
+  // the secondary's conflicting write has a later ord than the primary's
+  test("merge prefers primary: conflicting pre-merge values resolve to the primary") {
+    val rs = replay(
+      op("primary", 1, set = Map("plan" -> "pro"), setOnce = Map("created_at" -> "2024-01-01")),
+      op("secondary", 2, set = Map("plan" -> "basic", "region" -> "us"),
+        setOnce = Map("created_at" -> "2023-01-01")),
+      op("primary", 3, aliasTo = Some("secondary")))
+    assert(rs.size == 1)
+    val r = rs("primary") // canonical = the primary-chain root
+    assert(r.properties("plan") == "pro")        // primary wins the conflict
+    assert(r.properties("region") == "us")       // secondary fills the gap
+    assert(r.properties_set_once("created_at") == "2024-01-01") // primary's set_once wins
+    assert(r.distinct_ids == Seq("primary", "secondary"))
+    // versions: primary 1 update + merge bump = 2 (secondary's count absorbed)
+    assert(r.version == 2)
+  }
+
+  test("empty op is ensure_person: registers the id, no version bump") {
+    val r = replay(
+      op("d1", 1, set = Map("a" -> "1")),
+      op("d1", 2)) // ensure — touch only
+    assert(r("d1").version == 1)
+
+    val r2 = replay(op("solo", 1))("solo")
+    assert(r2.version == 0 && r2.distinct_ids == Seq("solo"))
+  }
+
+  test("post-merge updates through either id apply to the merged record") {
+    val rs = replay(
+      op("u", 1, aliasTo = Some("anon")),
+      op("anon", 2, set = Map("k" -> "via-anon")), // redirected to u
+      op("u", 3, set = Map("k2" -> "via-u")))
+    assert(rs.size == 1)
+    assert(rs("u").properties == Map("k" -> "via-anon", "k2" -> "via-u"))
+  }
+
+  // T1 extraction vectors (persons.rs:360-456, lib.rs:690-718)
+
+  private def canonicalOf(bodies: String*): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    graft.ingest.Normalizer.ingest(
+      bodies.zipWithIndex.toDF("body", "bidx"),
+      org.apache.spark.sql.functions.col("body"),
+      graft.ingest.Normalizer.IngestContext())
+  }
+
+  private def extracted(bodies: String*): Map[Long, PersonOp] = {
+    import spark.implicits._
+    PersonOpExtract.fromCanonical(canonicalOf(bodies: _*), col("bidx").cast("long"))
+      .as[PersonOp].collect().map(o => o.ord -> o).toMap
+  }
+
+  test("extract: capture $set/$set_once/$unset from properties (update_from_capture)") {
+    val ops = extracted(
+      """{"event":"e","distinct_id":"d","properties":{"$set":{"a":"1"},"$set_once":{"b":"2"},"$unset":["c"],"path":"/x"}}""")
+    val o = ops(0L)
+    assert(o.raw_id == "d" && o.set == Map("a" -> "1") && o.set_once == Map("b" -> "2"))
+    assert(o.unset == Seq("c") && o.alias_to.isEmpty)
+  }
+
+  test("extract: plain capture is an ensure touch (empty op)") {
+    val o = extracted("""{"event":"e","distinct_id":"d","properties":{"path":"/x"}}""")(0L)
+    assert(o.set.isEmpty && o.set_once.isEmpty && o.unset.isEmpty && o.alias_to.isEmpty)
+  }
+
+  test("extract: identify bare props act as $set; $anon_distinct_id emits the alias edge") {
+    val o = extracted(
+      """{"type":"identify","distinct_id":"u1","$anon_distinct_id":"anon-1","properties":{"email":"a@b.c"}}""")(0L)
+    assert(o.set == Map("email" -> "a@b.c") && o.alias_to.contains("anon-1"))
+
+    // $set/$set_once keys present → routed, bare props NOT set
+    val o2 = extracted(
+      """{"type":"identify","distinct_id":"u1","properties":{"$set":{"p":"1"},"$set_once":{"q":"2"}}}""")(0L)
+    assert(o2.set == Map("p" -> "1") && o2.set_once == Map("q" -> "2"))
+
+    // anon == distinct_id → no self-alias (lib.rs:710)
+    val o3 = extracted(
+      """{"type":"identify","distinct_id":"u1","$anon_distinct_id":"u1","properties":{"e":"x"}}""")(0L)
+    assert(o3.alias_to.isEmpty)
+  }
+
+  test("extract: engage ops from extra; alias events carry only the edge") {
+    val ops = extracted(
+      """{"distinct_id":"d","$set":{"n":"Alex"},"$unset":["tmp"]}""",
+      """{"distinct_id":"d","alias":"anon-7"}""")
+    assert(ops(0L).set == Map("n" -> "Alex") && ops(0L).unset == Seq("tmp"))
+    assert(ops(1L).alias_to.contains("anon-7") && ops(1L).set.isEmpty)
+  }
+
+  test("extract: $unset forms — array drops non-strings, object → keys, string → itself") {
+    val ops = extracted(
+      """{"event":"e","distinct_id":"d","properties":{"$unset":["a",1,"b",true]}}""",
+      """{"event":"e","distinct_id":"d","properties":{"$unset":{"x":1,"y":2}}}""",
+      """{"event":"e","distinct_id":"d","properties":{"$unset":"solo"}}""")
+    assert(ops(0L).unset == Seq("a", "b")) // persons.rs filter_map(as_str)
+    assert(ops(1L).unset.sorted == Seq("x", "y"))
+    assert(ops(2L).unset == Seq("solo"))
+  }
+
+  test("extract: groupidentify and snapshot rows touch no person state") {
+    val ops = extracted(
+      """{"type":"groupidentify","group_type":"team","group_key":"t1","properties":{"n":"1"}}""",
+      """{"event":"$snapshot","distinct_id":"session-recording","properties":{"c":"1"}}""")
+    assert(ops.isEmpty)
+  }
+
+  test("extract → replay end-to-end: ingest output feeds the person fold") {
+    import spark.implicits._
+    val canonical = canonicalOf(
+      """{"event":"page_view","distinct_id":"anon-1","properties":{"$set":{"ref":"ad"}}}""",
+      """{"type":"identify","distinct_id":"user-1","$anon_distinct_id":"anon-1","properties":{"email":"u1@x.com"}}""",
+      """{"distinct_id":"user-1","$set":{"plan":"pro"},"$unset":["ref"]}""")
+    val ops = PersonOpExtract.fromCanonical(canonical, col("bidx").cast("long")).as[PersonOp]
+    val persons = Replay.persons(spark, ops).collect()
+    assert(persons.length == 1)
+    val p = persons.head
+    assert(p.canonical_id == "user-1")
+    assert(p.distinct_ids == Seq("anon-1", "user-1"))
+    assert(p.properties == Map("email" -> "u1@x.com", "plan" -> "pro"))
+  }
+
   test("group replay: last-write-wins upsert, version counts ops") {
     import spark.implicits._
     val gs = Replay.groups(spark, Seq(
