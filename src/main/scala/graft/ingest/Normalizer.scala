@@ -33,6 +33,16 @@ object Normalizer {
   /** Deterministic uuid (v5-style, md5-based) — replaces the
     * reference's random v4 (`pipeline.rs:188`) so that replays are
     * idempotent and the lake's `dropDuplicates("uuid")` dedup works.
+    *
+    * ACCEPTED TRADEOFF: two genuinely distinct events whose wire bodies
+    * are byte-identical (no client uuid/timestamp — e.g. two rapid
+    * identical clicks in separate requests) hash to the same uuid and
+    * collapse to one row at the Lake's dedup — at-most-once for
+    * payload-identical events, vs the reference's random-v4 which keeps
+    * both but duplicates on retry. Deployments that need both
+    * behaviors should mix a source offset (kafka partition/offset,
+    * request id) into the seed column at the ingest call site — the
+    * seed is caller-supplied, so this needs no code change here.
     */
   def uuidDet(seed: Column): Column = {
     val h = md5(seed.cast("binary"))

@@ -55,24 +55,42 @@ object Lake {
     * lake; callers point readers at the new path).
     */
   def compact(spark: SparkSession, path: String, outPath: String,
-      parallelism: Int = 32): Unit =
-    spark.read.parquet(path)
+      parallelism: Int = 32): Unit = {
+    val in = spark.read.parquet(path)
+    // streaming roots carry an epoch_id partition level — compaction
+    // folds the epochs away
+    val cleaned = if (in.columns.contains("epoch_id")) in.drop("epoch_id") else in
+    cleaned
       .repartition(parallelism, col(PartitionCol))
       .write
       .partitionBy(PartitionCol)
       .mode("overwrite")
       .parquet(outPath)
+  }
 
-  /** Streaming append: per-epoch dedup + partitioned write via
-    * foreachBatch (the exactly-once-per-epoch pattern; uuid dedup makes
-    * replayed epochs idempotent).
+  /** Streaming append, idempotent under epoch replay: each micro-batch
+    * lands in its own `epoch_id=<batchId>` partition directory with
+    * OVERWRITE semantics, so a failure-replayed epoch rewrites its own
+    * output instead of appending duplicates (a bare parquet append
+    * would be at-least-once — the checkpoint replays the last epoch
+    * after a crash). Within an epoch, uuid dedup drops SDK retries.
+    * The overwrite itself converges on a successful retry (standard
+    * foreachBatch idempotent-sink pattern; an Iceberg sink would make
+    * the swap atomic via the catalog commit).
+    *
+    * `epoch_id` surfaces as an extra partition column on read;
+    * [[compact]] rewrites it away.
     */
   def streamWriter(events: DataFrame, path: String,
       checkpoint: String): DataStreamWriter[Row] =
     events.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        writeEvents(batch, path)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        withPartition(batch.dropDuplicates("uuid"))
+          .write
+          .partitionBy(PartitionCol)
+          .mode("overwrite")
+          .parquet(s"$path/epoch_id=$batchId")
       }
 }

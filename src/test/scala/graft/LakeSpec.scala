@@ -71,6 +71,39 @@ class LakeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Lake.readEvents(spark, out).count() == 3)
   }
 
+  test("streaming epochs land in epoch_id dirs; replayed epochs overwrite, not append") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("lake_s").toString
+    val events = canonical(
+      """{"event":"a","distinct_id":"d1","timestamp":"2024-03-01T00:00:00Z"}""",
+      """{"event":"b","distinct_id":"d2","timestamp":"2024-03-02T00:00:00Z"}""").collect()
+
+    def runOnce(checkpoint: String): Unit = {
+      implicit val sqlCtx = spark.sqlContext
+      val ms = MemoryStream[String]
+      ms.addData("tick")
+      val stream = ms.toDF().select(lit(1).as("tick"))
+        .crossJoin(spark.createDataFrame(spark.sparkContext.parallelize(events.toSeq),
+          canonical("""{"event":"x","distinct_id":"d"}""").schema))
+        .drop("tick")
+      Lake.streamWriter(stream, dir, checkpoint).start().awaitTermination()
+    }
+
+    runOnce(Files.createTempDirectory("ck1").toString)
+    assert(new java.io.File(dir).listFiles().exists(_.getName == "epoch_id=0"))
+    assert(Lake.readEvents(spark, dir).count() == 2)
+    // a FRESH checkpoint replays the same data as epoch 0 again — the
+    // overwrite converges instead of duplicating (at-least-once → idempotent)
+    runOnce(Files.createTempDirectory("ck2").toString)
+    assert(Lake.readEvents(spark, dir).count() == 2)
+    // compaction folds the epoch level away
+    val out = Files.createTempDirectory("lake_sc").toString
+    Lake.compact(spark, dir, out, parallelism = 2)
+    assert(!Lake.readEvents(spark, out).columns.contains("epoch_id"))
+    assert(Lake.readEvents(spark, out).count() == 2)
+  }
+
   test("partition filter prunes at scan (PartitionFilters in plan)") {
     val dir = Files.createTempDirectory("lake").toString
     Lake.writeEvents(canonical(
