@@ -31,6 +31,7 @@ object Bench {
     // materialize synthesized wire-payload inputs outside the timers so
     // ingest timings measure decode+normalize, not the test-data generator
     try graft.ingest.IngestQueries.prepare(spark, sfDir) catch { case _: Throwable => }
+    try graft.state.StateQueries.prepare(spark, sfDir) catch { case _: Throwable => }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

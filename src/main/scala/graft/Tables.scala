@@ -41,6 +41,23 @@ object Tables {
   def par(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 
+  /** Materialize-once scratch table for synthesized benchmark inputs:
+    * build `df` once per (sfDir, name) into a deterministic /tmp
+    * parquet and scan it thereafter — so queries that operate on
+    * synthesized wire payloads measure the ENGINE (decode/normalize/
+    * fold), not the test-data generator. Synthesis is deterministic,
+    * making cross-JVM reuse safe. Purely a harness concern: production
+    * inputs are real tables.
+    */
+  def scratch(s: SparkSession, d: String, name: String)(df: => DataFrame): DataFrame = {
+    val dir = new java.io.File(s"/tmp/graft_synth/${d.replaceAll("[^A-Za-z0-9.]", "_")}/$name")
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      dir.getParentFile.mkdirs()
+      df.write.mode("overwrite").parquet(dir.toString)
+    }
+    s.read.parquet(dir.toString)
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = t(s, d, "customer")

@@ -27,18 +27,9 @@ import Normalizer.IngestContext
   */
 object IngestQueries {
 
-  /** Materialize-once scratch input: build `df` and park it under a
-    * path keyed by (sfDir, name); subsequent calls scan the parquet.
-    * Synthesis is deterministic, so reuse across JVMs is safe.
-    */
-  private def synth(s: SparkSession, d: String, name: String)(df: => DataFrame): DataFrame = {
-    val dir = new java.io.File(s"/tmp/graft_synth/${d.replaceAll("[^A-Za-z0-9.]", "_")}/$name")
-    if (!new java.io.File(dir, "_SUCCESS").exists()) {
-      dir.getParentFile.mkdirs()
-      df.write.mode("overwrite").parquet(dir.toString)
-    }
-    s.read.parquet(dir.toString)
-  }
+  /** Materialize-once scratch input (see [[Tables.scratch]]). */
+  private def synth(s: SparkSession, d: String, name: String)(df: => DataFrame): DataFrame =
+    Tables.scratch(s, d, name)(df)
 
   /** Pre-materialize every synthesized input (bench calls this before
     * starting timers).

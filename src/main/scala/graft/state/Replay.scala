@@ -141,12 +141,18 @@ object Replay {
     : Dataset[PersonRecord] = {
     import spark.implicits._
 
-    val edges = ops.filter(_.alias_to.isDefined)
+    // the op table is read twice (alias-edge extraction + the resolved
+    // fold input) — persist so an expensive upstream (a full
+    // ingest→extraction chain) computes once. The op rows are compact
+    // (ids + small maps), a tiny fraction of the event bytes.
+    val cached = ops.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val edges = cached.filter(_.alias_to.isDefined)
       .map(o => (o.raw_id, o.alias_to.get)).toDF("src", "dst")
     val redirects = IdentityResolver.components(spark, edges, labelOf)
 
     // component key; ids without alias edges form singleton components
-    val resolved = ops.toDF()
+    val resolved = cached.toDF()
       .join(broadcast(redirects), col("raw_id") === col("id"), "left")
       .withColumn("comp", coalesce(col("canonical"), col("raw_id")))
       .drop("id", "canonical")

@@ -249,8 +249,17 @@ object StateQueries {
         struct(struct(et.as("last_event")).as("$set"),
           struct(et.as("first_et")).as("$set_once")).as("properties"),
         eid.as("eid"))))
-    e.join(firstSignup, Seq("user_id"), "left").select(body.as("body"))
+    graft.Tables.scratch(s, d, "pipe_wire") {
+      e.join(firstSignup, Seq("user_id"), "left").select(body.as("body"))
+    }
   }
+
+  /** Pre-materialize the synthesized wire bodies (bench calls this
+    * outside its timers — q_pipe_wire then measures the pipeline, not
+    * the generator).
+    */
+  def prepare(s: SparkSession, d: String): Unit =
+    wireBodies(s, d).foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
 
   /** Q-PIPE-5 (T1 end-to-end): wire payloads → REAL ingest
     * (explode/classify/canonical) → REAL PersonOp extraction
