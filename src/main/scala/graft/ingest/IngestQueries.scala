@@ -296,7 +296,8 @@ object IngestQueries {
       geo = Seq(
         "$geoip_country_code" -> lit("DE"),
         "cf_ray" -> concat(lit("ray-"), col("user_id") % 100),
-        "cf_colo" -> lit("   ")))
+        "cf_colo" -> lit("   ")),
+      geoJson = Seq("cf_asn" -> (lit(13000) + col("user_id") % 7).cast("string")))
     Normalizer.enrich(
         Normalizer.ingest(enrichInput(s, d), col("body"), ctx), ctx)
       .select(
@@ -304,6 +305,7 @@ object IngestQueries {
         get_json_object(col("properties"), "$.$ip").as("ip"),
         get_json_object(col("properties"), "$.$geoip_country_code").as("country"),
         get_json_object(col("properties"), "$.cf_ray").as("cf_ray"),
+        get_json_object(col("properties"), "$.cf_asn").cast(LongType).as("cf_asn"),
         get_json_object(col("properties"), "$.cf_colo").as("cf_colo"))
   }
 
@@ -313,6 +315,7 @@ object IngestQueries {
       |       THEN 'client-ip' ELSE 'ip-' || user_id END AS ip,
       |  'DE' AS country,
       |  'ray-' || (user_id % 100) AS cf_ray,
+      |  13000 + user_id % 7 AS cf_asn,
       |  NULL::VARCHAR AS cf_colo
       |FROM events""".stripMargin
 

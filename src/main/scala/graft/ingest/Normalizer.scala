@@ -21,13 +21,20 @@ object Normalizer {
   private val mapSS: DataType = DataType.fromDDL("map<string,string>")
   private val arrS: DataType = DataType.fromDDL("array<string>")
 
-  /** Request-context columns that accompany each payload row. */
+  /** Request-context columns that accompany each payload row.
+    * `geo` values are STRING-semantics (inserted as JSON strings,
+    * trimmed, empty dropped — header_value semantics); `geoJson`
+    * values are raw JSON fragments (numbers, booleans — e.g.
+    * `cf_asn -> lit("13335")` inserts the number 13335, matching the
+    * reference's typed cf properties, extractors.rs:158-163).
+    */
   final case class IngestContext(
       now: Column = current_timestamp(),
       headerApiKey: Column = lit(null).cast("string"),
       sentAtHeader: Column = lit(null).cast("string"),
       requestIp: Column = lit(null).cast("string"),
       geo: Seq[(String, Column)] = Nil,
+      geoJson: Seq[(String, Column)] = Nil,
       groupTypes: Seq[String] = EventSchema.defaultGroupTypes)
 
   /** Deterministic uuid (v5-style, md5-based) — replaces the
@@ -270,19 +277,31 @@ object Normalizer {
     * (full JSON fidelity).
     */
   def enrich(df: DataFrame, ctx: IngestContext): DataFrame = {
-    // header values are trimmed and empty ones dropped entirely
-    // (extractors.rs header_value: .trim + filter non-empty)
+    val mapSV: DataType = DataType.fromDDL("map<string,variant>")
+    // string values → JSON-string variants: trim + drop-empty
+    // (extractors.rs header_value semantics), escape, quote, parse
+    def strVariant(v: Column): Column = {
+      val t = trim(v)
+      val quoted = concat(lit("\""),
+        regexp_replace(regexp_replace(t, "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
+        lit("\""))
+      when(v.isNotNull && length(t) > 0, try_parse_json(quoted))
+    }
+    val entries =
+      (Seq(lit("$ip") -> strVariant(ctx.requestIp)) ++
+        ctx.geo.map { case (k, v) => lit(k) -> strVariant(v) } ++
+        ctx.geoJson.map { case (k, v) => lit(k) -> try_parse_json(v) })
     val enrichMap = map_filter(
-      map((Seq(lit("$ip") -> ctx.requestIp) ++
-        ctx.geo.map { case (k, v) => lit(k) -> v })
-        .flatMap { case (k, v) => Seq(k, trim(v)) }: _*),
-      (_, v) => v.isNotNull && length(v) > 0)
-    // parse properties once behind a projection boundary; `missing`
-    // references the parsed attribute (the expression is used three
-    // times below — condition, concat, and the filter lambda)
+      map(entries.flatMap { case (k, v) => Seq(k, v) }: _*),
+      (_, v) => v.isNotNull)
+    // parse properties once behind a projection boundary as
+    // map<string,VARIANT> — nested client values survive the
+    // merge round-trip byte-faithfully (a string-typed map would
+    // re-quote nested objects), and numeric fragments stay numbers.
     val propsMap = col("__props_map")
     val missing = map_filter(enrichMap, (k, _) => !map_contains_key(propsMap, k))
-    df.withColumn("__props_map", from_json(coalesce(col("properties"), lit("{}")), mapSS))
+    df.withColumn("__props_map",
+        from_json(coalesce(col("properties"), lit("{}")), mapSV))
       .withColumn("properties",
         when(size(map_keys(missing)) > 0, to_json(map_concat(propsMap, missing)))
           .otherwise(col("properties")))

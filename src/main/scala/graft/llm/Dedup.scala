@@ -319,6 +319,43 @@ object Dedup {
        |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4""".stripMargin
 
+  /** Q-DEDUP-9: near-dup CLUSTERS — the step that turns verified pairs
+    * into a dedup decision: connected components over the
+    * MinHash-verified pair graph (the SAME distributed CC operator the
+    * person pipeline uses for alias resolution,
+    * [[graft.state.IdentityResolver]]), each document labeled with its
+    * cluster's min doc_id and a keep/drop flag. At 100 TB the
+    * component state is one (id, label) pair per *paired* document —
+    * orders of magnitude smaller than the corpus; unpaired documents
+    * never enter the fixpoint (left join back).
+    */
+  def clusters(s: SparkSession, d: String): DataFrame = {
+    // zero-padded ids so the CC label election (lexical min) is numeric min
+    val pairs = minhashPairs(s, d).select(
+      format_string("%010d", col("doc_a")).as("src"),
+      format_string("%010d", col("doc_b")).as("dst"))
+    val comp = graft.state.IdentityResolver.components(s, pairs)
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(broadcast(comp), format_string("%010d", col("doc_id")) === col("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical").cast(LongType), col("doc_id")).as("cluster_id"))
+      .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+  }
+
+  val clustersSql: String =
+    s"""WITH RECURSIVE mp AS ($minhashPairsSql),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM mp
+       |          UNION SELECT doc_b, doc_a FROM mp),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |canon AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+       |SELECT d.doc_id,
+       |  coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       |  d.doc_id = coalesce(c.cluster_id, d.doc_id) AS is_keeper
+       |FROM documents d LEFT JOIN canon c USING (doc_id)""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_dedup_exact", exact, Some(exactSql)),
     Q("q_dedup_ngram", ngramJaccard, Some(ngramJaccardSql)),
@@ -327,5 +364,6 @@ object Dedup {
     Q("q_dedup_simhash", simhash, Some(simhashSql)),
     Q("q_dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     Q("q_dedup_cosine", cosinePairs, Some(cosinePairsSql)),
-    Q("q_dedup_cosine_blocked", cosineBlocked, Some(cosineBlockedSql)))
+    Q("q_dedup_cosine_blocked", cosineBlocked, Some(cosineBlockedSql)),
+    Q("q_dedup_clusters", clusters, Some(clustersSql)))
 }

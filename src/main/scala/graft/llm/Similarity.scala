@@ -163,9 +163,101 @@ object Similarity {
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
        |  FROM scored) WHERE rank <= 5""".stripMargin
 
+  /** Q-SIM-5: multi-probe LSH search — each query probes its own
+    * bucket plus the 16 single-bit-flip neighbors (17 probes), then
+    * scores candidates exactly and keeps top-5. Multi-probe is the
+    * standard recall repair for single-table LSH (Lv et al., VLDB'07):
+    * probing Δ-neighbor buckets recovers near-misses that land across
+    * a hyperplane, for 17× candidate cost instead of 2^16× — still
+    * ~N·17/2^16 work per query at 100 TB, shuffled as an equi-join on
+    * the 16-bit probe key. A vector matches at most one probe (probe
+    * codes are distinct), so no candidate dedup pass is needed.
+    */
+  def lshSearch(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.par(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"),
+        bucketCol(col("embedding")).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = array(col("bucket") +: (0 until NumPlanes)
+      .map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), explode(probes).as("probe"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    e.join(broadcast(q), col("bucket") === col("probe") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+  }
+
+  val lshSearchSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, ${l2normSql("embedding")} AS nrm,
+       |  (${bucketSqlExpr("embedding")}) AS bucket FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
+       |    unnest(list_prepend(bucket,
+       |      list_transform(generate_series(0, ${NumPlanes - 1}), i -> xor(bucket, 1::BIGINT << i)))) AS probe
+       |  FROM e WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT q_id, e.vec_id, ${dotSql("e.embedding", "q_emb")} / (e.nrm * q_nrm) AS cosine
+       |  FROM e JOIN q ON e.bucket = q.probe AND e.vec_id <> q_id)
+       |SELECT q_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored) WHERE rank <= 5""".stripMargin
+
+  /** Q-SIM-6: int8 symmetric quantization + integer dot scoring — the
+    * memory-bandwidth scale play: 64 dims × 1 byte instead of 4, the
+    * candidate scan reads 4× less and scores in exact integer
+    * arithmetic (`q = round(x·127/absmax)`, score = Σ qa·qb, rescaled
+    * by the two absmax factors). Rank by the rescaled approximate
+    * cosine, top-5 per query — the standard quantize-then-rescore
+    * pattern with the int dot deterministic on both engines (integer
+    * sums; the rounding is pinned half-away-from-zero in both).
+    */
+  def quantSearch(s: SparkSession, d: String): DataFrame = {
+    val absmax = aggregate(col("embedding"), lit(0.0),
+      (a, x) => greatest(a, abs(x.cast(DoubleType))))
+    val e = Tables.par(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"), absmax.as("mx"))
+      .select(col("vec_id"), col("mx"),
+        transform(col("embedding"), x =>
+          round(x.cast(DoubleType) * 127.0 / col("mx")).cast("long")).as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("mx").as("q_mx"))
+    val idot = aggregate(zip_with(col("qv"), col("q_qv"), (a, b) => a * b),
+      lit(0L), (acc, v) => acc + v)
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), idot.as("int_dot"),
+        (idot.cast(DoubleType) * col("mx") * col("q_mx") / (127.0 * 127.0)).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+  }
+
+  val quantSearchSql: String = {
+    val absmax = "list_reduce(list_prepend(0.0, list_transform(embedding, x -> abs(x::DOUBLE))), (a, b) -> greatest(a, b))"
+    val idot = "list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, len(qv)), i -> qv[i] * q_qv[i])), (a, b) -> a + b)"
+    s"""WITH e AS (
+       |  SELECT vec_id, mx,
+       |    list_transform(embedding, x -> round(x::DOUBLE * 127.0 / mx)::BIGINT) AS qv
+       |  FROM (SELECT vec_id, embedding, $absmax AS mx FROM embeddings)),
+       |q AS (SELECT vec_id AS q_id, qv AS q_qv, mx AS q_mx FROM e WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT q_id, e.vec_id, $idot AS int_dot,
+       |    $idot::DOUBLE * e.mx * q_mx / (127.0 * 127.0) AS score
+       |  FROM e, q WHERE e.vec_id <> q_id)
+       |SELECT q_id, vec_id, int_dot, score, CAST(rank AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+       |  FROM scored) WHERE rank <= 5""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_sim_topk", topK, Some(topKSql)),
     Q("q_sim_lsh", lshBuckets, Some(lshBucketsSql)),
     Q("q_sim_ivf", ivfAssign, Some(ivfAssignSql)),
-    Q("q_sim_ivf_search", ivfSearch, Some(ivfSearchSql)))
+    Q("q_sim_ivf_search", ivfSearch, Some(ivfSearchSql)),
+    Q("q_sim_lsh_search", lshSearch, Some(lshSearchSql)),
+    Q("q_sim_quant", quantSearch, Some(quantSearchSql)))
 }

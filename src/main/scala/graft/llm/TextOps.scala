@@ -144,8 +144,65 @@ object TextOps {
        |FROM (SELECT doc_id, text, $toks AS toks FROM documents)""".stripMargin
   }
 
+  /** Q-TEXT-4: winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD 2003 — the MOSS local fingerprinting scheme): the ordered
+    * word-3-shingle hash sequence, windows of w=4 consecutive hashes,
+    * one fingerprint (the window minimum) per window, deduplicated.
+    * Guarantees: any shared run of ≥ w+2 tokens between two documents
+    * yields at least one shared fingerprint, while storing ~2/(w+1) of
+    * all shingles — the standard robust alternative to full shingle
+    * sets for copy detection at corpus scale.
+    *
+    * Map-only codegen'd pass → explode to the compact (doc_id, fp)
+    * posting table; matching is then an equi-join on the int64
+    * fingerprint, exactly like the n-gram index but w× smaller.
+    */
+  def winnow(s: SparkSession, d: String): DataFrame = {
+    val W = 4
+    val toks = tokens(col("text"))
+    // ordered (NON-distinct) shingle hashes — winnowing is positional.
+    // Guarded: Spark's sequence(1, 0) counts DOWN ([1,0]), so short
+    // docs must yield an empty array explicitly.
+    val hs = when(size(col("toks")) >= 3,
+        transform(sequence(lit(1), size(col("toks")) - 2), i =>
+          h60(concat_ws(" ",
+            element_at(col("toks"), i),
+            element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2)))))
+      .otherwise(array().cast("array<bigint>"))
+    val fps = when(size(col("hs")) >= W,
+        array_distinct(transform(sequence(lit(1), size(col("hs")) - (W - 1)), j =>
+          array_min(slice(col("hs"), j, lit(W))))))
+      .when(size(col("hs")) >= 1, array(array_min(col("hs"))))
+      .otherwise(array(h60(col("text"))))
+    Tables.par(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"), toks.as("toks"))
+      .select(col("doc_id"), col("text"), hs.as("hs"))
+      .select(col("doc_id"), explode(fps).as("fingerprint"))
+  }
+
+  val winnowSql: String = {
+    val toks = tokensSql("text")
+    val sh = h60Sql("array_to_string(toks[i:i+2], ' ')")
+    s"""WITH base AS (SELECT doc_id, text, $toks AS toks FROM documents),
+       |hss AS (
+       |  SELECT doc_id, text,
+       |    list_transform(generate_series(1, len(toks) - 2), i -> $sh) AS hs
+       |  FROM base),
+       |fps AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(hs) >= 4 THEN
+       |           list_distinct(list_transform(generate_series(1, len(hs) - 3),
+       |             j -> list_min(hs[j:j+3])))
+       |         WHEN len(hs) >= 1 THEN [list_min(hs)]
+       |         ELSE [${h60Sql("text")}] END AS fps
+       |  FROM hss)
+       |SELECT doc_id, unnest(fps) AS fingerprint FROM fps""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_text_stats", textStats, Some(textStatsSql)),
     Q("q_text_langid", langId, Some(langIdSql)),
-    Q("q_text_fingerprint", fingerprint, Some(fingerprintSql)))
+    Q("q_text_fingerprint", fingerprint, Some(fingerprintSql)),
+    Q("q_text_winnow", winnow, Some(winnowSql)))
 }

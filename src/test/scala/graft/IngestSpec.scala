@@ -141,6 +141,22 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1).getAs[String]("ip") == "7.7.7.7")
   }
 
+  test("enrichment preserves nested client properties and typed JSON fragments") {
+    import spark.implicits._
+    val df = Seq("""{"event":"e","distinct_id":"d","properties":{"nested":{"b":1},"arr":[1,2]}}""").toDF("body")
+    val ctx = IngestContext(requestIp = lit("7.7.7.7"),
+      geo = Seq("cf_ray" -> lit("ray-9")),
+      geoJson = Seq("cf_asn" -> lit("13335")))
+    val props = Normalizer.enrich(Normalizer.ingest(df, col("body"), ctx), ctx)
+      .select(col("properties")).collect().head.getString(0)
+    // nested object/array survive the merge byte-faithfully (variant map,
+    // not a string-typed map that would re-quote them)
+    assert(props.contains(""""nested":{"b":1}"""), props)
+    assert(props.contains(""""arr":[1,2]"""), props)
+    assert(props.contains(""""cf_asn":13335"""), props) // number, not "13335"
+    assert(props.contains(""""cf_ray":"ray-9""""), props)
+  }
+
   // P10 group slots
   test("group slot mapping via configured type order") {
     val body = """{"event":"e","distinct_id":"d","properties":{"$groups":{"team":"t-9","company":"acme"}}}"""
