@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Physical-plan regression gates: the plan SHAPES that make these
+  * operators hold at 100 TB, asserted so a refactor can't silently
+  * reintroduce a scan without pushdown, a shuffle join where a
+  * broadcast belongs, a UDF in a codegen hot path, or a global sort
+  * where a top-k heap belongs. (The spot checks a human would do with
+  * `.explain("formatted")` after each change, made permanent.)
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter queries push predicates and prune columns at the parquet scan") {
+    val p = plan(SparkEntry.queries("q_filt_lineitem")(spark, sf))
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(!p.contains("PushedFilters: []"), "no predicates reached the scan")
+    // projection narrowing: the scan must not read all 16 lineitem columns
+    assert(p.contains("ReadSchema"), p.take(500))
+  }
+
+  test("dimension joins broadcast (snapshot join, TPC-H Q3, flag groups)") {
+    for (q <- Seq("q_pipe_snapshot", "q_tpch_q3", "q_flag_groups")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$q lost its broadcast:\n${p.take(1500)}")
+    }
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(SparkEntry.queries("q_sort_top100")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("flag filter backfill is one codegen'd map stage: no UDF, no SHA1, no shuffle") {
+    val df = SparkEntry.queries("q_flag_filters")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+      "a UDF broke whole-stage codegen in the flag path")
+    assert(!p.contains("Exchange"), "map-only backfill should not shuffle")
+    assert(p.contains("*(1)"), p.take(800)) // the whole-stage-codegen stage marker
+    // 100% rollouts fold away the bucket → no SHA1 in the plan
+    assert(!p.toLowerCase.contains("flag_bucket"), "literal-foldable rollout still buckets")
+  }
+
+  test("flag variants use the NATIVE bucket expression (codegen), not a UDF") {
+    val p = plan(SparkEntry.queries("q_flag_variants")(spark, sf))
+    assert(p.toLowerCase.contains("flag_bucket"), p.take(1500))
+    assert(!p.toLowerCase.contains("scalaudf"), "bucket fell back to the UDF")
+  }
+
+  test("text/signature operators stay UDF-free map passes") {
+    for (q <- Seq("q_text_stats", "q_text_winnow", "q_dedup_minhash", "q_sim_lsh")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.toLowerCase.contains("scalaudf"), s"$q grew a UDF")
+    }
+  }
+
+  test("simhash is a single hash-aggregate pass with partial (map-side) aggregation") {
+    val p = plan(SparkEntry.queries("q_dedup_simhash")(spark, sf))
+    assert(p.contains("HashAggregate"), p.take(1000))
+    // partial_sum before the shuffle = map-side combine
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p.take(2000))
+  }
+
+  test("blocked cosine joins on the bucket key, never a cross product") {
+    val p = plan(SparkEntry.queries("q_dedup_cosine_blocked")(spark, sf))
+    assert(!p.contains("CartesianProduct"), "blocked path degenerated to all-pairs")
+  }
+
+  test("lake scans prune partitions on event_date") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("planlake").toString
+    val ev = graft.ingest.Normalizer.ingest(
+      Seq("""{"event":"a","distinct_id":"d","timestamp":"2024-03-01T00:00:00Z"}""",
+        """{"event":"b","distinct_id":"d","timestamp":"2024-03-02T00:00:00Z"}""").toDF("body"),
+      col("body"),
+      graft.ingest.Normalizer.IngestContext(now = to_timestamp(lit("2024-03-05 10:00:00"))))
+    graft.sources.Lake.writeEvents(ev, dir)
+    val p = plan(graft.sources.Lake.readEvents(spark, dir)
+      .filter(col("event_date") === "2024-03-01"))
+    assert(p.contains("PartitionFilters: [isnotnull(event_date"), p.take(1200))
+  }
+}
