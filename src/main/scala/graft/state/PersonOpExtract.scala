@@ -99,3 +99,60 @@ object PersonOpExtract {
           .as("alias_to"))
   }
 }
+
+/** T8 glue: extract [[GroupOp]]s from the canonical event table —
+  * mirrors the reference's group-update call sites:
+  *
+  *   - `$groupidentify`: one update for (extra.group_type,
+  *     extra.group_key) with the event's `properties` object (the
+  *     routed `$group_set` / server item properties; an empty object
+  *     still applies — `/groups` endpoint has no emptiness guard,
+  *     lib.rs:879-897);
+  *   - every other event (capture/identify: from `properties`;
+  *     engage: from the routed `extra` fields): for each
+  *     `$group_set[group_type]` whose key appears in `$groups` and
+  *     whose props form a NON-empty object, one update
+  *     (lib.rs:423-450,608-632,960-996 — the `continue` guards drop
+  *     missing keys, non-object props, and empty objects).
+  *
+  * Map-only Column logic with one `explode` per `$group_set` entry —
+  * the compact (type,key,ord,set) op table then shuffles once by
+  * (type,key) in [[Replay.groups]].
+  */
+object GroupOpExtract {
+
+  private val mapSS: DataType = DataType.fromDDL("map<string,string>")
+
+  /** events → (group_type, group_key, ord, set). */
+  def fromCanonical(events: DataFrame, ord: Column): DataFrame = {
+    val ev = col("event")
+    val extra = col("extra")
+
+    val gi = events.filter(ev === "$groupidentify")
+      .select(
+        element_at(extra, "group_type").as("group_type"),
+        element_at(extra, "group_key").as("group_key"),
+        ord.as("ord"),
+        from_json(col("properties"), mapSS).as("set"))
+      .filter(col("group_type").isNotNull && col("group_key").isNotNull &&
+        col("set").isNotNull)
+
+    val src = when(ev === "$engage", element_at(extra, "$group_set"))
+      .otherwise(get_json_object(col("properties"), "$.$group_set"))
+    val groupsSrc = when(ev === "$engage", element_at(extra, "$groups"))
+      .otherwise(get_json_object(col("properties"), "$.$groups"))
+    val rest = events.filter(ev =!= "$groupidentify" && ev =!= "$snapshot")
+      .select(ord.as("ord"),
+        from_json(groupsSrc, mapSS).as("__groups"),
+        explode(from_json(src, mapSS)).as(Seq("group_type", "__props_text")))
+      .select(
+        col("group_type"),
+        element_at(col("__groups"), col("group_type")).as("group_key"),
+        col("ord"),
+        from_json(col("__props_text"), mapSS).as("set"))
+      .filter(col("group_key").isNotNull && col("set").isNotNull &&
+        size(map_keys(col("set"))) > 0)
+
+    gi.unionByName(rest)
+  }
+}

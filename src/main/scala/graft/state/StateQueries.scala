@@ -258,8 +258,10 @@ object StateQueries {
     * outside its timers — q_pipe_wire then measures the pipeline, not
     * the generator).
     */
-  def prepare(s: SparkSession, d: String): Unit =
+  def prepare(s: SparkSession, d: String): Unit = {
     wireBodies(s, d).foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
+    groupWireBodies(s, d).foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
+  }
 
   /** Q-PIPE-5 (T1 end-to-end): wire payloads → REAL ingest
     * (explode/classify/canonical) → REAL PersonOp extraction
@@ -325,10 +327,95 @@ object StateQueries {
       |  version, n_distinct_ids, first_ord, email, plan, last_event, first_plan, first_et
       |FROM agg""".stripMargin
 
+  /** Wire bodies exercising every group-update route: capture
+    * `$groups`+`$group_set`, engage top-level `$groups`+`$group_set`,
+    * `groupidentify` items, a `$group_set` entry with NO matching
+    * `$groups` key (must be dropped), and `$groups`-only events (slots,
+    * no update).
+    */
+  private def groupWireBodies(s: SparkSession, d: String): DataFrame = {
+    val e = graft.Tables.par(Tables.events(s, d))
+    val k = get_json_object(col("props"), "$.k").cast(LongType)
+    val uid = col("user_id")
+    val did = concat(lit("u"), uid)
+    val eid = col("event_id").cast("string")
+    val et = col("event_type")
+    val teamKey = concat(lit("t"), uid % 7)
+    val body =
+      when(et === "click", to_json(struct(
+        lit("pv").as("event"), did.as("distinct_id"),
+        struct(struct(teamKey.as("team")).as("$groups"),
+          struct(struct(k.as("last_click_k")).as("team")).as("$group_set")).as("properties"),
+        eid.as("eid"))))
+      .when(et === "error", to_json(struct(
+        did.as("distinct_id"),
+        struct(teamKey.as("team")).as("$groups"),
+        struct(struct(k.as("last_err_k")).as("team")).as("$group_set"),
+        eid.as("eid"))))
+      .when(et === "signup", to_json(struct(
+        lit("groupidentify").as("type"),
+        lit("org").as("group_type"),
+        concat(lit("o"), uid % 5).as("group_key"),
+        struct(did.as("owner"), k.as("last_n")).as("properties"),
+        eid.as("eid"))))
+      .when(et === "purchase", to_json(struct(
+        lit("buy").as("event"), did.as("distinct_id"),
+        // $group_set for a type absent from $groups → dropped by the guard
+        struct(struct(teamKey.as("team")).as("$groups"),
+          struct(struct(k.as("x")).as("org")).as("$group_set")).as("properties"),
+        eid.as("eid"))))
+      .otherwise(to_json(struct( // view: slots only, no update
+        lit("pv").as("event"), did.as("distinct_id"),
+        struct(struct(teamKey.as("team")).as("$groups")).as("properties"),
+        eid.as("eid"))))
+    graft.Tables.scratch(s, d, "pipe_groups_wire") { e.select(body.as("body")) }
+  }
+
+  /** Q-PIPE-6 (T8 end-to-end): wire payloads → ingest →
+    * [[GroupOpExtract.fromCanonical]] → group replay — the group-state
+    * pipeline composed from real parts, against a closed-form oracle.
+    */
+  def pipeGroupsWire(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val canonical = graft.ingest.Normalizer.ingest(
+      groupWireBodies(s, d), col("body"), graft.ingest.Normalizer.IngestContext())
+    val ops = GroupOpExtract
+      .fromCanonical(canonical, element_at(col("extra"), "eid").cast(LongType))
+      .as[GroupOp]
+    Replay.groups(s, ops).toDF()
+      .select(col("group_type"), col("group_key"), col("version"), col("first_ord"),
+        element_at(col("properties"), "last_click_k").cast(LongType).as("last_click_k"),
+        element_at(col("properties"), "last_err_k").cast(LongType).as("last_err_k"),
+        element_at(col("properties"), "owner").as("owner"),
+        element_at(col("properties"), "last_n").cast(LongType).as("last_n"))
+  }
+
+  val pipeGroupsWireSql: String =
+    """WITH base AS (
+      |  SELECT event_id, user_id, event_type,
+      |    json_extract_string(props, '$.k')::BIGINT AS k
+      |  FROM events),
+      |team AS (
+      |  SELECT 'team' AS group_type, 't' || (user_id % 7) AS group_key,
+      |    count(*) AS version, min(event_id) AS first_ord,
+      |    arg_max(k, event_id) FILTER (WHERE event_type = 'click') AS last_click_k,
+      |    arg_max(k, event_id) FILTER (WHERE event_type = 'error') AS last_err_k,
+      |    NULL::VARCHAR AS owner, NULL::BIGINT AS last_n
+      |  FROM base WHERE event_type IN ('click', 'error') GROUP BY user_id % 7),
+      |org AS (
+      |  SELECT 'org' AS group_type, 'o' || (user_id % 5) AS group_key,
+      |    count(*) AS version, min(event_id) AS first_ord,
+      |    NULL::BIGINT AS last_click_k, NULL::BIGINT AS last_err_k,
+      |    arg_max('u' || user_id, event_id) AS owner,
+      |    arg_max(k, event_id) AS last_n
+      |  FROM base WHERE event_type = 'signup' GROUP BY user_id % 5)
+      |SELECT * FROM team UNION ALL SELECT * FROM org""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_pipe_persons", pipePersons, Some(pipePersonsSql)),
     Q("q_pipe_groups", pipeGroups, Some(pipeGroupsSql)),
     Q("q_pipe_snapshot", pipeSnapshot, Some(pipeSnapshotSql)),
     Q("q_pipe_hydrate", pipeHydrate, Some(pipeHydrateSql)),
-    Q("q_pipe_wire", pipeWire, Some(pipeWireSql)))
+    Q("q_pipe_wire", pipeWire, Some(pipeWireSql)),
+    Q("q_pipe_groups_wire", pipeGroupsWire, Some(pipeGroupsWireSql)))
 }

@@ -247,6 +247,50 @@ class StateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.properties == Map("email" -> "u1@x.com", "plan" -> "pro"))
   }
 
+  // T8 glue: group-op extraction (lib.rs:423-450,608-632,879-897)
+
+  private def gExtracted(bodies: String*): Seq[GroupOp] = {
+    import spark.implicits._
+    GroupOpExtract.fromCanonical(canonicalOf(bodies: _*), col("bidx").cast("long"))
+      .as[GroupOp].collect().toSeq.sortBy(_.ord)
+  }
+
+  test("group extract: capture $groups + $group_set → one update per matched type") {
+    val ops = gExtracted(
+      """{"event":"e","distinct_id":"d","properties":{
+        |"$groups":{"team":"t1","org":"o1"},
+        |"$group_set":{"team":{"tier":"gold"},"org":{"n":1}}}}""".stripMargin.replaceAll("\n", ""))
+    assert(ops.map(o => (o.group_type, o.group_key)).toSet == Set("team" -> "t1", "org" -> "o1"))
+    assert(ops.find(_.group_type == "team").get.set == Map("tier" -> "gold"))
+  }
+
+  test("group extract: $group_set without a matching $groups key is dropped; empty props dropped") {
+    assert(gExtracted(
+      """{"event":"e","distinct_id":"d","properties":{"$groups":{"team":"t1"},"$group_set":{"org":{"x":"1"}}}}""").isEmpty)
+    assert(gExtracted(
+      """{"event":"e","distinct_id":"d","properties":{"$groups":{"team":"t1"},"$group_set":{"team":{}}}}""").isEmpty)
+    // non-object props value dropped (extract_group_set keeps objects only)
+    assert(gExtracted(
+      """{"event":"e","distinct_id":"d","properties":{"$groups":{"team":"t1"},"$group_set":{"team":"oops"}}}""").isEmpty)
+  }
+
+  test("group extract: groupidentify applies item properties (empty object still applies)") {
+    val ops = gExtracted(
+      """{"type":"groupidentify","group_type":"team","group_key":"t9","properties":{"n":"3"}}""",
+      """{"type":"groupidentify","group_type":"org","group_key":"o9","properties":{}}""")
+    assert(ops.head.group_key == "t9" && ops.head.set == Map("n" -> "3"))
+    assert(ops(1).group_key == "o9" && ops(1).set.isEmpty) // /groups has no emptiness guard
+  }
+
+  test("group extract: engage routes through extra; identify applies no group updates") {
+    val ops = gExtracted(
+      """{"distinct_id":"d","$groups":{"team":"t2"},"$group_set":{"team":{"via":"engage"}}}""")
+    assert(ops.head.group_key == "t2" && ops.head.set == Map("via" -> "engage"))
+    // identify handler reads $groups for slots/hydration but never applies $group_set
+    assert(gExtracted(
+      """{"type":"identify","distinct_id":"d","properties":{"$groups":{"team":"t1"},"$group_set":{"team":{"x":"1"}}}}""").isEmpty)
+  }
+
   test("group replay: last-write-wins upsert, version counts ops") {
     import spark.implicits._
     val gs = Replay.groups(spark, Seq(
