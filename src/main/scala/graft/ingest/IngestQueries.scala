@@ -37,7 +37,7 @@ object IngestQueries {
   def prepare(s: SparkSession, d: String): Unit =
     Seq(captureInput(s, d), wireInput(s, d), batchInput(s, d),
       enrichInput(s, d), hmacInput(s, d), groupsInput(s, d),
-      formInput(s, d), browserInput(s, d))
+      formInput(s, d), browserInput(s, d), deadInput(s, d))
       .foreach(_.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ()))
 
   // ------------------------------------------------------------ Q-ING-1
@@ -367,6 +367,35 @@ object IngestQueries {
       |  NULL::VARCHAR AS group2
       |FROM events""".stripMargin
 
+  // ----------------------------------------------------------- Q-ING-9
+
+  private def deadInput(s: SparkSession, d: String): DataFrame =
+    synth(s, d, "dead") {
+      val e = Tables.par(Tables.events(s, d))
+      val mode = (col("event_id") % 4).cast("int")
+      val body = when(mode === 0, to_json(struct(
+          lit("ok").as("event"), concat(lit("u"), col("user_id")).as("distinct_id"))))
+        .when(mode === 1, concat(lit("@@not-json-"), col("event_id")))
+        .when(mode === 2, concat(lit("data=!!!bad~base64&compression=br&i="), col("event_id")))
+        .otherwise(lit("   "))
+      e.select(col("event_id"), body.as("body"))
+    }
+
+  /** Q-ING-9: the reject stream — undecodable/unparseable/empty bodies
+    * surface with a reason instead of vanishing (the batch analogue of
+    * the reference's 4xx rejects). A quarter of payloads are valid and
+    * must NOT appear.
+    */
+  def dead(s: SparkSession, d: String): DataFrame =
+    Normalizer.deadLetters(deadInput(s, d), col("body"))
+      .select(col("event_id"), col("reason"))
+
+  val deadSql: String =
+    """SELECT event_id,
+      |  CASE (event_id % 4) WHEN 1 THEN 'unparseable'
+      |       WHEN 2 THEN 'undecodable' WHEN 3 THEN 'empty' END AS reason
+      |FROM events WHERE event_id % 4 <> 0""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_ingest_capture", capture, Some(captureSql)),
     Q("q_ingest_wire", wire, Some(wireSql)),
@@ -375,5 +404,6 @@ object IngestQueries {
     Q("q_ingest_hmac", hmac, Some(hmacSql)),
     Q("q_ingest_groups", groups, Some(groupsSql)),
     Q("q_ingest_form", form, Some(formSql)),
-    Q("q_ingest_browser", browser, Some(browserSql)))
+    Q("q_ingest_browser", browser, Some(browserSql)),
+    Q("q_ingest_dead", dead, Some(deadSql)))
 }

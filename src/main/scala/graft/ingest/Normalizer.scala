@@ -75,12 +75,11 @@ object Normalizer {
 
   // ------------------------------------------------- S4/S5: item explode
 
-  /** Normalize the payload envelope and explode to one row per item:
-    * accepts bare object, bare array, `{data: obj|arr}`, `{batch:[..]}`,
-    * `{data:{batch:[..]}}` (extractors.rs:429-564). Adds columns
-    * `envelope` (the original body), `item_idx`, `item` (JSON string).
+  /** The item array of a normalized envelope: bare object, bare array,
+    * `{data: obj|arr}`, `{batch:[..]}`, `{data:{batch:[..]}}`
+    * (extractors.rs:429-564). Null when the body is unparseable.
     */
-  def explodeItems(df: DataFrame, body: Column): DataFrame = {
+  private def itemsArray(body: Column): Column = {
     val batch = get_json_object(body, "$.batch")
     val dataBatch = get_json_object(body, "$.data.batch")
     val data = get_json_object(body, "$.data")
@@ -92,10 +91,36 @@ object Normalizer {
       body)
     val asArray = when(container.startsWith("["), container)
       .otherwise(concat(lit("["), container, lit("]")))
+    from_json(asArray, arrS)
+  }
+
+  /** Normalize the payload envelope and explode to one row per item.
+    * Adds columns `envelope` (the original body), `item_idx`, `item`
+    * (JSON string). Unparseable bodies yield no rows — route them
+    * through [[deadLetters]] for the reject stream.
+    */
+  def explodeItems(df: DataFrame, body: Column): DataFrame =
     df.withColumn("envelope", body)
-      .withColumn("__items", from_json(asArray, arrS))
+      .withColumn("__items", itemsArray(body))
       .select(col("*"), posexplode(col("__items")).as(Seq("item_idx", "item")))
       .drop("__items")
+
+  /** The reject stream: rows [[ingest]] silently drops, labeled with
+    * why — the batch analogue of the reference's 4xx responses
+    * (`PayloadExtractorError`). Same decode chain, inverse filter;
+    * at scale this lands in a quarantine table for replay-after-fix.
+    *
+    *   - `empty`: null/blank body
+    *   - `undecodable`: form/data envelope decode failed (bad base64,
+    *     unsupported compression label, broken stream, missing data=)
+    *   - `unparseable`: body is not JSON an envelope can be read from
+    */
+  def deadLetters(df: DataFrame, body: Column, isForm: Column = lit(false)): DataFrame = {
+    val decoded = decodeEnvelope(body, isForm)
+    val reason = when(body.isNull || length(trim(body)) === 0, "empty")
+      .when(decoded.isNull, "undecodable")
+      .when(itemsArray(decoded).isNull, "unparseable")
+    df.withColumn("reason", reason).filter(col("reason").isNotNull)
   }
 
   // ------------------------------------------------ P7: item classification
