@@ -96,9 +96,12 @@ object Streaming {
       var firstOrd = prev.first_ord
       sorted.foreach { op =>
         if (!dids.contains(op.raw_id)) dids :+= op.raw_id
-        val r = Replay.applyUpdate(props, setOnce, op)
-        props = r._1; setOnce = r._2
-        version += 1
+        // empty op = ensure_person: registration without a version bump
+        if (op.set.nonEmpty || op.set_once.nonEmpty || op.unset.nonEmpty) {
+          val r = Replay.applyUpdate(props, setOnce, op)
+          props = r._1; setOnce = r._2
+          version += 1
+        }
         firstOrd = math.min(firstOrd, op.ord)
       }
       val next = prev.copy(version = version, distinct_ids = dids.sorted,
@@ -132,9 +135,12 @@ object Streaming {
           var firstOrd = prev.first_ord
           sorted.foreach { op =>
             if (!dids.contains(op.raw_id)) dids :+= op.raw_id
-            val r = Replay.applyUpdate(props, setOnce, op)
-            props = r._1; setOnce = r._2
-            version += 1
+            // empty op = ensure_person: registration without a version bump
+            if (op.set.nonEmpty || op.set_once.nonEmpty || op.unset.nonEmpty) {
+              val r = Replay.applyUpdate(props, setOnce, op)
+              props = r._1; setOnce = r._2
+              version += 1
+            }
             firstOrd = math.min(firstOrd, op.ord)
           }
           val next = prev.copy(version = version, distinct_ids = dids.sorted,

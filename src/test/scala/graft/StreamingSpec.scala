@@ -128,9 +128,12 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         PersonOp("u1", 2, Map("plan" -> "pro"), Map("first" -> "b"), Nil, None),
         PersonOp("u1", 3, Map.empty, Map.empty, Seq("plan"), None))
       q.processAllAvailable()
+      mem.addData(
+        PersonOp("u1", 4, Map.empty, Map.empty, Nil, None)) // ensure: no bump
+      q.processAllAvailable()
       val rows = spark.table("pstate").as[graft.state.PersonRecord].collect()
+      assert(rows.map(_.version).max == 3) // the empty op did NOT bump (ensure_person)
       val last = rows.maxBy(_.version)
-      assert(last.version == 3)
       assert(last.properties.get("plan").isEmpty)      // unset in batch 2
       assert(last.properties_set_once("first") == "a") // set_once survived
     } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS pstate") }
