@@ -45,11 +45,6 @@ object FlagColumns {
       groupKeys: Map[String, Column] = Map.empty,
       groupProps: Map[String, Column] = Map.empty)
 
-  /** Interpreted/UDF bucket — kept ONLY for scalar-vs-vector agreement
-    * tests; production vectorized paths use the native expression.
-    */
-  val bucketUdf = udf((salt: String, hashId: String) => FlagEval.bucketFor(salt, hashId))
-
   /** The codegen'd SHA1 bucket (see [[graft.functions.FlagBucket]]). */
   def bucket(salt: String, hashId: Column): Column =
     GraftExtensions.flagBucket(lit(salt), hashId)
@@ -159,12 +154,21 @@ object FlagColumns {
     val off = struct(lit(false).as("enabled"), noVariant.as("variant"))
     if (!flag.active) return off
     val salt = flag.salt.getOrElse(flag.key)
-    lazy val bkt = bucket(salt, hashIdFor(frame, flag))
+    // resolved EAGERLY: an unbound group type must fail at plan build
+    // even for flags whose rollouts fold to literals
+    val hashId = hashIdFor(frame, flag)
+    lazy val bkt = bucket(salt, hashId)
 
     def rolloutOk(r: Option[Double]): Column = {
       val pct = math.min(math.max(
         r.orElse(flag.rolloutPercentage).getOrElse(100.0), 0.0), 100.0)
-      if (pct >= 100.0) lit(true)
+      // group-typed flags with a NULL group key never match, regardless
+      // of rollout (`resolve_hash_id` → None → no_match) — the folded
+      // 100% branch must keep that gate; the bucket branch gets it for
+      // free from null-intolerance.
+      if (pct >= 100.0) {
+        if (flag.groupType.isDefined) hashId.isNotNull else lit(true)
+      }
       else if (pct <= 0.0) lit(false)
       else bkt < lit(pct)
     }
