@@ -170,7 +170,6 @@ object Normalizer {
     // (get_json_object would re-parse the item on every call ~25x).
     val m = col("__m")
     val pm = col("__pm")
-    val em = col("__em")
     val kind = col("kind")
     val props = element_at(m, "properties")
     val ev = element_at(m, "event")
@@ -188,8 +187,15 @@ object Normalizer {
       element_at(m, "distinct_id"),
       element_at(pm, "distinct_id"),
       element_at(pm, "$distinct_id"))
-    // envelope-level sent_at beats the transport header (extractors.rs:279-282)
-    val sentAt = coalesce(element_at(em, "sent_at"), ctx.sentAtHeader)
+    // envelope-level sent_at beats the transport header
+    // (extractors.rs:279-282). Substring-gated: the envelope JSON is
+    // only parsed for bodies that can carry the key — get_json_object
+    // re-parses the whole envelope, so the common no-sent_at row must
+    // never pay it.
+    val sentAt = coalesce(
+      when(col("envelope").contains("\"sent_at\""),
+        get_json_object(col("envelope"), "$.sent_at")),
+      ctx.sentAtHeader)
 
     // extra = unknown top-level keys + routed copies (+ $sent_at)
     val unknown = map_filter(m, (k, _) => !k.isin(knownKeys: _*))
@@ -207,11 +213,8 @@ object Normalizer {
       (_, v) => v.isNotNull)
     val extra = map_concat(unknown, map_filter(routed, (k, _) => !map_contains_key(unknown, k)))
 
-    // envelope parsed ONCE alongside the item (3 get_json_object calls
-    // would each re-parse the whole envelope body per row)
     df.withColumn("__m", from_json(col("item"), mapSS))
       .withColumn("__pm", from_json(element_at(col("__m"), "properties"), mapSS))
-      .withColumn("__em", from_json(col("envelope"), mapSS))
       .withColumn("kind", classify(col("__m")))
       .select(
         col("*"),
@@ -243,14 +246,16 @@ object Normalizer {
         lit(null).cast("string").as("person_id"),
         lit(null).cast("timestamp").as("person_created_at"),
         lit(null).cast("string").as("group_properties"),
+        // the envelope fallbacks sit behind the coalesce short-circuit:
+        // rows whose item carries a key never re-parse the envelope
         coalesce(
           element_at(m, "api_key"),
           element_at(m, "token"),
-          element_at(em, "api_key"),
-          element_at(em, "token"),
+          get_json_object(col("envelope"), "$.api_key"),
+          get_json_object(col("envelope"), "$.token"),
           ctx.headerApiKey).as("api_key"),
         extra.as("extra"))
-      .drop("__m", "__pm", "__em")
+      .drop("__m", "__pm")
   }
 
   /** Full pipeline: body → envelope decode (form/base64/compressed

@@ -377,8 +377,12 @@ object StateQueries {
     */
   def pipeGroupsWire(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // persist the minimal canonical projection: the extraction reads it
+    // twice (groupidentify branch + $group_set branch)
     val canonical = graft.ingest.Normalizer.ingest(
-      groupWireBodies(s, d), col("body"), graft.ingest.Normalizer.IngestContext())
+        groupWireBodies(s, d), col("body"), graft.ingest.Normalizer.IngestContext())
+      .select(col("event"), col("properties"), col("extra"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ops = GroupOpExtract
       .fromCanonical(canonical, element_at(col("extra"), "eid").cast(LongType))
       .as[GroupOp]
