@@ -82,6 +82,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.count(_.getLong(2) == 1L) == 2)
   }
 
+  test("ingest normalization: stream == batch (same stateless transforms)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bodies = Seq(
+      """{"event":"pv","distinct_id":"u1","properties":{"p":"1"},"api_key":"k1"}""",
+      """{"type":"identify","distinct_id":"u2","$anon_distinct_id":"anon-2","properties":{"e":"x"}}""",
+      """{"batch":[{"event":"c","distinct_id":"u3"},{"distinct_id":"u3","alias":"a3"}],"api_key":"bk"}""",
+      s"""{"data":"${java.util.Base64.getEncoder.encodeToString(
+        graft.ingest.Codecs.zlibCompress("""{"event":"z","distinct_id":"u4"}""".getBytes("UTF-8")))}"}""")
+    val ctx = graft.ingest.Normalizer.IngestContext(
+      now = to_timestamp(lit("2024-06-01 12:00:00")))
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      graft.ingest.Normalizer.ingest(df, col("body"), ctx)
+        .select("event", "distinct_id", "api_key", "kind", "item_idx")
+
+    val mem = MemoryStream[String]
+    val q = normalize(mem.toDF().withColumnRenamed("value", "body"))
+      .writeStream.format("memory").queryName("ing_stream")
+      .outputMode(OutputMode.Append()).start()
+    val streamed = try {
+      mem.addData(bodies.take(2): _*); q.processAllAvailable()
+      mem.addData(bodies.drop(2): _*); q.processAllAvailable()
+      spark.table("ing_stream").collect()
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS ing_stream") }
+
+    val batch = normalize(bodies.toDF("body")).collect()
+    assert(canon(streamed) == canon(batch))
+    assert(batch.length == 5) // 2 singles + 2 batch items + 1 data-envelope
+  }
+
   test("transformWithState person fold agrees with fMGWS across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
