@@ -253,11 +253,78 @@ object Similarity {
        |  FROM scored) WHERE rank <= 5""".stripMargin
   }
 
+  /** Per-(vector, centroid) distances — the shared scoring stage of
+    * assignment and multi-probe.
+    */
+  private def ivfDistances(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.par(Tables.embeddings(s, d)).select(col("vec_id"), col("embedding"))
+    val c = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val d2 = aggregate(
+      zip_with(col("embedding"), col("c_emb"),
+        (x, y) => (x.cast(DoubleType) - y.cast(DoubleType)) * (x.cast(DoubleType) - y.cast(DoubleType))),
+      lit(0.0), (acc, v) => acc + v)
+    e.crossJoin(broadcast(c))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"), d2.as("dist2"))
+  }
+
+  /** Q-SIM-7: multi-probe IVF search (nprobe=2) — each query scans its
+    * TWO nearest cells instead of one, recovering the cell-boundary
+    * recall loss for 2× candidate cost (per-query work ≈ 2N/c). The
+    * vector corpus side stays single-assigned; only the probe side
+    * fans out — the standard IVF recall/latency dial.
+    */
+  def ivfMultiprobe(s: SparkSession, d: String): DataFrame = {
+    val dists = ivfDistances(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("dist2"), col("centroid_id"))
+    val assign = dists.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        l2norm(col("embedding")).as("nrm"))
+    val probes = dists.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= 2 && col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        l2norm(col("embedding")).as("q_nrm"), col("centroid_id").as("probe"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    assign.join(broadcast(probes),
+        col("centroid_id") === col("probe") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+  }
+
+  val ivfMultiprobeSql: String = {
+    val d2 =
+      """list_reduce(list_transform(generate_series(1, len(embedding)), i ->
+        |  (embedding[i]::DOUBLE - c_emb[i]::DOUBLE) * (embedding[i]::DOUBLE - c_emb[i]::DOUBLE)),
+        |  (x, y) -> x + y)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM e WHERE vec_id < 8),
+       |dists AS (
+       |  SELECT vec_id, embedding, centroid_id, $d2 AS dist2,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY $d2, centroid_id) AS rn
+       |  FROM e, c),
+       |assign AS (SELECT vec_id, embedding, centroid_id, ${l2normSql("embedding")} AS nrm
+       |           FROM dists WHERE rn = 1),
+       |probes AS (SELECT vec_id AS q_id, embedding AS q_emb, ${l2normSql("embedding")} AS q_nrm,
+       |             centroid_id AS probe
+       |           FROM dists WHERE rn <= 2 AND vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT q_id, a.vec_id, ${dotSql("a.embedding", "q_emb")} / (a.nrm * q_nrm) AS cosine
+       |  FROM assign a JOIN probes p ON a.centroid_id = p.probe AND a.vec_id <> p.q_id)
+       |SELECT q_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored) WHERE rank <= 5""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_sim_topk", topK, Some(topKSql)),
     Q("q_sim_lsh", lshBuckets, Some(lshBucketsSql)),
     Q("q_sim_ivf", ivfAssign, Some(ivfAssignSql)),
     Q("q_sim_ivf_search", ivfSearch, Some(ivfSearchSql)),
     Q("q_sim_lsh_search", lshSearch, Some(lshSearchSql)),
-    Q("q_sim_quant", quantSearch, Some(quantSearchSql)))
+    Q("q_sim_quant", quantSearch, Some(quantSearchSql)),
+    Q("q_sim_ivf_multiprobe", ivfMultiprobe, Some(ivfMultiprobeSql)))
 }
