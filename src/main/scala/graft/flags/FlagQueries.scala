@@ -217,9 +217,54 @@ object FlagQueries {
       |  (c_mktsegment = 'BUILDING' AND n_regionkey <= 2) AS f_mixed
       |FROM customer JOIN nation ON n_nationkey = c_nationkey""".stripMargin
 
+  /** Cohort config for Q-FLAG-5 — flags over REPLAYED person state. */
+  private val cohortConfigJson: String =
+    """{"flags": [
+      |  {"key": "f_plan_p1", "conditions": [{"properties": [{"key": "plan", "value": "p1"}]}]},
+      |  {"key": "f_has_plan", "conditions": [{"properties": [{"key": "plan", "operator": "is_set", "value": null}]}]},
+      |  {"key": "f_first_view", "conditions": [{"properties": [{"key": "first_et", "value": "view"}]}]},
+      |  {"key": "f_engaged", "conditions": [
+      |    {"properties": [{"key": "last_event", "operator": "in", "value": ["click", "purchase"]}]},
+      |    {"properties": [{"key": "first_et", "value": "view"}]}]}
+      |]}""".stripMargin
+
+  def cohortConfig: Seq[FeatureFlag] = FlagStore.fromJson(cohortConfigJson)
+
+  /** Q-FLAG-5: the reference's `/decide` read path (F8 context assembly
+    * → F3–F6 evaluation) as a batch cohort backfill — flags evaluated
+    * over the REPLAYED person dimension's merged properties
+    * ([[graft.state.StateQueries.pipePersons]] feeds
+    * [[FlagColumns]]): ingest-derived state and flag evaluation
+    * composed end-to-end, per person.
+    */
+  def flagCohort(s: SparkSession, d: String): DataFrame = {
+    GraftExtensions.register(s)
+    val persons = graft.state.StateQueries.pipePersons(s, d)
+    val props = map_filter(map(
+      lit("plan"), col("plan"),
+      lit("last_event"), col("last_event"),
+      lit("first_et"), col("first_et"),
+      lit("first_plan"), col("first_plan")), (_, v) => v.isNotNull)
+    val frame = FlagFrame(col("canonical_id"), col("props"))
+    persons.withColumn("props", props)
+      .select(col("canonical_id") +:
+        cohortConfig.map(f => FlagColumns.enabledCol(frame, f).as(f.key)): _*)
+  }
+
+  val flagCohortSql: String =
+    s"""WITH p AS (${graft.state.StateQueries.pipePersonsSql})
+       |SELECT canonical_id,
+       |  coalesce(plan = 'p1', false) AS f_plan_p1,
+       |  plan IS NOT NULL AS f_has_plan,
+       |  coalesce(first_et = 'view', false) AS f_first_view,
+       |  (coalesce(last_event IN ('click', 'purchase'), false)
+       |    OR coalesce(first_et = 'view', false)) AS f_engaged
+       |FROM p""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_flag_filters", flagFilters, Some(flagFiltersSql)),
     Q("q_flag_rollout", flagRollout, None),
     Q("q_flag_variants", flagVariants, Some(flagVariantsSql)),
-    Q("q_flag_groups", flagGroups, Some(flagGroupsSql)))
+    Q("q_flag_groups", flagGroups, Some(flagGroupsSql)),
+    Q("q_flag_cohort", flagCohort, Some(flagCohortSql)))
 }
