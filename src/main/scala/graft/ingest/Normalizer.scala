@@ -307,35 +307,50 @@ object Normalizer {
     * (full JSON fidelity).
     */
   def enrich(df: DataFrame, ctx: IngestContext): DataFrame = {
-    val mapSV: DataType = DataType.fromDDL("map<string,variant>")
-    // string values → JSON-string variants: trim + drop-empty
-    // (extractors.rs header_value semantics), escape, quote, parse
-    def strVariant(v: Column): Column = {
+    // One `"key":value` JSON text fragment per request-context field.
+    // String values: trimmed, empty-dropped (extractors.rs header_value),
+    // escaped+quoted; geoJson values are raw JSON fragments (typed).
+    def esc(v: Column): Column =
+      regexp_replace(regexp_replace(v, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+    def strFrag(k: String, v: Column): Column = {
       val t = trim(v)
-      val quoted = concat(lit("\""),
-        regexp_replace(regexp_replace(t, "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
-        lit("\""))
-      when(v.isNotNull && length(t) > 0, try_parse_json(quoted))
+      when(v.isNotNull && length(t) > 0,
+        concat(lit("\"" + k + "\":\""), esc(t), lit("\"")))
     }
-    val entries =
-      (Seq(lit("$ip") -> strVariant(ctx.requestIp)) ++
-        ctx.geo.map { case (k, v) => lit(k) -> strVariant(v) } ++
-        ctx.geoJson.map { case (k, v) => lit(k) -> try_parse_json(v) })
-    val enrichMap = map_filter(
-      map(entries.flatMap { case (k, v) => Seq(k, v) }: _*),
-      (_, v) => v.isNotNull)
-    // parse properties once behind a projection boundary as
-    // map<string,VARIANT> — nested client values survive the
-    // merge round-trip byte-faithfully (a string-typed map would
-    // re-quote nested objects), and numeric fragments stay numbers.
-    val propsMap = col("__props_map")
-    val missing = map_filter(enrichMap, (k, _) => !map_contains_key(propsMap, k))
-    df.withColumn("__props_map",
-        from_json(coalesce(col("properties"), lit("{}")), mapSV))
+    def jsonFrag(k: String, v: Column): Column =
+      when(v.isNotNull, concat(lit("\"" + k + "\":"), v))
+    val frags: Seq[(String, Column)] =
+      Seq("$ip" -> strFrag("$ip", ctx.requestIp)) ++
+        ctx.geo.map { case (k, v) => k -> strFrag(k, v) } ++
+        ctx.geoJson.map { case (k, v) => k -> jsonFrag(k, v) }
+
+    // Insert-if-absent by SPLICING fragments into the original JSON
+    // text before the closing brace: the client's bytes — nested
+    // objects, number formatting, key order — are never re-serialized
+    // (a parse→merge→to_json round-trip re-quotes or reformats), and
+    // the per-row cost is one keys-only parse + string concat instead
+    // of a full value materialization. Non-object properties pass
+    // through untouched (the reference merges into objects only).
+    val t = col("__ptrim")
+    val keys = col("__pkeys")
+    val missingFrags = filter(
+      array(frags.map { case (k, frag) =>
+        when(!array_contains(keys, k), frag)
+      }: _*),
+      f => f.isNotNull)
+    val isObj = t.startsWith("{") && t.endsWith("}")
+    val isEmptyObj = t.rlike("^\\{\\s*\\}$")
+    val spliced = concat(
+      t.substr(lit(1), length(t) - 1),
+      when(isEmptyObj, lit("")).otherwise(lit(",")),
+      array_join(missingFrags, ","),
+      lit("}"))
+    df.withColumn("__ptrim", trim(coalesce(col("properties"), lit("{}"))))
+      .withColumn("__pkeys",
+        coalesce(json_object_keys(t), array().cast("array<string>")))
       .withColumn("properties",
-        when(size(map_keys(missing)) > 0, to_json(map_concat(propsMap, missing)))
-          .otherwise(col("properties")))
-      .drop("__props_map")
+        when(isObj && size(missingFrags) > 0, spliced).otherwise(col("properties")))
+      .drop("__ptrim", "__pkeys")
   }
 
   // ---------------------------------------------- P10: group slot mapping
