@@ -2,7 +2,7 @@ package graft.llm
 
 import graft.Tables
 import graft.queries.Q
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 import Portable._
@@ -200,9 +200,100 @@ object TextOps {
        |SELECT doc_id, unnest(fps) AS fingerprint FROM fps""".stripMargin
   }
 
+  /** Q-TEXT-5: repetition metrics (the Gopher/MassiveText repetition
+    * filters — Rae et al. 2021 §A1.1): duplicate n-gram fraction for
+    * n=2,3 and the most-frequent-bigram share. High values flag
+    * boilerplate/spam documents for removal before training.
+    *
+    * Spark plan: the dup fractions are per-row array folds (map-only);
+    * the top-bigram share is a per-row fold over the SORTED bigram
+    * hashes (longest equal run = max count) — still map-only, no
+    * shuffle, unlike the naive explode→groupBy shape.
+    */
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    def grams(n: Int): Column =
+      when(size(col("toks")) >= n,
+        transform(sequence(lit(1), size(col("toks")) - (n - 1)), i =>
+          h60(concat_ws(" ", (0 until n).map(j => element_at(col("toks"), i + j)): _*))))
+        .otherwise(array().cast("array<bigint>"))
+    def dupFrac(g: Column): Column =
+      when(size(g) > 0,
+        lit(1.0) - size(array_distinct(g)).cast(DoubleType) / size(g))
+        .otherwise(0.0)
+    // longest equal run in the sorted hash array = max bigram count
+    val sorted2 = array_sort(col("g2"))
+    val maxRun = aggregate(sorted2,
+      struct(lit(0L).as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L).otherwise(1L)
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    Tables.par(Tables.documents(s, d))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), grams(2).as("g2"), grams(3).as("g3"))
+      .select(col("doc_id"),
+        dupFrac(col("g2")).as("dup_bigram_frac"),
+        dupFrac(col("g3")).as("dup_trigram_frac"),
+        when(size(col("g2")) > 0, maxRun.cast(DoubleType) / size(col("g2")))
+          .otherwise(0.0).as("top_bigram_frac"))
+  }
+
+  val repetitionSql: String = {
+    val toks = tokensSql("text")
+    def gramsSql(n: Int) = {
+      val parts = (0 until n).map(j => s"toks[i + $j]").mkString(", ")
+      s"CASE WHEN len(toks) >= $n THEN list_transform(generate_series(1, len(toks) - ${n - 1}), " +
+        s"i -> ${h60Sql(s"concat_ws(' ', $parts)")}) ELSE [] END"
+    }
+    s"""WITH base AS (SELECT doc_id, $toks AS toks FROM documents),
+       |g AS (SELECT doc_id, ${gramsSql(2)} AS g2, ${gramsSql(3)} AS g3 FROM base),
+       |top2 AS (
+       |  SELECT doc_id, max(c) AS max_cnt FROM (
+       |    SELECT doc_id, h, count(*) AS c FROM (SELECT doc_id, unnest(g2) AS h FROM g) u
+       |    GROUP BY doc_id, h) v
+       |  GROUP BY doc_id)
+       |SELECT g.doc_id,
+       |  CASE WHEN len(g2) > 0 THEN 1.0 - len(list_distinct(g2))::DOUBLE / len(g2) ELSE 0.0 END AS dup_bigram_frac,
+       |  CASE WHEN len(g3) > 0 THEN 1.0 - len(list_distinct(g3))::DOUBLE / len(g3) ELSE 0.0 END AS dup_trigram_frac,
+       |  CASE WHEN len(g2) > 0 THEN coalesce(top2.max_cnt, 0)::DOUBLE / len(g2) ELSE 0.0 END AS top_bigram_frac
+       |FROM g LEFT JOIN top2 ON g.doc_id = top2.doc_id""".stripMargin
+  }
+
+  /** Per-language sampling rates for Q-TEXT-6 (data-mixing weights). */
+  val sampleRates: Map[String, Int] =
+    Map("en" -> 50, "de" -> 100, "fr" -> 25, "es" -> 25)
+
+  /** Q-TEXT-6: deterministic stratified sampling — each language
+    * stratum keeps a configured fraction, membership decided by a
+    * content hash (`h60(text) % 100 < rate`), so the sample is
+    * reproducible across runs/partitionings/clusters (no RNG state).
+    * This is the data-mixing step of a training-data pipeline: map-only,
+    * embarrassingly parallel, and the exact sample is auditable.
+    */
+  def sample(s: SparkSession, d: String): DataFrame = {
+    val rate = sampleRates.foldLeft(lit(10)) { case (acc, (lang, r)) =>
+      when(col("lang") === lang, r).otherwise(acc)
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), (h60(col("text")) % 100).as("bucket"))
+      .filter(col("bucket") < rate)
+  }
+
+  val sampleSql: String = {
+    val rate = sampleRates.foldLeft("10") { case (acc, (lang, r)) =>
+      s"CASE WHEN lang = '$lang' THEN $r ELSE $acc END"
+    }
+    s"""SELECT doc_id, lang, ${h60Sql("text")} % 100 AS bucket
+       |FROM documents WHERE ${h60Sql("text")} % 100 < ($rate)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_text_stats", textStats, Some(textStatsSql)),
     Q("q_text_langid", langId, Some(langIdSql)),
     Q("q_text_fingerprint", fingerprint, Some(fingerprintSql)),
-    Q("q_text_winnow", winnow, Some(winnowSql)))
+    Q("q_text_winnow", winnow, Some(winnowSql)),
+    Q("q_text_repetition", repetition, Some(repetitionSql)),
+    Q("q_text_sample", sample, Some(sampleSql)))
 }
