@@ -119,7 +119,64 @@ object Multimodal {
       |SELECT doc_id, kind, f AS frame_idx, f * (n_bytes // n_frames) AS byte_offset
       |FROM meta, unnest(generate_series(0, n_frames - 1)) AS g(f)""".stripMargin
 
+  /** Q-MEDIA-3: feature extraction → vector search, the full
+    * multimodal-to-ANN path: per-partition stub "encoder" (a normalized
+    * 64-bin byte histogram standing in for a CLIP/wav2vec forward pass —
+    * the real plumbing is the batched mapPartitions shape and the typed
+    * `array<double>` feature column), then IVF cell assignment against
+    * the embedding table's centroids (broadcast, exact L2, rank-1).
+    * At 100 TB: encode is map-only GPU-batchable work; the assignment
+    * join broadcasts 8 centroids; no payload ever shuffles.
+    */
+  def mediaEmbed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DoubleType
+    val feats = mediaTable(s, d).as[MediaRow]
+      .mapPartitions { rows =>
+        // encoder init once per partition; rows stream through in batches
+        rows.map { r =>
+          val h = new Array[Double](64)
+          r.payload.foreach(b => h((b & 0xff) % 64) += 1.0)
+          val n = math.max(r.payload.length, 1).toDouble
+          (r.doc_id, h.map(_ / n).toSeq)
+        }
+      }.toDF("doc_id", "feat")
+    val c = Tables.embeddings(s, d).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val d2 = aggregate(
+      zip_with(col("feat"), col("c_emb"),
+        (x, y) => (x - y.cast(DoubleType)) * (x - y.cast(DoubleType))),
+      lit(0.0), (acc, v) => acc + v)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("dist2"), col("centroid_id"))
+    feats.crossJoin(broadcast(c))
+      .select(col("doc_id"), col("centroid_id"), d2.as("dist2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("centroid_id"), col("dist2"))
+  }
+
+  val mediaEmbedSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(0, 63), j ->
+      |      len(list_filter(generate_series(1, len(text)),
+      |        i -> ascii(substr(text, i, 1)) % 64 = j))::DOUBLE
+      |      / greatest(len(text), 1)) AS feat
+      |  FROM documents),
+      |c AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT doc_id, centroid_id,
+      |    list_reduce(list_transform(generate_series(1, 64), i ->
+      |      (feat[i] - c_emb[i]::DOUBLE) * (feat[i] - c_emb[i]::DOUBLE)),
+      |      (x, y) -> x + y) AS dist2
+      |  FROM m, c)
+      |SELECT doc_id, centroid_id, dist2 FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY dist2, centroid_id) AS rn
+      |  FROM scored) WHERE rn = 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_media_meta", mediaMeta, Some(mediaMetaSql)),
-    Q("q_media_frames", frameSample, Some(frameSampleSql)))
+    Q("q_media_frames", frameSample, Some(frameSampleSql)),
+    Q("q_media_embed", mediaEmbed, Some(mediaEmbedSql)))
 }
