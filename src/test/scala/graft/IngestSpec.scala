@@ -236,6 +236,44 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(new String(Codecs.decodeDataString(json, null)) == json)             // raw fallback
   }
 
+  test("transport equivalence: one logical payload, four encodings, identical canonical rows") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def randItem(i: Int): String = {
+      val props = Seq(
+        s""""k$i": ${rnd.nextInt(1000)}""",
+        s""""s": "v${rnd.nextInt(10)}"""",
+        s""""nested": {"a": ${rnd.nextInt(5)}, "b": [1, 2, "x"]}""").mkString(", ")
+      i % 4 match {
+        case 0 => s"""{"event": "e$i", "distinct_id": "d$i", "properties": {$props}}"""
+        case 1 => s"""{"type": "identify", "distinct_id": "d$i", "properties": {$props}}"""
+        case 2 => s"""{"distinct_id": "d$i", "alias": "a$i"}"""
+        case _ => s"""{"distinct_id": "d$i", "$$set": {$props}}"""
+      }
+    }
+    val inner = s"""{"batch": [${(0 until 8).map(randItem).mkString(",")}]}"""
+
+    def encB(b: Array[Byte]) = java.util.Base64.getEncoder.encodeToString(b)
+    def enc(s2: String): String = encB(s2.getBytes("UTF-8"))
+    def urlenc(s2: String) = java.net.URLEncoder.encode(s2, "UTF-8")
+    val transports = Seq(
+      s"""{"api_key": "pk", "batch": ${inner.drop("""{"batch": """.length).dropRight(1)}}""", // plain JSON
+      s"data=${urlenc(enc(inner))}&api_key=pk",                                              // form + base64
+      s"data=${urlenc(encB(Codecs.zlibCompress(inner.getBytes("UTF-8"))))}&compression=gzip-js&api_key=pk", // form + gzip-js
+      s"""{"data": "${encB(Codecs.zlibCompress(inner.getBytes("UTF-8")))}", "api_key": "pk"}""") // JSON data, sniffed
+
+    val canons = transports.map { body =>
+      ingestOne(body).orderBy("item_idx")
+        .select("item_idx", "kind", "event", "distinct_id", "api_key",
+          "properties", "person_properties")
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+    }
+    assert(canons.head.size == 8)
+    canons.tail.zipWithIndex.foreach { case (c, i) =>
+      assert(c == canons.head, s"transport ${i + 1} diverged from plain JSON")
+    }
+  }
+
   // P6 — browser $identify / $groupidentify rewrites (lib.rs:500-581)
 
   test("browser $identify: top-level $set → person_properties, $set_once → extra") {
