@@ -32,11 +32,20 @@ object Bench {
     // ingest timings measure decode+normalize, not the test-data generator
     try graft.ingest.IngestQueries.prepare(spark, sfDir) catch { case _: Throwable => }
     try graft.state.StateQueries.prepare(spark, sfDir) catch { case _: Throwable => }
+    // warm-scratch gate: a cold scratch means timers would measure the
+    // generator, not the engine — fail loudly instead of recording junk
+    val cold = Tables.coldScratch(sfDir)
+    require(cold.isEmpty, s"scratch inputs not materialized: ${cold.mkString(",")}")
+    Tables.releaseCaches(spark)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try run(fn(spark, sfDir)) catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // reclaim per-query persisted blocks: timings stay independent —
+      // no eviction churn from blocks a finished query left behind
+      Tables.releaseCaches(spark)
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

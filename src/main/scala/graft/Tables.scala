@@ -50,12 +50,36 @@ object Tables {
     * inputs are real tables.
     */
   def scratch(s: SparkSession, d: String, name: String)(df: => DataFrame): DataFrame = {
-    val dir = new java.io.File(s"/tmp/graft_synth/${d.replaceAll("[^A-Za-z0-9.]", "_")}/$name")
+    val dir = scratchDir(d, name)
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
       dir.getParentFile.mkdirs()
       df.write.mode("overwrite").parquet(dir.toString)
     }
     s.read.parquet(dir.toString)
+  }
+
+  /** Every scratch input the bench expects pre-materialized. */
+  val scratchNames: Seq[String] = Seq(
+    "capture", "wire", "form", "browser", "batch", "enrich", "hmac",
+    "groups", "dead", "pipe_wire", "pipe_groups_wire")
+
+  private def scratchDir(d: String, name: String) =
+    new java.io.File(s"/tmp/graft_synth/${d.replaceAll("[^A-Za-z0-9.]", "_")}/$name")
+
+  /** Scratch inputs not yet materialized for `d` (empty = warm). */
+  def coldScratch(d: String): Seq[String] =
+    scratchNames.filterNot(n => new java.io.File(scratchDir(d, n), "_SUCCESS").exists())
+
+  /** Release every cached Dataset and persisted RDD in the session.
+    * Registered queries persist intermediates that only the RETURNED
+    * plan consumes lazily, so they cannot unpersist before returning —
+    * the harness reclaims the blocks between queries instead, keeping
+    * a long multi-query session free of leaked-cache eviction churn.
+    */
+  def releaseCaches(s: SparkSession): Unit = {
+    s.catalog.clearCache()
+    s.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
   }
 
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")

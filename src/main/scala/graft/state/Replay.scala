@@ -44,6 +44,27 @@ final case class GroupRecord(
     properties: Map[String, String],
     first_ord: Long)
 
+/** A [[PersonOp]] after resolution against a redirect dimension,
+  * keyed by its fold component. Original ids (`raw_id`, `alias_to`)
+  * are kept alongside the resolved ones (`r_raw`, `r_alias`): the fold
+  * sorts, guards, and registers distinct_ids by the ORIGINAL ids —
+  * exactly like the reference DO — and resolves records by the
+  * resolved ones. Batch replay passes originals for both (its
+  * component spans all history, so its in-fold redirect map sees every
+  * merge); the streaming merge pre-resolves against the persisted
+  * state's redirect dimension first.
+  */
+private[graft] final case class ResolvedOp(
+    comp: String,
+    raw_id: String,
+    ord: Long,
+    set: Map[String, String],
+    set_once: Map[String, String],
+    unset: Seq[String],
+    alias_to: Option[String],
+    r_raw: String,
+    r_alias: Option[String])
+
 /** Batch replay of the person/group state machines.
   *
   * The reference serializes per-entity updates through Durable Objects
@@ -94,6 +115,78 @@ object Replay {
     var so: Map[String, String] = Map.empty
     var minOrd: Long = createdOrd
     def register(id: String): Unit = if (!dids.contains(id)) dids :+= id
+  }
+
+  /** Resumable per-component DO fold, shared by batch replay (empty
+    * seed) and the streaming identity merge (seeded with the persisted
+    * records whose canonical ids this batch's alias edges connect).
+    * The seed↔record mapping is lossless for the fold: `distinct_ids`
+    * order never matters (membership checks + a final sort), so a
+    * record emitted after ops [0..k] and re-seeded for ops [k+1..n]
+    * folds to the same result as one pass over [0..n] — StateSpec and
+    * IdentityMergeSpec pin this chunk-invariance property.
+    *
+    * Exactly one record survives: every alias edge either merges two
+    * records (merge-prefers-primary, version = primary + 1,
+    * `persons.rs:255-338`) or is a no-op on an already-merged pair, and
+    * the caller keys ops so each group is edge-connected.
+    */
+  private[graft] def foldComponent(
+      seeds: Iterator[PersonRecord], opsIt: Iterator[ResolvedOp]): PersonRecord = {
+    val records = scala.collection.mutable.Map.empty[String, Rec]
+    seeds.foreach { s =>
+      val r = new Rec(s.canonical_id, s.first_ord)
+      r.version = s.version
+      r.dids = s.distinct_ids.toVector
+      r.props = s.properties
+      r.so = s.properties_set_once
+      records(s.canonical_id) = r
+    }
+    val redirect = scala.collection.mutable.Map.empty[String, String]
+    def resolve(id: String): String = {
+      var c = id; var hops = 0
+      while (redirect.contains(c) && hops <= 10) { c = redirect(c); hops += 1 }
+      c
+    }
+    def ensureRec(canonical: String, ord: Long): Rec =
+      records.getOrElseUpdate(canonical, new Rec(canonical, ord))
+
+    opsIt.toArray.sortBy(o => (o.ord, o.raw_id)).foreach { op =>
+      // apply_alias first (identify orders alias before update)
+      op.alias_to.filter(_ != op.raw_id).foreach { alias =>
+        val primaryId = resolve(op.r_raw)
+        val secondaryId = resolve(op.r_alias.get)
+        if (primaryId != secondaryId) {
+          val p = ensureRec(primaryId, op.ord); p.register(op.raw_id)
+          val sec = ensureRec(secondaryId, op.ord); sec.register(alias)
+          // PersonRecord::merge — primary wins
+          p.props = p.props ++ sec.props.view.filterKeys(k => !p.props.contains(k)).toMap
+          p.so = p.so ++ sec.so.view
+            .filterKeys(k => !p.props.contains(k) && !p.so.contains(k)).toMap
+          p.dids = p.dids ++ sec.dids.filterNot(p.dids.contains)
+          p.minOrd = math.min(p.minOrd, sec.minOrd) // created_at min
+          p.version += 1
+          records.remove(secondaryId)
+          redirect(secondaryId) = primaryId
+          redirect(alias) = primaryId
+          p.dids.foreach(d => if (d != primaryId) redirect(d) = primaryId)
+        }
+      }
+      val canonical = resolve(op.r_raw)
+      val r = ensureRec(canonical, op.ord)
+      r.register(op.raw_id)
+      if (op.set.nonEmpty || op.set_once.nonEmpty || op.unset.nonEmpty) {
+        val u = applyUpdate(r.props, r.so, PersonOp(op.raw_id, op.ord, op.set, op.set_once, op.unset, None))
+        r.props = u._1; r.so = u._2
+        r.version += 1
+      } // else: ensure_person — registration only, no version bump
+    }
+    require(records.size == 1,
+      s"component fold invariant violated: ${records.size} surviving records " +
+        s"for ids ${records.keys.mkString(",")}")
+    val (canonical, rec) = records.head
+    PersonRecord(canonical, -1L, rec.version, rec.dids.sorted,
+      rec.props, rec.so, rec.minOrd)
   }
 
   /** Replay person ops to final person records with the reference
@@ -159,58 +252,11 @@ object Replay {
 
     val folded = resolved
       .select(col("comp"), col("raw_id"), col("ord"), col("set"),
-        col("set_once"), col("unset"), col("alias_to"))
-      .as[(String, String, Long, Map[String, String], Map[String, String], Seq[String], Option[String])]
-      .groupByKey(_._1)
-      .mapGroups { (_, it) =>
-        val sorted = it.toArray.sortBy(t => (t._3, t._2))
-        val records = scala.collection.mutable.Map.empty[String, Rec]
-        val redirect = scala.collection.mutable.Map.empty[String, String]
-        def resolve(id: String): String = {
-          var c = id; var hops = 0
-          while (redirect.contains(c) && hops <= 10) { c = redirect(c); hops += 1 }
-          c
-        }
-        def ensureRec(canonical: String, ord: Long): Rec =
-          records.getOrElseUpdate(canonical, new Rec(canonical, ord))
-
-        sorted.foreach { case (_, rawId, ord, set, so, unset, aliasTo) =>
-          // apply_alias first (identify orders alias before update)
-          aliasTo.filter(_ != rawId).foreach { alias =>
-            val primaryId = resolve(rawId)
-            val secondaryId = resolve(alias)
-            if (primaryId != secondaryId) {
-              val p = ensureRec(primaryId, ord); p.register(rawId)
-              val sec = ensureRec(secondaryId, ord); sec.register(alias)
-              // PersonRecord::merge — primary wins
-              p.props = p.props ++ sec.props.view.filterKeys(k => !p.props.contains(k)).toMap
-              p.so = p.so ++ sec.so.view
-                .filterKeys(k => !p.props.contains(k) && !p.so.contains(k)).toMap
-              p.dids = p.dids ++ sec.dids.filterNot(p.dids.contains)
-              p.minOrd = math.min(p.minOrd, sec.minOrd) // created_at min
-              p.version += 1
-              records.remove(secondaryId)
-              redirect(secondaryId) = primaryId
-              redirect(alias) = primaryId
-              p.dids.foreach(d => if (d != primaryId) redirect(d) = primaryId)
-            }
-          }
-          val canonical = resolve(rawId)
-          val r = ensureRec(canonical, ord)
-          r.register(rawId)
-          if (set.nonEmpty || so.nonEmpty || unset.nonEmpty) {
-            val u = applyUpdate(r.props, r.so, PersonOp(rawId, ord, set, so, unset, None))
-            r.props = u._1; r.so = u._2
-            r.version += 1
-          } // else: ensure_person — registration only, no version bump
-        }
-        require(records.size == 1,
-          s"component fold invariant violated: ${records.size} surviving records " +
-            s"for ids ${records.keys.mkString(",")}")
-        val (canonical, rec) = records.head
-        PersonRecord(canonical, -1L, rec.version, rec.dids.sorted,
-          rec.props, rec.so, rec.minOrd)
-      }
+        col("set_once"), col("unset"), col("alias_to"),
+        col("raw_id").as("r_raw"), col("alias_to").as("r_alias"))
+      .as[ResolvedOp]
+      .groupByKey(_.comp)
+      .mapGroups((_, it) => foldComponent(Iterator.empty, it))
 
     // dense first-touch sequence ids: distributed sort + zipWithIndex
     val withIds = folded.rdd

@@ -327,6 +327,34 @@ object StateQueries {
       |  version, n_distinct_ids, first_ord, email, plan, last_event, first_plan, first_et
       |FROM agg""".stripMargin
 
+  /** Q-PIPE-7 (streaming identity merge, driver-checked): the SAME
+    * wire pipeline as [[pipeWire]], but replayed INCREMENTALLY through
+    * [[graft.streaming.IdentityMerge]] in 3 ord-ascending micro-batch
+    * chunks — aliases land in later chunks than the records they merge,
+    * so every batch exercises the cross-batch resolve → connect →
+    * re-key → seeded-merge path. Oracle: identical closed form as
+    * q_pipe_wire (incremental == batch is the operator's contract).
+    */
+  def pipeStreamMerge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val canonical = graft.ingest.Normalizer.ingest(
+      wireBodies(s, d), col("body"), graft.ingest.Normalizer.IngestContext())
+    val ops = PersonOpExtract
+      .fromCanonical(canonical, element_at(col("extra"), "eid").cast(LongType))
+      .as[PersonOp]
+    val st = graft.streaming.IdentityMerge.replayChunked(s, ops, 3)
+    st.persons().toDF()
+      .select(
+        col("canonical_id"), col("person_seq_id"), col("version"),
+        size(col("distinct_ids")).as("n_distinct_ids"),
+        col("first_ord"),
+        element_at(col("properties"), "email").as("email"),
+        element_at(col("properties"), "plan").as("plan"),
+        element_at(col("properties"), "last_event").as("last_event"),
+        element_at(col("properties_set_once"), "first_plan").as("first_plan"),
+        element_at(col("properties_set_once"), "first_et").as("first_et"))
+  }
+
   /** Wire bodies exercising every group-update route: capture
     * `$groups`+`$group_set`, engage top-level `$groups`+`$group_set`,
     * `groupidentify` items, a `$group_set` entry with NO matching
@@ -421,5 +449,6 @@ object StateQueries {
     Q("q_pipe_snapshot", pipeSnapshot, Some(pipeSnapshotSql)),
     Q("q_pipe_hydrate", pipeHydrate, Some(pipeHydrateSql)),
     Q("q_pipe_wire", pipeWire, Some(pipeWireSql)),
+    Q("q_pipe_stream_merge", pipeStreamMerge, Some(pipeWireSql)),
     Q("q_pipe_groups_wire", pipeGroupsWire, Some(pipeGroupsWireSql)))
 }

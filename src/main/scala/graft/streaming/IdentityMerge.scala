@@ -1,0 +1,171 @@
+package graft.streaming
+
+import graft.state.{IdentityResolver, PersonOp, PersonRecord, Replay, ResolvedOp}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.storage.StorageLevel
+
+/** Streaming identity merge — the cross-batch alias resolver.
+  *
+  * The keyed-state folds in [[Streaming]] handle per-id updates, but a
+  * mid-stream alias between two ALREADY-materialized person records
+  * cannot be expressed as keyed state: Spark's state store scopes each
+  * key's state to itself, while the reference merges two live records
+  * inside the Durable Object at alias time
+  * (`/root/reference/src/persons.rs:255-338`). This operator is the
+  * relational form: state is a person-record Dataset, and each
+  * micro-batch is reconciled against it in four declarative steps —
+  *
+  *   1. RESOLVE: join the batch's ops against the redirect dimension
+  *      derived from state (`distinct_id → canonical_id` for every
+  *      registered non-canonical id — depth-1 complete by
+  *      construction, so no chain walk is needed here);
+  *   2. CONNECT: connected components over THIS batch's resolved alias
+  *      edges ([[IdentityResolver]]) give the fold key — two existing
+  *      canonical ids linked by a new edge land in one group;
+  *   3. RE-KEY + MERGE: records whose canonical id joins a touched
+  *      component are re-keyed to it and cogrouped with the batch's
+  *      ops; [[Replay.foldComponent]] — the SAME fold as batch replay —
+  *      runs seeded with those records, so merge-prefers-primary and
+  *      version absorption are shared code, not a re-implementation;
+  *   4. COMMIT: untouched records (broadcast anti-join against the
+  *      batch's component keys — the full state never shuffles) union
+  *      the folded survivors into the next state epoch.
+  *
+  * Parity: after any prefix of batches the state equals batch
+  * [[Replay.persons]] over the ops seen so far, provided each entity's
+  * ops arrive in `ord` order across batches (within a batch, order is
+  * free — the fold sorts). That is the reference's own guarantee: a DO
+  * applies updates in arrival order (`persons.rs:488-542`).
+  *
+  * At scale: per epoch the work is proportional to the BATCH size
+  * (ops, their redirect-join, the touched records), not the state
+  * size — state is re-keyed only where touched, commits stay
+  * partitioned, and lineage is cut per epoch by re-rooting the state
+  * RDD (locally here; a production deployment writes the epoch delta
+  * to the lake keyed by `batchId`, idempotent like [[graft.sources.Lake]]).
+  */
+final class IdentityMergeState(spark: SparkSession) {
+  import spark.implicits._
+
+  private var stateRdd: RDD[PersonRecord] =
+    spark.sparkContext.emptyRDD[PersonRecord]
+  private var epoch: Long = -1L
+
+  /** Current records (canonical state, `person_seq_id` unassigned). */
+  def records: Dataset[PersonRecord] = spark.createDataset(stateRdd)
+
+  /** Fold one micro-batch of ops into the state. Idempotent by
+    * `batchId`: a foreachBatch retry of an already-committed epoch is
+    * a no-op (the streaming sink's replay contract).
+    */
+  def processBatch(ops: Dataset[PersonOp], batchId: Long): Unit = synchronized {
+    if (batchId <= epoch) return
+    val opsDf = ops.toDF().persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val state = records
+      // redirect dimension: every registered non-canonical distinct_id
+      val redirects = state.flatMap(r =>
+          r.distinct_ids.filter(_ != r.canonical_id).map(d => (d, r.canonical_id)))
+        .toDF("did", "canon")
+
+      val resolved = opsDf
+        .join(redirects.as("rr"), opsDf("raw_id") === col("rr.did"), "left")
+        .withColumn("r_raw", coalesce(col("rr.canon"), col("raw_id")))
+        .drop("did", "canon")
+        .join(redirects.as("ra"), col("alias_to") === col("ra.did"), "left")
+        .withColumn("r_alias",
+          when(col("alias_to").isNotNull, coalesce(col("ra.canon"), col("alias_to"))))
+        .drop("did", "canon")
+
+      // components over this batch's effective alias edges only
+      val edges = resolved
+        .filter(col("alias_to").isNotNull && col("alias_to") =!= col("raw_id") &&
+          col("r_alias") =!= col("r_raw"))
+        .select(col("r_raw").as("src"), col("r_alias").as("dst"))
+      val cc = IdentityResolver.components(spark, edges)
+        .withColumnRenamed("canonical", "comp")
+
+      val opRows = resolved
+        .join(broadcast(cc), resolved("r_raw") === cc("id"), "left")
+        .select(coalesce(col("comp"), col("r_raw")).as("comp"),
+          col("raw_id"), col("ord"), col("set"), col("set_once"), col("unset"),
+          col("alias_to"), col("r_raw"), col("r_alias"))
+        .as[ResolvedOp]
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      val touched = opRows.select(col("comp")).distinct()
+      val stateDf = state.toDF()
+      val stComp = stateDf
+        .join(broadcast(cc), stateDf("canonical_id") === cc("id"), "left")
+        .withColumn("comp", coalesce(col("comp"), col("canonical_id")))
+        .drop("id")
+      // untouched records never shuffle: batch-sized build side broadcasts
+      val untouched = stComp.join(broadcast(touched), Seq("comp"), "left_anti")
+        .drop("comp").as[PersonRecord]
+      val seeds = stComp.join(broadcast(touched), Seq("comp"), "left_semi")
+        .select(col("comp"), struct(stateDf.columns.map(col): _*).as("rec"))
+        .as[(String, PersonRecord)]
+
+      val folded = seeds.groupByKey(_._1)
+        .cogroup(opRows.groupByKey(_.comp)) { (_, recIt, opIt) =>
+          Iterator.single(Replay.foldComponent(recIt.map(_._2), opIt))
+        }
+
+      // commit: re-root the state RDD (cuts lineage, explicit block control)
+      val next = untouched.union(folded).rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      opRows.unpersist()
+      stateRdd.unpersist()
+      stateRdd = next
+      epoch = batchId
+    } finally opsDf.unpersist()
+  }
+
+  /** Final person dimension with dense first-touch sequence ids —
+    * identical assignment to batch [[Replay.persons]].
+    */
+  def persons(): Dataset[PersonRecord] = {
+    val withIds = stateRdd
+      .sortBy(r => (r.first_ord, r.canonical_id))
+      .zipWithIndex()
+      .map { case (r, i) => r.copy(person_seq_id = i + 1) }
+    spark.createDataset(withIds)
+  }
+
+  /** Release the state's cached blocks (end-of-stream cleanup). */
+  def close(): Unit = synchronized { stateRdd.unpersist() }
+}
+
+object IdentityMerge {
+
+  /** Wire a PersonOp stream into a state handle via foreachBatch. */
+  def run(ops: Dataset[PersonOp], st: IdentityMergeState, checkpoint: String): StreamingQuery =
+    ops.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: Dataset[PersonOp], id: Long) => st.processBatch(batch, id))
+      .start()
+
+  /** Incremental drive of a batch op table in `ord`-ascending chunks —
+    * the deterministic harness form of the stream (used by
+    * `q_pipe_stream_merge` and specs): same code path as the streaming
+    * sink, micro-batch boundaries at the given chunk count.
+    */
+  def replayChunked(spark: SparkSession, ops: Dataset[PersonOp], chunks: Int): IdentityMergeState = {
+    val st = new IdentityMergeState(spark)
+    val opsDf = ops.persist(StorageLevel.MEMORY_AND_DISK)
+    val bounds = if (chunks <= 1) Array.empty[Double]
+      else opsDf.stat.approxQuantile("ord",
+        (1 until chunks).map(_.toDouble / chunks).toArray, 0.001)
+    val cuts = (Seq(Double.NegativeInfinity) ++ bounds :+ Double.PositiveInfinity)
+      .distinct.sliding(2).toSeq
+    cuts.zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+      st.processBatch(opsDf.filter(col("ord") > lo && col("ord") <= hi), i.toLong)
+    }
+    opsDf.unpersist()
+    st
+  }
+}

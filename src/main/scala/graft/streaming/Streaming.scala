@@ -65,10 +65,11 @@ object Streaming {
   /** Incremental person-state fold: `flatMapGroupsWithState` keyed by
     * canonical id, applying each micro-batch's ops in `ord` order on
     * top of the persisted record — the streaming twin of
-    * `Replay.persons` (identical fold function, shared code). Alias
-    * edges that arrive mid-stream are resolved per micro-batch
-    * upstream (`IdentityResolver` on the batch's edges ∪ the known
-    * redirect dimension) before ops reach this operator.
+    * `Replay.persons` (identical fold function, shared code). This
+    * keyed form covers per-id update streams; streams carrying alias
+    * edges go through [[IdentityMerge]] instead, which resolves
+    * cross-batch merges of already-materialized records (keyed state
+    * cannot reach across keys).
     */
   /** The same person fold on Spark 4's `transformWithState` API — a
     * [[StatefulProcessor]] with an explicit [[ValueState]] handle (the

@@ -1,0 +1,195 @@
+package graft
+
+import graft.state.{PersonOp, PersonOpExtract, PersonRecord, Replay}
+import graft.streaming.{IdentityMerge, IdentityMergeState}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The streaming identity merge must equal batch [[Replay.persons]]
+  * after every prefix of micro-batches — including the corner the
+  * keyed-state fold cannot express: an alias arriving AFTER both sides
+  * already materialized records in earlier batches (the reference
+  * merges live records inside the DO at alias time,
+  * `/root/reference/src/persons.rs:255-338`).
+  */
+class IdentityMergeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def asComparable(ds: Seq[PersonRecord]): Set[(String, Long, Long, Seq[String],
+      Map[String, String], Map[String, String], Long)] =
+    ds.map(r => (r.canonical_id, r.person_seq_id, r.version, r.distinct_ids,
+      r.properties, r.properties_set_once, r.first_ord)).toSet
+
+  private def batchPersons(ops: Seq[PersonOp]): Seq[PersonRecord] = {
+    import spark.implicits._
+    Replay.persons(spark, ops.toDS()).collect().toSeq
+  }
+
+  private def incremental(ops: Seq[PersonOp], chunks: Seq[Seq[PersonOp]]): Seq[PersonRecord] = {
+    import spark.implicits._
+    val st = new IdentityMergeState(spark)
+    chunks.zipWithIndex.foreach { case (c, i) => st.processBatch(c.toDS(), i.toLong) }
+    val out = st.persons().collect().toSeq
+    st.close()
+    out
+  }
+
+  // ---------------------------------------------------------- crafted corner
+
+  test("alias between two already-materialized records merges with DO semantics") {
+    val b0 = Seq(
+      PersonOp("anon-a", 1, Map("s" -> "a1"), Map("o" -> "a1"), Nil, None),
+      PersonOp("u9", 2, Map("s" -> "u1"), Map.empty, Nil, None),
+      PersonOp("anon-b", 3, Map("b" -> "b1"), Map.empty, Nil, None))
+    val b1 = Seq(
+      PersonOp("anon-a", 4, Map("s" -> "a2"), Map.empty, Nil, None),
+      // identify: alias merge of two LIVE records, then the update
+      PersonOp("u9", 5, Map("email" -> "u9@x"), Map.empty, Nil, Some("anon-a")))
+    val b2 = Seq(
+      // explicit alias onto a third live record, one batch later
+      PersonOp("u9", 6, Map.empty, Map.empty, Nil, Some("anon-b")),
+      // post-merge write through an ABSORBED id must land on the survivor
+      PersonOp("anon-a", 7, Map("z" -> "post"), Map.empty, Nil, None),
+      PersonOp("anon-c", 8, Map("c" -> "c1"), Map.empty, Nil, None))
+    val all = b0 ++ b1 ++ b2
+
+    val inc = incremental(all, Seq(b0, b1, b2))
+    assert(asComparable(inc) == asComparable(batchPersons(all)))
+
+    val u9 = inc.find(_.canonical_id == "u9").get
+    assert(u9.distinct_ids == Seq("anon-a", "anon-b", "u9"))
+    // merge prefers primary: u9's s survives over anon-a's later pre-merge write
+    assert(u9.properties("s") == "u1")
+    assert(u9.properties("email") == "u9@x")
+    assert(u9.properties("b") == "b1")        // gap-filled from anon-b
+    assert(u9.properties("z") == "post")      // redirected write
+    assert(u9.properties_set_once("o") == "a1")
+    // versions: u9 create(1) + merge(2) + identify-update(3) +
+    // alias-merge(4) + redirected z write(5)
+    assert(u9.version == 5L)
+    assert(u9.first_ord == 1L)                // created_at min absorbed
+    assert(inc.count(_.canonical_id == "anon-c") == 1)
+    assert(inc.size == 2)
+  }
+
+  test("chained aliases across three batches collapse to one record") {
+    val b0 = Seq(
+      PersonOp("a", 1, Map("p" -> "1"), Map.empty, Nil, None),
+      PersonOp("b", 2, Map("q" -> "2"), Map.empty, Nil, None),
+      PersonOp("c", 3, Map("r" -> "3"), Map.empty, Nil, None))
+    val b1 = Seq(PersonOp("b", 4, Map.empty, Map.empty, Nil, Some("a")))
+    val b2 = Seq(
+      PersonOp("c", 5, Map.empty, Map.empty, Nil, Some("a")), // a already redirects to b
+      PersonOp("a", 6, Map("w" -> "9"), Map.empty, Nil, None))
+    val all = b0 ++ b1 ++ b2
+    val inc = incremental(all, Seq(b0, b1, b2))
+    assert(asComparable(inc) == asComparable(batchPersons(all)))
+    assert(inc.size == 1)
+    val r = inc.head
+    assert(r.distinct_ids.toSet == Set("a", "b", "c"))
+    assert(r.properties("w") == "9")
+  }
+
+  // ------------------------------------------------- randomized chunk parity
+
+  test("randomized op streams: incremental chunked == batch (3 seeds)") {
+    for (seed <- Seq(11, 23, 47)) {
+      val rnd = new scala.util.Random(seed)
+      val ids = (1 to 4).map("u" + _) ++ (1 to 4).map("anon-" + _)
+      val keys = Seq("a", "b", "c")
+      val ops = (1 to 60).map { ord =>
+        val raw = ids(rnd.nextInt(ids.size))
+        val set = if (rnd.nextBoolean()) Map(keys(rnd.nextInt(3)) -> ord.toString) else Map.empty[String, String]
+        val so = if (rnd.nextInt(4) == 0) Map(keys(rnd.nextInt(3)) -> ("o" + ord)) else Map.empty[String, String]
+        val unset = if (rnd.nextInt(6) == 0) Seq(keys(rnd.nextInt(3))) else Nil
+        val alias = if (rnd.nextInt(5) == 0) {
+          val a = ids(rnd.nextInt(ids.size)); if (a == raw) None else Some(a)
+        } else None
+        PersonOp(raw, ord.toLong, set, so, unset, alias)
+      }
+      val chunks = ops.grouped(20).map(_.toSeq).toSeq
+      assert(asComparable(incremental(ops, chunks)) == asComparable(batchPersons(ops)),
+        s"divergence at seed $seed")
+    }
+  }
+
+  test("batch-boundary invariance: 1 == 2 == 6 chunks (replayChunked)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val ids = (1 to 3).map("u" + _) ++ (1 to 3).map("anon-" + _)
+    val ops = (1 to 48).map { ord =>
+      val raw = ids(rnd.nextInt(ids.size))
+      val alias = if (rnd.nextInt(4) == 0) {
+        val a = ids(rnd.nextInt(ids.size)); if (a == raw) None else Some(a)
+      } else None
+      PersonOp(raw, ord.toLong, Map("k" -> ord.toString), Map.empty, Nil, alias)
+    }
+    val expected = asComparable(batchPersons(ops))
+    for (n <- Seq(1, 2, 6)) {
+      val st = IdentityMerge.replayChunked(spark, ops.toDS(), n)
+      val got = asComparable(st.persons().collect().toSeq)
+      st.close()
+      assert(got == expected, s"divergence at $n chunks")
+    }
+  }
+
+  // ------------------------------------------------------ MemoryStream drive
+
+  test("wire bodies through MemoryStream: ≥3 micro-batches, aliases split across batches == batch replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def extract(df: DataFrame) = {
+      val canonical = graft.ingest.Normalizer.ingest(
+        df, col("body"), graft.ingest.Normalizer.IngestContext())
+      PersonOpExtract
+        .fromCanonical(canonical, element_at(col("extra"), "eid").cast(LongType))
+        .as[PersonOp]
+    }
+
+    val batches = Seq(
+      Seq( // anonymous browsing + an identified user materialize separately
+        """{"event":"pv","distinct_id":"anon-a","properties":{"$set":{"s":"a1"},"$set_once":{"o":"a1"}},"eid":"1"}""",
+        """{"event":"pv","distinct_id":"u9","properties":{"$set":{"s":"u1"}},"eid":"2"}""",
+        """{"event":"pv","distinct_id":"anon-b","properties":{"$set":{"b":"b1"}},"eid":"3"}"""),
+      Seq( // the identify lands in batch 2: merge of two LIVE records
+        """{"event":"pv","distinct_id":"anon-a","properties":{"$set":{"s":"a2"}},"eid":"4"}""",
+        """{"type":"identify","distinct_id":"u9","$anon_distinct_id":"anon-a","properties":{"email":"u9@x"},"eid":"5"}"""),
+      Seq( // batch 3: explicit alias onto a third live record + redirected write
+        """{"distinct_id":"u9","alias":"anon-b","eid":"6"}""",
+        """{"event":"pv","distinct_id":"anon-a","properties":{"$set":{"z":"post"}},"eid":"7"}"""))
+
+    val st = new IdentityMergeState(spark)
+    val mem = MemoryStream[String]
+    val q = mem.toDF().withColumnRenamed("value", "body")
+      .writeStream
+      .outputMode("update")
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        st.processBatch(extract(df), id))
+      .start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    val streamed = st.persons().collect().toSeq
+    val batch = Replay.persons(spark, extract(batches.flatten.toDF("body"))).collect().toSeq
+    st.close()
+    assert(asComparable(streamed) == asComparable(batch))
+    val u9 = streamed.find(_.canonical_id == "u9").get
+    assert(u9.distinct_ids == Seq("anon-a", "anon-b", "u9"))
+    assert(u9.properties("s") == "u1") // merge preferred the primary
+    assert(u9.properties("z") == "post") // post-merge write through absorbed id
+  }
+}
