@@ -215,4 +215,21 @@ object FlagColumns {
   /** Back-compat person-only entry point. */
   def enabledCol(distinctId: Column, props: Column, flag: FeatureFlag): Column =
     enabledCol(FlagFrame(distinctId, props), flag)
+
+  /** F2 for the vectorized path: delegates flag selection to
+    * [[FlagEval.selectFlags]] so a bulk backfill evaluates exactly the
+    * flag set the scalar serving loop would — `flag_keys` and
+    * `evaluation_environments` filter the CONFIG once, before any
+    * Column is built (no per-row cost, no hand pre-filtering).
+    */
+  def selectFlags(flags: Seq[FeatureFlag],
+      options: FlagEvalOptions = FlagEvalOptions()): Seq[FeatureFlag] =
+    FlagEval.selectFlags(flags, options)
+
+  /** One result column per SELECTED flag, aliased by flag key — the
+    * vectorized twin of [[FlagEval.evaluate]].
+    */
+  def resultCols(frame: FlagFrame, flags: Seq[FeatureFlag],
+      options: FlagEvalOptions = FlagEvalOptions()): Seq[Column] =
+    selectFlags(flags, options).map(f => resultCol(frame, f).as(f.key))
 }

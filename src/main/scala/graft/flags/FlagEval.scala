@@ -194,18 +194,25 @@ object FlagEval {
     }
   }
 
-  /** F2: evaluation loop with flag-key / environment filtering
-    * (`feature_flags.rs:43-67,474-479`).
+  /** F2 flag selection: `flag_keys` / `evaluation_environments`
+    * filtering (`feature_flags.rs:43-67,474-479`). A property of the
+    * CONFIG, not the execution strategy — shared by the scalar
+    * [[evaluate]] loop and vectorized backfill drivers
+    * ([[FlagColumns.selectFlags]] delegates here), so a backfill
+    * evaluates exactly the flag set serving would.
     */
-  def evaluate(flags: Seq[FeatureFlag], ctx: FlagContext,
-      options: FlagEvalOptions = FlagEvalOptions()): Seq[FlagResult] =
-    flags.iterator
+  def selectFlags(flags: Seq[FeatureFlag],
+      options: FlagEvalOptions = FlagEvalOptions()): Seq[FeatureFlag] =
+    flags
       .filter(f => options.flagKeys.forall(_.contains(f.key)))
       .filter(f => options.evaluationEnvironments.forall(envs =>
         f.evaluationEnvironments match {
           case Some(list) if list.nonEmpty => list.exists(envs.contains)
           case _ => true
         }))
-      .map(evaluateFlag(_, ctx))
-      .toSeq
+
+  /** F2: evaluation loop over the selected flags. */
+  def evaluate(flags: Seq[FeatureFlag], ctx: FlagContext,
+      options: FlagEvalOptions = FlagEvalOptions()): Seq[FlagResult] =
+    selectFlags(flags, options).map(evaluateFlag(_, ctx))
 }

@@ -14,12 +14,11 @@ import FlagColumns.FlagFrame
   * builders; the oracle recomputes expectations as plain SQL.
   *
   * SHA1 bucketing in oracles: DuckDB has no sha1(), so
-  * `q_flag_variants` joins the precomputed [[FlagBucketFixture]]
-  * (generated offline from the reference algorithm) while Spark
-  * computes buckets live through the native codegen expression — the
-  * hash compare gates bucket bit-exactness AND the variant walk.
-  * The unfixtured distribution query (`q_flag_rollout`) stays
-  * rows-only; scalar bucket vectors are pinned in FlagSpec.
+  * `q_flag_variants` and `q_flag_rollout` join the precomputed
+  * [[FlagBucketFixture]] (generated offline from the reference
+  * algorithm) while Spark computes buckets live through the native
+  * codegen expression — the hash compare gates bucket bit-exactness
+  * AND the variant walk; scalar bucket vectors are pinned in FlagSpec.
   */
 object FlagQueries {
 
@@ -88,18 +87,28 @@ object FlagQueries {
       |  false AS f_inactive
       |FROM customer""".stripMargin
 
-  /** Q-FLAG-2: rollout bucketing distribution (native SHA1 expression;
-    * no SQL oracle — bit-exactness pinned by FlagSpec vectors + the
-    * fixtured q_flag_variants; driver records rows>0). The output is
-    * the per-bucket histogram a cohort analysis would read.
+  /** Q-FLAG-2: rollout bucketing distribution — the per-bucket
+    * histogram a cohort analysis would read, over the fixture id space
+    * (salt "exp", user-0..N-1). Spark computes SHA1 buckets LIVE
+    * through the native codegen expression; the oracle groups the
+    * precomputed [[FlagBucketFixture]] — so the hash compare gates
+    * bucket bit-exactness over the whole id set, not just rows>0.
     */
   def flagRollout(s: SparkSession, d: String): DataFrame = {
     GraftExtensions.register(s)
-    val p = persons(s, d)
-    p.select(FlagColumns.bucket("beta-flag", col("distinct_id")).as("bucket"))
+    val ids = s.range(0, FlagBucketFixture.n.toLong)
+      .select(concat(lit("user-"), col("id")).as("distinct_id"))
+    ids.select(
+        FlagColumns.bucket(FlagBucketFixture.salt, col("distinct_id"))
+          .cast("int").as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"))
   }
+
+  val flagRolloutSql: String =
+    s"""SELECT bucket, count(*) AS n
+       |FROM (VALUES ${FlagBucketFixture.valuesSql}) AS v(i, bucket)
+       |GROUP BY bucket""".stripMargin
 
   /** Multivariate config for Q-FLAG-3: condition-level variant
     * override, fixed `variant` short-circuit, flag-level variants with
@@ -263,7 +272,7 @@ object FlagQueries {
 
   val all: Seq[Q] = Seq(
     Q("q_flag_filters", flagFilters, Some(flagFiltersSql)),
-    Q("q_flag_rollout", flagRollout, None),
+    Q("q_flag_rollout", flagRollout, Some(flagRolloutSql)),
     Q("q_flag_variants", flagVariants, Some(flagVariantsSql)),
     Q("q_flag_groups", flagGroups, Some(flagGroupsSql)),
     Q("q_flag_cohort", flagCohort, Some(flagCohortSql)))

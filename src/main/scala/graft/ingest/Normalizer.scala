@@ -243,6 +243,11 @@ object Normalizer {
           when(browserIdentify, element_at(m, "$set")).otherwise(props))
           .as("person_properties"),
         element_at(m, "context").as("context"),
+        // null at ingest BY DESIGN: person_id/person_created_at are
+        // stamped later by the P9 person-snapshot join
+        // (StateQueries.pipeSnapshot) once replayed state exists —
+        // mirroring the reference, where ingest emits them empty and
+        // the person pipeline backfills (pipeline.rs:186-336)
         lit(null).cast("string").as("person_id"),
         lit(null).cast("timestamp").as("person_created_at"),
         lit(null).cast("string").as("group_properties"),
@@ -359,9 +364,16 @@ object Normalizer {
     * (lib.rs:1378-1391, GroupTypeMap `groups.rs:96-123`).
     */
   def groupSlots(df: DataFrame, ctx: IngestContext): DataFrame = {
-    val groups = from_json(get_json_object(col("properties"), "$.$groups"), mapSS)
-    ctx.groupTypes.zipWithIndex.foldLeft(df) { case (acc, (t, i)) =>
-      acc.withColumn(s"group$i", element_at(groups, t))
+    // parse `$groups` ONCE behind a projection boundary (the same
+    // discipline as toCanonical's __m/__pm): a per-slot from_json
+    // would re-extract + re-parse the properties JSON 5× per row.
+    // The alias is non-cheap and multiply referenced, so
+    // CollapseProject keeps the boundary.
+    val withG = df.withColumn("__groups",
+      from_json(get_json_object(col("properties"), "$.$groups"), mapSS))
+    val slots = ctx.groupTypes.zipWithIndex.map { case (t, i) =>
+      element_at(col("__groups"), t).as(s"group$i")
     }
+    withG.select(col("*") +: slots: _*).drop("__groups")
   }
 }

@@ -214,6 +214,8 @@ object Similarity {
     * cosine, top-5 per query — the standard quantize-then-rescore
     * pattern with the int dot deterministic on both engines (integer
     * sums; the rounding is pinned half-away-from-zero in both).
+    * This unblocked form is the labeled exact baseline; the scale path
+    * is [[quantIvfSearch]], which bounds candidates by IVF cell.
     */
   def quantSearch(s: SparkSession, d: String): DataFrame = {
     val absmax = aggregate(col("embedding"), lit(0.0),
@@ -248,6 +250,60 @@ object Similarity {
        |  SELECT q_id, e.vec_id, $idot AS int_dot,
        |    $idot::DOUBLE * e.mx * q_mx / (127.0 * 127.0) AS score
        |  FROM e, q WHERE e.vec_id <> q_id)
+       |SELECT q_id, vec_id, int_dot, score, CAST(rank AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+       |  FROM scored) WHERE rank <= 5""".stripMargin
+  }
+
+  /** Q-SIM-8: blocked quantized search — int8 scoring over IVF-cell
+    * candidates. [[quantSearch]] demonstrates the 4× bandwidth win but
+    * still scans all N per query; composing it with the IVF coarse
+    * quantizer bounds candidates to the query's cell (≈ N/c), which is
+    * how a quantized index actually runs at 100 TB: the blocking key
+    * prunes, the int8 payload shrinks what the survivors read. The
+    * join is an equi-join on the cell id — PlanSpec gates that no
+    * all-pairs (nested-loop/cartesian) plan sneaks back in.
+    */
+  def quantIvfSearch(s: SparkSession, d: String): DataFrame = {
+    val assign = ivfAssign(s, d).select(col("vec_id"), col("centroid_id"))
+    val absmax = aggregate(col("embedding"), lit(0.0),
+      (a, x) => greatest(a, abs(x.cast(DoubleType))))
+    val e = Tables.par(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"), absmax.as("mx"))
+      .select(col("vec_id"), col("mx"),
+        transform(col("embedding"), x =>
+          round(x.cast(DoubleType) * 127.0 / col("mx")).cast("long")).as("qv"))
+      .join(assign, Seq("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("mx").as("q_mx"), col("centroid_id").as("q_cell"))
+    val idot = aggregate(zip_with(col("qv"), col("q_qv"), (a, b) => a * b),
+      lit(0L), (acc, v) => acc + v)
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    e.join(broadcast(q), col("centroid_id") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), idot.as("int_dot"),
+        (idot.cast(DoubleType) * col("mx") * col("q_mx") / (127.0 * 127.0)).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+  }
+
+  val quantIvfSearchSql: String = {
+    val absmax = "list_reduce(list_prepend(0.0, list_transform(embedding, x -> abs(x::DOUBLE))), (a, b) -> greatest(a, b))"
+    val idot = "list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, len(qv)), i -> qv[i] * q_qv[i])), (a, b) -> a + b)"
+    s"""WITH assign AS ($ivfAssignSql),
+       |e AS (
+       |  SELECT b.vec_id, b.mx, b.qv, a.centroid_id
+       |  FROM (SELECT vec_id, mx,
+       |          list_transform(embedding, x -> round(x::DOUBLE * 127.0 / mx)::BIGINT) AS qv
+       |        FROM (SELECT vec_id, embedding, $absmax AS mx FROM embeddings)) b
+       |  JOIN assign a ON b.vec_id = a.vec_id),
+       |q AS (SELECT vec_id AS q_id, qv AS q_qv, mx AS q_mx, centroid_id AS q_cell
+       |      FROM e WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT q_id, e.vec_id, $idot AS int_dot,
+       |    $idot::DOUBLE * e.mx * q_mx / (127.0 * 127.0) AS score
+       |  FROM e JOIN q ON e.centroid_id = q_cell AND e.vec_id <> q_id)
        |SELECT q_id, vec_id, int_dot, score, CAST(rank AS INT) AS rank FROM (
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
        |  FROM scored) WHERE rank <= 5""".stripMargin
@@ -326,5 +382,6 @@ object Similarity {
     Q("q_sim_ivf_search", ivfSearch, Some(ivfSearchSql)),
     Q("q_sim_lsh_search", lshSearch, Some(lshSearchSql)),
     Q("q_sim_quant", quantSearch, Some(quantSearchSql)),
+    Q("q_sim_quant_ivf", quantIvfSearch, Some(quantIvfSearchSql)),
     Q("q_sim_ivf_multiprobe", ivfMultiprobe, Some(ivfMultiprobeSql)))
 }

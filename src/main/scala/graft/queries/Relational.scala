@@ -161,8 +161,11 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
 
   /** Q-AGG-4: approximate distinct (HyperLogLog++) per event type —
-    * bench/scale path for cardinality at 100 TB (no oracle: HLL estimates
-    * are engine-specific; driver records a rows-only check).
+    * bench/scale path for cardinality at 100 TB (no driver oracle: HLL
+    * estimates are engine-specific, so DuckDB can't hash-match; the
+    * driver records rows-only). NOT unchecked, though: EndToEndSpec
+    * asserts every group's estimate lands within a bounded relative
+    * error of the exact `countDistinct` (rsd 0.01, gate at 5×rsd).
     */
   def aggApprox(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)

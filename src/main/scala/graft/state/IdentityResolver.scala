@@ -34,15 +34,25 @@ object IdentityResolver {
 
   val MaxIters = 15
 
-  /** Below this edge count the component computation runs as a
-    * driver-local union-find over the collected edge list (alias
-    * graphs are orders of magnitude smaller than the event sets they
-    * resolve — the reference holds the whole redirect map in one
-    * Durable Object). Above it, the distributed fixpoint takes over.
-    * 5M edges ≈ a few hundred MB of driver heap, far under a normal
-    * driver's budget.
+  /** Below this estimated driver-heap footprint the component
+    * computation runs as a driver-local union-find over the collected
+    * edge list (alias graphs are orders of magnitude smaller than the
+    * event sets they resolve — the reference holds the whole redirect
+    * map in one Durable Object). Above it, the distributed fixpoint
+    * takes over. The bound is on BYTES, not edge count: 5M edges of
+    * 8-char ids and 5M edges of 200-char ids are very different driver
+    * loads, so long ids flip to the distributed path at the same
+    * memory budget.
     */
-  val LocalThreshold = 5000000L
+  val LocalHeapBudget: Long = 512L * 1024 * 1024
+
+  /** Retained-heap estimate for the collected edge list + union-find:
+    * per edge, two String objects live in the row array and again as
+    * map keys (UTF-16 → 2 bytes/char, ×2 copies), plus ~160 B of
+    * object headers, char[] headers, and HashMap entry overhead.
+    */
+  private[graft] def estimatedHeapBytes(edgeCount: Long, idBytes: Long): Long =
+    4L * idBytes + 160L * edgeCount
 
   private def localComponents(
       edges: Seq[(String, String)],
@@ -76,16 +86,23 @@ object IdentityResolver {
       spark: SparkSession,
       edges: DataFrame,
       labelOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column = identity,
-      localThreshold: Long = LocalThreshold)
+      localHeapBudget: Long = LocalHeapBudget)
     : DataFrame = {
 
     import spark.implicits._
 
     val undirected = edges.select(col("src"), col("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val edgeCount = undirected.count()
+    // one job computes the count AND the id-byte volume the fast path
+    // would collect — the path choice is a memory decision, made on
+    // estimated bytes rather than a row count
+    val stats = undirected.agg(
+      count(lit(1)),
+      coalesce(sum(length(col("src")) + length(col("dst"))), lit(0L))).head()
+    val edgeCount = stats.getLong(0)
+    val idBytes = stats.getLong(1)
 
-    if (edgeCount <= localThreshold) {
+    if (estimatedHeapBytes(edgeCount, idBytes) <= localHeapBudget) {
       // driver-local union-find; labelOf still evaluated by Spark so
       // both paths share one canonical-election definition
       val pairs = undirected.collect().map(r => (r.getString(0), r.getString(1))).toSeq

@@ -27,6 +27,27 @@ class EndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("q_agg_approx: HLL estimate within bounded relative error of exact, per group") {
+    import org.apache.spark.sql.functions._
+    // same grouping, estimate vs exact side by side; rsd is 0.01, gate
+    // at 5×rsd — loose enough to never flake, tight enough to catch a
+    // broken sketch (an off-by-10% estimator fails)
+    val sf = "/root/testdata/sf0.001"
+    val both = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val (approx, exact) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(exact > 0, s"${r.getString(0)}: empty group")
+      val relErr = math.abs(approx - exact) / exact
+      assert(relErr <= 0.05,
+        s"${r.getString(0)}: approx=$approx exact=$exact relErr=$relErr > 0.05")
+    }
+  }
+
   test("payload log → canonical lake → person/group state") {
     import spark.implicits._
 

@@ -124,4 +124,49 @@ class FlagAgreementSpec extends AnyFunSuite with BeforeAndAfterAll {
       FlagColumns.enabledCol(frame, flag)
     }
   }
+
+  test("F2 env/key filtering changes the evaluated set identically in scalar and vectorized") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val flags = FlagStore.fromJson(
+      """{"flags":[
+        |  {"key":"prod_only", "evaluation_environments":["production"],
+        |   "conditions":[{"properties":[{"key":"seg","value":"a"}]}]},
+        |  {"key":"stg_only", "evaluation_environments":["staging"],
+        |   "conditions":[{"properties":[]}]},
+        |  {"key":"everywhere", "evaluation_environments":[],
+        |   "conditions":[{"properties":[]}]},
+        |  {"key":"untagged",
+        |   "conditions":[{"properties":[{"key":"seg","value":"b"}]}]}
+        |]}""".stripMargin)
+    val opts = FlagEvalOptions(evaluationEnvironments = Some(Set("production")))
+
+    // the filter DROPS stg_only and KEEPS untagged + empty-list flags —
+    // and both paths must agree on that set, not just on values
+    val selected = FlagEval.selectFlags(flags, opts).map(_.key)
+    assert(selected == Seq("prod_only", "everywhere", "untagged"))
+    assert(FlagColumns.selectFlags(flags, opts).map(_.key) == selected)
+
+    // key filter composes with env filter
+    val keyed = FlagEvalOptions(flagKeys = Some(Set("untagged", "stg_only")),
+      evaluationEnvironments = Some(Set("production")))
+    assert(FlagEval.selectFlags(flags, keyed).map(_.key) == Seq("untagged"))
+
+    // value agreement over the filtered set: scalar evaluate() vs
+    // vectorized resultCols() row by row
+    val rows = (0 until 50).map(i => (s"id-$i", Map("seg" -> (if (i % 2 == 0) "a" else "b"))))
+    val df = rows.toDF("distinct_id", "props")
+    val frame = FlagFrame(col("distinct_id"), col("props"))
+    val cols = FlagColumns.resultCols(frame, flags, opts)
+    assert(cols.size == 3)
+    val vec = df.select(col("distinct_id") +: cols: _*)
+      .select(col("distinct_id") +: selected.map(k => col(k).getField("enabled")): _*)
+      .collect().map(r => r.getString(0) -> (1 until 4).map(r.getBoolean)).toMap
+    rows.foreach { case (id, props) =>
+      val sc = FlagEval.evaluate(flags,
+        FlagContext(id, props.view.mapValues(JStr(_)).toMap), opts)
+      assert(sc.map(_.key) == selected, s"scalar evaluated set diverged for $id")
+      assert(vec(id) == sc.map(_.value == JBool(true)), s"disagreement for $id")
+    }
+  }
 }

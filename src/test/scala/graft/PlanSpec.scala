@@ -86,6 +86,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), "blocked path degenerated to all-pairs")
   }
 
+  test("blocked quantized search joins on the IVF cell, never all-pairs") {
+    val p = plan(SparkEntry.queries("q_sim_quant_ivf")(spark, sf))
+    assert(!p.contains("CartesianProduct"), "quantized search degenerated to all-pairs")
+    // the candidate join must be the equi-join on the cell id (the
+    // only sanctioned nested loop is the constant-8-centroid
+    // assignment stage inside ivfAssign)
+    assert(p.contains("BroadcastHashJoin [centroid_id"),
+      "cell probe lost its hash join:\n" + p.take(1500))
+  }
+
   test("lake scans prune partitions on event_date") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("planlake").toString

@@ -311,10 +311,31 @@ class StateSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("m", "n"), ("n", "o"), ("o", "m")).toDF("src", "dst") // cycle → m
     val local = IdentityResolver.components(spark, edges)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    val dist = IdentityResolver.components(spark, edges, localThreshold = 0)
+    val dist = IdentityResolver.components(spark, edges, localHeapBudget = 0)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(local == dist)
     assert(local("d") == "a" && local("y") == "x" && local("o") == "m")
+  }
+
+  test("CC fast path is byte-bounded: long ids flip to the distributed path") {
+    import spark.implicits._
+    // same edge COUNT, different id lengths: the short-id graph fits
+    // the budget, the long-id one must not (edge count alone can't
+    // tell them apart — the r2 finding this pins)
+    val n = 50
+    val budget = IdentityResolver.estimatedHeapBytes(n.toLong, n * 2L * 30)
+    assert(IdentityResolver.estimatedHeapBytes(n.toLong, n * 2L * 8) <= budget)
+    assert(IdentityResolver.estimatedHeapBytes(n.toLong, n * 2L * 5000) > budget)
+
+    // and the distributed path the flip lands on is still correct for
+    // long ids end-to-end (star graph — alias graphs are shallow)
+    val center = "pfx" * 200 + "0"
+    val long = (1 until n).map(i => (center, "pfx" * 200 + "z" + i))
+      .toDF("src", "dst")
+    val canon = IdentityResolver.components(spark, long, localHeapBudget = budget)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(canon.size == n)
+    assert(canon.values.toSet == Set(center)) // one star, min label
   }
 
   test("out-of-order ops fold by ord, not arrival order") {
