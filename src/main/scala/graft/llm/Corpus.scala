@@ -52,6 +52,76 @@ object Corpus {
        |JOIN tq ON d.doc_id = tq.doc_id
        |JOIN cl ON d.doc_id = cl.doc_id""".stripMargin
 
+  /** Benchmark decontamination — the pre-training hygiene pass that
+    * removes training documents overlapping a held-out evaluation set
+    * (the n-gram-overlap method used for public-corpus decontamination;
+    * e.g. GPT-3 appendix C / The Pile's 13-gram filter, here on the
+    * shared word-3-shingle unit so the whole family composes).
+    *
+    * Shape at 100 TB: the EVAL side is a fixed benchmark suite —
+    * bounded, tiny next to the corpus — so its distinct shingle hashes
+    * BROADCAST; the training side explodes to (doc_id, shingle-hash)
+    * pairs, drops non-matches map-side against the broadcast hash set
+    * (left-semi), and one shuffle of the surviving compact pairs
+    * re-aggregates per document. Documents never move; the contaminated
+    * flag is auditable (overlap count + fraction, not just a boolean).
+    *
+    * Here the eval set is carved deterministically from `documents`
+    * (doc_id % 50 == 0) so the oracle can recompute it; near-dups
+    * planted in the synthetic corpus make the flag non-trivial.
+    */
+  def decontam(s: SparkSession, d: String): DataFrame = {
+    import Portable._
+    // both the eval-hash and training sides read the shingle table
+    val docs = Dedup.shingleDocs(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val isEval = col("doc_id") % 50 === 0
+    val evalHashes = docs.filter(isEval)
+      .select(explode(col("sh")).as("g"))
+      .select(h60(col("g")).as("gh")).distinct()
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n_shingles"))
+    val matched = train
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), h60(col("g")).as("gh"))
+      .join(broadcast(evalHashes), Seq("gh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    train.select(col("doc_id"), col("n_shingles"))
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("overlap_frac",
+        when(col("n_shingles") > 0,
+          col("n_overlap").cast("double") / col("n_shingles")).otherwise(lit(0.0)))
+      .withColumn("is_contaminated", col("overlap_frac") >= 0.3)
+  }
+
+  val decontamSql: String = {
+    import Portable._
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${shingles3Sql(tokensSql("text"))} AS sh FROM documents),
+       |ev AS (
+       |  SELECT DISTINCT ${h60Sql("g")} AS gh
+       |  FROM (SELECT unnest(sh) AS g FROM docs WHERE doc_id % 50 = 0)),
+       |tr AS (SELECT doc_id, sh, len(sh)::BIGINT AS n_shingles
+       |       FROM docs WHERE doc_id % 50 <> 0),
+       |ex AS (
+       |  SELECT doc_id, ${h60Sql("g")} AS gh
+       |  FROM (SELECT doc_id, unnest(sh) AS g FROM tr)),
+       |m AS (
+       |  SELECT doc_id, count(*) AS n_overlap FROM ex
+       |  WHERE gh IN (SELECT gh FROM ev) GROUP BY doc_id)
+       |SELECT t.doc_id, t.n_shingles,
+       |  coalesce(m.n_overlap, 0)::BIGINT AS n_overlap,
+       |  CASE WHEN t.n_shingles > 0
+       |       THEN coalesce(m.n_overlap, 0)::DOUBLE / t.n_shingles ELSE 0.0 END AS overlap_frac,
+       |  (CASE WHEN t.n_shingles > 0
+       |        THEN coalesce(m.n_overlap, 0)::DOUBLE / t.n_shingles ELSE 0.0 END) >= 0.3
+       |    AS is_contaminated
+       |FROM tr t LEFT JOIN m ON t.doc_id = m.doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
-    Q("q_corpus_funnel", funnel, Some(funnelSql)))
+    Q("q_corpus_funnel", funnel, Some(funnelSql)),
+    Q("q_corpus_decontam", decontam, Some(decontamSql)))
 }

@@ -38,9 +38,26 @@ object Dedup {
   def permA(i: Int): Long = 2L * i + 1
   def permB(i: Int): Long = 12345L + 789L * i
 
-  /** Per-doc shingle-hash array (each shingle → h60 mod p). */
+  /** Per-doc shingle-hash array (each shingle → h60 mod p), over a
+    * bound `toks` attribute — see [[shingleDocs]] for why the token
+    * array must be materialized first.
+    */
   private def hashedShingles: Column =
-    transform(shingles3(tokens(col("text"))), s => h60(s) % P31)
+    transform(shingles3(col("toks")), s => h60(s) % P31)
+
+  /** docs → (doc_id, sh): tokenize and shingle with the token array
+    * materialized in its OWN projection first. `shingles3` references
+    * its argument ~5× (twice in the size guard, 3× inside the
+    * transform lambda): inlined, that re-runs the regex `split` once
+    * per reference PER SHINGLE POSITION — ~18 s at sf0.1 vs ~3 s with
+    * the boundary (measured; codegen CSE cannot reach through
+    * higher-order-function lambdas, and CollapseProject keeps the
+    * boundary because `toks` is non-cheap and multiply-referenced).
+    */
+  private[llm] def shingleDocs(s: SparkSession, d: String): DataFrame =
+    Tables.par(Tables.documents(s, d))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shingles3(col("toks")).as("sh"))
 
   private def hashedShinglesSql: String =
     s"list_transform(${shingles3Sql(tokensSql("text"))}, s -> ${h60Sql("s")} % ${P31})"
@@ -54,7 +71,9 @@ object Dedup {
     * non-cheap and multiply-referenced). 32× less per-doc work.
     */
   private def hashedShingleDocs(s: SparkSession, d: String): DataFrame =
-    Tables.par(Tables.documents(s, d)).select(col("doc_id"), hashedShingles.as("hp"))
+    Tables.par(Tables.documents(s, d))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), hashedShingles.as("hp"))
 
   /** 32-element MinHash signature as one array column. */
   private def signature(hs: Column): Column =
@@ -99,14 +118,18 @@ object Dedup {
     * materializes the all-pairs product; shuffle keys are int64 hashes.
     */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.par(Tables.documents(s, d))
-      .select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
+    // persist the SHINGLE ARRAYS, not the exploded index: the optimizer
+    // collapses projections into Generate, which re-inlines the
+    // tokenize→shingle expression under the explode (measured ~20 s at
+    // sf0.1 vs ~1 s from the cached arrays); both self-join sides and
+    // the size column then derive from the cached table for free
+    val docs = shingleDocs(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), h60(col("s")).as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // shingles are distinct per doc ⇒ |sh| = the inverted index's row
-    // count per doc — no third pass over the shingle pipeline
-    val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // count per doc — no second pass over the shingle pipeline
+    val sizes = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
     val inter = inv.as("a")
       .join(inv.as("b"), col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -173,8 +196,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
-    val docs = Tables.par(Tables.documents(s, d))
-      .select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
+    val docs = shingleDocs(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cand
       .join(docs.as("da"), col("doc_a") === col("da.doc_id"))

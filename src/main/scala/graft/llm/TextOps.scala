@@ -289,11 +289,91 @@ object TextOps {
        |FROM documents WHERE ${h60Sql("text")} % 100 < ($rate)""".stripMargin
   }
 
+  // ------------------------------------------------------------ Q-TEXT-7
+
+  /** Patterns shared by the Spark operator and the DuckDB oracle —
+    * kept to the Java-regex ∩ RE2 common dialect (character classes,
+    * bounded repetition, `\b`; no lookaround, no backrefs) so both
+    * engines match identical spans.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val longNumRe = "\\d{9,}"
+
+  /** PII detection + redaction over a raw text column: per-class match
+    * counts (email / IPv4 / long digit run) and the redacted text —
+    * pure regexp Catalyst expressions, fully codegen'd, map-only at
+    * 100 TB. Redaction order matters: emails first (they contain
+    * digits and dots), then IPs, then bare digit runs.
+    */
+  def piiScrub(raw: Column): (Column, Column, Column, Column) = {
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(raw, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      longNumRe, "<NUM>")
+    (regexp_count(raw, lit(emailRe)).cast(LongType),
+      regexp_count(raw, lit(ipv4Re)).cast(LongType),
+      regexp_count(raw, lit(longNumRe)).cast(LongType),
+      redacted)
+  }
+
+  /** Q-TEXT-7: PII scrub drive — the synthetic corpus carries no PII,
+    * so the query plants deterministic spans (an email for doc_id%3==0,
+    * an IPv4 + a 9+-digit account number for doc_id%3==1, nothing for
+    * the rest) and runs the REAL [[piiScrub]] operator; the oracle
+    * re-plants and re-scrubs independently. `redacted_md5` hashes the
+    * full redacted text so a single mis-redacted byte hash-mismatches
+    * without shipping megabytes of text through the compare.
+    */
+  def pii(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val raw = concat(col("text"),
+      when(id % 3 === 0,
+        concat(lit(" contact user"), id.cast("string"), lit("@example.com now")))
+        .otherwise(lit("")),
+      when(id % 3 === 1,
+        concat(lit(" from 10."), (id % 200).cast("string"), lit("."),
+          (id % 250).cast("string"), lit("."), (id % 100).cast("string"),
+          lit(" acct "), (id * 7919 + 123456789L).cast("string")))
+        .otherwise(lit("")))
+    val (nEmail, nIp, nNum, redacted) = piiScrub(col("raw"))
+    Tables.par(Tables.documents(s, d))
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        nEmail.as("n_emails"), nIp.as("n_ips"), nNum.as("n_longnums"),
+        (nEmail + nIp + nNum > 0).as("has_pii"),
+        md5(redacted.cast("binary")).as("redacted_md5"))
+  }
+
+  val piiSql: String =
+    s"""WITH r AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 3 = 0
+       |            THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+       |    || CASE WHEN doc_id % 3 = 1
+       |            THEN ' from 10.' || (doc_id % 200) || '.' || (doc_id % 250) || '.'
+       |                 || (doc_id % 100) || ' acct ' || (doc_id * 7919 + 123456789)
+       |            ELSE '' END AS raw
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(raw, '$emailRe'))::BIGINT AS n_emails,
+       |  len(regexp_extract_all(raw, '$ipv4Re'))::BIGINT AS n_ips,
+       |  len(regexp_extract_all(raw, '$longNumRe'))::BIGINT AS n_longnums,
+       |  (len(regexp_extract_all(raw, '$emailRe'))
+       |    + len(regexp_extract_all(raw, '$ipv4Re'))
+       |    + len(regexp_extract_all(raw, '$longNumRe'))) > 0 AS has_pii,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(raw,
+       |    '$emailRe', '<EMAIL>', 'g'), '$ipv4Re', '<IP>', 'g'),
+       |    '$longNumRe', '<NUM>', 'g')) AS redacted_md5
+       |FROM r""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_text_stats", textStats, Some(textStatsSql)),
     Q("q_text_langid", langId, Some(langIdSql)),
     Q("q_text_fingerprint", fingerprint, Some(fingerprintSql)),
     Q("q_text_winnow", winnow, Some(winnowSql)),
     Q("q_text_repetition", repetition, Some(repetitionSql)),
-    Q("q_text_sample", sample, Some(sampleSql)))
+    Q("q_text_sample", sample, Some(sampleSql)),
+    Q("q_text_pii", pii, Some(piiSql)))
 }

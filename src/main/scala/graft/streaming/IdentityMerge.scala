@@ -157,12 +157,19 @@ object IdentityMerge {
   def replayChunked(spark: SparkSession, ops: Dataset[PersonOp], chunks: Int): IdentityMergeState = {
     val st = new IdentityMergeState(spark)
     val opsDf = ops.persist(StorageLevel.MEMORY_AND_DISK)
-    val bounds = if (chunks <= 1) Array.empty[Double]
-      else opsDf.stat.approxQuantile("ord",
-        (1 until chunks).map(_.toDouble / chunks).toArray, 0.001)
-    val cuts = (Seq(Double.NegativeInfinity) ++ bounds :+ Double.PositiveInfinity)
-      .distinct.sliding(2).toSeq
-    cuts.zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+    // arithmetic ord cuts from one cheap min/max agg (parity holds for
+    // ANY ord-respecting split, so there is no reason to pay a
+    // quantile pass for balanced batch sizes)
+    val mm = opsDf.agg(min(col("ord")), max(col("ord"))).head()
+    val cuts: Seq[(Double, Double)] =
+      if (mm.isNullAt(0) || chunks <= 1) Seq((Double.NegativeInfinity, Double.PositiveInfinity))
+      else {
+        val (lo, hi) = (mm.getLong(0).toDouble, mm.getLong(1).toDouble)
+        val bounds = (1 until chunks).map(i => lo + (hi - lo) * i / chunks)
+        (Seq(Double.NegativeInfinity) ++ bounds :+ Double.PositiveInfinity)
+          .distinct.sliding(2).map(p => (p.head, p.last)).toSeq
+      }
+    cuts.zipWithIndex.foreach { case ((lo, hi), i) =>
       st.processBatch(opsDf.filter(col("ord") > lo && col("ord") <= hi), i.toLong)
     }
     opsDf.unpersist()
