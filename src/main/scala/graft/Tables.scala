@@ -50,6 +50,7 @@ object Tables {
     * inputs are real tables.
     */
   def scratch(s: SparkSession, d: String, name: String)(df: => DataFrame): DataFrame = {
+    registeredScratch.synchronized { registeredScratch += name }
     val dir = scratchDir(d, name)
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
       dir.getParentFile.mkdirs()
@@ -58,17 +59,22 @@ object Tables {
     s.read.parquet(dir.toString)
   }
 
-  /** Every scratch input the bench expects pre-materialized. */
-  val scratchNames: Seq[String] = Seq(
-    "capture", "wire", "form", "browser", "batch", "enrich", "hmac",
-    "groups", "dead", "pipe_wire", "pipe_groups_wire")
+  /** Names seen at `scratch` call sites this session — the gate below
+    * derives from these, so a new scratch input added anywhere is
+    * covered the moment its `prepare()` builder runs (no hand-kept
+    * list to drift out of sync with the call sites).
+    */
+  private val registeredScratch = scala.collection.mutable.Set.empty[String]
 
   private def scratchDir(d: String, name: String) =
     new java.io.File(s"/tmp/graft_synth/${d.replaceAll("[^A-Za-z0-9.]", "_")}/$name")
 
-  /** Scratch inputs not yet materialized for `d` (empty = warm). */
+  /** Scratch inputs not yet materialized for `d` (empty = warm).
+    * Checked against every name registered by a `scratch` call.
+    */
   def coldScratch(d: String): Seq[String] =
-    scratchNames.filterNot(n => new java.io.File(scratchDir(d, n), "_SUCCESS").exists())
+    registeredScratch.synchronized(registeredScratch.toSeq.sorted)
+      .filterNot(n => new java.io.File(scratchDir(d, n), "_SUCCESS").exists())
 
   /** Release every cached Dataset and persisted RDD in the session.
     * Registered queries persist intermediates that only the RETURNED

@@ -334,6 +334,12 @@ object StateQueries {
     * so every batch exercises the cross-batch resolve → connect →
     * re-key → seeded-merge path. Oracle: identical closed form as
     * q_pipe_wire (incremental == batch is the operator's contract).
+    *
+    * Cache lifetime: the returned DataFrame reads the state handle's
+    * persisted RDD lazily, so `st.close()` cannot run here — the
+    * caller must reclaim the blocks after consuming the result
+    * ([[graft.Tables.releaseCaches]], which Bench/Verify invoke
+    * between queries; ad-hoc callers should do the same).
     */
   def pipeStreamMerge(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

@@ -54,6 +54,9 @@ final class IdentityMergeState(spark: SparkSession) {
     spark.sparkContext.emptyRDD[PersonRecord]
   private var epoch: Long = -1L
 
+  /** Highest committed batch id (-1 = fresh state, nothing folded). */
+  def committedEpoch: Long = synchronized(epoch)
+
   /** Current records (canonical state, `person_seq_id` unassigned). */
   def records: Dataset[PersonRecord] = spark.createDataset(stateRdd)
 
@@ -71,6 +74,9 @@ final class IdentityMergeState(spark: SparkSession) {
           r.distinct_ids.filter(_ != r.canonical_id).map(d => (d, r.canonical_id)))
         .toDF("did", "canon")
 
+      // persisted: both the edge derivation and opRows consume this
+      // tree — without the cache each micro-batch would pay the two
+      // redirect joins (and the state flatMap) twice
       val resolved = opsDf
         .join(redirects.as("rr"), opsDf("raw_id") === col("rr.did"), "left")
         .withColumn("r_raw", coalesce(col("rr.canon"), col("raw_id")))
@@ -79,6 +85,7 @@ final class IdentityMergeState(spark: SparkSession) {
         .withColumn("r_alias",
           when(col("alias_to").isNotNull, coalesce(col("ra.canon"), col("alias_to"))))
         .drop("did", "canon")
+        .persist(StorageLevel.MEMORY_AND_DISK)
 
       // components over this batch's effective alias edges only
       val edges = resolved
@@ -118,6 +125,7 @@ final class IdentityMergeState(spark: SparkSession) {
       val next = untouched.union(folded).rdd.persist(StorageLevel.MEMORY_AND_DISK)
       next.count()
       opRows.unpersist()
+      resolved.unpersist()
       stateRdd.unpersist()
       stateRdd = next
       epoch = batchId
@@ -137,17 +145,73 @@ final class IdentityMergeState(spark: SparkSession) {
 
   /** Release the state's cached blocks (end-of-stream cleanup). */
   def close(): Unit = synchronized { stateRdd.unpersist() }
+
+  /** Snapshot the committed state to `dir/epoch=N` (parquet, committed
+    * by the `_SUCCESS` marker). Pairs with [[IdentityMergeState.restore]]
+    * to make a streaming checkpoint survivable: call after each batch
+    * (or every k batches) from the foreachBatch sink. A full snapshot
+    * per epoch is the simple form; at lake scale the same layout holds
+    * per-epoch DELTAS (only touched records change per batch —
+    * compaction then mirrors [[graft.sources.Lake]]).
+    */
+  def save(dir: String): Unit = synchronized {
+    if (epoch >= 0)
+      records.write.mode("overwrite").parquet(s"$dir/epoch=$epoch")
+  }
+}
+
+object IdentityMergeState {
+
+  /** Rebuild a state handle from the newest committed snapshot under
+    * `dir` (empty/missing dir → a fresh handle at epoch -1). This is
+    * the recovery path [[IdentityMerge.run]]'s resume guard points at:
+    * restore to the checkpoint's epoch, then resume the stream.
+    */
+  def restore(spark: SparkSession, dir: String): IdentityMergeState = {
+    import spark.implicits._
+    val st = new IdentityMergeState(spark)
+    val epochs = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("epoch=") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getName.stripPrefix("epoch=").toLong)
+    if (epochs.nonEmpty) {
+      val latest = epochs.max
+      st.stateRdd = spark.read.parquet(s"$dir/epoch=$latest").as[PersonRecord]
+        .rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      st.stateRdd.count()
+      st.epoch = latest
+    }
+    st
+  }
 }
 
 object IdentityMerge {
 
-  /** Wire a PersonOp stream into a state handle via foreachBatch. */
-  def run(ops: Dataset[PersonOp], st: IdentityMergeState, checkpoint: String): StreamingQuery =
+  /** Wire a PersonOp stream into a state handle via foreachBatch.
+    *
+    * Refuses a RESUMED checkpoint paired with a FRESH state handle:
+    * the checkpoint would skip past already-committed offsets while the
+    * in-memory state restarts empty, silently dropping every person
+    * folded before the restart — strictly worse than reprocessing from
+    * scratch. Recovery needs a state handle rebuilt to the checkpoint's
+    * epoch first (production: reload the lake's epoch-keyed delta, as
+    * the class doc describes; tests/dev: a fresh checkpoint dir).
+    */
+  def run(ops: Dataset[PersonOp], st: IdentityMergeState, checkpoint: String): StreamingQuery = {
+    val resumed = {
+      val offsets = new java.io.File(checkpoint, "offsets")
+      offsets.isDirectory && offsets.list() != null && offsets.list().nonEmpty
+    }
+    require(!(resumed && st.committedEpoch < 0L),
+      s"checkpoint '$checkpoint' has committed offsets but the state handle is fresh " +
+        "(epoch -1): resuming would skip every batch folded before the restart. " +
+        "Restore the state to the checkpoint's epoch, or start from a clean checkpoint.")
     ops.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch((batch: Dataset[PersonOp], id: Long) => st.processBatch(batch, id))
       .start()
+  }
 
   /** Incremental drive of a batch op table in `ord`-ascending chunks —
     * the deterministic harness form of the stream (used by

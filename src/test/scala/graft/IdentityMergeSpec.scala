@@ -192,4 +192,77 @@ class IdentityMergeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(u9.properties("s") == "u1") // merge preferred the primary
     assert(u9.properties("z") == "post") // post-merge write through absorbed id
   }
+
+  test("run() refuses a resumed checkpoint paired with a fresh state handle") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toFile
+    val mem = MemoryStream[PersonOp]
+
+    // fresh checkpoint + fresh state: starts fine
+    val st = new IdentityMergeState(spark)
+    val q = IdentityMerge.run(mem.toDS(), st, ckpt.toString)
+    try {
+      mem.addData(PersonOp("a", 1, Map("k" -> "v"), Map.empty, Nil, None))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(st.committedEpoch == 0L)
+
+    // resumed checkpoint (offsets committed above) + FRESH state: refuse —
+    // resuming would skip batch 0 and silently drop its person state
+    val fresh = new IdentityMergeState(spark)
+    val e = intercept[IllegalArgumentException] {
+      IdentityMerge.run(mem.toDS(), fresh, ckpt.toString)
+    }
+    assert(e.getMessage.contains("committed offsets"))
+
+    // resumed checkpoint + the surviving handle (epoch 0): allowed
+    val q2 = IdentityMerge.run(mem.toDS(), st, ckpt.toString)
+    try {
+      mem.addData(PersonOp("a", 2, Map("k2" -> "v2"), Map.empty, Nil, None))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(st.committedEpoch >= 1L)
+    val rec = st.persons().collect().find(_.canonical_id == "a").get
+    st.close()
+    assert(rec.properties == Map("k" -> "v", "k2" -> "v2"))
+  }
+
+  test("save/restore: a restarted driver resumes the checkpoint losslessly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt2").toFile
+    val snap = java.nio.file.Files.createTempDirectory("graft_snap").toFile
+
+    val mem = MemoryStream[PersonOp]
+    val st = new IdentityMergeState(spark)
+    val q = IdentityMerge.run(mem.toDS(), st, ckpt.toString)
+    try {
+      mem.addData(
+        PersonOp("anon-1", 1, Map("s" -> "a"), Map.empty, Nil, None),
+        PersonOp("u1", 2, Map("e" -> "u@x"), Map.empty, Nil, None))
+      q.processAllAvailable()
+      st.save(snap.toString) // the per-batch snapshot a production sink would take
+    } finally q.stop()
+    st.close() // "driver died": in-memory state gone
+
+    // restart: restore to the snapshot's epoch, then resume the stream —
+    // the guard that rejects a fresh handle admits the restored one
+    val st2 = IdentityMergeState.restore(spark, snap.toString)
+    assert(st2.committedEpoch == 0L)
+    val q2 = IdentityMerge.run(mem.toDS(), st2, ckpt.toString)
+    try {
+      // the alias merges a pre-restart record with a pre-restart record
+      mem.addData(PersonOp("u1", 3, Map("z" -> "1"), Map.empty, Nil, Some("anon-1")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val all = Seq(
+      PersonOp("anon-1", 1, Map("s" -> "a"), Map.empty, Nil, None),
+      PersonOp("u1", 2, Map("e" -> "u@x"), Map.empty, Nil, None),
+      PersonOp("u1", 3, Map("z" -> "1"), Map.empty, Nil, Some("anon-1")))
+    val streamed = st2.persons().collect().toSeq
+    st2.close()
+    assert(asComparable(streamed) == asComparable(batchPersons(all)))
+  }
 }
