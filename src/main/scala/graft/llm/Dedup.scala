@@ -54,7 +54,7 @@ object Dedup {
     * higher-order-function lambdas, and CollapseProject keeps the
     * boundary because `toks` is non-cheap and multiply-referenced).
     */
-  private[llm] def shingleDocs(s: SparkSession, d: String): DataFrame =
+  private[graft] def shingleDocs(s: SparkSession, d: String): DataFrame =
     Tables.par(Tables.documents(s, d))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), shingles3(col("toks")).as("sh"))
@@ -378,6 +378,48 @@ object Dedup {
        |  d.doc_id = coalesce(c.cluster_id, d.doc_id) AS is_keeper
        |FROM documents d LEFT JOIN canon c USING (doc_id)""".stripMargin
 
+  /** Q-DEDUP-10: SemDeDup — semantic dedup scoped to coarse-quantizer
+    * cells (Abbas et al. 2023: cluster the embedding space, then
+    * deduplicate WITHIN each cluster only). Candidates come from a
+    * self-join on the IVF cell id ([[Similarity.ivfAssign]], the same
+    * deterministic quantizer the ANN queries share), so candidate
+    * count is Σ|cell|² ≈ N²/c — never the all-pairs product — and the
+    * exact cosine verifies every pair (no false positives; cross-cell
+    * near-dups are the recall trade, tunable via cluster count /
+    * multi-assign). Keep rule: a vector is dropped when a same-cell
+    * neighbor with cosine ≥ 0.4 and a smaller vec_id exists (the
+    * paper keeps a per-group representative; min-id is the
+    * deterministic, oracle-checkable election of it).
+    */
+  def semantic(s: SparkSession, d: String): DataFrame = {
+    // persist: the cell self-join reads both sides; without the cache
+    // the assignment (8-centroid scoring + rank-1 window) runs twice
+    val e = Tables.par(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+      .join(Similarity.ivfAssign(s, d).select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val drops = e.as("a").join(e.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") && col("a.vec_id") < col("b.vec_id"))
+      .filter(dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")) >= 0.4)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    e.select(col("vec_id"), col("centroid_id"))
+      .join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"),
+        coalesce(col("dropped"), lit(false)).as("dropped"))
+  }
+
+  val semanticSql: String =
+    s"""WITH assign AS (${Similarity.ivfAssignSql}),
+       |e AS (
+       |  SELECT em.vec_id, em.embedding, ${l2normSql("em.embedding")} AS nrm, a.centroid_id
+       |  FROM embeddings em JOIN assign a ON em.vec_id = a.vec_id),
+       |drops AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM e a JOIN e b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+       |  WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4)
+       |SELECT e.vec_id, e.centroid_id, dr.vec_id IS NOT NULL AS dropped
+       |FROM e LEFT JOIN drops dr ON e.vec_id = dr.vec_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_dedup_exact", exact, Some(exactSql)),
     Q("q_dedup_ngram", ngramJaccard, Some(ngramJaccardSql)),
@@ -387,5 +429,6 @@ object Dedup {
     Q("q_dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     Q("q_dedup_cosine", cosinePairs, Some(cosinePairsSql)),
     Q("q_dedup_cosine_blocked", cosineBlocked, Some(cosineBlockedSql)),
+    Q("q_dedup_semantic", semantic, Some(semanticSql)),
     Q("q_dedup_clusters", clusters, Some(clustersSql)))
 }

@@ -96,6 +96,37 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "cell probe lost its hash join:\n" + p.take(1500))
   }
 
+  test("beyond broadcast sizes, fact-table joins pick up a runtime bloom filter") {
+    // Past the broadcast threshold, a selectively-filtered dimension
+    // falls back to a shuffle join — the regime where Spark's
+    // InjectRuntimeFilter should plant a bloom `might_contain` on the
+    // fact side's join key, pruning the 100 TB shuffle by the
+    // dimension's surviving key population. Gated on the TPC-H Q3
+    // shape (filtered customer → orders → lineitem): the rule tracks
+    // key lineage through Project/Filter/Join, so the star-schema
+    // join is exactly where it applies (explode/aggregate-derived
+    // keys, e.g. the decontam shingle index, are out of its reach —
+    // that operator broadcasts instead, asserted above). Thresholds
+    // are floored because the gate runs on KB-scale test parquet.
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val p = plan(SparkEntry.queries("q_tpch_q3")(spark, sf))
+      assert(p.contains("might_contain"),
+        "no runtime bloom filter injected on the shuffled fact join:\n" + p.take(2000))
+    } finally restore.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("lake scans prune partitions on event_date") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("planlake").toString
