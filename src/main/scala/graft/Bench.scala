@@ -48,7 +48,10 @@ object Bench {
     require(cold.isEmpty, s"scratch inputs not materialized: ${cold.mkString(",")}")
     Tables.releaseCaches(spark)
 
+    // dev loop only (driver sets no filter): time a subset by substring
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.contains)))
     val byPass: Seq[Seq[(String, Double)]] = (1 to passes).map { _ =>
       names.map { name =>
         val t0 = System.nanoTime()

@@ -3,6 +3,7 @@ package graft.llm
 import graft.Tables
 import graft.queries.Q
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 import Portable._
@@ -368,8 +369,75 @@ object TextOps {
        |    '$longNumRe', '<NUM>', 'g')) AS redacted_md5
        |FROM r""".stripMargin
 
+  /** Q-TEXT-8: sequence packing — place every document in the GLOBAL
+    * concatenated token stream and slice that stream into fixed
+    * context-length chunks (the standard pretraining layout: docs
+    * concatenated in corpus order, cut every `PackLen` tokens). Each
+    * doc gets its absolute token interval `[tok_start, tok_end)` and
+    * the first/last chunk indices it lands in.
+    *
+    * The core is a PREFIX SUM over a total order — the textbook
+    * "inherently sequential" trap. A naive `sum() OVER (ORDER BY
+    * doc_id)` with no partition key collapses Spark to ONE partition
+    * for the whole corpus; at 100 TB that is the job. The distributed
+    * form here is the classic two-pass scan:
+    *
+    *   1. range-bucket the order key (arithmetic on doc_id against its
+    *      broadcast max — no driver collect, no sampling pass);
+    *   2. per-bucket token totals (one map-side-combined aggregation),
+    *      cumsum'd by a window over the ≤64-row bucket table — the
+    *      only "global" window runs on data proportional to the bucket
+    *      COUNT, not the corpus;
+    *   3. broadcast the bucket offsets back and finish with a window
+    *      partitioned BY bucket — every partition scans in parallel.
+    *
+    * The oracle states the same thing as the naive one-partition
+    * window, so the parallel decomposition is hash-checked against the
+    * sequential definition.
+    */
+  val PackLen = 2048
+  val PackBuckets = 64
+
+  def pack(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.par(Tables.documents(s, d))
+      .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val bucketed = docs.crossJoin(broadcast(mx))
+      .withColumn("bucket", expr(s"doc_id DIV (mx DIV $PackBuckets + 1)"))
+      .drop("mx")
+    val bucketOffsets = bucketed
+      .groupBy(col("bucket")).agg(sum(col("n_tokens")).as("btoks"))
+      .withColumn("prior",
+        coalesce(sum(col("btoks")).over(
+          Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("bucket"), col("prior"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(broadcast(bucketOffsets), Seq("bucket"))
+      .withColumn("tok_end", col("prior") + sum(col("n_tokens")).over(w))
+      .withColumn("tok_start", col("tok_end") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("tok_start"), col("tok_end"),
+        when(col("n_tokens") > 0, expr(s"tok_start DIV $PackLen")).as("chunk_first"),
+        when(col("n_tokens") > 0, expr(s"(tok_end - 1) DIV $PackLen")).as("chunk_last"))
+  }
+
+  val packSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, len(${tokensSql("text")})::BIGINT AS n_tokens FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS tok_end
+       |  FROM t)
+       |SELECT doc_id, n_tokens, tok_end - n_tokens AS tok_start, tok_end,
+       |  CASE WHEN n_tokens > 0 THEN (tok_end - n_tokens) // $PackLen END AS chunk_first,
+       |  CASE WHEN n_tokens > 0 THEN (tok_end - 1) // $PackLen END AS chunk_last
+       |FROM c""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_text_stats", textStats, Some(textStatsSql)),
+    Q("q_text_pack", pack, Some(packSql)),
     Q("q_text_langid", langId, Some(langIdSql)),
     Q("q_text_fingerprint", fingerprint, Some(fingerprintSql)),
     Q("q_text_winnow", winnow, Some(winnowSql)),
