@@ -1,0 +1,365 @@
+package graft.llm
+
+import graft.Tables
+import graft.queries.Q
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.storage.StorageLevel
+import Portable._
+
+/** Data-selection operators — the model-driven half of a training-data
+  * pipeline (the heuristic half lives in [[TextOps]], the dedup half in
+  * [[Dedup]]): corpus-statistics quality scoring, a hashed-feature
+  * linear domain classifier, leakage-safe train/val splitting, per-domain
+  * caps, and inverted-index retrieval.
+  *
+  * Everything is hash-oracle-checked against DuckDB. Scores stick to
+  * IEEE-exact operations (+ − × ÷ over integers and doubles in a fixed
+  * association order) — `ln`/`exp` are NOT correctly-rounded and differ
+  * between engines' libm in ~0.03% of arguments (measured), so the
+  * standard log-domain formulations (perplexity, log-odds, BM25's log
+  * idf) are re-expressed in the linear/rational domain. Ordering
+  * behavior is preserved where it matters (idf and tf-saturation stay
+  * monotone in the same direction); the divergence is documented at
+  * each operator.
+  */
+object Select {
+
+  // ------------------------------------------------------------ Q-SEL-1
+
+  /** Q-SEL-1: unigram corpus-statistics quality score — the cheap
+    * "perplexity proxy" gate (CCNet-style: score each document under a
+    * language model built from the corpus itself; here the model is the
+    * corpus unigram distribution, the strongest model expressible in
+    * exact arithmetic).
+    *
+    * Per document: `mean_tok_prob` = mean over tokens of the token's
+    * corpus probability (high = made of common words ⇒ fluent under the
+    * model) and `rare_ratio` = fraction of tokens with corpus frequency
+    * below 1% (high = off-distribution junk). The fluency gate combines
+    * both. Log-perplexity would be `-mean(log p)`; the linear-domain
+    * `mean(p)` keeps the same "junk scores low" direction with
+    * bit-exact cross-engine arithmetic (see object doc).
+    *
+    * Shape at 100 TB: two shuffles of compact (int64, int64) pairs —
+    * (1) the vocabulary aggregation (map-side combined; output is
+    * vocabulary-sized, millions of rows, not corpus-sized), (2) the
+    * token→count equi-join + per-doc re-aggregation. Document payloads
+    * never shuffle; integer sums keep every aggregate exact.
+    */
+  def lmScore(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.par(Tables.documents(s, d))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), h60(col("tok")).as("th"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = toks.groupBy(col("th")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).cast(LongType).as("t_total"))
+    toks.join(vocab, Seq("th"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("cnt")).as("sum_cnt"),
+        sum(when(col("cnt") * 100L < col("t_total"), 1L).otherwise(0L)).as("n_rare"),
+        first(col("t_total")).as("t_total"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("sum_cnt"), col("n_rare"),
+        (col("sum_cnt").cast(DoubleType) /
+          (col("n_tokens").cast(DoubleType) * col("t_total").cast(DoubleType)))
+          .as("mean_tok_prob"),
+        (col("n_rare").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .as("rare_ratio"))
+      .withColumn("is_fluent",
+        col("mean_tok_prob") > 0.03 && col("rare_ratio") < 0.05)
+  }
+
+  val lmScoreSql: String = {
+    val toks = tokensSql("text")
+    s"""WITH tk AS (
+       |  SELECT doc_id, ${h60Sql("tok")} AS th
+       |  FROM (SELECT doc_id, unnest($toks) AS tok FROM documents)),
+       |vocab AS (SELECT th, count(*)::BIGINT AS cnt FROM tk GROUP BY th),
+       |tot AS (SELECT sum(cnt)::BIGINT AS t_total FROM vocab),
+       |agg AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(cnt)::BIGINT AS sum_cnt,
+       |    sum(CASE WHEN cnt * 100 < t_total THEN 1 ELSE 0 END)::BIGINT AS n_rare,
+       |    any_value(t_total) AS t_total
+       |  FROM tk JOIN vocab USING (th) CROSS JOIN tot
+       |  GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, sum_cnt, n_rare,
+       |  sum_cnt::DOUBLE / (n_tokens::DOUBLE * t_total::DOUBLE) AS mean_tok_prob,
+       |  n_rare::DOUBLE / n_tokens::DOUBLE AS rare_ratio,
+       |  (sum_cnt::DOUBLE / (n_tokens::DOUBLE * t_total::DOUBLE) > 0.03
+       |    AND n_rare::DOUBLE / n_tokens::DOUBLE < 0.05) AS is_fluent
+       |FROM agg""".stripMargin
+  }
+
+  // ------------------------------------------------------------ Q-SEL-2
+
+  /** Q-SEL-2: hashed-feature linear domain classifier — the
+    * fastText-style quality/domain filter (and the importance-weight
+    * numerator of DSIR-style selection): score each document by how
+    * much its tokens look drawn from a TARGET distribution (here
+    * `lang = 'en'`, standing in for "curated reference corpus") versus
+    * the raw rest.
+    *
+    * The per-feature weight is the exact integer cross-difference
+    *   `w(t) = tcnt(t)·r_total − rcnt(t)·t_total`
+    * (positive iff the token is relatively more frequent in the
+    * target), i.e. the sign of the log-odds ratio without the log —
+    * the per-doc score `Σ w(token) / (n·t_total·r_total)` is the mean
+    * frequency-difference `mean(p_target(t) − p_raw(t))`, computed with
+    * integer sums so both engines agree to the bit. (True DSIR sums
+    * log-ratios; same sign per feature, different magnitude weighting —
+    * see object doc for why log stays out of the oracle-checked path.)
+    *
+    * Shape at 100 TB: identical twin of [[lmScore]] — one
+    * vocabulary-sized conditional aggregation, one compact equi-join +
+    * per-doc re-aggregation; int64 products stay < 2⁶³ while
+    * `token_count × corpus_total` < 2⁶³ (at larger totals the weight
+    * column widens to DECIMAL(38,0) — same plan).
+    */
+  def classifier(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.par(Tables.documents(s, d))
+      .select(col("doc_id"), (col("lang") === "en").as("is_t"),
+        explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("is_t"), h60(col("tok")).as("th"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = toks.groupBy(col("th")).agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("tcnt"),
+      sum(when(col("is_t"), 0L).otherwise(1L)).as("rcnt"))
+    val totals = stats.agg(
+      sum(col("tcnt")).cast(LongType).as("t_total"),
+      sum(col("rcnt")).cast(LongType).as("r_total"))
+    toks.join(stats, Seq("th"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("tcnt") * col("r_total") - col("rcnt") * col("t_total")).as("score_num"),
+        first(col("is_t")).as("is_target"),
+        first(col("t_total")).as("t_total"),
+        first(col("r_total")).as("r_total"))
+      .select(
+        col("doc_id"), col("is_target"), col("n_tokens"), col("score_num"),
+        (col("score_num").cast(DoubleType) /
+          (col("n_tokens").cast(DoubleType) * col("t_total").cast(DoubleType) *
+            col("r_total").cast(DoubleType))).as("score"),
+        (col("score_num") > 0L).as("pred_target"))
+  }
+
+  val classifierSql: String = {
+    val toks = tokensSql("text")
+    s"""WITH tk AS (
+       |  SELECT doc_id, is_t, ${h60Sql("tok")} AS th
+       |  FROM (SELECT doc_id, lang = 'en' AS is_t, unnest($toks) AS tok FROM documents)),
+       |st AS (
+       |  SELECT th,
+       |    sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS tcnt,
+       |    sum(CASE WHEN is_t THEN 0 ELSE 1 END)::BIGINT AS rcnt
+       |  FROM tk GROUP BY th),
+       |tot AS (SELECT sum(tcnt)::BIGINT AS t_total, sum(rcnt)::BIGINT AS r_total FROM st),
+       |agg AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       |    sum(tcnt * r_total - rcnt * t_total)::BIGINT AS score_num,
+       |    any_value(is_t) AS is_target,
+       |    any_value(t_total) AS t_total, any_value(r_total) AS r_total
+       |  FROM tk JOIN st USING (th) CROSS JOIN tot
+       |  GROUP BY doc_id)
+       |SELECT doc_id, is_target, n_tokens, score_num,
+       |  score_num::DOUBLE / (n_tokens::DOUBLE * t_total::DOUBLE * r_total::DOUBLE) AS score,
+       |  score_num > 0 AS pred_target
+       |FROM agg""".stripMargin
+  }
+
+  // ------------------------------------------------------------ Q-SEL-3
+
+  /** Q-SEL-3: leakage-safe train/validation split. Hashing raw doc ids
+    * into splits leaks: two near-duplicates can straddle train and val,
+    * inflating held-out scores. The split key here is the NEAR-DUP
+    * CLUSTER id ([[Dedup.clusters]]: MinHash-LSH pairs → connected
+    * components), so a document and all its near-duplicates land in the
+    * same side by construction. Content-hash bucketing (not RNG) keeps
+    * the split reproducible across runs and partitionings.
+    *
+    * Shape at 100 TB: the cluster map is the already-audited dedup
+    * pipeline; the split itself is one codegen'd map pass over
+    * (doc_id, cluster_id) — no new shuffle.
+    */
+  def split(s: SparkSession, d: String): DataFrame =
+    Dedup.clusters(s, d)
+      .withColumn("bucket", h60(col("cluster_id").cast("string")) % 100L)
+      .select(
+        col("doc_id"), col("cluster_id"), col("is_keeper"), col("bucket"),
+        when(col("bucket") < 90L, "train").otherwise("val").as("split"))
+      .withColumn("in_train_corpus", col("is_keeper") && col("split") === "train")
+
+  val splitSql: String =
+    s"""WITH cl AS (${Dedup.clustersSql})
+       |SELECT doc_id, cluster_id, is_keeper,
+       |  ${h60Sql("cluster_id::VARCHAR")} % 100 AS bucket,
+       |  CASE WHEN ${h60Sql("cluster_id::VARCHAR")} % 100 < 90 THEN 'train' ELSE 'val' END AS split,
+       |  (is_keeper AND ${h60Sql("cluster_id::VARCHAR")} % 100 < 90) AS in_train_corpus
+       |FROM cl""".stripMargin
+
+  // ------------------------------------------------------------ Q-SEL-4
+
+  /** Per-domain document cap (RefinedWeb-style source balancing). */
+  val DomainCap = 20
+
+  /** Q-SEL-4: per-domain caps — bound any one source's share of the
+    * corpus (over-represented domains crowd out diversity; the standard
+    * fix caps documents per domain). Rank within each `source` by
+    * content hash (deterministic, order-independent — no RNG state, no
+    * ingestion-order bias) and keep the first [[DomainCap]].
+    *
+    * Shape at 100 TB: one shuffle partitioned by `source` for the
+    * rank/count windows over compact (source, hash, doc_id) triples —
+    * payloads stay behind the projection. Domain skew (one giant
+    * source) is the known hazard: the rank only needs the TOP
+    * [[DomainCap]] per key, so a skewed deployment swaps in a per-key
+    * top-k (salted partial heaps, same result) without changing the
+    * contract.
+    */
+  def domainCap(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("thash"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), h60(col("text")).as("thash"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .withColumn("n_docs_source",
+        count(lit(1)).over(Window.partitionBy(col("source"))).cast(LongType))
+      .select(col("doc_id"), col("source"), col("rk"), col("n_docs_source"),
+        (col("rk") <= DomainCap).as("kept_cap"))
+  }
+
+  val domainCapSql: String =
+    s"""SELECT doc_id, source,
+       |  row_number() OVER (PARTITION BY source ORDER BY ${h60Sql("text")}, doc_id)::BIGINT AS rk,
+       |  count(*) OVER (PARTITION BY source)::BIGINT AS n_docs_source,
+       |  row_number() OVER (PARTITION BY source ORDER BY ${h60Sql("text")}, doc_id) <= $DomainCap AS kept_cap
+       |FROM documents""".stripMargin
+
+  // ------------------------------------------------------------ Q-SEL-5
+
+  /** Retrieval benchmark queries: (query_id, terms). Fixed literals so
+    * the oracle re-derives them; ≤ 4 terms keeps the per-query score a
+    * fixed-order sum of exact doubles.
+    */
+  val SearchQueries: Seq[(String, Seq[String])] = Seq(
+    ("spark_join", Seq("spark", "join")),
+    ("hash_table_scan", Seq("hash", "table", "scan")),
+    ("stream_window", Seq("stream", "window")))
+
+  val SearchTopK = 10
+
+  /** Q-SEL-5: inverted-index keyword retrieval with BM25-shaped
+    * scoring — the lexical side of training-data curation (targeted
+    * selection, eval-set mining, "find documents about X" audits).
+    *
+    * Score per (doc, term) = idf_r × tf_sat with the standard BM25 tf
+    * saturation `tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))`, k1=1.2, b=0.75,
+    * and the RATIONAL idf `(N−df+0.5)/(df+0.5)` — BM25's idf without
+    * the final log, keeping the same monotone ordering per term while
+    * staying bit-exact across engines (see object doc). Per-query doc
+    * score sums the term scores in declared term order (fixed-order
+    * double adds); top-[[SearchTopK]] by (score desc, doc_id).
+    *
+    * Shape at 100 TB: the posting extraction filters to the query's
+    * terms BEFORE any shuffle (a map-side `isin` over exploded tokens —
+    * with a real inverted index this is the index scan), so everything
+    * downstream is proportional to the matching postings, not the
+    * corpus; doc lengths join the postings by doc_id; the final top-k
+    * is `TakeOrderedAndProject` (per-partition heaps, no global sort).
+    */
+  def search(s: SparkSession, d: String): DataFrame = {
+    val allTerms = SearchQueries.flatMap(_._2).distinct
+    val base = Tables.par(Tables.documents(s, d))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast(LongType).as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).cast(LongType).as("t_total"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(allTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df_), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        ((((col("n_docs") - col("df")).cast(DoubleType) + lit(0.5)) /
+          (col("df").cast(DoubleType) + lit(0.5))) *
+          ((col("tf").cast(DoubleType) * lit(2.2)) /
+            (col("tf").cast(DoubleType) + lit(1.2) * (lit(0.25) + lit(0.75) *
+              (col("dl").cast(DoubleType) /
+                (col("t_total").cast(DoubleType) / col("n_docs").cast(DoubleType)))))))
+          .as("sc"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    SearchQueries.map { case (qid, terms) => searchOne(scored, qid, terms) }
+      .reduce(_ unionAll _)
+  }
+
+  private def searchOne(scored: DataFrame, qid: String, terms: Seq[String]): DataFrame = {
+    val aggs = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, col("sc"))).as(s"s$i")
+    }
+    val score = terms.indices.map(i => coalesce(col(s"s$i"), lit(0.0))).reduce(_ + _)
+    scored.filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(SearchTopK)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast(LongType))
+      .select(lit(qid).as("query_id"), col("rk"), col("doc_id"), col("score"))
+  }
+
+  val searchSql: String = {
+    val toks = tokensSql("text")
+    val allTerms = SearchQueries.flatMap(_._2).distinct.map("'" + _ + "'").mkString(", ")
+    // per-query: pivot the matched terms to fixed columns so the score
+    // is a FIXED-ORDER sum of doubles (groupBy-sum order would not be)
+    def oneFull(qid: String, terms: Seq[String]): String = {
+      val inList = terms.map("'" + _ + "'").mkString(", ")
+      val sCols = terms.zipWithIndex.map { case (t, i) =>
+        s"max(CASE WHEN term = '$t' THEN sc END) AS s$i"
+      }.mkString(", ")
+      val scoreSum = terms.indices.map(i => s"coalesce(s$i, 0.0)").mkString(" + ")
+      s"""SELECT '$qid' AS query_id, rk, doc_id, score FROM (
+         |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rk
+         |  FROM (
+         |    SELECT doc_id, $scoreSum AS score FROM (
+         |      SELECT doc_id, $sCols FROM scored WHERE term IN ($inList) GROUP BY doc_id) p)
+         |  ) z WHERE rk <= $SearchTopK""".stripMargin
+    }
+    s"""WITH base AS (
+       |  SELECT doc_id, $toks AS toks FROM documents),
+       |bl AS (SELECT doc_id, toks, len(toks)::BIGINT AS dl FROM base),
+       |st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS t_total FROM bl),
+       |tf AS (
+       |  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM bl)
+       |  WHERE term IN ($allTerms)
+       |  GROUP BY doc_id, dl, term),
+       |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT doc_id, term,
+       |    (((n_docs - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5)) *
+       |    ((tf::DOUBLE * 2.2) / (tf::DOUBLE + 1.2 * (0.25 + 0.75 *
+       |      (dl::DOUBLE / (t_total::DOUBLE / n_docs::DOUBLE))))) AS sc
+       |  FROM tf JOIN dft USING (term) CROSS JOIN st)
+       |${SearchQueries.map { case (q, t) => oneFull(q, t) }.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q_corpus_lm_score", lmScore, Some(lmScoreSql)),
+    Q("q_corpus_classifier", classifier, Some(classifierSql)),
+    Q("q_corpus_split", split, Some(splitSql)),
+    Q("q_corpus_domain_cap", domainCap, Some(domainCapSql)),
+    Q("q_text_search", search, Some(searchSql)))
+}

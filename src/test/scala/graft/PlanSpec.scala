@@ -96,6 +96,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "cell probe lost its hash join:\n" + p.take(1500))
   }
 
+  test("selection scores shuffle compact keys only: map-side partials, no cartesian") {
+    for (q <- Seq("q_corpus_lm_score", "q_corpus_classifier")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$q grew an all-pairs product")
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"$q lost map-side combine:\n${p.take(1500)}")
+      assert(!p.toLowerCase.contains("scalaudf"), s"$q grew a UDF")
+    }
+  }
+
+  test("search top-k plans as TakeOrderedAndProject over the filtered postings") {
+    val p = plan(SparkEntry.queries("q_text_search")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("beyond broadcast sizes, fact-table joins pick up a runtime bloom filter") {
     // Past the broadcast threshold, a selectively-filtered dimension
     // falls back to a shuffle join — the regime where Spark's
