@@ -78,6 +78,12 @@ object IdentityResolver {
     }.toSeq
   }
 
+  /** Default canonical election: the id is its own label (min id wins).
+    * Kept as a stable reference so the local fast path can recognize it
+    * and skip the label-evaluation Spark job entirely.
+    */
+  val IdentityLabel: org.apache.spark.sql.Column => org.apache.spark.sql.Column = identity
+
   /** edges: DataFrame with string columns (`src`, `dst`).
     * labelRank: maps an id to a sortable label prefix rank (lower wins
     * canonical election). Returns (`id`, `canonical`).
@@ -85,7 +91,7 @@ object IdentityResolver {
   def components(
       spark: SparkSession,
       edges: DataFrame,
-      labelOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column = identity,
+      labelOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column = IdentityLabel,
       localHeapBudget: Long = LocalHeapBudget)
     : DataFrame = {
 
@@ -108,10 +114,16 @@ object IdentityResolver {
       val pairs = undirected.collect().map(r => (r.getString(0), r.getString(1))).toSeq
       undirected.unpersist()
       if (pairs.isEmpty) return Seq.empty[(String, String)].toDF("id", "canonical")
-      val ids = pairs.flatMap(p => Seq(p._1, p._2)).distinct
-      val lbl = ids.toDF("id")
-        .select(col("id"), labelOf(col("id")).cast("string").as("lbl"))
-        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      // identity labels need no evaluation pass — skip the Spark job
+      // (matters for per-micro-batch CC where driver latency dominates)
+      val lbl: String => String =
+        if (labelOf eq IdentityLabel) identity
+        else {
+          val ids = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+          ids.toDF("id")
+            .select(col("id"), labelOf(col("id")).cast("string").as("lbl"))
+            .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        }
       return localComponents(pairs, lbl).toDF("id", "canonical")
     }
 

@@ -230,7 +230,7 @@ object Replay {
     * the redirect map broadcasts.
     */
   def persons(spark: SparkSession, ops: Dataset[PersonOp],
-      labelOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column = identity)
+      labelOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column = IdentityResolver.IdentityLabel)
     : Dataset[PersonRecord] = {
     import spark.implicits._
 

@@ -216,7 +216,7 @@ object StateQueries {
     *     `$set{last_event}` + `$set_once{first_et}`.
     * `eid` rides as an unknown key → `extra` (the replay's total order).
     */
-  private def wireBodies(s: SparkSession, d: String): DataFrame = {
+  private[graft] def wireBodies(s: SparkSession, d: String): DataFrame = {
     val e = graft.Tables.par(Tables.events(s, d))
     val firstSignup = e.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("event_id")).as("first_signup"))

@@ -60,6 +60,20 @@ object Streaming {
         unix_micros(col("session_window.end")).as("session_end_us"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup with watermark-bounded state: at-least-once
+    * transports redeliver, and the reference's sink dedupes on event
+    * `uuid` at the lake (K1's idempotence, `README.md` pipeline sink);
+    * this is the in-flight twin — `dropDuplicatesWithinWatermark`
+    * keeps one row per key and EVICTS key state once the watermark
+    * passes, so state is bounded by the redelivery horizon rather than
+    * growing with the stream (the difference between a dedup that
+    * survives 100 TB/day and one that OOMs the state store). Batch
+    * equivalent: `dropDuplicates(key)` — StreamingSpec pins parity.
+    */
+  def dedupStream(events: DataFrame, key: String = "uuid",
+      tsCol: String = "ts", horizon: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, horizon).dropDuplicatesWithinWatermark(key)
+
   // ------------------------------------------------------- keyed state
 
   /** Incremental person-state fold: `flatMapGroupsWithState` keyed by

@@ -112,6 +112,23 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.length == 5) // 2 singles + 2 batch items + 1 data-envelope
   }
 
+  test("streaming dedup drops cross-batch redeliveries: stream == batch distinct") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streaming.dedupStream(mem.toDF(), key = "event_id")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    val streamed = try {
+      mem.addData(batch1 :+ batch1.head: _*); q.processAllAvailable() // in-batch dup
+      mem.addData(batch2 :+ batch1(1): _*); q.processAllAvailable()   // cross-batch dup
+      spark.table("dedup_out").collect()
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS dedup_out") }
+    val batch = (batch1 ++ batch2).toDF().dropDuplicates("event_id").collect()
+    assert(canon(streamed) == canon(batch))
+    assert(streamed.length == 6) // both redeliveries collapsed
+  }
+
   test("transformWithState person fold agrees with fMGWS across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
