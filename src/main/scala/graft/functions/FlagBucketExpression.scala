@@ -57,7 +57,7 @@ case class FlagBucket(left: Expression, right: Expression)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.flagBucketDescriptor)
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
@@ -66,11 +66,13 @@ object GraftExtensions {
     new ExpressionInfo(classOf[FlagBucket].getName, "flag_bucket"),
     (children: Seq[Expression]) => FlagBucket(children(0), children(1)))
 
+  private[functions] val descriptors = Seq(flagBucketDescriptor, VecDot.descriptor)
+
   /** Install into an existing session's function registry. */
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = flagBucketDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 
   /** Column API for the native expression (resolves through the
     * session registry, so [[register]]/extensions must have run).

@@ -57,11 +57,17 @@ object Portable {
 
   /** Exact left-fold dot product of two float-array columns, in double.
     * Same accumulation order as the oracle ⇒ bit-identical result.
+    *
+    * Runs as the native [[graft.functions.VecDot]] expression (HOF
+    * `aggregate`/`zip_with` are CodegenFallback — interpreted lambda +
+    * boxing per element; the native form is a primitive loop inside
+    * whole-stage codegen). Registered lazily into the active session.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = {
+    graft.functions.GraftExtensions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("vec_dot", a, b)
+  }
 
   /** DuckDB rendering of [[dot]] (64-dim embeddings). */
   def dotSql(a: String, b: String): String =

@@ -64,4 +64,45 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val exec = df.queryExecution.executedPlan.toString
     assert(exec.contains("*(1) Project [flag_bucket"), exec)
   }
+
+  test("vec_dot: bit-equal to the HOF formulation, incl. null/mismatch poisoning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs: Seq[(Seq[Option[Float]], Seq[Option[Float]])] =
+      (1 to 50).map { i =>
+        val n = 1 + rnd.nextInt(8)
+        def v = Seq.fill(n)(Option(rnd.nextFloat() * 2 - 1))
+        (v, v)
+      } ++ Seq(
+        (Seq(Some(1f), None), Seq(Some(2f), Some(3f))),    // null element
+        (Seq(Some(1f), Some(2f)), Seq(Some(3f))),          // length mismatch
+        (Seq.empty, Seq.empty))                            // empty → 0.0
+    val df = vecs.toDF("a", "b")
+      .select(
+        call_function("vec_dot", col("a"), col("b")).as("native"),
+        aggregate(zip_with(col("a"), col("b"),
+            (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v).as("hof"))
+    df.collect().foreach { r =>
+      val (n, h) = (Option(r.get(0)), Option(r.get(1)))
+      assert(n.map(_.asInstanceOf[Double].##) == h.map(_.asInstanceOf[Double].##) &&
+        n.toString == h.toString, s"native=$n hof=$h")
+      (n, h) match {
+        case (Some(a: Double), Some(b: Double)) =>
+          assert(java.lang.Double.doubleToRawLongBits(a) ==
+            java.lang.Double.doubleToRawLongBits(b))
+        case (None, None) =>
+        case other => fail(s"null disagreement: $other")
+      }
+    }
+    // codegen fused: the native call sits inside a WholeStageCodegen
+    // stage (non-literal input — literals constant-fold away, which the
+    // folded `11.0` in the previous assertion run demonstrated)
+    val exec = spark.range(2)
+      .select(array(col("id").cast("float"), lit(2f)).as("a"),
+        array(lit(3f), col("id").cast("float")).as("b"))
+      .select(call_function("vec_dot", col("a"), col("b")).as("d"))
+      .queryExecution.executedPlan.toString
+    assert(exec.contains("*(1) Project [vec_dot"), exec)
+  }
 }
