@@ -66,7 +66,8 @@ object GraftExtensions {
     new ExpressionInfo(classOf[FlagBucket].getName, "flag_bucket"),
     (children: Seq[Expression]) => FlagBucket(children(0), children(1)))
 
-  private[functions] val descriptors = Seq(flagBucketDescriptor, VecDot.descriptor)
+  private[functions] val descriptors =
+    Seq(flagBucketDescriptor, VecDot.descriptor, VecDist2.descriptor)
 
   /** Install into an existing session's function registry. */
   def register(spark: SparkSession): Unit =

@@ -82,3 +82,70 @@ object VecDot {
     new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
     (children: Seq[Expression]) => VecDot(children(0), children(1)))
 }
+
+/** `vec_dist2(a, b)` — squared euclidean distance, the assignment
+  * kernel of the IVF/k-means family. Same contract as [[VecDot]]:
+  * left-to-right `(aᵢ−bᵢ)²` accumulation from 0.0, exact double
+  * widening, null/length-mismatch poisoning — bit-equal to the
+  * `aggregate(zip_with(a, b, (x,y) => (x−y)·(x−y)), 0.0, +)` HOF form
+  * it replaces, minus the interpreted-lambda dispatch.
+  */
+case class VecDist2(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val dv = x.getDouble(i) - y.getDouble(i)
+      acc += dv * dv
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val dv = ctx.freshName("dv")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final double $dv = $a.getDouble($i) - $b.getDouble($i);
+         |    $acc += $dv * $dv;
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDist2 =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vec_dist2"
+}
+
+object VecDist2 {
+  private[functions] val descriptor = (
+    FunctionIdentifier("vec_dist2"),
+    new ExpressionInfo(classOf[VecDist2].getName, "vec_dist2"),
+    (children: Seq[Expression]) => VecDist2(children(0), children(1)))
+}

@@ -61,10 +61,40 @@ object Codecs {
   def gzipDecompress(data: Array[Byte]): Array[Byte] =
     readAll(new GZIPInputStream(new ByteArrayInputStream(data)))
 
+  // Per-thread reusable Inflater for the zlib path: at millions of
+  // small payloads per executor, a fresh Inflater per row costs a
+  // native zalloc/zfree pair and ~32 KB of window setup each time —
+  // reset() reuses the native state. Bounded by executor thread count
+  // (task threads are pooled and long-lived), so these are never
+  // end()ed; that is the deliberate trade documented here. The gzip
+  // path keeps GZIPInputStream (header/trailer + CRC semantics).
+  private val tlInflater = new ThreadLocal[Inflater] {
+    override def initialValue(): Inflater = new Inflater()
+  }
+  private val tlBuf = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](8192)
+  }
+
   def zlibDecompress(data: Array[Byte]): Array[Byte] = {
-    val inflater = new Inflater()
-    try readAll(new InflaterInputStream(new ByteArrayInputStream(data), inflater))
-    finally inflater.end()
+    val inf = tlInflater.get()
+    inf.reset()
+    inf.setInput(data)
+    val buf = tlBuf.get()
+    val bos = new ByteArrayOutputStream(math.max(64, data.length * 4))
+    try {
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n > 0) bos.write(buf, 0, n)
+        // input exhausted before the stream's end marker = truncated —
+        // same failure the stream-based path raised as EOFException
+        else if (inf.needsInput() || inf.needsDictionary())
+          throw new java.util.zip.ZipException("truncated zlib stream")
+      }
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new java.util.zip.ZipException(e.getMessage)
+    }
+    bos.toByteArray
   }
 
   /** Decode with explicit method, else sniff (extractors.rs:593-631). */

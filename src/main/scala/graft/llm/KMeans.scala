@@ -1,0 +1,153 @@
+package graft.llm
+
+import graft.Tables
+import graft.queries.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.storage.StorageLevel
+import Portable._
+
+/** Deterministic distributed k-means (Lloyd's iterations) — the
+  * TRAINING step of the IVF coarse quantizer. The rest of the ANN
+  * family ([[Similarity]] `q_sim_ivf*`, [[Dedup]] SemDeDup) consumes a
+  * fixed quantizer; this operator is where such a quantizer comes from
+  * on a real corpus: seed K centroids, then alternate
+  *
+  *   ASSIGN  — each vector to its nearest centroid (squared L2 via the
+  *             native [[graft.functions.VecDist2]] kernel against the
+  *             BROADCAST centroid table; ties break to the lowest
+  *             centroid id), and
+  *   UPDATE  — each centroid to the mean of its members.
+  *
+  * Everything is bit-deterministic and oracle-checkable, which k-means
+  * normally is not, by pinning the two float traps:
+  *   - seeding is data-deterministic (the K lowest vec_ids — the same
+  *     seeds the serving-side `q_sim_ivf*` family uses), no RNG;
+  *   - the UPDATE mean folds members in vec_id order (sorted
+  *     per-cell member list → per-dimension left fold from 0.0, one
+  *     double division by the cell count) — a groupBy(sum) would be
+  *     partition-order-dependent and hash-unstable across engines.
+  *
+  * Shape at 100 TB: ASSIGN is a map pass against K broadcast centroids
+  * (K·dim doubles — KBs); UPDATE shuffles each vector once keyed by
+  * centroid (sort-based aggregation holds the ordered fold; cells
+  * stream through the sorter, only the K·dim accumulator lives in
+  * memory). Centroids collect to the driver between iterations (K rows
+  * — the index artifact itself) so each iteration's plan starts from a
+  * literal centroid table instead of re-deriving the full lineage.
+  * The deliberate trade vs a tree-reduced mean: one sort per iteration
+  * buys cross-run/cross-partitioning reproducibility — for an INDEX
+  * (whose assignment must be stable for every downstream reader) that
+  * is the right side of the trade.
+  */
+object KMeans {
+
+  val K = 8
+  val Iters = 2
+
+  /** One ASSIGN step: nearest centroid per vector. `cents`: (centroid_id, c). */
+  private def assign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("dist2"), col("centroid_id"))
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        dist2(col("embedding"), col("c")).as("dist2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"), col("dist2"))
+  }
+
+  /** One UPDATE step: per-cell mean, folded in vec_id order. */
+  private def recenter(assigned: DataFrame): DataFrame = {
+    val dims = size(element_at(col("ms"), 1).getField("embedding"))
+    assigned
+      .groupBy(col("centroid_id"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("ms"),
+        count(lit(1)).as("n"))
+      .select(col("centroid_id"),
+        transform(sequence(lit(1), dims), dd =>
+          aggregate(col("ms"), lit(0.0), (acc, m) =>
+            acc + element_at(m.getField("embedding"), dd).cast(DoubleType)) / col("n"))
+          .as("c"))
+  }
+
+  /** Q-SIM-8: train the quantizer ([[Iters]] Lloyd's rounds from the
+    * [[K]] lowest-id seeds), then emit the final assignment — one row
+    * per vector with its trained cell, the cell population, and the
+    * cell centroid's first coordinate (hash-checks the UPDATE means
+    * directly, not just the argmin).
+    */
+  def train(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.par(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var cents: DataFrame = e.filter(col("vec_id") < K)
+      .select(col("vec_id").as("centroid_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("c"))
+    for (_ <- 1 to Iters) {
+      val next = recenter(assign(e, cents))
+      // re-root on the collected K rows: the index artifact is K·dim
+      // doubles — each iteration (and every downstream consumer) then
+      // plans against a literal centroid table, not the full lineage
+      val rows = next.collect().toIndexedSeq
+      cents = s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1), next.schema)
+    }
+    val fin = assign(e, cents).select(col("vec_id"), col("centroid_id"), col("dist2"))
+    val sizes = fin.groupBy(col("centroid_id")).agg(count(lit(1)).as("n_cell"))
+    fin
+      .join(broadcast(sizes), Seq("centroid_id"))
+      .join(broadcast(cents.select(col("centroid_id"),
+        element_at(col("c"), 1).as("c1"))), Seq("centroid_id"))
+      .select(col("vec_id"), col("centroid_id"), col("dist2"), col("n_cell"), col("c1"))
+  }
+
+  val trainSql: String = {
+    val d2 = dist2Sql("embedding", "c")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (
+       |  SELECT vec_id AS centroid_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS c
+       |  FROM e WHERE vec_id < $K),
+       |a1 AS (
+       |  SELECT vec_id, embedding, centroid_id FROM (
+       |    SELECT e.vec_id, e.embedding, centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY $d2, centroid_id) AS rn
+       |    FROM e, c0) WHERE rn = 1),
+       |m1 AS (
+       |  SELECT centroid_id, count(*) AS n, list(embedding ORDER BY vec_id) AS ms
+       |  FROM a1 GROUP BY centroid_id),
+       |c1 AS (
+       |  SELECT centroid_id,
+       |    list_transform(generate_series(1, len(ms[1])), dd ->
+       |      list_reduce(list_prepend(0.0, list_transform(ms, m -> m[dd]::DOUBLE)),
+       |        (x, y) -> x + y) / n) AS c
+       |  FROM m1),
+       |a2 AS (
+       |  SELECT vec_id, embedding, centroid_id FROM (
+       |    SELECT e.vec_id, e.embedding, centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY $d2, centroid_id) AS rn
+       |    FROM e, c1) WHERE rn = 1),
+       |m2 AS (
+       |  SELECT centroid_id, count(*) AS n, list(embedding ORDER BY vec_id) AS ms
+       |  FROM a2 GROUP BY centroid_id),
+       |c2 AS (
+       |  SELECT centroid_id,
+       |    list_transform(generate_series(1, len(ms[1])), dd ->
+       |      list_reduce(list_prepend(0.0, list_transform(ms, m -> m[dd]::DOUBLE)),
+       |        (x, y) -> x + y) / n) AS c
+       |  FROM m2),
+       |fin AS (
+       |  SELECT vec_id, centroid_id, dist2 FROM (
+       |    SELECT e.vec_id, centroid_id, $d2 AS dist2,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY $d2, centroid_id) AS rn
+       |    FROM e, c2) WHERE rn = 1),
+       |sz AS (SELECT centroid_id, count(*) AS n_cell FROM fin GROUP BY centroid_id)
+       |SELECT f.vec_id, f.centroid_id, f.dist2, sz.n_cell, c2.c[1] AS c1
+       |FROM fin f JOIN sz USING (centroid_id) JOIN c2 USING (centroid_id)""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q_sim_kmeans", train, Some(trainSql)))
+}

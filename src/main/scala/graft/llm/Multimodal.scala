@@ -143,10 +143,7 @@ object Multimodal {
       }.toDF("doc_id", "feat")
     val c = Tables.embeddings(s, d).filter(col("vec_id") < 8)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
-    val d2 = aggregate(
-      zip_with(col("feat"), col("c_emb"),
-        (x, y) => (x - y.cast(DoubleType)) * (x - y.cast(DoubleType))),
-      lit(0.0), (acc, v) => acc + v)
+    val d2 = Portable.dist2(col("feat"), col("c_emb"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("dist2"), col("centroid_id"))
     feats.crossJoin(broadcast(c))

@@ -73,6 +73,20 @@ object Portable {
   def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> ($a)[i]::DOUBLE * ($b)[i]::DOUBLE), (x, y) -> x + y)"
 
+  /** Squared euclidean distance — native twin of [[dot]] (same fold
+    * contract, `(aᵢ−bᵢ)²` terms). The IVF/k-means assignment kernel.
+    */
+  def dist2(a: Column, b: Column): Column = {
+    graft.functions.GraftExtensions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("vec_dist2", a, b)
+  }
+
+  /** DuckDB rendering of [[dist2]]. */
+  def dist2Sql(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> " +
+      s"(($a)[i]::DOUBLE - ($b)[i]::DOUBLE) * (($a)[i]::DOUBLE - ($b)[i]::DOUBLE)), (x, y) -> x + y)"
+
   /** L2 norm of a float-array column (same fold as [[dot]]). */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -102,10 +102,7 @@ object Similarity {
     val e = Tables.par(Tables.embeddings(s, d)).select(col("vec_id"), col("embedding"))
     val c = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
-    val d2 = aggregate(
-      zip_with(col("embedding"), col("c_emb"),
-        (x, y) => (x.cast(DoubleType) - y.cast(DoubleType)) * (x.cast(DoubleType) - y.cast(DoubleType))),
-      lit(0.0), (acc, v) => acc + v)
+    val d2 = dist2(col("embedding"), col("c_emb"))
     val w = Window.partitionBy("vec_id").orderBy(col("dist2"), col("centroid_id"))
     e.crossJoin(broadcast(c))
       .select(col("vec_id"), col("centroid_id"), d2.as("dist2"))
@@ -316,10 +313,7 @@ object Similarity {
     val e = Tables.par(Tables.embeddings(s, d)).select(col("vec_id"), col("embedding"))
     val c = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
-    val d2 = aggregate(
-      zip_with(col("embedding"), col("c_emb"),
-        (x, y) => (x.cast(DoubleType) - y.cast(DoubleType)) * (x.cast(DoubleType) - y.cast(DoubleType))),
-      lit(0.0), (acc, v) => acc + v)
+    val d2 = dist2(col("embedding"), col("c_emb"))
     e.crossJoin(broadcast(c))
       .select(col("vec_id"), col("embedding"), col("centroid_id"), d2.as("dist2"))
   }

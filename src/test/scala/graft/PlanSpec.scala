@@ -112,6 +112,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("range join stays an equi-join on (user, bin): no nested loop, no cartesian") {
+    val p = plan(SparkEntry.queries("q_prod_range_join")(spark, sf))
+    assert(!p.contains("CartesianProduct"), "range join degenerated to all-pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "range predicate leaked into the join condition as a nested loop:\n" + p.take(1500))
+  }
+
   test("beyond broadcast sizes, fact-table joins pick up a runtime bloom filter") {
     // Past the broadcast threshold, a selectively-filtered dimension
     // falls back to a shuffle join — the regime where Spark's
