@@ -150,8 +150,141 @@ object Product {
        | AND epoch_us(e.ts) >= i.iv_start AND epoch_us(e.ts) <= i.iv_end
        |GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------- lifecycle
+
+  /** Q-PROD-4: user lifecycle per week — every active (user, week) is
+    * classified `new` (first-ever active week), `returning` (also
+    * active the immediately preceding week) or `resurrecting` (active
+    * before, but not last week); additionally a `dormant` row is
+    * emitted at `week+1` for users who go quiet (no activity next
+    * week), bounded to the observed range. This is the PostHog
+    * "lifecycle" insight computed exactly.
+    *
+    * Shape at 100 TB: events collapse to distinct (user, week) pairs
+    * FIRST (map-side combined — the only pass over the payload), then
+    * one user-keyed window provides both lag and lead, so `active` and
+    * `dormant` derive from the same sorted frame without re-shuffling;
+    * the final aggregation is over compact (week, status) pairs. The
+    * range bound is a 1-row broadcast.
+    */
+  def lifecycle(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weeks = Tables.events(s, d)
+      .select(col("user_id"), expr(s"unix_micros(ts) DIV $WeekUs").as("week"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("week"))
+    val lagged = weeks
+      .withColumn("prev_week", lag(col("week"), 1).over(w))
+      .withColumn("next_week", lead(col("week"), 1).over(w))
+    val maxWeek = weeks.agg(max(col("week")).as("max_week"))
+    val active = lagged.select(
+      col("week"),
+      when(col("prev_week").isNull, "new")
+        .when(col("week") - col("prev_week") === 1, "returning")
+        .otherwise("resurrecting").as("status"))
+    val dormant = lagged
+      .crossJoin(broadcast(maxWeek))
+      .filter(col("week") + 1 <= col("max_week") &&
+        (col("next_week").isNull || col("next_week") > col("week") + 1))
+      .select((col("week") + 1).as("week"), lit("dormant").as("status"))
+    active.union(dormant)
+      .groupBy(col("week"), col("status"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val lifecycleSql: String =
+    s"""WITH weeks AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // $WeekUs AS week FROM events),
+       |lagged AS (
+       |  SELECT user_id, week,
+       |    lag(week)  OVER (PARTITION BY user_id ORDER BY week) AS prev_week,
+       |    lead(week) OVER (PARTITION BY user_id ORDER BY week) AS next_week
+       |  FROM weeks),
+       |mx AS (SELECT max(week) AS max_week FROM weeks),
+       |act AS (
+       |  SELECT week,
+       |    CASE WHEN prev_week IS NULL THEN 'new'
+       |         WHEN week - prev_week = 1 THEN 'returning'
+       |         ELSE 'resurrecting' END AS status
+       |  FROM lagged),
+       |dor AS (
+       |  SELECT l.week + 1 AS week, 'dormant' AS status
+       |  FROM lagged l, mx
+       |  WHERE l.week + 1 <= mx.max_week
+       |    AND (l.next_week IS NULL OR l.next_week > l.week + 1))
+       |SELECT week, status, count(*) AS n_users
+       |FROM (SELECT * FROM act UNION ALL SELECT * FROM dor)
+       |GROUP BY 1, 2""".stripMargin
+
+  // ----------------------------------------------------------------- paths
+
+  /** Q-PROD-5: top event-transition edges — for each user's event
+    * stream in time order, count (previous event_type → event_type)
+    * pairs and keep the 20 heaviest edges (tie-broken by edge name so
+    * the cut is deterministic). The PostHog "paths" insight reduced to
+    * its aggregate: the edge list that feeds the sankey.
+    *
+    * Shape at 100 TB: one user-keyed sort window over the compact
+    * (user, event_id, type) projection produces every edge locally;
+    * edges then aggregate map-side (the edge-type alphabet is tiny) and
+    * the top-k is TakeOrderedAndProject — no global sort materializes.
+    */
+  def paths(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("curr_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("prev_type"), col("curr_type"))
+      .limit(20)
+  }
+
+  val pathsSql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+      |  FROM events)
+      |SELECT prev_type, event_type AS curr_type, count(*) AS n
+      |FROM o WHERE prev_type IS NOT NULL
+      |GROUP BY 1, 2
+      |ORDER BY n DESC, prev_type, curr_type
+      |LIMIT 20""".stripMargin
+
+  // ------------------------------------------------------------ stickiness
+
+  private val DayUs = 86400000000L
+
+  /** Q-PROD-6: stickiness histogram — how many users were active on
+    * exactly k distinct days over the observed range. Two map-side-
+    * combined aggregations over compact pairs: events → distinct
+    * (user, day), per-user day counts, then the count-of-counts.
+    * Payloads never shuffle; the histogram domain is bounded by the
+    * range length regardless of data volume.
+    */
+  def stickiness(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d)
+      .select(col("user_id"), expr(s"unix_micros(ts) DIV $DayUs").as("day"))
+      .distinct()
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_days"))
+      .groupBy(col("n_days"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val stickinessSql: String =
+    s"""WITH days AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day FROM events),
+       |pu AS (SELECT user_id, count(*) AS n_days FROM days GROUP BY user_id)
+       |SELECT n_days, count(*) AS n_users FROM pu GROUP BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_prod_funnel", funnel, Some(funnelSql)),
     Q("q_prod_retention", retention, Some(retentionSql)),
-    Q("q_prod_range_join", rangeJoin, Some(rangeJoinSql)))
+    Q("q_prod_range_join", rangeJoin, Some(rangeJoinSql)),
+    Q("q_prod_lifecycle", lifecycle, Some(lifecycleSql)),
+    Q("q_prod_paths", paths, Some(pathsSql)),
+    Q("q_prod_stickiness", stickiness, Some(stickinessSql)))
 }
