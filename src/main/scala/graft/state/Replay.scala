@@ -30,6 +30,16 @@ final case class PersonRecord(
     properties_set_once: Map[String, String],
     first_ord: Long)
 
+/** One SCD2 person-history row: the merged property view of the
+  * surviving (primary-chain) record immediately after the op at
+  * `valid_from`. `valid_to` is stamped downstream (lead over the
+  * person's change ords); the last row per person is open-ended.
+  */
+final case class PersonHistoryRow(
+    canonical_id: String,
+    valid_from: Long,
+    properties: Map[String, String])
+
 final case class GroupOp(
     group_type: String,
     group_key: String,
@@ -107,13 +117,21 @@ object Replay {
   def mergedProperties(r: PersonRecord): Map[String, String] =
     r.properties_set_once ++ r.properties
 
-  /** Mutable per-record state inside the per-component DO simulation. */
+  /** Mutable per-record state inside the per-component DO simulation.
+    * `snaps` (trace mode only) accumulates one post-op snapshot of the
+    * merged property view per touched ord — the raw material of the
+    * SCD2 history. A secondary's buffer dies with its record at merge
+    * time: the surviving buffer is the history of the primary-chain
+    * record, which is exactly what reading the person id over time
+    * from the reference store would have returned.
+    */
   private final class Rec(firstId: String, val createdOrd: Long) {
     var version: Long = 0L
     var dids: Vector[String] = Vector(firstId)
     var props: Map[String, String] = Map.empty
     var so: Map[String, String] = Map.empty
     var minOrd: Long = createdOrd
+    var snaps: List[(Long, Map[String, String])] = Nil
     def register(id: String): Unit = if (!dids.contains(id)) dids :+= id
   }
 
@@ -132,7 +150,20 @@ object Replay {
     * the caller keys ops so each group is edge-connected.
     */
   private[graft] def foldComponent(
-      seeds: Iterator[PersonRecord], opsIt: Iterator[ResolvedOp]): PersonRecord = {
+      seeds: Iterator[PersonRecord], opsIt: Iterator[ResolvedOp]): PersonRecord =
+    foldComponentImpl(seeds, opsIt, trace = false)._1
+
+  /** [[foldComponent]] plus the surviving record's per-op snapshot
+    * trail `(ord, merged properties)` — one entry per op that touched
+    * the primary-chain record (updates AND merges; `ensure_person`
+    * registration included so record creation is visible). Trace mode
+    * holds one map copy per touched op in the fold's working memory —
+    * components are user-sized, so this is bounded the same way the op
+    * sort already is.
+    */
+  private[graft] def foldComponentImpl(
+      seeds: Iterator[PersonRecord], opsIt: Iterator[ResolvedOp], trace: Boolean)
+    : (PersonRecord, List[(Long, Map[String, String])]) = {
     val records = scala.collection.mutable.Map.empty[String, Rec]
     seeds.foreach { s =>
       val r = new Rec(s.canonical_id, s.first_ord)
@@ -180,13 +211,14 @@ object Replay {
         r.props = u._1; r.so = u._2
         r.version += 1
       } // else: ensure_person — registration only, no version bump
+      if (trace) r.snaps ::= (op.ord, r.so ++ r.props)
     }
     require(records.size == 1,
       s"component fold invariant violated: ${records.size} surviving records " +
         s"for ids ${records.keys.mkString(",")}")
     val (canonical, rec) = records.head
-    PersonRecord(canonical, -1L, rec.version, rec.dids.sorted,
-      rec.props, rec.so, rec.minOrd)
+    (PersonRecord(canonical, -1L, rec.version, rec.dids.sorted,
+      rec.props, rec.so, rec.minOrd), rec.snaps.reverse)
   }
 
   /** Replay person ops to final person records with the reference
