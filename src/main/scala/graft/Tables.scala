@@ -19,6 +19,13 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Every query loads its tables through here, so this is the one
+    // choke point where the session that will ANALYZE the plan is known
+    // — register the native functions (vec_dot/vec_dist2/flag_bucket)
+    // into it, rather than relying on SparkSession.active at Column
+    // construction time (which can be a different session on another
+    // thread, or absent entirely).
+    graft.functions.GraftExtensions.register(spark)
     // The generated events table stores TIMESTAMP(NANOS) which Spark's
     // parquet reader rejects; read nanos as int64 and truncate to
     // microseconds (exactly what DuckDB's reader does, so oracle

@@ -79,6 +79,9 @@ object KMeans {
     * directly, not just the argmin).
     */
   def train(s: SparkSession, d: String): DataFrame = {
+    // persisted intermediate consumed by the RETURNED lazy plan — the
+    // harness reclaims it between queries (Tables.releaseCaches), the
+    // shared convention for every registered query that self-joins.
     val e = Tables.par(Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding"))
       .persist(StorageLevel.MEMORY_AND_DISK)

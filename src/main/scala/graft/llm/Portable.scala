@@ -64,8 +64,10 @@ object Portable {
     * whole-stage codegen). Registered lazily into the active session.
     */
   def dot(a: Column, b: Column): Column = {
-    graft.functions.GraftExtensions.register(
-      org.apache.spark.sql.SparkSession.active)
+    // Best-effort convenience for ad-hoc/test columns; query paths are
+    // guaranteed registration via Tables.t with their own session.
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftExtensions.register)
     call_function("vec_dot", a, b)
   }
 
@@ -77,8 +79,8 @@ object Portable {
     * contract, `(aᵢ−bᵢ)²` terms). The IVF/k-means assignment kernel.
     */
   def dist2(a: Column, b: Column): Column = {
-    graft.functions.GraftExtensions.register(
-      org.apache.spark.sql.SparkSession.active)
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftExtensions.register)
     call_function("vec_dist2", a, b)
   }
 

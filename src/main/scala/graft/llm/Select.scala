@@ -265,6 +265,10 @@ object Select {
     * staying bit-exact across engines (see object doc). Per-query doc
     * score sums the term scores in declared term order (fixed-order
     * double adds); top-[[SearchTopK]] by (score desc, doc_id).
+    * Persisted intermediates (`base`, `scored`) feed multiple branches
+    * of the RETURNED plan, so they unpersist harness-side
+    * ([[graft.Tables.releaseCaches]] between queries) — the shared
+    * convention across registered queries.
     *
     * Shape at 100 TB: the posting extraction filters to the query's
     * terms BEFORE any shuffle (a map-side `isin` over exploded tokens —

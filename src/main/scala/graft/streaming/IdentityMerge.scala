@@ -233,7 +233,15 @@ object IdentityMerge {
     // of driver-side Catalyst time per micro-batch at sf0.1. Truncating
     // the plan here makes each batch's trees start from the materialized
     // ops, exactly like a real streaming micro-batch would.
+    // LOCAL checkpoint = blocks are unrecoverable on executor loss; fine
+    // for this deterministic harness driver (the whole replay re-runs),
+    // a real cluster deployment checkpoints the op table reliably (lake
+    // write) instead. The blocks are released below once the last batch
+    // commits — localCheckpoint pins them for the app lifetime otherwise.
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val opsDf = ops.localCheckpoint(true)
+    val ckptRdds = spark.sparkContext.getPersistentRDDs
+      .collect { case (id, rdd) if !persistedBefore.contains(id) => rdd }
     // arithmetic ord cuts from one cheap min/max agg (parity holds for
     // ANY ord-respecting split, so there is no reason to pay a
     // quantile pass for balanced batch sizes)
@@ -249,6 +257,7 @@ object IdentityMerge {
     cuts.zipWithIndex.foreach { case ((lo, hi), i) =>
       st.processBatch(opsDf.filter(col("ord") > lo && col("ord") <= hi), i.toLong)
     }
+    ckptRdds.foreach(_.unpersist(blocking = false))
     st
   }
 }
