@@ -298,6 +298,48 @@ object Replay {
     spark.createDataset(withIds)
   }
 
+  /** SCD2 person history: one row per op that touched each surviving
+    * (primary-chain) record — `(canonical_id, valid_from = op ord,
+    * merged property view after the op)`. Same resolution + fold as
+    * [[persons]], run in trace mode; a merged-away secondary's trail
+    * dies with its record, exactly what reading the person id over
+    * time from the reference store would have returned. `valid_to` is
+    * the consumer's lead over `valid_from` (see
+    * [[StateQueries.pipeHistory]]) — kept out of the fold so the trail
+    * stays an append-only stream at scale (stamping an SCD2 close-out
+    * is one window pass over compact rows, not fold state).
+    *
+    * At 100 TB the shape is [[persons]] plus output rows proportional
+    * to the op count (not the person count) — still one shuffle on the
+    * component key; the trace holds one map copy per touched op in the
+    * fold's working memory, bounded like the op sort (components are
+    * user-sized).
+    */
+  def personHistory(spark: SparkSession, ops: Dataset[PersonOp],
+      labelOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column = IdentityResolver.IdentityLabel)
+    : Dataset[PersonHistoryRow] = {
+    import spark.implicits._
+    val cached = ops.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = cached.filter(_.alias_to.isDefined)
+      .map(o => (o.raw_id, o.alias_to.get)).toDF("src", "dst")
+    val redirects = IdentityResolver.components(spark, edges, labelOf)
+    cached.toDF()
+      .join(broadcast(redirects), col("raw_id") === col("id"), "left")
+      .withColumn("comp", coalesce(col("canonical"), col("raw_id")))
+      .drop("id", "canonical")
+      .select(col("comp"), col("raw_id"), col("ord"), col("set"),
+        col("set_once"), col("unset"), col("alias_to"),
+        col("raw_id").as("r_raw"), col("alias_to").as("r_alias"))
+      .as[ResolvedOp]
+      .groupByKey(_.comp)
+      .flatMapGroups { (_, it) =>
+        val (rec, snaps) = foldComponentImpl(Iterator.empty, it, trace = true)
+        snaps.iterator.map { case (ord, props) =>
+          PersonHistoryRow(rec.canonical_id, ord, props)
+        }
+      }
+  }
+
   /** T9: person debug snapshot — the point query behind
     * `GET /__debug/person/:id` (`lib.rs:1196-1226`): resolve any known
     * distinct_id to its record. On the replayed dimension this is a

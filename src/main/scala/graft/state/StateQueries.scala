@@ -116,6 +116,76 @@ object StateQueries {
       |  version, n_distinct_ids, first_ord, plan, last_event, first_et, first_plan
       |FROM agg""".stripMargin
 
+  /** Q-PIPE-8: SCD2 person history — the full property timeline of
+    * every surviving person ([[Replay.personHistory]]'s trace fold),
+    * one row per op that touched the primary-chain record with
+    * `[valid_from, valid_to)` stamped by a lead window (last row
+    * open-ended). A merged-away anonymous record's pre-signup rows die
+    * at the merge, so a signed-up user's history STARTS at the signup
+    * op — whose snapshot already carries the absorbed anonymous state
+    * (merge-prefers-primary over an empty just-created primary ≡ the
+    * anonymous record's state).
+    *
+    * The oracle derives each prefix state in closed form: `plan` /
+    * `first_plan` reset at every `$unset` (error), so they read within
+    * the CURRENT error-epoch (running error count partitions the
+    * user's timeline); `last_event` / `first_et` are prefix arg_max /
+    * arg_min. That a per-op state-machine trace equals four window
+    * aggregates is exactly the SCD2 contract under test.
+    */
+  def pipeHistory(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ops = personOps(s, d).as[PersonOp]
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("canonical_id")).orderBy(col("valid_from"))
+    Replay.personHistory(s, ops, prio).toDF()
+      .select(
+        col("canonical_id"), col("valid_from"),
+        lead(col("valid_from"), 1).over(w).as("valid_to"),
+        element_at(col("properties"), "plan").as("plan"),
+        element_at(col("properties"), "last_event").as("last_event"),
+        element_at(col("properties"), "first_et").as("first_et"),
+        element_at(col("properties"), "first_plan").as("first_plan"),
+        size(col("properties")).cast(LongType).as("n_props"))
+  }
+
+  val pipeHistorySql: String =
+    """WITH sg AS (
+      |  SELECT user_id, min(event_id) AS first_signup
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |base AS (
+      |  SELECT e.user_id, e.event_id, e.event_type,
+      |    json_extract_string(e.props, '$.k')::BIGINT AS k, s.first_signup
+      |  FROM events e LEFT JOIN sg s USING (user_id)),
+      |pre AS (
+      |  SELECT user_id, event_id, event_type, k, first_signup,
+      |    count(*) FILTER (WHERE event_type = 'error')
+      |      OVER (PARTITION BY user_id ORDER BY event_id) AS errg,
+      |    arg_max(event_type, event_id) FILTER (WHERE event_type <> 'error')
+      |      OVER (PARTITION BY user_id ORDER BY event_id) AS last_event,
+      |    arg_min(event_type, event_id)
+      |      OVER (PARTITION BY user_id ORDER BY event_id) AS first_et
+      |  FROM base),
+      |ep AS (
+      |  SELECT *,
+      |    arg_max('p' || (k % 3), event_id) FILTER (WHERE event_type = 'purchase')
+      |      OVER (PARTITION BY user_id, errg ORDER BY event_id) AS plan,
+      |    arg_min('p' || (k % 3), event_id) FILTER (WHERE event_type = 'purchase')
+      |      OVER (PARTITION BY user_id, errg ORDER BY event_id) AS first_plan
+      |  FROM pre),
+      |surv AS (
+      |  SELECT * FROM ep
+      |  WHERE first_signup IS NULL OR event_id >= first_signup)
+      |SELECT
+      |  CASE WHEN first_signup IS NOT NULL THEN 'u' || user_id
+      |       ELSE 'anon-u' || user_id END AS canonical_id,
+      |  event_id AS valid_from,
+      |  lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to,
+      |  plan, last_event, first_et, first_plan,
+      |  ((plan IS NOT NULL)::BIGINT + (last_event IS NOT NULL)::BIGINT +
+      |   (first_et IS NOT NULL)::BIGINT + (first_plan IS NOT NULL)::BIGINT) AS n_props
+      |FROM surv""".stripMargin
+
   def groupOps(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d)
     e.select(
@@ -451,6 +521,7 @@ object StateQueries {
 
   val all: Seq[Q] = Seq(
     Q("q_pipe_persons", pipePersons, Some(pipePersonsSql)),
+    Q("q_pipe_history", pipeHistory, Some(pipeHistorySql)),
     Q("q_pipe_groups", pipeGroups, Some(pipeGroupsSql)),
     Q("q_pipe_snapshot", pipeSnapshot, Some(pipeSnapshotSql)),
     Q("q_pipe_hydrate", pipeHydrate, Some(pipeHydrateSql)),

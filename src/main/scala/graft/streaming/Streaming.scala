@@ -126,6 +126,39 @@ object Streaming {
     }
   }
 
+  /** Streaming flag decisions: the `/decide` read path over LIVE
+    * person state — each micro-batch's state updates (the keyed fold
+    * above) are projected through the vectorized flag evaluator, so
+    * every person-property change re-emits that person's current flag
+    * assignments. This is the streaming twin of the batch cohort
+    * backfill ([[graft.flags.FlagQueries.flagCohort]]); the reference
+    * evaluates the same thing per request against the DO's current
+    * record (`feature_flags.rs` evaluation loop over person state).
+    *
+    * Flag evaluation is a pure projection of one state row (the SHA1
+    * bucket is the native codegen expression, rollouts fold to
+    * literals) — so the decision stage adds NO state and no shuffle on
+    * top of the person fold: output mode/watermark behavior is
+    * exactly [[personStateStream]]'s. F2 selection (`flag_keys`,
+    * `evaluation_environments`) is shared with the scalar path via
+    * [[graft.flags.FlagColumns.resultCols]].
+    */
+  def flagDecisionStream(ops: Dataset[PersonOp],
+      flags: Seq[graft.flags.FeatureFlag],
+      options: graft.flags.FlagEvalOptions = graft.flags.FlagEvalOptions()): DataFrame = {
+    graft.functions.GraftExtensions.register(ops.sparkSession)
+    // merged property view (set wins over set_once, persons.rs:112-120)
+    // as a Column: union of the two maps, `properties` winning on key
+    // collisions — map_zip_with keeps this one codegen'd expression.
+    val merged = map_zip_with(col("properties"), col("properties_set_once"),
+      (_, v, vo) => coalesce(v, vo))
+    val frame = graft.flags.FlagColumns.FlagFrame(col("canonical_id"), col("props"))
+    personStateStream(ops).toDF()
+      .withColumn("props", merged)
+      .select(col("canonical_id") +: col("version") +:
+        graft.flags.FlagColumns.resultCols(frame, flags, options): _*)
+  }
+
   /** transformWithState wiring of [[PersonStateProcessor]]. */
   def personStateTws(ops: Dataset[PersonOp]): Dataset[PersonRecord] = {
     import ops.sparkSession.implicits._

@@ -153,6 +153,54 @@ class StateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2.version == 0 && r2.distinct_ids == Seq("solo"))
   }
 
+  private def history(ops: PersonOp*): Seq[PersonHistoryRow] = {
+    import spark.implicits._
+    Replay.personHistory(spark, ops.toDS()).collect()
+      .sortBy(h => (h.canonical_id, h.valid_from)).toSeq
+  }
+
+  test("personHistory: one snapshot per op, merged view evolves per prefix") {
+    val h = history(
+      op("d", 1, set = Map("plan" -> "free"), setOnce = Map("first" -> "a")),
+      op("d", 2, set = Map("plan" -> "pro")),
+      op("d", 3, unset = Seq("plan")))
+    assert(h.map(_.valid_from) == Seq(1L, 2L, 3L))
+    assert(h(0).properties == Map("plan" -> "free", "first" -> "a"))
+    assert(h(1).properties == Map("plan" -> "pro", "first" -> "a"))
+    assert(h(2).properties == Map("first" -> "a"))
+  }
+
+  test("personHistory: secondary's pre-merge trail dies; merge row carries absorbed state") {
+    val h = history(
+      op("anon", 1, set = Map("pre" -> "x")),
+      op("anon", 2, set = Map("pre2" -> "y")),
+      op("u", 3, set = Map("plan" -> "pro"), aliasTo = Some("anon")),
+      op("u", 4, set = Map("post" -> "z")))
+    // primary chain = u's record, created at the alias op: rows 3 and 4 only
+    assert(h.map(_.valid_from) == Seq(3L, 4L))
+    // the merge snapshot already holds the anonymous record's absorbed state
+    assert(h(0).properties == Map("pre" -> "x", "pre2" -> "y", "plan" -> "pro"))
+    assert(h(1).properties == Map("pre" -> "x", "pre2" -> "y", "plan" -> "pro", "post" -> "z"))
+  }
+
+  test("personHistory: every snapshot equals the replay of its op prefix") {
+    val ops = Seq(
+      op("a", 1, set = Map("k" -> "1"), setOnce = Map("o" -> "v")),
+      op("a", 2, unset = Seq("k")),
+      op("b", 3, set = Map("k" -> "b")),
+      op("b", 4, aliasTo = Some("a")),
+      op("a", 5, set = Map("k2" -> "2")))
+    val h = history(ops: _*).filter(_.canonical_id == "b")
+    h.foreach { row =>
+      val prefix = ops.filter(_.ord <= row.valid_from)
+      val rec = replay(prefix: _*).values.find(r =>
+        r.canonical_id == row.canonical_id || r.distinct_ids.contains(row.canonical_id))
+      assert(rec.isDefined, s"no record for prefix up to ${row.valid_from}")
+      assert(Replay.mergedProperties(rec.get) == row.properties,
+        s"snapshot at ord ${row.valid_from} diverges from prefix replay")
+    }
+  }
+
   test("post-merge updates through either id apply to the merged record") {
     val rs = replay(
       op("u", 1, aliasTo = Some("anon")),

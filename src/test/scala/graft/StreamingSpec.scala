@@ -161,6 +161,70 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming flag decisions: final per-person assignment == scalar eval of batch-replayed state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.flags._
+    val flags = FlagStore.fromJson(
+      """{"flags":[
+        |  {"key":"has_plan","conditions":[{"properties":[{"key":"plan","operator":"is_set","value":null}]}]},
+        |  {"key":"pro_half","conditions":[{"properties":[{"key":"plan","value":"pro"}],"rollout_percentage":50}]},
+        |  {"key":"exp","type":"multivariate",
+        |   "variants":[{"key":"a","rollout_percentage":50},{"key":"b","rollout_percentage":50}],
+        |   "conditions":[{"properties":[{"key":"first","operator":"is_set","value":null}]}]}
+        |]}""".stripMargin)
+    // two micro-batches; plan set, overwritten, and unset across the
+    // boundary so decisions actually FLIP between batches for some ids
+    val b1 = (1 to 24).map(i => PersonOp(s"u${i % 8}", i.toLong,
+      Map("plan" -> (if (i % 2 == 0) "pro" else "free")),
+      Map("first" -> "x"), Nil, None))
+    val b2 = (25 to 40).map(i => PersonOp(s"u${i % 8}", i.toLong,
+      if (i % 3 == 0) Map.empty[String, String] else Map("plan" -> "pro"),
+      Map.empty, if (i % 3 == 0) Seq("plan") else Nil, None))
+
+    val mem = MemoryStream[PersonOp]
+    val q = graft.streaming.Streaming.flagDecisionStream(mem.toDS(), flags)
+      .writeStream.format("memory").queryName("flag_stream")
+      .outputMode(OutputMode.Update()).start()
+    val rows = try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      spark.table("flag_stream").collect()
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS flag_stream") }
+
+    // the memory sink in update mode keeps every emitted update;
+    // the newest (max version) row per person is the live decision
+    val live = rows.groupBy(_.getString(0)).map { case (id, rs) =>
+      id -> rs.maxBy(_.getLong(1))
+    }
+    val finalState = graft.state.Replay.persons(spark, (b1 ++ b2).toDS())
+      .collect().map(r => r.canonical_id -> r).toMap
+    assert(live.keySet == finalState.keySet)
+    live.foreach { case (id, row) =>
+      val merged = graft.state.Replay.mergedProperties(finalState(id))
+      val sc = FlagEval.evaluate(flags,
+        FlagContext(id, merged.view.mapValues(JStr(_)).toMap))
+      val expected = sc.map { r =>
+        r.value match {
+          case JBool(b) => (b, None)
+          case JStr(v) => (true, Some(v))
+          case other => throw new MatchError(other)
+        }
+      }
+      val got = flags.indices.map { i =>
+        val st = row.getStruct(2 + i)
+        (st.getBoolean(0), Option(st.getString(1)))
+      }
+      assert(got == expected, s"streaming decision diverged for $id: $got vs $expected")
+    }
+    // at least one person's pro_half decision flipped across batches
+    // (the unset in batch 2) — i.e. the stream actually re-decided
+    val flips = rows.groupBy(_.getString(0)).values.count { rs =>
+      rs.map(_.getStruct(3).getBoolean(0)).distinct.length > 1
+    }
+    assert(flips > 0, "expected at least one cross-batch decision flip")
+  }
+
   test("keyed person state accumulates across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
