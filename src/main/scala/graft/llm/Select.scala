@@ -241,6 +241,34 @@ object Select {
        |  row_number() OVER (PARTITION BY source ORDER BY ${h60Sql("text")}, doc_id) <= $DomainCap AS kept_cap
        |FROM documents""".stripMargin
 
+  /** Q-SEL-4b: the domain cap's 100 TB form — the SAME kept set as
+    * [[domainCap]], computed by the bounded top-k aggregate
+    * ([[graft.functions.TopKAggregator]]) instead of a rank window.
+    * The window shape shuffles and sorts EVERY row of every domain;
+    * this one carries at most [[DomainCap]] rows per (input partition,
+    * domain) into the shuffle (map-side partial) and O(k) state per
+    * domain on the reduce side — immune to domain skew by
+    * construction. PlanSpec gates that the plan is window-free with
+    * partial aggregation; the oracle pins the result to the window
+    * form's kept rows.
+    */
+  def domainTopK(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(DomainCap))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), h60(col("text")).as("thash"))
+      .groupBy(col("source"))
+      .agg(topk(col("thash"), col("doc_id")).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).cast(LongType).as("rk"),
+        col("col").getField("_2").as("doc_id"))
+  }
+
+  val domainTopKSql: String =
+    s"""SELECT source, rk, doc_id FROM (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source ORDER BY ${h60Sql("text")}, doc_id)::BIGINT AS rk
+       |  FROM documents) WHERE rk <= $DomainCap""".stripMargin
+
   // ------------------------------------------------------------ Q-SEL-5
 
   /** Retrieval benchmark queries: (query_id, terms). Fixed literals so
@@ -365,5 +393,6 @@ object Select {
     Q("q_corpus_classifier", classifier, Some(classifierSql)),
     Q("q_corpus_split", split, Some(splitSql)),
     Q("q_corpus_domain_cap", domainCap, Some(domainCapSql)),
+    Q("q_corpus_domain_topk", domainTopK, Some(domainTopKSql)),
     Q("q_text_search", search, Some(searchSql)))
 }

@@ -435,8 +435,106 @@ object TextOps {
        |  CASE WHEN n_tokens > 0 THEN (tok_end - 1) // $PackLen END AS chunk_last
        |FROM c""".stripMargin
 
+  /** Corpus heavy hitters: top [[NgramTopK]] word bigrams. */
+  val NgramTopK = 50
+
+  /** Q-TEXT-9: n-gram heavy hitters — the corpus-statistics pass every
+    * curation run starts with (boilerplate detection, contamination
+    * screens, vocabulary audits): total occurrences and document
+    * frequency of every word bigram, keep the top [[NgramTopK]] by
+    * frequency (ties broken by the bigram text — a total order, so the
+    * cut is deterministic).
+    *
+    * Shape at 100 TB: the classic two-level aggregate — map-side
+    * partial counts per bigram, one shuffle of (bigram, counts) pairs
+    * (vocabulary-sized after combine, not corpus-sized), and the final
+    * top-k is TakeOrderedAndProject (per-partition heaps, no global
+    * sort). The distinct-doc count rides the same shuffle via the
+    * (bigram, doc) pre-aggregation.
+    */
+  def ngrams(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val bigrams = when(size(col("toks")) >= 2,
+      transform(sequence(lit(1), size(col("toks")) - 1), i =>
+        concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    Tables.par(Tables.documents(s, d))
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), explode(bigrams).as("ngram"))
+      .groupBy(col("ngram"), col("doc_id")).agg(count(lit(1)).as("tf_doc"))
+      .groupBy(col("ngram"))
+      .agg(sum(col("tf_doc")).as("tf"), count(lit(1)).as("df"))
+      .orderBy(col("tf").desc, col("ngram"))
+      .limit(NgramTopK)
+  }
+
+  val ngramsSql: String = {
+    val toks = tokensSql("text")
+    s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+       |bg AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i + 1])) AS ngram
+       |  FROM tk)
+       |SELECT ngram, count(*)::BIGINT AS tf, count(DISTINCT doc_id)::BIGINT AS df
+       |FROM bg GROUP BY ngram
+       |ORDER BY tf DESC, ngram LIMIT $NgramTopK""".stripMargin
+  }
+
+  /** RAG/window chunking parameters: window and stride in tokens. */
+  val ChunkLen = 64
+  val ChunkStride = 48
+
+  /** Q-TEXT-10: sliding-window document chunking — the
+    * retrieval/context-window splitter (RAG ingestion, long-document
+    * training windows): one chunk every [[ChunkStride]] tokens, each
+    * spanning up to [[ChunkLen]] tokens, with the chunk's token span
+    * and a content hash (stable chunk identity for downstream dedup /
+    * index builds).
+    *
+    * Shape at 100 TB: pure per-row array expression (no UDF, no
+    * shuffle) — the chunk list is built inside whole-stage codegen and
+    * exploded; output is proportional to total tokens / stride.
+    */
+  def chunks(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.par(Tables.documents(s, d))
+      .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
+      .select(col("doc_id"), col("n").cast(LongType).as("n_tokens"),
+        posexplode(when(col("n") >= 1, sequence(lit(1), col("n"), lit(ChunkStride)))
+          .otherwise(array().cast("array<int>"))).as(Seq("pos", "start_tok")),
+        col("toks"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (col("pos") + 1).cast(LongType).as("chunk_idx"),
+        col("start_tok").cast(LongType).as("start_tok"),
+        least(lit(ChunkLen), col("n_tokens") - col("start_tok") + 1)
+          .cast(LongType).as("n_chunk_tokens"),
+        h60(concat_ws(" ",
+          slice(col("toks"), col("start_tok"),
+            least(lit(ChunkLen), col("n_tokens").cast("int") - col("start_tok") + 1))))
+          .as("chunk_h"))
+  }
+
+  val chunksSql: String = {
+    val toks = tokensSql("text")
+    s"""WITH tk AS (
+       |  SELECT doc_id, toks, len(toks)::BIGINT AS n_tokens
+       |  FROM (SELECT doc_id, $toks AS toks FROM documents)),
+       |st AS (
+       |  SELECT doc_id, n_tokens, toks,
+       |    unnest(generate_series(1, n_tokens, $ChunkStride))::BIGINT AS start_tok
+       |  FROM tk)
+       |SELECT doc_id, n_tokens,
+       |  ((start_tok - 1) // $ChunkStride + 1)::BIGINT AS chunk_idx, start_tok,
+       |  least($ChunkLen, n_tokens - start_tok + 1) AS n_chunk_tokens,
+       |  ${h60Sql(s"array_to_string(toks[start_tok:least(start_tok + $ChunkLen - 1, n_tokens)], ' ')")} AS chunk_h
+       |FROM st""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_text_stats", textStats, Some(textStatsSql)),
+    Q("q_text_ngrams", ngrams, Some(ngramsSql)),
+    Q("q_text_chunks", chunks, Some(chunksSql)),
     Q("q_text_pack", pack, Some(packSql)),
     Q("q_text_langid", langId, Some(langIdSql)),
     Q("q_text_fingerprint", fingerprint, Some(fingerprintSql)),

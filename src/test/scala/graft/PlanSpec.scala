@@ -106,6 +106,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("domain top-k aggregate is window-free with map-side partials") {
+    val p = plan(SparkEntry.queries("q_corpus_domain_topk")(spark, sf))
+    assert(!p.contains("Window"),
+      "the bounded top-k aggregate degenerated back to a rank window:\n" + p.take(1500))
+    // ObjectHashAggregate with a partial stage = at most k rows per
+    // (input partition, domain) enter the shuffle
+    assert(p.contains("ObjectHashAggregate"), p.take(1500))
+    assert(p.contains("partial_topkaggregator") || p.contains("partial_TopKAggregator") ||
+      p.toLowerCase.contains("partial"), "top-k lost its map-side partial:\n" + p.take(2000))
+  }
+
+  test("ngram heavy hitters: two-level aggregate + TakeOrderedAndProject") {
+    val p = plan(SparkEntry.queries("q_text_ngrams")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "ngram counts lost map-side combine:\n" + p.take(2000))
+    assert(!p.toLowerCase.contains("scalaudf"))
+  }
+
+  test("chunking is a shuffle-free codegen'd map pass") {
+    val p = plan(SparkEntry.queries("q_text_chunks")(spark, sf))
+    // one Exchange is sanctioned: Tables.par's split-spreading repartition
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"chunking grew $exchanges shuffles:\n" + p.take(1500))
+    assert(!p.toLowerCase.contains("scalaudf"))
+  }
+
   test("search top-k plans as TakeOrderedAndProject over the filtered postings") {
     val p = plan(SparkEntry.queries("q_text_search")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
