@@ -59,8 +59,31 @@ object StreamQueries {
       |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
       |FROM s GROUP BY user_id, sess_id""".stripMargin
 
+  /** Q-STR-4: view→purchase attribution via the stream-stream interval
+    * join — purchases by the same user within 30 minutes after a view.
+    * Same builder as the streaming form (StreamingSpec pins MemoryStream
+    * parity); the oracle recomputes the pairing as a plain range join.
+    */
+  def joined(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    Streaming.intervalJoin(
+      e.filter(col("event_type") === "view"),
+      e.filter(col("event_type") === "purchase"))
+  }
+
+  val joinedSql: String =
+    """SELECT v.user_id,
+      |  v.event_id AS left_id, epoch_us(v.ts) AS left_ts_us,
+      |  p.event_id AS right_id, epoch_us(p.ts) AS right_ts_us,
+      |  CAST(CAST(p.value AS DECIMAL(14,2)) AS DOUBLE) AS right_value
+      |FROM events v JOIN events p
+      |  ON v.user_id = p.user_id
+      | AND p.ts >= v.ts AND epoch_us(p.ts) < epoch_us(v.ts) + 1800000000
+      |WHERE v.event_type = 'view' AND p.event_type = 'purchase'""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_stream_tumbling", tumbling, Some(tumblingSql)),
     Q("q_stream_sliding", sliding, Some(slidingSql)),
-    Q("q_stream_sessions", sessions, Some(sessionsSql)))
+    Q("q_stream_sessions", sessions, Some(sessionsSql)),
+    Q("q_stream_join", joined, Some(joinedSql)))
 }

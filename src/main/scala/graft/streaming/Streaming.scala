@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.state.{PersonOp, PersonRecord, Replay}
+import graft.state.{GroupOp, GroupRecord, PersonOp, PersonRecord, Replay}
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
@@ -74,7 +74,63 @@ object Streaming {
       tsCol: String = "ts", horizon: String = "1 hour"): DataFrame =
     events.withWatermark(tsCol, horizon).dropDuplicatesWithinWatermark(key)
 
+  /** Stream-stream interval join: each left event pairs with the right
+    * events of the same key whose time falls in `[left.ts, left.ts +
+    * within)` — attribution joins (view→purchase), impression→click,
+    * trigger→outcome. Both sides carry watermarks, so Spark bounds the
+    * join STATE by the watermark + the interval: a side's buffered rows
+    * evict once no future match can arrive (the difference between a
+    * join that runs forever on an unbounded stream and one that OOMs
+    * the state store). Executed in batch, the identical plan is an
+    * equi-join on the key with the range as residual predicate —
+    * `q_stream_join` oracle-checks that form.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      key: String = "user_id", within: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", "1 hour").alias("l")
+    val r = right.withWatermark("ts", "1 hour").alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r.ts") >= col("l.ts") &&
+        col("r.ts") < col("l.ts") + expr(s"INTERVAL $within"))
+      .select(
+        col(s"l.$key").as(key),
+        col("l.event_id").as("left_id"),
+        unix_micros(col("l.ts")).as("left_ts_us"),
+        col("r.event_id").as("right_id"),
+        unix_micros(col("r.ts")).as("right_ts_us"),
+        col("r.value").cast("decimal(14,2)").cast("double").as("right_value"))
+  }
+
   // ------------------------------------------------------- keyed state
+
+  /** Incremental group-state fold — the streaming twin of
+    * [[Replay.groups]] (last-write-wins upsert per (group_type,
+    * group_key), `groups.rs:25-42`): each micro-batch's ops apply in
+    * `ord` order on top of the persisted record. Groups have no alias
+    * semantics, so keyed state is the complete streaming story here —
+    * no [[IdentityMerge]] analogue needed.
+    */
+  def groupStateStream(ops: Dataset[GroupOp]): Dataset[GroupRecord] = {
+    import ops.sparkSession.implicits._
+    ops.groupByKey(o => (o.group_type, o.group_key))
+      .flatMapGroupsWithState[GroupRecord, GroupRecord](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: (String, String), it: Iterator[GroupOp], state: GroupState[GroupRecord]) =>
+          val prev = state.getOption.getOrElse(
+            GroupRecord(key._1, key._2, 0L, Map.empty, Long.MaxValue))
+          val sorted = it.toArray.sortBy(_.ord)
+          var props = prev.properties
+          sorted.foreach(o => props = props ++ o.set)
+          val next = prev.copy(
+            version = prev.version + sorted.length,
+            properties = props,
+            first_ord = math.min(prev.first_ord,
+              sorted.headOption.map(_.ord).getOrElse(Long.MaxValue)))
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
 
   /** Incremental person-state fold: `flatMapGroupsWithState` keyed by
     * canonical id, applying each micro-batch's ops in `ord` order on

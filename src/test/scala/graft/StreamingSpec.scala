@@ -161,6 +161,61 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("stream-stream interval join: cross-batch matches == batch range join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // views in batch 1, their matching purchases partly in batch 2 —
+    // the join must buffer left rows across the micro-batch boundary
+    val views = Seq(
+      Ev(10, ts(0), 1, "view", 0.0), Ev(11, ts(5), 2, "view", 0.0),
+      Ev(12, ts(100), 1, "view", 0.0))
+    val buys1 = Seq(Ev(20, ts(10), 1, "purchase", 5.0))  // matches view 10
+    val buys2 = Seq(
+      Ev(21, ts(25), 1, "purchase", 7.0),   // matches view 10 (25 < 30)
+      Ev(22, ts(40), 2, "purchase", 9.0),   // gap 35m > 30m → no match
+      Ev(23, ts(110), 1, "purchase", 3.0))  // matches view 12
+    val memV = MemoryStream[Ev]; val memP = MemoryStream[Ev]
+    val q = graft.streaming.Streaming.intervalJoin(memV.toDF(), memP.toDF())
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode(OutputMode.Append()).start()
+    val streamed = try {
+      memV.addData(views: _*); memP.addData(buys1: _*); q.processAllAvailable()
+      memP.addData(buys2: _*); q.processAllAvailable()
+      spark.table("ssj_out").collect()
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS ssj_out") }
+    val batch = graft.streaming.Streaming.intervalJoin(
+      views.toDF(), (buys1 ++ buys2).toDF()).collect()
+    assert(canon(streamed) == canon(batch))
+    assert(batch.length == 3) // (10,20) (10,21) (12,23)
+  }
+
+  test("streaming group state: final records == batch Replay.groups across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.state.GroupOp
+    val b1 = Seq(
+      GroupOp("team", "t1", 1, Map("tier" -> "free", "n" -> "1")),
+      GroupOp("team", "t2", 2, Map("tier" -> "pro")))
+    val b2 = Seq(
+      GroupOp("team", "t1", 3, Map("tier" -> "pro")),   // overwrites
+      GroupOp("org", "o1", 4, Map("owner" -> "u9")))
+    val mem = MemoryStream[GroupOp]
+    val q = graft.streaming.Streaming.groupStateStream(mem.toDS())
+      .writeStream.format("memory").queryName("gstate")
+      .outputMode(OutputMode.Update()).start()
+    val rows = try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      spark.table("gstate").as[graft.state.GroupRecord].collect()
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS gstate") }
+    val live = rows.groupBy(r => (r.group_type, r.group_key))
+      .map { case (_, rs) => rs.maxBy(_.version) }.toSet
+    val batch = graft.state.Replay.groups(spark, (b1 ++ b2).toDS()).collect().toSet
+    assert(live == batch)
+    assert(live.find(_.group_key == "t1").get.properties ==
+      Map("tier" -> "pro", "n" -> "1"))
+  }
+
   test("streaming flag decisions: final per-person assignment == scalar eval of batch-replayed state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
