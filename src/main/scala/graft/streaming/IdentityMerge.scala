@@ -69,41 +69,51 @@ final class IdentityMergeState(spark: SparkSession) {
     val opsDf = ops.toDF().persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val state = records
-      // redirect dimension: every registered non-canonical distinct_id.
-      // Explicitly broadcast: the dimension derives from an RDD-rooted
-      // Dataset, so Catalyst has no size stats and would fall back to
-      // shuffling the batch through two sort-merge joins. The redirect
-      // map is orders of magnitude smaller than the event volume (the
-      // reference keeps it in a single Durable Object); past broadcast
-      // sizes the hint drops out and the equi-joins shuffle — same plan,
-      // bigger cluster.
-      val redirects = broadcast(state.flatMap(r =>
-          r.distinct_ids.filter(_ != r.canonical_id).map(d => (d, r.canonical_id)))
-        .toDF("did", "canon"))
-
-      // persisted: both the edge derivation and opRows consume this
-      // tree — without the cache each micro-batch would pay the two
-      // redirect joins (and the state flatMap) twice
-      val resolved = opsDf
-        .join(redirects.as("rr"), opsDf("raw_id") === col("rr.did"), "left")
-        .withColumn("r_raw", coalesce(col("rr.canon"), col("raw_id")))
-        .drop("did", "canon")
-        .join(redirects.as("ra"), col("alias_to") === col("ra.did"), "left")
-        .withColumn("r_alias",
-          when(col("alias_to").isNotNull, coalesce(col("ra.canon"), col("alias_to"))))
-        .drop("did", "canon")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // RESOLVE as a reusable transform. The redirect dimension (every
+      // registered non-canonical distinct_id) is explicitly broadcast:
+      // it derives from an RDD-rooted Dataset, so Catalyst has no size
+      // stats and would fall back to shuffling the batch through two
+      // sort-merge joins. The redirect map is orders of magnitude
+      // smaller than the event volume (the reference keeps it in a
+      // single Durable Object); past broadcast sizes the hint drops out
+      // and the equi-joins shuffle — same plan, bigger cluster.
+      // It is applied twice — to the (tiny) alias subset for the edge
+      // derivation and to the full batch for the fold input — instead
+      // of materializing a resolved copy of the whole batch: the alias
+      // branch re-pays two broadcast probes on a few rows, and the full
+      // batch is never cached twice.
+      // First epoch (epoch -1 ⇒ state is empty by construction): there
+      // are no redirects, so resolution is the identity — skip the
+      // state scan and the join builds entirely.
+      val resolve: DataFrame => DataFrame =
+        if (epoch < 0L) {
+          df => df
+            .withColumn("r_raw", col("raw_id"))
+            .withColumn("r_alias", col("alias_to"))
+        } else {
+          val redirects = broadcast(state.flatMap(r =>
+              r.distinct_ids.filter(_ != r.canonical_id).map(d => (d, r.canonical_id)))
+            .toDF("did", "canon"))
+          df => df
+            .join(redirects.as("rr"), df("raw_id") === col("rr.did"), "left")
+            .withColumn("r_raw", coalesce(col("rr.canon"), col("raw_id")))
+            .drop("did", "canon")
+            .join(redirects.as("ra"), col("alias_to") === col("ra.did"), "left")
+            .withColumn("r_alias",
+              when(col("alias_to").isNotNull, coalesce(col("ra.canon"), col("alias_to"))))
+            .drop("did", "canon")
+        }
 
       // components over this batch's effective alias edges only
-      val edges = resolved
-        .filter(col("alias_to").isNotNull && col("alias_to") =!= col("raw_id") &&
-          col("r_alias") =!= col("r_raw"))
+      val edges = resolve(
+          opsDf.filter(col("alias_to").isNotNull && col("alias_to") =!= col("raw_id")))
+        .filter(col("r_alias") =!= col("r_raw"))
         .select(col("r_raw").as("src"), col("r_alias").as("dst"))
       val cc = IdentityResolver.components(spark, edges)
         .withColumnRenamed("canonical", "comp")
 
-      val opRows = resolved
-        .join(broadcast(cc), resolved("r_raw") === cc("id"), "left")
+      val opRows = resolve(opsDf)
+        .join(broadcast(cc), col("r_raw") === cc("id"), "left")
         .select(coalesce(col("comp"), col("r_raw")).as("comp"),
           col("raw_id"), col("ord"), col("set"), col("set_once"), col("unset"),
           col("alias_to"), col("r_raw"), col("r_alias"))
@@ -132,7 +142,6 @@ final class IdentityMergeState(spark: SparkSession) {
       val next = untouched.union(folded).rdd.persist(StorageLevel.MEMORY_AND_DISK)
       next.count()
       opRows.unpersist()
-      resolved.unpersist()
       stateRdd.unpersist()
       stateRdd = next
       epoch = batchId
