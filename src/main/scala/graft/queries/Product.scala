@@ -280,8 +280,47 @@ object Product {
        |pu AS (SELECT user_id, count(*) AS n_days FROM days GROUP BY user_id)
        |SELECT n_days, count(*) AS n_users FROM pu GROUP BY 1""".stripMargin
 
+  /** Rolling active-user window length, days. */
+  val WauWindow = 7
+
+  /** Q-PROD-7: rolling 7-day active users per day (WAU) — EXACT
+    * distinct counts, not sketches. `count(distinct) OVER (RANGE 7
+    * days)` doesn't exist in either engine, and per-day
+    * `collect_set`-and-merge folds OOM on heavy days; instead each
+    * distinct (user, day) contributes itself to the [[WauWindow]] days
+    * whose trailing window contains it (a 7-way explode of COMPACT
+    * int64 pairs), and one distinct + count per day finishes it.
+    *
+    * Shape at 100 TB: distinct (user, day) first (map-side combined —
+    * output is active-users × days, not events); the explode multiplies
+    * only that compact pair set by 7; the final two aggregations
+    * shuffle (user, day) int64 pairs. Payloads never move. Days with
+    * no activity in the window are absent by definition (count 0).
+    */
+  def wau(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), expr(s"unix_micros(ts) DIV $DayUs").as("day"))
+      .distinct()
+      .select(col("user_id"), col("day"),
+        explode(sequence(col("day"), col("day") + (WauWindow - 1))).as("wday"))
+      .select(col("user_id"), col("wday"))
+      .distinct()
+      .groupBy(col("wday"))
+      .agg(count(lit(1)).as("n_active"))
+      .select(col("wday").as("day"), col("n_active"))
+
+  val wauSql: String =
+    s"""WITH days AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day FROM events),
+       |win AS (
+       |  SELECT DISTINCT user_id, day + off AS wday
+       |  FROM days, unnest(generate_series(0, ${WauWindow - 1})) AS o(off))
+       |SELECT wday AS day, count(*) AS n_active
+       |FROM win GROUP BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_prod_funnel", funnel, Some(funnelSql)),
+    Q("q_prod_wau", wau, Some(wauSql)),
     Q("q_prod_retention", retention, Some(retentionSql)),
     Q("q_prod_range_join", rangeJoin, Some(rangeJoinSql)),
     Q("q_prod_lifecycle", lifecycle, Some(lifecycleSql)),
