@@ -1,0 +1,181 @@
+package graft.llm
+
+import graft.Tables
+import graft.queries.Q
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import Portable._
+
+/** Product quantization (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011) — the compressed-domain half
+  * of an IVF-PQ index, completing the ANN family ([[Similarity]] holds
+  * the coarse quantizer + int8 path, [[KMeans]] the coarse trainer):
+  *
+  *   TRAIN    — split the 64-dim space into [[M]] subspaces of
+  *              [[SubDim]] dims; per subspace, run one deterministic
+  *              Lloyd round ([[KMeans]]' exact recipe: lowest-vec_id
+  *              seeds, vec_id-ordered mean folds) for [[Kc]] centroids.
+  *   ENCODE   — per vector × subspace, the nearest centroid id: the
+  *              vector compresses to M small codes (M·log₂Kc bits —
+  *              here 8 codes of 2 bits vs 64 floats, a 128× payload
+  *              reduction on the search side).
+  *   SEARCH   — asymmetric distance (ADC): per query, precompute the
+  *              M×[[Kc]] table of exact subspace distances to every
+  *              centroid, then score a candidate as the sum of M table
+  *              lookups selected by its codes — no candidate vector is
+  *              ever read.
+  *
+  * Everything is bit-deterministic and oracle-checked: subspace means
+  * fold members in vec_id order (sort-agg), the per-candidate ADC sum
+  * adds its M=8 terms in fixed subspace order (8 pivoted columns, one
+  * expression — a groupBy(sum) would be partition-order-dependent),
+  * and argmins tie-break on centroid id.
+  *
+  * Shape at 100 TB: training shuffles (subspace, centroid) keyed
+  * SUBVECTORS once per round (map-side nothing to combine, but the
+  * sort-agg streams); encode is a map pass against M·Kc broadcast
+  * centroids; search broadcasts the M·Kc·|queries| lookup table (KBs)
+  * and reads only the code columns — the scan is M bytes per vector,
+  * not the embedding payload. Candidate pruning composes with the IVF
+  * cells exactly like `q_sim_quant_ivf`; this operator keeps the exact
+  * all-candidate ADC as its oracle-checkable baseline.
+  */
+object PQ {
+
+  val Dim = 64
+  val M = 8            // subspaces
+  val SubDim = Dim / M // dims per subspace
+  val Kc = 4           // centroids per subspace
+  val TopK = 10
+
+  /** Queries: every 100th vector (5 at sf0.01). */
+  val QueryEvery = 100
+
+  /** All-subspace long form: (vec_id, m, sub) — one posexplode of the
+    * M static slices keeps the whole pipeline a single plan.
+    */
+  private def subspaces(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      posexplode(array((0 until M).map(m =>
+        slice(col("embedding"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "sub")))
+
+  /** Nearest centroid per (vec_id, m): `cents` = (m, cid, c). */
+  private def assign(subs: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("cid"))
+    subs.join(broadcast(cents), Seq("m"))
+      .select(col("vec_id"), col("m"), col("sub"), col("cid"),
+        dist2(col("sub"), col("c")).as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Per-(m, cid) mean, folded in vec_id order ([[KMeans.recenter]]'s
+    * exact recipe on the subvectors).
+    */
+  private def recenter(assigned: DataFrame): DataFrame =
+    assigned
+      .groupBy(col("m"), col("cid"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("sub")))).as("ms"),
+        count(lit(1)).as("n"))
+      .select(col("m"), col("cid"),
+        transform(sequence(lit(1), lit(SubDim)), dd =>
+          aggregate(col("ms"), lit(0.0), (acc, x) =>
+            acc + element_at(x.getField("sub"), dd).cast(DoubleType)) / col("n"))
+          .as("c"))
+
+  /** Q-SIM-10: train → encode → ADC top-[[TopK]] per query. */
+  def pqSearch(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.par(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"))
+    val subs = subspaces(e)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // seeds: the Kc lowest vec_ids' subvectors, cast to double
+    val c0 = subs.filter(col("vec_id") < Kc)
+      .select(col("m"), col("vec_id").as("cid"),
+        transform(col("sub"), x => x.cast(DoubleType)).as("c"))
+    val c1 = recenter(assign(subs, c0))
+
+    // encode every vector; queries keep their raw subvectors too
+    val enc = assign(subs, c1).select(col("vec_id"), col("m"), col("cid").as("code"))
+    val qsubs = subs.filter(col("vec_id") % QueryEvery === 0)
+      .select(col("vec_id").as("q_id"), col("m"), col("sub").as("q_sub"))
+
+    // ADC lookup table: |queries| × M × Kc exact subspace distances
+    val lut = qsubs.join(c1, Seq("m"))
+      .select(col("q_id"), col("m"), col("cid"),
+        dist2(col("q_sub"), col("c")).as("pdist"))
+
+    // candidate scoring: M lookups pivoted to fixed columns so the sum
+    // adds in declared subspace order (exact, partitioning-independent)
+    val pivots = (0 until M).map(m =>
+      max(when(col("sm") === m, col("pdist"))).as(s"p$m"))
+    val adc = (0 until M).map(m => col(s"p$m")).reduce(_ + _)
+    val w = Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))
+    enc.join(broadcast(lut), col("code") === lut("cid") && enc("m") === lut("m"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), enc("m").as("sm"), col("pdist"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(pivots.head, pivots.tail: _*)
+      .select(col("q_id"), col("vec_id"), adc.as("adc"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("adc"))
+  }
+
+  val pqSearchSql: String = {
+    val d2 = dist2Sql("sub", "c")
+    val d2q = dist2Sql("q_sub", "c")
+    val pivotCols = (0 until M)
+      .map(m => s"max(CASE WHEN m = $m THEN pdist END) AS p$m").mkString(", ")
+    val adcSum = (0 until M).map(m => s"p$m").mkString(" + ")
+    s"""WITH subs AS (
+       |  SELECT vec_id, m, embedding[m * $SubDim + 1 : m * $SubDim + $SubDim] AS sub
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${M - 1})) AS m)),
+       |c0 AS (
+       |  SELECT m, vec_id AS cid, list_transform(sub, x -> x::DOUBLE) AS c
+       |  FROM subs WHERE vec_id < $Kc),
+       |a1 AS (
+       |  SELECT vec_id, m, sub, cid FROM (
+       |    SELECT s.vec_id, s.m, s.sub, c0.cid,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY $d2, cid) AS rn
+       |    FROM subs s JOIN c0 USING (m)) WHERE rn = 1),
+       |m1 AS (
+       |  SELECT m, cid, count(*) AS n, list(sub ORDER BY vec_id) AS ms
+       |  FROM a1 GROUP BY m, cid),
+       |c1 AS (
+       |  SELECT m, cid,
+       |    list_transform(generate_series(1, $SubDim), dd ->
+       |      list_reduce(list_prepend(0.0, list_transform(ms, x -> x[dd]::DOUBLE)),
+       |        (a, b) -> a + b) / n) AS c
+       |  FROM m1),
+       |enc AS (
+       |  SELECT vec_id, m, cid AS code FROM (
+       |    SELECT s.vec_id, s.m, c1.cid,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY $d2, cid) AS rn
+       |    FROM subs s JOIN c1 USING (m)) WHERE rn = 1),
+       |lut AS (
+       |  SELECT q.q_id, q.m, c1.cid, $d2q AS pdist
+       |  FROM (SELECT vec_id AS q_id, m, sub AS q_sub FROM subs
+       |        WHERE vec_id % $QueryEvery = 0) q
+       |  JOIN c1 USING (m)),
+       |scored AS (
+       |  SELECT q_id, vec_id, $adcSum AS adc FROM (
+       |    SELECT q_id, vec_id, $pivotCols
+       |    FROM (SELECT l.q_id, e.vec_id, e.m, l.pdist
+       |          FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.cid
+       |          WHERE e.vec_id <> l.q_id)
+       |    GROUP BY q_id, vec_id))
+       |SELECT q_id, rank, vec_id, adc FROM (
+       |  SELECT q_id, vec_id, adc,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id)::BIGINT AS rank
+       |  FROM scored) WHERE rank <= $TopK""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q_sim_pq", pqSearch, Some(pqSearchSql)))
+}

@@ -133,6 +133,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.toLowerCase.contains("scalaudf"))
   }
 
+  test("PQ ADC search scores codes via a broadcast lookup join, no cartesian, no UDF") {
+    val p = plan(SparkEntry.queries("q_sim_pq")(spark, sf))
+    assert(!p.contains("CartesianProduct"), "ADC scoring degenerated to all-pairs")
+    assert(p.contains("BroadcastHashJoin"), "the distance lookup table lost its broadcast:\n" + p.take(1500))
+    assert(!p.toLowerCase.contains("scalaudf"))
+  }
+
   test("search top-k plans as TakeOrderedAndProject over the filtered postings") {
     val p = plan(SparkEntry.queries("q_text_search")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
