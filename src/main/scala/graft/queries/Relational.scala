@@ -505,10 +505,80 @@ object Relational {
         lit(0.0),
         (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)).as("norm_sq"))
 
+  /** Q-FN-6: URL parsing — host / path / query / single-parameter
+    * extraction with `parse_url` (the clickstream-analytics scalar
+    * family; the reference's SDK payloads carry `$current_url`). URLs
+    * are synthesized deterministically from `documents`, so the oracle
+    * re-derives every component directly from the base columns — an
+    * independent derivation that cross-checks `parse_url`'s semantics
+    * rather than re-running them.
+    */
+  def fnUrl(s: SparkSession, d: String): DataFrame = {
+    val url = concat(lit("https://"), col("lang"), lit(".example.com/docs/"),
+      col("doc_id"), lit("?src="), col("source"), lit("&k="), col("doc_id") % 7)
+    Tables.documents(s, d)
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY")).as("query"),
+        parse_url(col("url"), lit("QUERY"), lit("src")).as("src_param"),
+        parse_url(col("url"), lit("PROTOCOL")).as("protocol"))
+  }
+
+  val fnUrlSql: String =
+    """SELECT doc_id,
+      |  lang || '.example.com' AS host,
+      |  '/docs/' || doc_id AS path,
+      |  'src=' || source || '&k=' || (doc_id % 7) AS query,
+      |  source AS src_param,
+      |  'https' AS protocol
+      |FROM documents""".stripMargin
+
+  /** Q-AGG-10: exact fixed quantiles (p25/p50/p75, lower-value
+    * discretized: the element at rank ⌈p·n⌉ of the tie-broken total
+    * order) per event type — generalizes [[aggMedian]] to a quantile
+    * SET with the same rank-window + conditional-aggregation shape
+    * (one sort per key, three rows survive per group, no interpolated
+    * floats to disagree on).
+    */
+  def aggQuantiles(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(col("rn") === expr("(n + 3) DIV 4") ||
+        col("rn") === expr("(n + 1) DIV 2") ||
+        col("rn") === expr("(3 * n + 3) DIV 4"))
+      .groupBy(col("event_type"))
+      .agg(
+        first(col("n")).as("n"),
+        max(when(col("rn") === expr("(n + 3) DIV 4"), col("value"))).as("p25"),
+        max(when(col("rn") === expr("(n + 1) DIV 2"), col("value"))).as("p50"),
+        max(when(col("rn") === expr("(3 * n + 3) DIV 4"), col("value"))).as("p75"))
+  }
+
+  val aggQuantilesSql: String =
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type, any_value(n) AS n,
+      |  max(CASE WHEN rn = (n + 3) // 4 THEN value END) AS p25,
+      |  max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
+      |  max(CASE WHEN rn = (3 * n + 3) // 4 THEN value END) AS p75
+      |FROM r
+      |WHERE rn = (n + 3) // 4 OR rn = (n + 1) // 2 OR rn = (3 * n + 3) // 4
+      |GROUP BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- oracle
 
   /** All relational queries with their DuckDB oracles. */
   val all: Seq[Q] = Seq(
+    Q("q_fn_url", fnUrl, Some(fnUrlSql)),
+    Q("q_agg_quantiles", aggQuantiles, Some(aggQuantilesSql)),
     Q("q_scan_count", scanCount, Some("SELECT count(*) AS n FROM events")),
     Q("q_scan_tables", scanTables, Some(
       Tables.names.map(n => s"SELECT '$n' AS table_name, count(*) AS n FROM $n")

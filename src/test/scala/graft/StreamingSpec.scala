@@ -161,6 +161,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("stream-static dimension join: broadcast enrichment == batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the static side is a plain batch DataFrame — Spark re-plans it per
+    // micro-batch (the P9-style enrichment join on a live stream)
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    def enrich(df: org.apache.spark.sql.DataFrame) =
+      df.join(broadcast(dim), Seq("user_id"), "left")
+        .select(col("event_id"), col("user_id"), col("tier"))
+    val mem = MemoryStream[Ev]
+    val q = enrich(mem.toDF())
+      .writeStream.format("memory").queryName("ssdim")
+      .outputMode(OutputMode.Append()).start()
+    val streamed = try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      spark.table("ssdim").collect()
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS ssdim") }
+    val batch = enrich((batch1 ++ batch2).toDF()).collect()
+    assert(canon(streamed) == canon(batch))
+    assert(batch.length == 6)
+  }
+
   test("stream-stream interval join: cross-batch matches == batch range join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
