@@ -27,6 +27,12 @@ import Portable._
   *              lookups selected by its codes — no candidate vector is
   *              ever read.
   *
+  * Two registered forms: `q_sim_pq` scores ALL candidates (the exact
+  * labeled baseline, like `q_sim_topk`/`q_sim_quant`), and
+  * `q_sim_pq_ivf` restricts candidates to the query's coarse IVF cell
+  * ([[Similarity.ivfAssign]]) — the actual IVF-PQ serving shape, where
+  * each query touches |cell| ≈ N/c code rows instead of N.
+  *
   * Everything is bit-deterministic and oracle-checked: subspace means
   * fold members in vec_id order (sort-agg), the per-candidate ADC sum
   * adds its M=8 terms in fixed subspace order (8 pivoted columns, one
@@ -34,13 +40,11 @@ import Portable._
   * and argmins tie-break on centroid id.
   *
   * Shape at 100 TB: training shuffles (subspace, centroid) keyed
-  * SUBVECTORS once per round (map-side nothing to combine, but the
-  * sort-agg streams); encode is a map pass against M·Kc broadcast
-  * centroids; search broadcasts the M·Kc·|queries| lookup table (KBs)
-  * and reads only the code columns — the scan is M bytes per vector,
-  * not the embedding payload. Candidate pruning composes with the IVF
-  * cells exactly like `q_sim_quant_ivf`; this operator keeps the exact
-  * all-candidate ADC as its oracle-checkable baseline.
+  * SUBVECTORS once per round (sort-agg streams each cell); encode is a
+  * map pass against M·Kc broadcast centroids; search broadcasts the
+  * M·Kc·|queries| lookup table (KBs) and reads only the code columns —
+  * M bytes per candidate, not the embedding payload. The IVF variant
+  * prunes candidates by the cell equi-join before any lookup.
   */
 object PQ {
 
@@ -86,38 +90,37 @@ object PQ {
             acc + element_at(x.getField("sub"), dd).cast(DoubleType)) / col("n"))
           .as("c"))
 
-  /** Q-SIM-10: train → encode → ADC top-[[TopK]] per query. */
-  def pqSearch(s: SparkSession, d: String): DataFrame = {
+  /** Train + encode + query lookup table; `enc` = (vec_id, m, code),
+    * `lut` = (q_id, m, cid, pdist).
+    */
+  private def trained(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val e = Tables.par(Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding"))
     val subs = subspaces(e)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // seeds: the Kc lowest vec_ids' subvectors, cast to double
     val c0 = subs.filter(col("vec_id") < Kc)
       .select(col("m"), col("vec_id").as("cid"),
         transform(col("sub"), x => x.cast(DoubleType)).as("c"))
     val c1 = recenter(assign(subs, c0))
-
-    // encode every vector; queries keep their raw subvectors too
     val enc = assign(subs, c1).select(col("vec_id"), col("m"), col("cid").as("code"))
     val qsubs = subs.filter(col("vec_id") % QueryEvery === 0)
       .select(col("vec_id").as("q_id"), col("m"), col("sub").as("q_sub"))
-
-    // ADC lookup table: |queries| × M × Kc exact subspace distances
     val lut = qsubs.join(c1, Seq("m"))
-      .select(col("q_id"), col("m"), col("cid"),
-        dist2(col("q_sub"), col("c")).as("pdist"))
+      .select(col("q_id"), col("m"), col("cid"), dist2(col("q_sub"), col("c")).as("pdist"))
+    (enc, lut)
+  }
 
-    // candidate scoring: M lookups pivoted to fixed columns so the sum
-    // adds in declared subspace order (exact, partitioning-independent)
+  /** ADC top-[[TopK]] per query: M lookups pivoted to fixed columns so
+    * the sum adds in declared subspace order (exact,
+    * partitioning-independent). `cellJoin` optionally restricts
+    * candidates (the IVF composition).
+    */
+  private def adcTopK(joined: DataFrame): DataFrame = {
     val pivots = (0 until M).map(m =>
       max(when(col("sm") === m, col("pdist"))).as(s"p$m"))
     val adc = (0 until M).map(m => col(s"p$m")).reduce(_ + _)
     val w = Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))
-    enc.join(broadcast(lut), col("code") === lut("cid") && enc("m") === lut("m"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), enc("m").as("sm"), col("pdist"))
+    joined
       .groupBy(col("q_id"), col("vec_id"))
       .agg(pivots.head, pivots.tail: _*)
       .select(col("q_id"), col("vec_id"), adc.as("adc"))
@@ -126,12 +129,50 @@ object PQ {
       .select(col("q_id"), col("rank"), col("vec_id"), col("adc"))
   }
 
-  val pqSearchSql: String = {
+  /** Q-SIM-10: exact all-candidate ADC (the labeled baseline). */
+  def pqSearch(s: SparkSession, d: String): DataFrame = {
+    val (enc, lut) = trained(s, d)
+    adcTopK(
+      enc.join(broadcast(lut), col("code") === lut("cid") && enc("m") === lut("m"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), enc("m").as("sm"), col("pdist")))
+  }
+
+  /** Q-SIM-11: IVF-PQ — ADC over the query's coarse cell only. Each
+    * query reads |cell| ≈ N/c code rows; the cell map and the lookup
+    * table both broadcast (at scale the cell equi-join shuffles codes,
+    * never vectors).
+    */
+  def pqIvfSearch(s: SparkSession, d: String): DataFrame = {
+    val (enc, lut) = trained(s, d)
+    val cells = Similarity.ivfAssign(s, d).select(col("vec_id"), col("centroid_id"))
+    val qCells = cells.select(col("vec_id").as("q_id"), col("centroid_id").as("q_cell"))
+    val encCell = enc.join(cells, Seq("vec_id"))
+    val lutCell = lut.join(qCells, Seq("q_id"))
+    adcTopK(
+      encCell.join(broadcast(lutCell),
+          col("code") === lutCell("cid") && encCell("m") === lutCell("m") &&
+            col("centroid_id") === col("q_cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), encCell("m").as("sm"), col("pdist")))
+  }
+
+  /** Shared oracle body; `ivf` adds the coarse-cell restriction. */
+  private def sqlFor(ivf: Boolean): String = {
     val d2 = dist2Sql("sub", "c")
     val d2q = dist2Sql("q_sub", "c")
     val pivotCols = (0 until M)
       .map(m => s"max(CASE WHEN m = $m THEN pdist END) AS p$m").mkString(", ")
     val adcSum = (0 until M).map(m => s"p$m").mkString(" + ")
+    val ivfCte = if (ivf) s",\ncells AS (${Similarity.ivfAssignSql})" else ""
+    val candJoin =
+      if (ivf)
+        """FROM enc e
+          |    JOIN cells ce ON e.vec_id = ce.vec_id
+          |    JOIN (SELECT l.*, cq.centroid_id AS q_cell
+          |          FROM lut l JOIN cells cq ON l.q_id = cq.vec_id) l
+          |      ON e.m = l.m AND e.code = l.cid AND ce.centroid_id = l.q_cell""".stripMargin
+      else "FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.cid"
     s"""WITH subs AS (
        |  SELECT vec_id, m, embedding[m * $SubDim + 1 : m * $SubDim + $SubDim] AS sub
        |  FROM embeddings
@@ -162,12 +203,12 @@ object PQ {
        |  SELECT q.q_id, q.m, c1.cid, $d2q AS pdist
        |  FROM (SELECT vec_id AS q_id, m, sub AS q_sub FROM subs
        |        WHERE vec_id % $QueryEvery = 0) q
-       |  JOIN c1 USING (m)),
+       |  JOIN c1 USING (m))$ivfCte,
        |scored AS (
        |  SELECT q_id, vec_id, $adcSum AS adc FROM (
        |    SELECT q_id, vec_id, $pivotCols
        |    FROM (SELECT l.q_id, e.vec_id, e.m, l.pdist
-       |          FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.cid
+       |          $candJoin
        |          WHERE e.vec_id <> l.q_id)
        |    GROUP BY q_id, vec_id))
        |SELECT q_id, rank, vec_id, adc FROM (
@@ -176,6 +217,10 @@ object PQ {
        |  FROM scored) WHERE rank <= $TopK""".stripMargin
   }
 
+  val pqSearchSql: String = sqlFor(ivf = false)
+  val pqIvfSearchSql: String = sqlFor(ivf = true)
+
   val all: Seq[Q] = Seq(
-    Q("q_sim_pq", pqSearch, Some(pqSearchSql)))
+    Q("q_sim_pq", pqSearch, Some(pqSearchSql)),
+    Q("q_sim_pq_ivf", pqIvfSearch, Some(pqIvfSearchSql)))
 }

@@ -134,10 +134,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("PQ ADC search scores codes via a broadcast lookup join, no cartesian, no UDF") {
-    val p = plan(SparkEntry.queries("q_sim_pq")(spark, sf))
-    assert(!p.contains("CartesianProduct"), "ADC scoring degenerated to all-pairs")
-    assert(p.contains("BroadcastHashJoin"), "the distance lookup table lost its broadcast:\n" + p.take(1500))
-    assert(!p.toLowerCase.contains("scalaudf"))
+    for (q <- Seq("q_sim_pq", "q_sim_pq_ivf")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$q: ADC scoring degenerated to all-pairs")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: the distance lookup table lost its broadcast:\n" + p.take(1500))
+      assert(!p.toLowerCase.contains("scalaudf"), s"$q grew a UDF")
+    }
   }
 
   test("search top-k plans as TakeOrderedAndProject over the filtered postings") {
