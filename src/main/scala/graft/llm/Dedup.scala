@@ -420,6 +420,105 @@ object Dedup {
        |SELECT e.vec_id, e.centroid_id, dr.vec_id IS NOT NULL AS dropped
        |FROM e LEFT JOIN drops dr ON e.vec_id = dr.vec_id""".stripMargin
 
+  /** Q-DEDUP-11: exact-substring span dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * ExactSubstr): every [[SpanW]]-token window whose exact text
+    * occurs more than once in the corpus (within OR across documents)
+    * is a duplicated span; per document, report how many of its spans
+    * are duplicated and what fraction of its tokens a span-cutting
+    * dedup would remove.
+    *
+    * The paper builds one corpus-wide suffix array — sequential and
+    * RAM-bound. The Spark decomposition replaces it with fixed-width
+    * window hashing:
+    *
+    *   1. map-only: hash each W-token window (h60 of the joined span)
+    *     and explode to the posting table (span_h, doc_id, pos) —
+    *     the document payload never shuffles, only ~20 B/token;
+    *   2. one shuffle on span_h: occurrence counts via a window
+    *     function (count per key — no self-join, so a boilerplate
+    *     span shared by k docs costs k rows, never k²);
+    *   3. one shuffle on doc_id: duplicated-token coverage in closed
+    *     form — sorted by pos, each duplicated span covers
+    *     min(W, next_pos − pos) tokens (interval union without a
+    *     fold or collect);
+    *   4. left-join the rollup back to per-doc token counts (zeros
+    *     for clean docs).
+    *
+    * vs the suffix array: spans shorter than W tokens are missed and
+    * duplicate runs are detected at W-token granularity — the
+    * standard trade (MinHash-style windowing) for a scan that is two
+    * compact-key shuffles at any corpus size.
+    */
+  val SpanW = 8
+
+  /** docs → (doc_id, n_tokens, spans[(pos, span_h)]); same projection
+    * -boundary discipline as [[shingleDocs]] (`toks` materialized
+    * once, referenced many times by the window transform).
+    */
+  private def spanDocs(s: SparkSession, d: String): DataFrame =
+    Tables.par(Tables.documents(s, d))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast(LongType).as("n_tokens"),
+        when(size(col("toks")) >= SpanW,
+          transform(sequence(lit(1), size(col("toks")) - (SpanW - 1)), i =>
+            struct(i.as("pos"), h60(concat_ws(" ", slice(col("toks"), i, lit(SpanW)))).as("span_h"))))
+          .otherwise(array().cast("array<struct<pos:int,span_h:bigint>>")).as("spans"))
+
+  def spans(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = spanDocs(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val post = base.select(col("doc_id"), explode(col("spans")).as("sp"))
+      .select(col("doc_id"), col("sp.pos").as("pos"), col("sp.span_h").as("span_h"))
+    val dup = post
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("span_h"))))
+      .filter(col("cnt") >= 2)
+    val covered = dup
+      .withColumn("nxt", lead(col("pos"), 1)
+        .over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup"),
+        sum(least(coalesce(col("nxt") - col("pos"), lit(SpanW)), lit(SpanW)))
+          .as("dup_toks"))
+    base.select(col("doc_id"), col("n_tokens"), size(col("spans")).cast(LongType).as("n_spans"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_toks"), lit(0L)).as("dup_tokens"),
+        when(col("n_tokens") > 0,
+          coalesce(col("dup_toks"), lit(0L)).cast(DoubleType) / col("n_tokens"))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
+  val spansSql: String = {
+    val toks = tokensSql("text")
+    val sh = h60Sql(s"array_to_string(toks[pos:pos+${SpanW - 1}], ' ')")
+    s"""WITH base AS (SELECT doc_id, $toks AS toks FROM documents),
+       |stats AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+       |                 greatest(len(toks) - ${SpanW - 1}, 0)::BIGINT AS n_spans FROM base),
+       |post AS (
+       |  SELECT doc_id, pos, $sh AS span_h
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(generate_series(1, len(toks) - ${SpanW - 1})) AS pos FROM base)),
+       |dup AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos, count(*) OVER (PARTITION BY span_h) AS cnt FROM post)
+       |  WHERE cnt >= 2),
+       |cov AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_dup_spans,
+       |         sum(least(coalesce(nxt - pos, $SpanW), $SpanW))::BIGINT AS dup_tokens
+       |  FROM (SELECT doc_id, pos,
+       |          lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM dup)
+       |  GROUP BY doc_id)
+       |SELECT s.doc_id, s.n_tokens, s.n_spans,
+       |  coalesce(c.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+       |  coalesce(c.dup_tokens, 0)::BIGINT AS dup_tokens,
+       |  CASE WHEN s.n_tokens > 0
+       |    THEN coalesce(c.dup_tokens, 0)::DOUBLE / s.n_tokens ELSE 0.0 END AS dup_frac
+       |FROM stats s LEFT JOIN cov c USING (doc_id)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_dedup_exact", exact, Some(exactSql)),
     Q("q_dedup_ngram", ngramJaccard, Some(ngramJaccardSql)),
@@ -430,5 +529,6 @@ object Dedup {
     Q("q_dedup_cosine", cosinePairs, Some(cosinePairsSql)),
     Q("q_dedup_cosine_blocked", cosineBlocked, Some(cosineBlockedSql)),
     Q("q_dedup_semantic", semantic, Some(semanticSql)),
-    Q("q_dedup_clusters", clusters, Some(clustersSql)))
+    Q("q_dedup_clusters", clusters, Some(clustersSql)),
+    Q("q_dedup_spans", spans, Some(spansSql)))
 }

@@ -1,0 +1,71 @@
+package graft
+
+import graft.llm.Dedup
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.Files
+
+/** Exact-substring span dedup (q_dedup_spans): coverage math pinned on
+  * a hand-built corpus where every duplicated span is known.
+  */
+class DedupSpansSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("duplicated-span detection and token coverage") {
+    import spark.implicits._
+    val docs = Seq(
+      // cross-doc dup: doc 1 pos 1 == doc 2 pos 2 ("a b c d e f g h")
+      (1L, "a b c d e f g h i j"),
+      (2L, "x a b c d e f g h"),
+      // too short for any span
+      (3L, "p q r"),
+      // within-doc dup: pos 1 == pos 9
+      (4L, "m n o p q r s t m n o p q r s t"))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'unit' AS source",
+        "length(text) AS n_chars")
+    val dir = Files.createTempDirectory("spans").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val out = Dedup.spans(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+
+    // doc 1: 10 tokens, 3 spans, dup at pos 1 only → 8 covered tokens
+    assert(out(1L) == ((10L, 3L, 1L, 8L, 0.8)))
+    // doc 2: 9 tokens, 2 spans, dup at pos 2 (its last span) → 8 covered
+    assert(out(2L) == ((9L, 2L, 1L, 8L, 8.0 / 9.0)))
+    // doc 3: no spans at all
+    assert(out(3L) == ((3L, 0L, 0L, 0L, 0.0)))
+    // doc 4: dup at pos 1 and 9; intervals [1,8] and [9,16] tile the doc
+    assert(out(4L) == ((16L, 9L, 2L, 16L, 1.0)))
+  }
+
+  test("overlapping duplicated spans never double-count covered tokens") {
+    import spark.implicits._
+    // two identical 12-token docs: every span (pos 1..5) is duplicated;
+    // naive per-span × W would claim 40 tokens, the interval union is 12
+    val text = "a b c d e f g h i j k l"
+    val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'unit' AS source",
+        "length(text) AS n_chars")
+    val dir = Files.createTempDirectory("spans2").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    Dedup.spans(spark, dir).collect().foreach { r =>
+      assert(r.getLong(3) == 5L, "n_dup_spans")
+      assert(r.getLong(4) == 12L, "dup_tokens: union, not sum")
+      assert(r.getDouble(5) == 1.0)
+    }
+  }
+}

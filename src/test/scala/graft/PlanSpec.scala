@@ -68,10 +68,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("text/signature operators stay UDF-free map passes") {
-    for (q <- Seq("q_text_stats", "q_text_winnow", "q_dedup_minhash", "q_sim_lsh")) {
+    for (q <- Seq("q_text_stats", "q_text_winnow", "q_dedup_minhash", "q_sim_lsh",
+        "q_dedup_spans")) {
       val p = plan(SparkEntry.queries(q)(spark, sf))
       assert(!p.toLowerCase.contains("scalaudf"), s"$q grew a UDF")
     }
+  }
+
+  test("span dedup never self-joins: no cartesian, counts via one keyed window") {
+    val p = plan(SparkEntry.queries("q_dedup_spans")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("Window"), p.take(1500))
   }
 
   test("simhash is a single hash-aggregate pass with partial (map-side) aggregation") {
