@@ -369,6 +369,56 @@ object Similarity {
        |  FROM scored) WHERE rank <= 5""".stripMargin
   }
 
+  /** Q-SIM-9: deterministic random projection (Achlioptas 2001 /
+    * Johnson–Lindenstrauss): project the 64-dim embeddings onto
+    * [[ProjK]] ±1 directions, scaled by 1/√k — the standard
+    * dimensionality-reduction step in front of brute-force or LSH
+    * search when the raw dimension (not N) is the bandwidth cost.
+    *
+    * The sign matrix is derived from md5 parity of the (row, col)
+    * coordinates, so BOTH engines re-derive it independently — the
+    * Spark side folds the signs to plan-time literals (computed with
+    * the same md5-parity rule in Scala), the oracle recomputes them
+    * with SQL `md5` and DuckDB's constant folding. The projection
+    * itself is a fixed-coefficient multiply–add chain in declared
+    * index order (left-associated in both engines ⇒ bit-identical
+    * doubles), fully inside whole-stage codegen.
+    *
+    * At 100 TB: a map-only scan — no shuffle, no UDF, no runtime
+    * hashing; coefficients live in the plan. Downstream exact cosine
+    * in 8 dims reads 8× less than in 64.
+    */
+  val ProjK = 8
+
+  /** Parity of the first 60 bits of md5("p<i>_<j>") — the Scala twin
+    * of `('0x' || substr(md5('p<i>_<j>'), 1, 15))::BIGINT % 2`.
+    */
+  private[graft] def projSign(i: Int, j: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"p${i}_$j".getBytes("UTF-8"))
+    val hex = md.map("%02x".format(_)).mkString.substring(0, 15)
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1 else -1
+  }
+
+  def project(s: SparkSession, d: String): DataFrame = {
+    val dims = (0 until ProjK).map { j =>
+      (1 to Dim).map { i =>
+        element_at(col("embedding"), i).cast(DoubleType) * lit(projSign(i, j).toDouble)
+      }.reduceLeft(_ + _)./(sqrt(lit(ProjK.toDouble))).as(s"p$j")
+    }
+    Tables.embeddings(s, d).select(col("vec_id") +: dims: _*)
+  }
+
+  val projectSql: String = {
+    def signSql(i: Int, j: Int) =
+      s"(CASE WHEN ('0x' || substr(md5('p${i}_$j'), 1, 15))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+    val dims = (0 until ProjK).map { j =>
+      (1 to Dim).map(i => s"embedding[$i]::DOUBLE * ${signSql(i, j)}")
+        .mkString("(", " + ", s") / sqrt(${ProjK}.0) AS p$j")
+    }
+    s"SELECT vec_id, ${dims.mkString(", ")} FROM embeddings"
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_sim_topk", topK, Some(topKSql)),
     Q("q_sim_lsh", lshBuckets, Some(lshBucketsSql)),
@@ -377,5 +427,6 @@ object Similarity {
     Q("q_sim_lsh_search", lshSearch, Some(lshSearchSql)),
     Q("q_sim_quant", quantSearch, Some(quantSearchSql)),
     Q("q_sim_quant_ivf", quantIvfSearch, Some(quantIvfSearchSql)),
-    Q("q_sim_ivf_multiprobe", ivfMultiprobe, Some(ivfMultiprobeSql)))
+    Q("q_sim_ivf_multiprobe", ivfMultiprobe, Some(ivfMultiprobeSql)),
+    Q("q_sim_project", project, Some(projectSql)))
 }

@@ -318,6 +318,107 @@ object Product {
        |SELECT wday AS day, count(*) AS n_active
        |FROM win GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------- sessions
+
+  /** Q-PROD-8: gap-based sessionization — the canonical PostHog
+    * session definition (a new session starts after ≥30 min of
+    * inactivity). One row per (user, session): event count, start/end
+    * epoch micros, duration.
+    *
+    * Shape at 100 TB: both windows and the final rollup key on
+    * `user_id`, so ONE user-keyed shuffle of the compact
+    * (user_id, event_id, us) projection serves the whole query; the
+    * running `sum` is a per-user streaming pass. All-integer
+    * arithmetic, tie-broken by the unique event id ⇒ bit-exact.
+    */
+  val SessionGapUs: Long = 30L * 60 * 1000000
+
+  def sessions(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), tsUs(col("ts")).as("us"))
+      .withColumn("new_sess",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(w))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("start_us"), col("end_us"),
+        (col("end_us") - col("start_us")).as("dur_us"))
+  }
+
+  val sessionsSql: String =
+    s"""WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+       |f AS (
+       |  SELECT user_id, event_id, us,
+       |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > $SessionGapUs
+       |         THEN 1 ELSE 0 END AS new_sess
+       |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |g AS (
+       |  SELECT user_id, us,
+       |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id)::BIGINT AS session_id
+       |  FROM f)
+       |SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+       |  min(us) AS start_us, max(us) AS end_us, max(us) - min(us) AS dur_us
+       |FROM g GROUP BY user_id, session_id""".stripMargin
+
+  // ------------------------------------------------------------ correlation
+
+  /** Q-PROD-9: funnel correlation (PostHog's correlation analysis):
+    * for each candidate event type, how much more likely converted
+    * users (those who ever purchased) were to have performed it than
+    * non-converted users — the Laplace-smoothed odds ratio
+    * `((succ+1)(drop+2)) / ((fail+1)(conv+2))`.
+    *
+    * All counts are exact distinct-user integers; the odds ratio is a
+    * product of int64s with ONE double division at the end ⇒
+    * bit-exact. Shape at 100 TB: the (user, event_type) distinct and
+    * the converted-user join both key on `user_id` (one partitioning
+    * reused); per-type rollup shuffles |event_types| rows; the totals
+    * row is a 1-row broadcast.
+    */
+  def correlation(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("event_type")).distinct()
+    val conv = pairs.filter(col("event_type") === "purchase")
+      .select(col("user_id")).withColumn("c", lit(1))
+    val tot = pairs.select(col("user_id")).distinct()
+      .join(conv, Seq("user_id"), "left")
+      .agg(sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("n_conv"),
+        sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_drop"))
+    pairs.filter(col("event_type") =!= "purchase")
+      .join(conv, Seq("user_id"), "left")
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("n_succ"),
+        sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_fail"))
+      .crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_succ"), col("n_fail"),
+        col("n_conv"), col("n_drop"),
+        (((col("n_succ") + 1) * (col("n_drop") + 2)).cast("double") /
+          ((col("n_fail") + 1) * (col("n_conv") + 2))).as("odds_ratio"))
+  }
+
+  val correlationSql: String =
+    """WITH pairs AS (SELECT DISTINCT user_id, event_type FROM events),
+      |conv AS (SELECT DISTINCT user_id FROM pairs WHERE event_type = 'purchase'),
+      |tot AS (
+      |  SELECT sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_conv,
+      |         sum(CASE WHEN c.user_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_drop
+      |  FROM (SELECT DISTINCT user_id FROM pairs) u
+      |  LEFT JOIN conv c USING (user_id)),
+      |byt AS (
+      |  SELECT event_type,
+      |         sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_succ,
+      |         sum(CASE WHEN c.user_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_fail
+      |  FROM pairs p LEFT JOIN conv c USING (user_id)
+      |  WHERE p.event_type <> 'purchase' GROUP BY event_type)
+      |SELECT event_type, n_succ, n_fail, n_conv, n_drop,
+      |  ((n_succ + 1) * (n_drop + 2))::DOUBLE / ((n_fail + 1) * (n_conv + 2)) AS odds_ratio
+      |FROM byt, tot""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_prod_funnel", funnel, Some(funnelSql)),
     Q("q_prod_wau", wau, Some(wauSql)),
@@ -325,5 +426,7 @@ object Product {
     Q("q_prod_range_join", rangeJoin, Some(rangeJoinSql)),
     Q("q_prod_lifecycle", lifecycle, Some(lifecycleSql)),
     Q("q_prod_paths", paths, Some(pathsSql)),
-    Q("q_prod_stickiness", stickiness, Some(stickinessSql)))
+    Q("q_prod_stickiness", stickiness, Some(stickinessSql)),
+    Q("q_prod_sessions", sessions, Some(sessionsSql)),
+    Q("q_prod_correlation", correlation, Some(correlationSql)))
 }

@@ -75,6 +75,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("random projection is a map-only codegen scan: no shuffle, literal signs") {
+    val p = plan(SparkEntry.queries("q_sim_project")(spark, sf))
+    assert(!p.contains("Exchange"), "projection must not shuffle")
+    assert(!p.toLowerCase.contains("scalaudf"), "projection grew a UDF")
+    assert(!p.toLowerCase.contains("md5"), "sign matrix must fold to plan-time literals")
+  }
+
+  test("sessionization reuses ONE user-keyed shuffle for windows and rollup") {
+    val p = plan(SparkEntry.queries("q_prod_sessions")(spark, sf))
+    val exchanges = p.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges == 1, s"expected exactly 1 shuffle, saw $exchanges:\n${p.take(1500)}")
+  }
+
   test("span dedup never self-joins: no cartesian, counts via one keyed window") {
     val p = plan(SparkEntry.queries("q_dedup_spans")(spark, sf))
     assert(!p.contains("CartesianProduct"), p.take(1500))
