@@ -68,6 +68,28 @@ object Lake {
       .parquet(outPath)
   }
 
+  /** Bucketed lake layout — the co-located-join strategy for the
+    * tables that are perpetually joined on the same key (events ⋈
+    * persons on the person key, events ⋈ events self-joins): hash
+    * -bucket both sides into the same bucket count at WRITE time, and
+    * every subsequent equi-join on that key plans with ZERO exchanges
+    * — at 100 TB the join shuffle, normally the dominant cost, is
+    * paid once at ingest instead of once per query. `sortBy` makes
+    * each bucket file sorted so the sort-merge join needs no sort
+    * either. (Iceberg expresses the same layout as a `bucket(n, key)`
+    * partition transform; the catalog-table form here is what the
+    * offline container supports.)
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int = 32, path: Option[String] = None): Unit = {
+    val w = df.write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .mode("overwrite")
+      .format("parquet")
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
   /** Streaming append, idempotent under epoch replay: each micro-batch
     * lands in its own `epoch_id=<batchId>` partition directory with
     * OVERWRITE semantics, so a failure-replayed epoch rewrites its own

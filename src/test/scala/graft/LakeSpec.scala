@@ -104,6 +104,30 @@ class LakeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Lake.readEvents(spark, out).count() == 2)
   }
 
+  test("bucketed layout: equi-join on the bucket key plans with ZERO shuffles") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bucketed").toString
+    val facts = (1 to 1000).map(i => (i.toLong % 100, i.toLong)).toDF("user_id", "event_id")
+    val dim = (0L until 100L).map(u => (u, s"plan$u")).toDF("user_id", "plan")
+    Lake.writeBucketed(facts, "b_facts", "user_id", buckets = 4, path = Some(s"$dir/facts"))
+    Lake.writeBucketed(dim, "b_dim", "user_id", buckets = 4, path = Some(s"$dir/dim"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle-join path: the point is the bucket layout
+      // replacing the exchange, not a broadcast hiding it
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_facts").join(spark.table("b_dim"), "user_id")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(1500))
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n${p.take(1500)}")
+      assert(joined.count() == 1000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_facts")
+      spark.sql("DROP TABLE IF EXISTS b_dim")
+    }
+  }
+
   test("partition filter prunes at scan (PartitionFilters in plan)") {
     val dir = Files.createTempDirectory("lake").toString
     Lake.writeEvents(canonical(

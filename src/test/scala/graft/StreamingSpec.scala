@@ -82,6 +82,22 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.count(_.getLong(2) == 1L) == 2)
   }
 
+  test("gap sessionization: q_prod_sessions window form == native session_window") {
+    // two independent algorithms for the same 30-min-gap definition:
+    // the batch lag/cumsum windows vs Spark's session_window merge.
+    // Grouping must agree exactly; session_window's end is last_ts+gap.
+    val sf = "/root/testdata/sf0.001"
+    val a = graft.queries.Product.sessions(spark, sf)
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val b = Streaming.sessionize(
+        graft.Tables.events(spark, sf).select(col("ts"), col("user_id"), col("value")))
+      .select(col("user_id"), col("session_start_us"),
+        col("session_end_us") - graft.queries.Product.SessionGapUs, col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(a.nonEmpty && a == b)
+  }
+
   test("ingest normalization: stream == batch (same stateless transforms)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
