@@ -75,8 +75,12 @@ object Bench {
         .map { case (p, i) => "\"pass" + (i + 1) + "\":" + m(p) }.mkString(",")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${m(best)},$ps,"sf":"$sfDir"}"""
     }
+    // the committed baseline artifact records FULL runs only — a
+    // SPARK_GRAFT_ONLY dev subset writes to bench_dev.json so it can
+    // never silently replace the cross-round comparison point
+    val outFile = if (only.isEmpty) "bench_full.json" else "bench_dev.json"
     try {
-      val w = new java.io.PrintWriter("bench_full.json")
+      val w = new java.io.PrintWriter(outFile)
       try w.println(fullJson) finally w.close()
     } catch { case _: Throwable => }
 

@@ -519,6 +519,62 @@ object Dedup {
        |FROM stats s LEFT JOIN cov c USING (doc_id)""".stripMargin
   }
 
+  /** Q-DEDUP-12: novelty scoring — the incremental-crawl dedup gate:
+    * per document, the fraction of its distinct 3-shingles NOT seen in
+    * any earlier document (doc_id order standing in for crawl order).
+    * A recrawl scores ~0 and is skipped without any pairwise
+    * comparison; boilerplate-heavy pages score low; genuinely new
+    * content scores high. The containment-style complement of
+    * [[ngramJaccard]]: that one finds near-equal PAIRS, this one
+    * scores each doc against the whole preceding corpus at once.
+    *
+    * Shape at 100 TB: first-seen per shingle is ONE hash aggregate of
+    * the inverted index (map-side combined min); the join back is
+    * co-partitioned on the same shingle key, then one doc-keyed
+    * rollup. No self-join, so a shingle shared by k docs costs k rows
+    * — the hot-key k² blowup of pair enumeration never appears.
+    */
+  def novelty(s: SparkSession, d: String): DataFrame = {
+    val docs = shingleDocs(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), h60(col("s")).as("hs"))
+    val first = inv.groupBy(col("hs")).agg(min(col("doc_id")).as("first_doc"))
+    val seen = inv.join(first, Seq("hs"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_sn"))
+    docs.select(col("doc_id"))
+      .join(seen, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sh"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_sn"), lit(0L)).as("n_seen"),
+        when(coalesce(col("n_sh"), lit(0L)) > 0,
+          (col("n_sh") - col("n_sn")).cast(DoubleType) / col("n_sh"))
+          .otherwise(lit(1.0)).as("novelty"))
+  }
+
+  val noveltySql: String = {
+    val toks = tokensSql("text")
+    s"""WITH base AS (
+       |  SELECT doc_id, ${shingles3Sql("toks")} AS sh
+       |  FROM (SELECT doc_id, $toks AS toks FROM documents)),
+       |inv AS (
+       |  SELECT doc_id, ${h60Sql("g")} AS hs
+       |  FROM (SELECT doc_id, unnest(sh) AS g FROM base)),
+       |first AS (SELECT hs, min(doc_id) AS first_doc FROM inv GROUP BY hs),
+       |seen AS (
+       |  SELECT i.doc_id, count(*)::BIGINT AS n_sh,
+       |         sum(CASE WHEN f.first_doc < i.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_sn
+       |  FROM inv i JOIN first f USING (hs) GROUP BY i.doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(s.n_sh, 0) AS n_shingles,
+       |  coalesce(s.n_sn, 0) AS n_seen,
+       |  CASE WHEN coalesce(s.n_sh, 0) > 0
+       |    THEN (s.n_sh - s.n_sn)::DOUBLE / s.n_sh ELSE 1.0 END AS novelty
+       |FROM documents d LEFT JOIN seen s USING (doc_id)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_dedup_exact", exact, Some(exactSql)),
     Q("q_dedup_ngram", ngramJaccard, Some(ngramJaccardSql)),
@@ -530,5 +586,6 @@ object Dedup {
     Q("q_dedup_cosine_blocked", cosineBlocked, Some(cosineBlockedSql)),
     Q("q_dedup_semantic", semantic, Some(semanticSql)),
     Q("q_dedup_clusters", clusters, Some(clustersSql)),
-    Q("q_dedup_spans", spans, Some(spansSql)))
+    Q("q_dedup_spans", spans, Some(spansSql)),
+    Q("q_dedup_novelty", novelty, Some(noveltySql)))
 }

@@ -51,6 +51,44 @@ class DedupSpansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(4L) == ((16L, 9L, 2L, 16L, 1.0)))
   }
 
+  test("randomized corpus: distributed result == brute-force reference") {
+    import spark.implicits._
+    val W = graft.llm.Dedup.SpanW
+    val rnd = new scala.util.Random(42)
+    val vocab = Array("a", "b", "c", "d", "e", "f") // tiny vocab → frequent collisions
+    val docs: Seq[(Long, Array[String])] = (1L to 40L).map { id =>
+      id -> Array.fill(rnd.nextInt(31))(vocab(rnd.nextInt(vocab.length)))
+    }
+
+    // brute force: materialize every span string, count globally,
+    // union the duplicated intervals per doc
+    val counts = docs.flatMap { case (_, toks) =>
+      (0 to toks.length - W).map(p => toks.slice(p, p + W).mkString(" "))
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    val expected = docs.map { case (id, toks) =>
+      val nSpans = math.max(toks.length - W + 1, 0)
+      val dupPos = (0 until nSpans)
+        .filter(p => counts(toks.slice(p, p + W).mkString(" ")) >= 2).map(_ + 1)
+      val covered = dupPos.foldLeft((0L, 0L)) { case ((cov, prevEnd), p) =>
+        val s = math.max(p.toLong, prevEnd + 1)
+        val e = p.toLong + W - 1
+        (cov + math.max(0L, e - s + 1), math.max(prevEnd, e))
+      }._1
+      id -> ((toks.length.toLong, nSpans.toLong, dupPos.size.toLong, covered))
+    }.toMap
+
+    val dir = Files.createTempDirectory("spansr").toString
+    docs.map { case (id, toks) => (id, toks.mkString(" ")) }
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'unit' AS source",
+        "length(text) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.spans(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got == expected)
+  }
+
   test("overlapping duplicated spans never double-count covered tokens") {
     import spark.implicits._
     // two identical 12-token docs: every span (pos 1..5) is duplicated;

@@ -82,6 +82,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.count(_.getLong(2) == 1L) == 2)
   }
 
+  test("late data past the watermark is dropped from the aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // Append mode: results emit only when the watermark closes a window
+    // — the mode where late-data handling is observable
+    val q = Streaming.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // window [0h,6h): two views
+      mem.addData(Ev(1, ts(0), 1, "view", 1.0), Ev(2, ts(10), 1, "view", 1.0))
+      q.processAllAvailable()
+      // jump the event clock 20h ahead: watermark (max_ts - 1h) passes
+      // the first window, closing and emitting it
+      mem.addData(Ev(3, ts(20 * 60), 1, "view", 1.0))
+      q.processAllAvailable()
+      // a third view for the long-closed first window: LATE, dropped
+      mem.addData(Ev(4, ts(5), 1, "view", 1.0))
+      q.processAllAvailable()
+      val firstWindow = spark.table("late_out")
+        .filter(col("window_start_us") === 1704067200000000L).collect()
+      assert(firstWindow.length == 1, "closed window must emit exactly once")
+      assert(firstWindow.head.getAs[Long]("n") == 2L,
+        "the late event must not reopen or recount the closed window")
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS late_out") }
+  }
+
   test("gap sessionization: q_prod_sessions window form == native session_window") {
     // two independent algorithms for the same 30-min-gap definition:
     // the batch lag/cumsum windows vs Spark's session_window merge.
