@@ -270,10 +270,89 @@ object FlagQueries {
        |    OR coalesce(first_et = 'view', false)) AS f_engaged
        |FROM p""".stripMargin
 
+  private val experimentConfigJson: String =
+    """{"flags": [
+      |  {"key": "exp", "type": "multivariate",
+      |   "variants": [
+      |     {"key": "control", "rollout_percentage": 50},
+      |     {"key": "test", "rollout_percentage": 50}],
+      |   "conditions": [{"properties": []}]}
+      |]}""".stripMargin
+
+  def experimentConfig: Seq[FeatureFlag] = FlagStore.fromJson(experimentConfigJson)
+
+  /** Q-FLAG-6: experiment readout — the A/B analysis downstream of the
+    * flag engine: each tracked user's variant comes from the REAL
+    * vectorized evaluator (native SHA1 bucket, 50/50 walk on the
+    * `exp` salt — same fixture as `q_flag_variants`), conversion =
+    * a high-value purchase (value > 130 — a real conversion event; the
+    * plain any-purchase form saturates at 100% on this dataset, which
+    * degenerates the pooled variance to 0/0); per variant, exact
+    * counts plus conversion rate,
+    * absolute lift vs control and the two-proportion pooled z-score.
+    *
+    * Float discipline: counts are exact int64; rate/lift/z are the
+    * IDENTICAL expression tree in both engines (divisions, products,
+    * one sqrt — each correctly rounded ⇒ bit-equal). Shape at 100 TB:
+    * conversion rollup is one user-keyed map-side-combined agg; the
+    * flag walk is a map-only projection; per-variant rollup shuffles
+    * |variants| rows; the control row is a 1-row broadcast.
+    */
+  def flagExperiment(s: SparkSession, d: String): DataFrame = {
+    GraftExtensions.register(s)
+    val conv = graft.Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 130.0, 1L)
+        .otherwise(0L)).as("conv"))
+    val frame = FlagFrame(col("distinct_id"), map().cast("map<string,string>"))
+    val assigned = conv
+      .select(col("conv"), concat(lit("user-"), col("user_id")).as("distinct_id"))
+      .select(col("conv"),
+        FlagColumns.resultCol(frame, experimentConfig.head).getField("variant").as("variant"))
+    val per = assigned.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+    val ctl = per.filter(col("variant") === "control")
+      .select(col("n_users").as("ctl_users"), col("n_conv").as("ctl_conv"))
+    val rate = col("n_conv").cast("double") / col("n_users")
+    val ctlRate = col("ctl_conv").cast("double") / col("ctl_users")
+    val pooled = (col("n_conv") + col("ctl_conv")).cast("double") /
+      (col("n_users") + col("ctl_users"))
+    per.crossJoin(broadcast(ctl))
+      .select(col("variant"), col("n_users"), col("n_conv"),
+        rate.as("conv_rate"),
+        (rate - ctlRate).as("lift"),
+        ((rate - ctlRate) /
+          sqrt(pooled * (lit(1.0) - pooled) *
+            (lit(1.0) / col("n_users") + lit(1.0) / col("ctl_users")))).as("z_score"))
+  }
+
+  val flagExperimentSql: String =
+    s"""WITH b AS (SELECT * FROM (VALUES ${FlagBucketFixture.valuesSql}) AS v(i, bucket)),
+       |conv AS (
+       |  SELECT user_id,
+       |    max(CASE WHEN event_type = 'purchase' AND value > 130.0 THEN 1 ELSE 0 END)::BIGINT AS conv
+       |  FROM events GROUP BY user_id),
+       |a AS (
+       |  SELECT CASE WHEN b.bucket < 50 THEN 'control' ELSE 'test' END AS variant, c.conv
+       |  FROM conv c JOIN b ON b.i = c.user_id),
+       |per AS (
+       |  SELECT variant, count(*)::BIGINT AS n_users, sum(conv)::BIGINT AS n_conv
+       |  FROM a GROUP BY variant),
+       |ctl AS (SELECT n_users AS ctl_users, n_conv AS ctl_conv FROM per WHERE variant = 'control')
+       |SELECT variant, n_users, n_conv,
+       |  n_conv::DOUBLE / n_users AS conv_rate,
+       |  (n_conv::DOUBLE / n_users) - (ctl_conv::DOUBLE / ctl_users) AS lift,
+       |  ((n_conv::DOUBLE / n_users) - (ctl_conv::DOUBLE / ctl_users)) /
+       |    sqrt(((n_conv + ctl_conv)::DOUBLE / (n_users + ctl_users)) *
+       |         (1.0::DOUBLE - ((n_conv + ctl_conv)::DOUBLE / (n_users + ctl_users))) *
+       |         (1.0::DOUBLE / n_users + 1.0::DOUBLE / ctl_users)) AS z_score
+       |FROM per, ctl""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_flag_filters", flagFilters, Some(flagFiltersSql)),
     Q("q_flag_rollout", flagRollout, Some(flagRolloutSql)),
     Q("q_flag_variants", flagVariants, Some(flagVariantsSql)),
     Q("q_flag_groups", flagGroups, Some(flagGroupsSql)),
-    Q("q_flag_cohort", flagCohort, Some(flagCohortSql)))
+    Q("q_flag_cohort", flagCohort, Some(flagCohortSql)),
+    Q("q_flag_experiment", flagExperiment, Some(flagExperimentSql)))
 }

@@ -479,6 +479,31 @@ object Relational {
         sqrt(col("l_extendedprice")).as("sqrt_price"),
         (col("l_orderkey") % 7).as("key_mod"))
 
+  /** Q-FN-MORTON: the z-order clustering key ([[graft.sources.Lake.zvalue]])
+    * exercised as a query: events mapped to an 8-bit (user-bucket,
+    * day-bucket) grid and Morton-interleaved — the exact int64 the
+    * lake's `zorderWrite` range-partitions on. Bit-identical across
+    * engines (pure shifts/masks/ors).
+    */
+  def fnMorton(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_id") % 50 === 0)
+      .select(col("event_id"),
+        (col("user_id") % 256).as("xb"),
+        (expr("unix_micros(ts) DIV 86400000000") % 256).as("yb"))
+      .select(col("event_id"), col("xb"), col("yb"),
+        graft.sources.Lake.zvalue(col("xb"), col("yb")).as("zval"))
+
+  val fnMortonSql: String = {
+    val z = (0 until 8).map(b =>
+      s"(((xb >> $b) & 1) << ${2 * b + 1}) | (((yb >> $b) & 1) << ${2 * b})")
+      .mkString(" | ")
+    s"""SELECT event_id, xb, yb, ($z) AS zval
+       |FROM (SELECT event_id, user_id % 256 AS xb,
+       |        (epoch_us(ts) // 86400000000) % 256 AS yb
+       |      FROM events WHERE event_id % 50 = 0)""".stripMargin
+  }
+
   /** Q-FN-4: JSON extraction from the dynamic `props` payload (the
     * reference's schemaless-properties pattern, `fake_pipeline.py:62`).
     */
@@ -749,6 +774,7 @@ object Relational {
         |  sqrt(l_extendedprice) AS sqrt_price,
         |  l_orderkey % 7 AS key_mod
         |FROM lineitem WHERE l_orderkey % 100 = 0""".stripMargin)),
+    Q("q_fn_morton", fnMorton, Some(fnMortonSql)),
     Q("q_fn_json", fnJson, Some(
       """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
         |  CAST(sum(k) AS DOUBLE) / count(*) AS avg_k

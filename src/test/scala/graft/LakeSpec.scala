@@ -128,6 +128,30 @@ class LakeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("z-order rewrite clusters BOTH dimensions into tight per-file ranges") {
+    import spark.implicits._
+    // full 16x16 grid, one row per cell, shuffled arrival order
+    val grid = new scala.util.Random(7).shuffle(
+      for { x <- 0 until 16; y <- 0 until 16 } yield (x.toLong, y.toLong))
+    val dir = Files.createTempDirectory("zorder").toString
+    Lake.zorderWrite(grid.toDF("x", "y"), "x", "y", dir, files = 4, bits = 4)
+
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    assert(files.length == 4)
+    val spans = files.map { f =>
+      val rows = spark.read.parquet(f).collect()
+      def span(i: Int) = rows.map(_.getLong(i)).max - rows.map(_.getLong(i)).min
+      (span(0), span(1))
+    }
+    // z-order: every file is (approximately) one 8x8 quadrant — both
+    // dimensions stay tight. A 1-D sort by x would leave y spanning 15
+    // in EVERY file.
+    spans.foreach { case (sx, sy) =>
+      assert(sx <= 8 && sy <= 8, s"file spans x=$sx y=$sy; z-clustering lost")
+    }
+  }
+
   test("partition filter prunes at scan (PartitionFilters in plan)") {
     val dir = Files.createTempDirectory("lake").toString
     Lake.writeEvents(canonical(
