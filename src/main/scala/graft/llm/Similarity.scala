@@ -369,6 +369,58 @@ object Similarity {
        |  FROM scored) WHERE rank <= 5""".stripMargin
   }
 
+  /** Q-SIM-10: binary-sketch (sign) Hamming search — the extreme
+    * bandwidth end of the quantization ladder (float32 → int8 →
+    * 1 bit/dim): each vector compresses to its 64-bit sign mask
+    * (split into two int32 words so neither engine touches the int64
+    * sign bit), and candidate ranking is XOR + popcount — 8 bytes
+    * read per vector vs 256 for the raw floats, 32× less than the
+    * int8 path. Top-5 per query by (hamming asc, vec_id): the
+    * standard sketch-then-rescore first stage; composes with IVF/LSH
+    * blocking exactly like `q_sim_quant_ivf` when N is too large for
+    * even the 8-byte scan.
+    */
+  def binarySketch(embedding: Column): (Column, Column) = {
+    def word(lo: Int): Column =
+      (0 until 32).map { b =>
+        when(element_at(embedding, lo + b + 1) > 0f, lit(1L << b)).otherwise(0L)
+      }.reduce(_ + _)
+    (word(0), word(32))
+  }
+
+  def binarySearch(s: SparkSession, d: String): DataFrame = {
+    val (lo, hi) = binarySketch(col("embedding"))
+    val e = Tables.par(Tables.embeddings(s, d))
+      .select(col("vec_id"), lo.as("lo"), hi.as("hi"))
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("lo").as("q_lo"), col("hi").as("q_hi"))
+    val w = Window.partitionBy("q_id").orderBy(col("hamming"), col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (bit_count(col("lo").bitwiseXOR(col("q_lo"))) +
+          bit_count(col("hi").bitwiseXOR(col("q_hi")))).cast("long").as("hamming"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+  }
+
+  val binarySearchSql: String = {
+    def wordSql(col: String, lo: Int) =
+      (0 until 32).map(b => s"(CASE WHEN $col[${lo + b + 1}] > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString("(", " + ", ")")
+    s"""WITH e AS (
+       |  SELECT vec_id, ${wordSql("embedding", 0)}::BIGINT AS lo,
+       |         ${wordSql("embedding", 32)}::BIGINT AS hi
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, lo AS q_lo, hi AS q_hi FROM e WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT q_id, vec_id,
+       |    (bit_count(xor(lo, q_lo)) + bit_count(xor(hi, q_hi)))::BIGINT AS hamming
+       |  FROM e JOIN q ON vec_id <> q_id)
+       |SELECT q_id, vec_id, hamming, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id)::BIGINT AS rank
+       |  FROM scored) WHERE rank <= 5""".stripMargin
+  }
+
   /** Q-SIM-9: deterministic random projection (Achlioptas 2001 /
     * Johnson–Lindenstrauss): project the 64-dim embeddings onto
     * [[ProjK]] ±1 directions, scaled by 1/√k — the standard
@@ -428,5 +480,6 @@ object Similarity {
     Q("q_sim_quant", quantSearch, Some(quantSearchSql)),
     Q("q_sim_quant_ivf", quantIvfSearch, Some(quantIvfSearchSql)),
     Q("q_sim_ivf_multiprobe", ivfMultiprobe, Some(ivfMultiprobeSql)),
-    Q("q_sim_project", project, Some(projectSql)))
+    Q("q_sim_project", project, Some(projectSql)),
+    Q("q_sim_binary", binarySearch, Some(binarySearchSql)))
 }

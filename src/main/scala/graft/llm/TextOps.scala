@@ -531,6 +531,58 @@ object TextOps {
        |FROM st""".stripMargin
   }
 
+  /** Q-TEXT-MIX: temperature-scaled language mixing (the multilingual
+    * sampling rule of Conneau & Lample 2019 / mT5, α = 0.5): language
+    * ℓ's share of the mixed corpus is n_ℓ^α / Σ n_m^α — flattening
+    * the head languages and up-weighting the tail relative to raw
+    * proportions. Deterministic: per-language targets from exact
+    * counts (the one float total folds in lang-sorted order on a
+    * ≤|langs|-row window ⇒ bit-equal across engines), keeps chosen by
+    * content-hash rank — reproducible and auditable, no RNG.
+    *
+    * Shape at 100 TB: the count agg map-side combines; the targets
+    * table is |langs| rows (broadcast). The rank window partitions by
+    * language — few, huge partitions; at real scale swap the exact
+    * rank for the bounded per-key top-k aggregate
+    * (`q_corpus_domain_topk`'s O(k)-state form) or hash-threshold
+    * gating (`q_text_sample`'s form) when k itself is huge.
+    */
+  val MixK = 300
+
+  def mix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.par(Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"), h60(col("text")).as("h"))
+    val wAll = Window.orderBy(col("lang"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val targets = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("sq", sqrt(col("n_docs")))
+      .withColumn("tot", sum(col("sq")).over(wAll))
+      .select(col("lang"), col("n_docs"),
+        floor(lit(MixK.toDouble) * col("sq") / col("tot")).cast(LongType).as("target"))
+    val wl = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    docs.withColumn("rk", row_number().over(wl).cast(LongType))
+      .join(broadcast(targets), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_docs"), col("target"),
+        (col("rk") <= col("target")).as("kept"))
+  }
+
+  val mixSql: String =
+    s"""WITH docs AS (SELECT doc_id, lang, ${h60Sql("text")} AS h FROM documents),
+       |counts AS (SELECT lang, count(*)::BIGINT AS n_docs FROM docs GROUP BY lang),
+       |t AS (
+       |  SELECT lang, n_docs, sqrt(n_docs) AS sq,
+       |    sum(sqrt(n_docs)) OVER (ORDER BY lang
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS tot
+       |  FROM counts),
+       |targets AS (
+       |  SELECT lang, n_docs, floor(${MixK}.0 * sq / tot)::BIGINT AS target FROM t),
+       |r AS (
+       |  SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)::BIGINT AS rk
+       |  FROM docs)
+       |SELECT r.doc_id, r.lang, tg.n_docs, tg.target, r.rk <= tg.target AS kept
+       |FROM r JOIN targets tg USING (lang)""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_text_stats", textStats, Some(textStatsSql)),
     Q("q_text_ngrams", ngrams, Some(ngramsSql)),
@@ -541,5 +593,6 @@ object TextOps {
     Q("q_text_winnow", winnow, Some(winnowSql)),
     Q("q_text_repetition", repetition, Some(repetitionSql)),
     Q("q_text_sample", sample, Some(sampleSql)),
-    Q("q_text_pii", pii, Some(piiSql)))
+    Q("q_text_pii", pii, Some(piiSql)),
+    Q("q_text_mix", mix, Some(mixSql)))
 }
