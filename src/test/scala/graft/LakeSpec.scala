@@ -128,6 +128,20 @@ class LakeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("observed ingest metrics ride the sink write: counts + missing-field totals") {
+    val dir = Files.createTempDirectory("lakeobs").toString
+    val events = canonical(
+      """{"event":"a","distinct_id":"d1","timestamp":"2024-03-01T00:00:00Z"}""",
+      """{"event":"b","distinct_id":"d1","timestamp":"2024-03-02T00:00:00Z"}""",
+      """{"event":"c","distinct_id":"d2"}""")
+    val m = Lake.writeEventsObserved(events, dir)
+    assert(m.getAs[Long]("n_rows") == 3L)
+    assert(m.getAs[Long]("n_missing_did") == 0L)
+    assert(m.getAs[Long]("n_missing_ts") == 1L)
+    assert(m.getAs[Long]("n_approx_users") == 2L) // HLL exact at this cardinality
+    assert(Lake.readEvents(spark, dir).count() == 3)
+  }
+
   test("z-order rewrite clusters BOTH dimensions into tight per-file ranges") {
     import spark.implicits._
     // full 16x16 grid, one row per cell, shuffled arrival order

@@ -94,6 +94,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Window"), p.take(1500))
   }
 
+  test("round-6 additions stay UDF-free with no accidental cartesian") {
+    for (q <- Seq("q_dedup_novelty", "q_sim_binary", "q_text_mix",
+        "q_prod_correlation", "q_flag_experiment", "q_fn_morton")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.toLowerCase.contains("scalaudf"), s"$q grew a UDF")
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n${p.take(1200)}")
+    }
+  }
+
   test("simhash is a single hash-aggregate pass with partial (map-side) aggregation") {
     val p = plan(SparkEntry.queries("q_dedup_simhash")(spark, sf))
     assert(p.contains("HashAggregate"), p.take(1000))
