@@ -1,0 +1,128 @@
+package graft
+
+import graft.llm.Dedup
+import graft.queries.Product
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Randomized cross-checks: the distributed operators vs naive
+  * in-memory reference implementations on seeded random inputs —
+  * failure modes (window frames, tie-breaks, boundary gaps) that
+  * hand-picked fixtures miss.
+  */
+class OperatorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("sessionization == brute-force gap splitter on random event times") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    val base = 1704067200000000L // 2024-01-01 in epoch micros
+    // 20 users, gaps drawn to straddle the 30-min boundary often
+    val events = (1L to 600L).map { eid =>
+      val user = rnd.nextInt(20).toLong
+      val us = base + rnd.nextInt(4) * Product.SessionGapUs +
+        rnd.nextLong(3 * Product.SessionGapUs)
+      (eid, new Timestamp(us / 1000), user, "view", 1.0, "{}")
+    }
+    val dir = Files.createTempDirectory("sessfuzz").toString
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    // brute force: per user, sort by (us, event_id), split at gap > 30min
+    val expected = events
+      .map { case (eid, ts, u, _, _, _) => (u, ts.getTime * 1000L, eid) }
+      .groupBy(_._1).flatMap { case (u, evs) =>
+        val sorted = evs.toSeq.sortBy(e => (e._2, e._3))
+        val sessions = sorted.foldLeft(List.empty[List[Long]] -> Long.MinValue) {
+          case ((acc, prevUs), (_, us, _)) =>
+            val acc2 =
+              if (acc.isEmpty || us - prevUs > Product.SessionGapUs) List(us) :: acc
+              else (us :: acc.head) :: acc.tail
+            (acc2, us)
+        }._1.reverse
+        sessions.zipWithIndex.map { case (ss, i) =>
+          (u, (i + 1).toLong, ss.size.toLong, ss.min, ss.max, ss.max - ss.min)
+        }
+      }.toSet
+
+    val got = Product.sessions(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected)
+  }
+
+  test("novelty == brute-force first-seen scan on a collision-heavy corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val vocab = Array("x", "y", "z", "w")
+    val docs = (1L to 30L).map { id =>
+      id -> Array.fill(rnd.nextInt(20))(vocab(rnd.nextInt(vocab.length)))
+    }
+    val dir = Files.createTempDirectory("novfuzz").toString
+    docs.map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'unit' AS source",
+        "length(text) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def shingles(t: Array[String]): Set[String] =
+      if (t.length < 3) Set.empty
+      else (0 to t.length - 3).map(i => t.slice(i, i + 3).mkString(" ")).toSet
+    val firstSeen = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (id, t) =>
+      shingles(t).foreach(g => if (!firstSeen.contains(g)) firstSeen(g) = id)
+    }
+    val expected = docs.map { case (id, t) =>
+      val sh = shingles(t)
+      val seen = sh.count(g => firstSeen(g) < id)
+      val nov = if (sh.nonEmpty) (sh.size - seen).toDouble / sh.size else 1.0
+      (id, sh.size.toLong, seen.toLong, nov)
+    }.toSet
+
+    val got = Dedup.novelty(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected)
+  }
+
+  test("funnel correlation == brute-force odds ratios") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val types = Array("view", "click", "signup", "purchase")
+    val events = (1L to 500L).map { eid =>
+      (eid, new Timestamp(1704067200000L + eid * 1000), rnd.nextInt(40).toLong,
+        types(rnd.nextInt(types.length)), rnd.nextDouble() * 200, "{}")
+    }
+    val dir = Files.createTempDirectory("corrfuzz").toString
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val byUser = events.groupBy(_._3).view.mapValues(_.map(_._4).toSet).toMap
+    val conv = byUser.filter(_._2.contains("purchase")).keySet
+    val nConv = conv.size.toLong
+    val nDrop = byUser.size.toLong - nConv
+    val expected = types.filter(_ != "purchase").flatMap { t =>
+      val users = byUser.filter(_._2.contains(t)).keySet
+      if (users.isEmpty) None else {
+        val s = users.count(conv).toLong
+        val f = users.size - s
+        Some((t, users.size.toLong, s, f,
+          ((s + 1) * (nDrop + 2)).toDouble / ((f + 1) * (nConv + 2))))
+      }
+    }.toSet
+
+    val got = Product.correlation(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1) + r.getLong(2), r.getLong(1),
+        r.getLong(2), r.getDouble(5))).toSet
+    assert(got == expected)
+  }
+}
