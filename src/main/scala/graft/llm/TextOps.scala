@@ -583,6 +583,51 @@ object TextOps {
        |SELECT r.doc_id, r.lang, tg.n_docs, tg.target, r.rk <= tg.target AS kept
        |FROM r JOIN targets tg USING (lang)""".stripMargin
 
+  /** Q-TEXT-MIX-TOPK: [[mix]]'s 100 TB form — the per-language keeps
+    * come from the bounded top-k aggregate
+    * ([[graft.functions.TopKAggregator]], O(k) state per group with
+    * map-side partials) instead of a rank window that sorts and
+    * materializes EVERY doc of every language behind one shuffle.
+    * Aggregate top-[[MixK]] per language (targets are ≤ MixK by
+    * construction), then trim each language to its runtime target.
+    * Oracle: pinned to the window form's kept set — the two plans
+    * must elect identical documents.
+    */
+  def mixTopK(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(MixK))
+    val docs = Tables.par(Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"), h60(col("text")).as("h"))
+    val wAll = Window.orderBy(col("lang"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val targets = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("sq", sqrt(col("n_docs")))
+      .withColumn("tot", sum(col("sq")).over(wAll))
+      .select(col("lang"),
+        floor(lit(MixK.toDouble) * col("sq") / col("tot")).cast(LongType).as("target"))
+    docs.groupBy(col("lang")).agg(topk(col("h"), col("doc_id")).as("top"))
+      .join(broadcast(targets), Seq("lang"))
+      .select(col("lang"), col("target"), posexplode(col("top")))
+      .filter(col("pos") < col("target"))
+      .select(col("lang"), (col("pos") + 1).cast(LongType).as("rk"),
+        col("col").getField("_2").as("doc_id"))
+  }
+
+  val mixTopKSql: String =
+    s"""WITH docs AS (SELECT doc_id, lang, ${h60Sql("text")} AS h FROM documents),
+       |counts AS (SELECT lang, count(*)::BIGINT AS n_docs FROM docs GROUP BY lang),
+       |t AS (
+       |  SELECT lang, n_docs, sqrt(n_docs) AS sq,
+       |    sum(sqrt(n_docs)) OVER (ORDER BY lang
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS tot
+       |  FROM counts),
+       |targets AS (SELECT lang, floor(${MixK}.0 * sq / tot)::BIGINT AS target FROM t),
+       |r AS (
+       |  SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)::BIGINT AS rk
+       |  FROM docs)
+       |SELECT r.lang, r.rk, r.doc_id
+       |FROM r JOIN targets tg USING (lang) WHERE r.rk <= tg.target""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_text_stats", textStats, Some(textStatsSql)),
     Q("q_text_ngrams", ngrams, Some(ngramsSql)),
@@ -594,5 +639,6 @@ object TextOps {
     Q("q_text_repetition", repetition, Some(repetitionSql)),
     Q("q_text_sample", sample, Some(sampleSql)),
     Q("q_text_pii", pii, Some(piiSql)),
-    Q("q_text_mix", mix, Some(mixSql)))
+    Q("q_text_mix", mix, Some(mixSql)),
+    Q("q_text_mix_topk", mixTopK, Some(mixTopKSql)))
 }

@@ -94,6 +94,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Window"), p.take(1500))
   }
 
+  test("bounded mix keeps run as ObjectHashAggregate, not a rank window") {
+    val p = plan(SparkEntry.queries("q_text_mix_topk")(spark, sf))
+    assert(p.contains("ObjectHashAggregate"), p.take(1500))
+    // the doc-keep path must not sort whole languages; the only Window
+    // allowed is the |langs|-row totals fold
+    assert(!p.contains("row_number"), "keeps regressed to a rank window")
+  }
+
   test("round-6 additions stay UDF-free with no accidental cartesian") {
     for (q <- Seq("q_dedup_novelty", "q_sim_binary", "q_text_mix",
         "q_prod_correlation", "q_flag_experiment", "q_fn_morton")) {
