@@ -419,6 +419,79 @@ object Product {
       |  ((n_succ + 1) * (n_drop + 2))::DOUBLE / ((n_fail + 1) * (n_conv + 2)) AS odds_ratio
       |FROM byt, tot""".stripMargin
 
+  /** Q-PROD-10: session-scoped funnel — [[funnel]] with the conversion
+    * window bounded by the 30-min-gap session ([[sessions]]): the
+    * first view, first click after it, first purchase after that, all
+    * within ONE session (PostHog's funnel-with-session-window). One
+    * row per session that entered the funnel.
+    *
+    * Shape at 100 TB: the sessionizing windows and every funnel stage
+    * key on `user_id` (+ session_id) — the single user-keyed
+    * partitioning is reused by the windows, all three conditional-min
+    * rollups and the stage joins; no per-session event arrays.
+    */
+  def sessionFunnel(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), tsUs(col("ts")).as("us"))
+      .withColumn("new_sess",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(w))
+      .select(col("user_id"), col("session_id"), col("event_id"), col("event_type"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keys = Seq("user_id", "session_id")
+    val s1 = sess.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("session_id")).agg(min(col("event_id")).as("view_eid"))
+    val s2 = sess.filter(col("event_type") === "click")
+      .join(s1, keys)
+      .filter(col("event_id") > col("view_eid"))
+      .groupBy(col("user_id"), col("session_id")).agg(min(col("event_id")).as("click_eid"))
+    val s3 = sess.filter(col("event_type") === "purchase")
+      .join(s2, keys)
+      .filter(col("event_id") > col("click_eid"))
+      .groupBy(col("user_id"), col("session_id")).agg(min(col("event_id")).as("purchase_eid"))
+    s1.join(s2, keys, "left")
+      .join(s3, keys, "left")
+      .select(col("user_id"), col("session_id"),
+        col("view_eid"), col("click_eid"), col("purchase_eid"),
+        (lit(1) + when(col("click_eid").isNotNull, 1).otherwise(0) +
+          when(col("purchase_eid").isNotNull, 1).otherwise(0))
+          .cast(IntegerType).as("steps_reached"))
+  }
+
+  val sessionFunnelSql: String =
+    s"""WITH b AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+       |f AS (
+       |  SELECT user_id, event_id, event_type, us,
+       |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > $SessionGapUs
+       |         THEN 1 ELSE 0 END AS new_sess
+       |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |sess AS (
+       |  SELECT user_id, event_id, event_type,
+       |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id)::BIGINT AS session_id
+       |  FROM f),
+       |s1 AS (
+       |  SELECT user_id, session_id, min(event_id) AS view_eid
+       |  FROM sess WHERE event_type = 'view' GROUP BY user_id, session_id),
+       |s2 AS (
+       |  SELECT e.user_id, e.session_id, min(e.event_id) AS click_eid
+       |  FROM sess e JOIN s1 USING (user_id, session_id)
+       |  WHERE e.event_type = 'click' AND e.event_id > s1.view_eid
+       |  GROUP BY e.user_id, e.session_id),
+       |s3 AS (
+       |  SELECT e.user_id, e.session_id, min(e.event_id) AS purchase_eid
+       |  FROM sess e JOIN s2 USING (user_id, session_id)
+       |  WHERE e.event_type = 'purchase' AND e.event_id > s2.click_eid
+       |  GROUP BY e.user_id, e.session_id)
+       |SELECT s1.user_id, s1.session_id, s1.view_eid, s2.click_eid, s3.purchase_eid,
+       |  (1 + CASE WHEN s2.click_eid IS NOT NULL THEN 1 ELSE 0 END +
+       |       CASE WHEN s3.purchase_eid IS NOT NULL THEN 1 ELSE 0 END)::INT AS steps_reached
+       |FROM s1
+       |LEFT JOIN s2 USING (user_id, session_id)
+       |LEFT JOIN s3 USING (user_id, session_id)""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_prod_funnel", funnel, Some(funnelSql)),
     Q("q_prod_wau", wau, Some(wauSql)),
@@ -428,5 +501,6 @@ object Product {
     Q("q_prod_paths", paths, Some(pathsSql)),
     Q("q_prod_stickiness", stickiness, Some(stickinessSql)),
     Q("q_prod_sessions", sessions, Some(sessionsSql)),
-    Q("q_prod_correlation", correlation, Some(correlationSql)))
+    Q("q_prod_correlation", correlation, Some(correlationSql)),
+    Q("q_prod_session_funnel", sessionFunnel, Some(sessionFunnelSql)))
 }
