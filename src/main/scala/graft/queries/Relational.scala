@@ -479,6 +479,28 @@ object Relational {
         sqrt(col("l_extendedprice")).as("sqrt_price"),
         (col("l_orderkey") % 7).as("key_mod"))
 
+  /** Q-SQL-1: the SQL-text entrypoint — the engine's tables exposed as
+    * views and queried with `spark.sql(...)` rather than the DataFrame
+    * DSL (the reference's users write ad-hoc SQL over the landed lake,
+    * `README.md:237-258`; PostHog's own surface is HogQL text). Same
+    * Catalyst plan either way — this registers the path, not a new
+    * operator: a DAU/intensity insight as a user would type it.
+    */
+  def sqlInsight(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("events_v")
+    s.sql(
+      """SELECT day, count(DISTINCT user_id) AS dau, count(*) AS n_events,
+        |  cast(count(*) AS double) / count(DISTINCT user_id) AS events_per_user
+        |FROM (SELECT unix_micros(ts) DIV 86400000000 AS day, user_id FROM events_v)
+        |GROUP BY day""".stripMargin)
+  }
+
+  val sqlInsightSql: String =
+    """SELECT day, count(DISTINCT user_id) AS dau, count(*) AS n_events,
+      |  count(*)::DOUBLE / count(DISTINCT user_id) AS events_per_user
+      |FROM (SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events)
+      |GROUP BY day""".stripMargin
+
   /** Q-FN-MORTON: the z-order clustering key ([[graft.sources.Lake.zvalue]])
     * exercised as a query: events mapped to an 8-bit (user-bucket,
     * day-bucket) grid and Morton-interleaved — the exact int64 the
@@ -775,6 +797,7 @@ object Relational {
         |  l_orderkey % 7 AS key_mod
         |FROM lineitem WHERE l_orderkey % 100 = 0""".stripMargin)),
     Q("q_fn_morton", fnMorton, Some(fnMortonSql)),
+    Q("q_sql_insight", sqlInsight, Some(sqlInsightSql)),
     Q("q_fn_json", fnJson, Some(
       """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
         |  CAST(sum(k) AS DOUBLE) / count(*) AS avg_k
