@@ -172,8 +172,70 @@ object Multimodal {
       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY dist2, centroid_id) AS rn
       |  FROM scored) WHERE rn = 1""".stripMargin
 
+  /** Resized output row: original + post-resize dimensions and the
+    * resampled payload's stats.
+    */
+  final case class MediaResized(
+      doc_id: Long, kind: String, width: Long, height: Long,
+      out_width: Long, out_height: Long, out_bytes: Long, out_checksum: Long)
+
+  /** Q-MEDIA-4: stub resize — downscale every media payload so its
+    * longest side fits [[ResizeMaxDim]]. The "resampling" is a
+    * deterministic byte-stride decimation (stands in for pixel
+    * decimation; a real codec swaps into the same per-partition slot),
+    * so the oracle can recompute the resized payload's size/checksum
+    * from the source bytes. The plumbing is the real part: typed rows,
+    * one codec per partition, payload transformed executor-side —
+    * never collected, never stringified.
+    */
+  val ResizeMaxDim = 256L
+
+  def resize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val m = StubCodec.decode(r)
+          val maxDim = math.max(m.width, m.height)
+          val scale = if (maxDim <= ResizeMaxDim) 1L else (maxDim + ResizeMaxDim - 1) / ResizeMaxDim
+          var sum = 0L
+          var n = 0L
+          var i = 0
+          while (i < r.payload.length) {
+            sum += (r.payload(i) & 0xffL); n += 1; i += scale.toInt
+          }
+          MediaResized(m.doc_id, m.kind, m.width, m.height,
+            m.width / scale, m.height / scale, n, sum)
+        }
+      }
+      .toDF()
+  }
+
+  val resizeSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS kind,
+       |    (ascii(substr(text, 1, 1)) * 256 + ascii(substr(text, 2, 1))) % 1920 AS width,
+       |    (ascii(substr(text, 2, 1)) * 256 + ascii(substr(text, 1, 1))) % 1080 AS height,
+       |    text
+       |  FROM documents),
+       |sc AS (
+       |  SELECT *, CASE WHEN greatest(width, height) <= $ResizeMaxDim THEN 1
+       |                 ELSE (greatest(width, height) + ${ResizeMaxDim - 1}) // $ResizeMaxDim
+       |            END AS scale
+       |  FROM m)
+       |SELECT doc_id, kind, width, height,
+       |  width // scale AS out_width, height // scale AS out_height,
+       |  CASE WHEN len(text) = 0 THEN 0
+       |       ELSE (len(text) - 1) // scale + 1 END::BIGINT AS out_bytes,
+       |  list_reduce(list_prepend(0, list_transform(
+       |    generate_series(1, len(text), scale::INT), i -> ascii(substr(text, i, 1)))),
+       |    (a, b) -> a + b)::BIGINT AS out_checksum
+       |FROM sc""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_media_meta", mediaMeta, Some(mediaMetaSql)),
+    Q("q_media_resize", resize, Some(resizeSql)),
     Q("q_media_frames", frameSample, Some(frameSampleSql)),
     Q("q_media_embed", mediaEmbed, Some(mediaEmbedSql)))
 }
