@@ -479,6 +479,29 @@ object Relational {
         sqrt(col("l_extendedprice")).as("sqrt_price"),
         (col("l_orderkey") % 7).as("key_mod"))
 
+  /** Q-AGG-SKETCH: mergeable distinct-count sketches (Apache
+    * DataSketches HLL via `hll_sketch_agg`/`hll_union_agg`) — the
+    * 100 TB pattern behind every "monthly uniques" dashboard: distinct
+    * counts do NOT sum, so per-day counts can't roll up; per-day
+    * SKETCHES can. Daily sketches are built once (and in production
+    * persisted to the lake as binary columns); any window rolls up by
+    * unioning sketches — no rescan of raw events. No DuckDB oracle
+    * (sketch internals differ across implementations); the driver
+    * records rows-only and EndToEndSpec bounds the estimate against
+    * the exact distinct.
+    */
+  def aggSketchRollup(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(expr("unix_micros(ts) DIV 86400000000").as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+        countDistinct(col("user_id")).as("daily_users"))
+    daily.agg(
+      count(lit(1)).as("n_days"),
+      sum(col("daily_users")).as("sum_daily_users"), // > true distinct: why sketches exist
+      expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_total_users"))
+  }
+
   /** Q-SQL-1: the SQL-text entrypoint — the engine's tables exposed as
     * views and queried with `spark.sql(...)` rather than the DataFrame
     * DSL (the reference's users write ad-hoc SQL over the landed lake,
@@ -798,6 +821,7 @@ object Relational {
         |FROM lineitem WHERE l_orderkey % 100 = 0""".stripMargin)),
     Q("q_fn_morton", fnMorton, Some(fnMortonSql)),
     Q("q_sql_insight", sqlInsight, Some(sqlInsightSql)),
+    Q("q_agg_sketch_rollup", aggSketchRollup, None),
     Q("q_fn_json", fnJson, Some(
       """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
         |  CAST(sum(k) AS DOUBLE) / count(*) AS avg_k

@@ -48,6 +48,21 @@ class EndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_agg_sketch_rollup: unioned daily sketches estimate the exact total distinct") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val row = SparkEntry.queries("q_agg_sketch_rollup")(spark, sf).collect().head
+    val exact = graft.Tables.events(spark, sf)
+      .agg(countDistinct(col("user_id"))).collect().head.getLong(0)
+    val est = row.getAs[Long]("est_total_users").toDouble
+    assert(exact > 0)
+    // default lgConfigK=12 → ~1.6% rse; gate loose at 5%
+    assert(math.abs(est - exact) / exact <= 0.05,
+      s"sketch union est=$est exact=$exact")
+    // the point of sketches: summed daily distincts OVERCOUNT the true total
+    assert(row.getAs[Long]("sum_daily_users") >= exact)
+  }
+
   test("payload log → canonical lake → person/group state") {
     import spark.implicits._
 
