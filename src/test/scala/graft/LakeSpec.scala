@@ -104,6 +104,29 @@ class LakeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Lake.readEvents(spark, out).count() == 2)
   }
 
+  test("file-source stream lands in the lake: eventStream → streamWriter == batch") {
+    val src = Files.createTempDirectory("lakesrc").toString
+    val lake = Files.createTempDirectory("lakedst").toString
+    val ckpt = Files.createTempDirectory("lakeck").toString
+    val events = canonical(
+      """{"event":"s1","distinct_id":"d1","timestamp":"2024-03-01T00:00:00Z"}""",
+      """{"event":"s2","distinct_id":"d2","timestamp":"2024-03-02T00:00:00Z"}""")
+    // the files an upstream collector would drop (createTempDirectory
+    // made the dir, so the JSON write must overwrite it)
+    events.write.mode("overwrite").json(src)
+    val q = graft.sources.Lake.streamWriter(
+      graft.streaming.Streaming.eventStream(spark, src), lake, ckpt).start()
+    q.awaitTermination(60000)
+    val back = spark.read.parquet(lake)
+    assert(back.count() == 2)
+    assert(back.select("event").collect().map(_.getString(0)).toSet == Set("s1", "s2"))
+    // second run over the same checkpoint: no new files → no duplicates
+    val q2 = graft.sources.Lake.streamWriter(
+      graft.streaming.Streaming.eventStream(spark, src), lake, ckpt).start()
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(lake).count() == 2)
+  }
+
   test("bucketed layout: equi-join on the bucket key plans with ZERO shuffles") {
     import spark.implicits._
     val dir = Files.createTempDirectory("bucketed").toString
