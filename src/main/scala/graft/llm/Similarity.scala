@@ -421,6 +421,50 @@ object Similarity {
        |  FROM scored) WHERE rank <= 5""".stripMargin
   }
 
+  /** Q-SIM-11: IVF-blocked binary search — [[binarySearch]] with
+    * candidates restricted to the query's IVF cell (same coarse
+    * quantizer as every `*_ivf` query): each query XORs |cell| ≈ N/c
+    * sketches instead of N. The full serving shape for the 1-bit
+    * path: 8 bytes/vector × cell-bounded candidates.
+    */
+  def binaryIvfSearch(s: SparkSession, d: String): DataFrame = {
+    val (lo, hi) = binarySketch(col("embedding"))
+    val e = Tables.par(Tables.embeddings(s, d))
+      .select(col("vec_id"), lo.as("lo"), hi.as("hi"))
+      .join(ivfAssign(s, d).select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("lo").as("q_lo"),
+        col("hi").as("q_hi"), col("centroid_id").as("q_cell"))
+    val w = Window.partitionBy("q_id").orderBy(col("hamming"), col("vec_id"))
+    e.join(broadcast(q), col("centroid_id") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (bit_count(col("lo").bitwiseXOR(col("q_lo"))) +
+          bit_count(col("hi").bitwiseXOR(col("q_hi")))).cast("long").as("hamming"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+  }
+
+  val binaryIvfSearchSql: String = {
+    def wordSql(col: String, lo: Int) =
+      (0 until 32).map(b => s"(CASE WHEN $col[${lo + b + 1}] > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString("(", " + ", ")")
+    s"""WITH assign AS ($ivfAssignSql),
+       |e AS (
+       |  SELECT em.vec_id, ${wordSql("embedding", 0)}::BIGINT AS lo,
+       |         ${wordSql("embedding", 32)}::BIGINT AS hi, a.centroid_id
+       |  FROM embeddings em JOIN assign a ON em.vec_id = a.vec_id),
+       |q AS (SELECT vec_id AS q_id, lo AS q_lo, hi AS q_hi, centroid_id AS q_cell
+       |      FROM e WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT q_id, e.vec_id,
+       |    (bit_count(xor(e.lo, q_lo)) + bit_count(xor(e.hi, q_hi)))::BIGINT AS hamming
+       |  FROM e JOIN q ON e.centroid_id = q_cell AND e.vec_id <> q_id)
+       |SELECT q_id, vec_id, hamming, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id)::BIGINT AS rank
+       |  FROM scored) WHERE rank <= 5""".stripMargin
+  }
+
   /** Q-SIM-9: deterministic random projection (Achlioptas 2001 /
     * Johnson–Lindenstrauss): project the 64-dim embeddings onto
     * [[ProjK]] ±1 directions, scaled by 1/√k — the standard
@@ -481,5 +525,6 @@ object Similarity {
     Q("q_sim_quant_ivf", quantIvfSearch, Some(quantIvfSearchSql)),
     Q("q_sim_ivf_multiprobe", ivfMultiprobe, Some(ivfMultiprobeSql)),
     Q("q_sim_project", project, Some(projectSql)),
-    Q("q_sim_binary", binarySearch, Some(binarySearchSql)))
+    Q("q_sim_binary", binarySearch, Some(binarySearchSql)),
+    Q("q_sim_binary_ivf", binaryIvfSearch, Some(binaryIvfSearchSql)))
 }
