@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Partition-invariance gate: the float-discipline claim ("same bits on
+  * 32 local threads or 1000 executors") made executable. Each query
+  * runs under different shuffle parallelism; results must be
+  * IDENTICAL — not approximately equal — because every float in the
+  * engine is either a single correctly-rounded expression over exact
+  * integers/decimals or a fold in an explicitly fixed order. A
+  * regression to order-dependent double aggregation fails here
+  * deterministically (different partition counts reorder reduction).
+  */
+class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def runAt(parts: Int, q: String): Seq[String] = {
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try SparkEntry.queries(q)(spark, sf).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    finally Tables.releaseCaches(spark)
+  }
+
+  test("float-bearing queries are bit-identical across shuffle parallelism") {
+    // the queries whose floats come from aggregates (the partition-
+    // sensitive kind), across the engine's families
+    for (q <- Seq("q_corpus_lm_score", "q_text_search", "q_flag_experiment",
+        "q_agg_q1", "q_text_mix", "q_prod_correlation")) {
+      val a = runAt(2, q)
+      val b = runAt(7, q)
+      assert(a.nonEmpty, s"$q returned nothing")
+      assert(a == b, s"$q is partition-dependent (first diff: ${
+        a.zip(b).find { case (x, y) => x != y }.orElse(Some((a.length, b.length)))}")
+    }
+  }
+}
