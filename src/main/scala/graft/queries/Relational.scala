@@ -118,6 +118,26 @@ object Relational {
               tsUs(col("asof_ts")).as("asof_signup_us"))
   }
 
+  /** Q-JOIN-5b: FORWARD as-of join — each purchase matched to the
+    * EARLIEST error strictly after it for the same user (time-to-next-
+    * failure attribution; pandas `merge_asof(direction='forward')`,
+    * kdb `aj` reversed). Same single-shuffle discipline as [[joinAsOf]]
+    * with the mirrored frame: `first(ignoreNulls)` over
+    * (currentRow+1, unboundedFollowing).
+    */
+  def joinAsOfFwd(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(1, Window.unboundedFollowing)
+    e.select(
+        col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "error", col("ts")).as("err_ts"))
+      .withColumn("next_ts", first("err_ts", ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), tsUs(col("ts")).as("ts_us"),
+        tsUs(col("next_ts")).as("next_error_us"))
+  }
+
   // ----------------------------------------------------------- aggregation
 
   /** Q-AGG-1: events per type per day — count/sum/avg/min/max. Exact
@@ -686,6 +706,12 @@ object Relational {
         |  (SELECT epoch_us(max(s.ts)) FROM events s
         |    WHERE s.user_id = e.user_id AND s.event_type = 'signup'
         |      AND (s.ts < e.ts OR (s.ts = e.ts AND s.event_id <= e.event_id))) AS asof_signup_us
+        |FROM events e WHERE e.event_type = 'purchase'""".stripMargin)),
+    Q("q_join_asof_fwd", joinAsOfFwd, Some(
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  (SELECT epoch_us(min(x.ts)) FROM events x
+        |    WHERE x.user_id = e.user_id AND x.event_type = 'error'
+        |      AND (x.ts > e.ts OR (x.ts = e.ts AND x.event_id > e.event_id))) AS next_error_us
         |FROM events e WHERE e.event_type = 'purchase'""".stripMargin)),
     Q("q_agg_daily", aggDaily, Some(
       """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
