@@ -67,7 +67,7 @@ object GraftExtensions {
     (children: Seq[Expression]) => FlagBucket(children(0), children(1)))
 
   private[functions] val descriptors =
-    Seq(flagBucketDescriptor, VecDot.descriptor, VecDist2.descriptor)
+    Seq(flagBucketDescriptor, VecDot.descriptor, VecDist2.descriptor, VecIDot.descriptor)
 
   /** Install into an existing session's function registry. */
   def register(spark: SparkSession): Unit =

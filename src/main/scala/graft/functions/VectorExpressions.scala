@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** `vec_dot(a, b)` — the embedding dot product as a native Catalyst
   * expression with whole-stage codegen.
@@ -148,4 +148,71 @@ object VecDist2 {
     FunctionIdentifier("vec_dist2"),
     new ExpressionInfo(classOf[VecDist2].getName, "vec_dist2"),
     (children: Seq[Expression]) => VecDist2(children(0), children(1)))
+}
+
+/** `vec_idot(a, b)` — INTEGER dot product over `array<bigint>`, the
+  * scoring kernel of the int8-quantized search family. Same contract
+  * family as [[VecDot]] (strict left-to-right accumulation from 0,
+  * null-element / length-mismatch poisoning), but in exact int64
+  * arithmetic: quantized components are |v| ≤ 127, so a dot of any
+  * realistic dimension is far below 2^63 — no overflow, no rounding,
+  * and the result is bit-identical to the
+  * `aggregate(zip_with(a, b, _*_), 0L, _+_)` HOF form it replaces,
+  * minus the interpreted-lambda dispatch and per-element boxing.
+  */
+case class VecIDot(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecIDot =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vec_idot"
+}
+
+object VecIDot {
+  private[functions] val descriptor = (
+    FunctionIdentifier("vec_idot"),
+    new ExpressionInfo(classOf[VecIDot].getName, "vec_idot"),
+    (children: Seq[Expression]) => VecIDot(children(0), children(1)))
 }

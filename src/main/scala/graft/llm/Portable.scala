@@ -84,6 +84,17 @@ object Portable {
     call_function("vec_dist2", a, b)
   }
 
+  /** Exact INTEGER dot product over `array<bigint>` — the int8-quant
+    * scoring kernel, as the native [[graft.functions.VecIDot]]
+    * expression (same codegen rationale as [[dot]]; int64 arithmetic
+    * is exact, so this is identical to the HOF fold it replaces).
+    */
+  def idot(a: Column, b: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftExtensions.register)
+    call_function("vec_idot", a, b)
+  }
+
   /** DuckDB rendering of [[dist2]]. */
   def dist2Sql(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> " +

@@ -225,8 +225,7 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("mx").as("q_mx"))
-    val idot = aggregate(zip_with(col("qv"), col("q_qv"), (a, b) => a * b),
-      lit(0L), (acc, v) => acc + v)
+    val idot = Portable.idot(col("qv"), col("q_qv"))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
     e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), idot.as("int_dot"),
@@ -275,8 +274,7 @@ object Similarity {
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
         col("mx").as("q_mx"), col("centroid_id").as("q_cell"))
-    val idot = aggregate(zip_with(col("qv"), col("q_qv"), (a, b) => a * b),
-      lit(0L), (acc, v) => acc + v)
+    val idot = Portable.idot(col("qv"), col("q_qv"))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
     e.join(broadcast(q), col("centroid_id") === col("q_cell") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), idot.as("int_dot"),

@@ -65,6 +65,29 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exec.contains("*(1) Project [flag_bucket"), exec)
   }
 
+  test("vec_idot: equals the integer HOF fold, incl. null/mismatch poisoning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vecs: Seq[(Seq[Option[Long]], Seq[Option[Long]])] =
+      (1 to 50).map { _ =>
+        val n = 1 + rnd.nextInt(8)
+        def v = Seq.fill(n)(Option((rnd.nextInt(255) - 127).toLong))
+        (v, v)
+      } ++ Seq(
+        (Seq(Some(1L), None), Seq(Some(2L), Some(3L))),    // null element
+        (Seq(Some(1L), Some(2L)), Seq(Some(3L))),          // length mismatch
+        (Seq.empty, Seq.empty))                            // empty → 0
+    val df = vecs.toDF("a", "b")
+      .select(
+        call_function("vec_idot", col("a"), col("b")).as("native"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v).as("hof"))
+    df.collect().foreach { r =>
+      assert(Option(r.get(0)) == Option(r.get(1)),
+        s"native=${r.get(0)} hof=${r.get(1)}")
+    }
+  }
+
   test("vec_dot: bit-equal to the HOF formulation, incl. null/mismatch poisoning") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
