@@ -149,6 +149,67 @@ object StateQueries {
         size(col("properties")).cast(LongType).as("n_props"))
   }
 
+  /** Q-PIPE-9: point-in-time state read — for every history op, the
+    * person's state STRICTLY BEFORE it ("what did we know entering
+    * this event"), i.e. a temporal join of a probe stream against the
+    * SCD2 timeline. Implemented the single-pass way (the same
+    * discipline as the as-of joins): union the CHANGE rows and the
+    * PROBE rows, order by (ord, probe-before-change), and take the
+    * running `last(ignoreNulls)` of the packed state struct — one
+    * user-keyed shuffle, no range join, state legitimately-null fields
+    * survive because the WHOLE struct is the non-null marker.
+    */
+  def pipeAsofState(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = pipeHistory(s, d)
+      .select(col("canonical_id"), col("valid_from").as("ord"),
+        col("plan"), col("last_event"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val changes = hist.select(col("canonical_id"), col("ord"), lit(1).as("tag"),
+      struct(col("plan"), col("last_event")).as("st"))
+    val probes = hist.select(col("canonical_id"), col("ord"), lit(0).as("tag"),
+      lit(null).cast("struct<plan:string,last_event:string>").as("st"))
+    val w = Window.partitionBy(col("canonical_id")).orderBy(col("ord"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    changes.unionByName(probes)
+      .withColumn("before", last(col("st"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 0)
+      .select(col("canonical_id"), col("ord"),
+        col("before").getField("plan").as("plan_before"),
+        col("before").getField("last_event").as("last_event_before"))
+  }
+
+  val pipeAsofStateSql: String =
+    """WITH sg AS (
+      |  SELECT user_id, min(event_id) AS first_signup
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |base AS (
+      |  SELECT e.user_id, e.event_id, e.event_type,
+      |    json_extract_string(e.props, '$.k')::BIGINT AS k, s.first_signup
+      |  FROM events e LEFT JOIN sg s USING (user_id)),
+      |pre AS (
+      |  SELECT user_id, event_id, event_type, k, first_signup,
+      |    count(*) FILTER (WHERE event_type = 'error')
+      |      OVER (PARTITION BY user_id ORDER BY event_id) AS errg,
+      |    arg_max(event_type, event_id) FILTER (WHERE event_type <> 'error')
+      |      OVER (PARTITION BY user_id ORDER BY event_id) AS last_event
+      |  FROM base),
+      |ep AS (
+      |  SELECT *,
+      |    arg_max('p' || (k % 3), event_id) FILTER (WHERE event_type = 'purchase')
+      |      OVER (PARTITION BY user_id, errg ORDER BY event_id) AS plan
+      |  FROM pre),
+      |surv AS (
+      |  SELECT * FROM ep
+      |  WHERE first_signup IS NULL OR event_id >= first_signup)
+      |SELECT
+      |  CASE WHEN first_signup IS NOT NULL THEN 'u' || user_id
+      |       ELSE 'anon-u' || user_id END AS canonical_id,
+      |  event_id AS ord,
+      |  lag(plan) OVER (PARTITION BY user_id ORDER BY event_id) AS plan_before,
+      |  lag(last_event) OVER (PARTITION BY user_id ORDER BY event_id) AS last_event_before
+      |FROM surv""".stripMargin
+
   val pipeHistorySql: String =
     """WITH sg AS (
       |  SELECT user_id, min(event_id) AS first_signup
@@ -522,6 +583,7 @@ object StateQueries {
   val all: Seq[Q] = Seq(
     Q("q_pipe_persons", pipePersons, Some(pipePersonsSql)),
     Q("q_pipe_history", pipeHistory, Some(pipeHistorySql)),
+    Q("q_pipe_asof_state", pipeAsofState, Some(pipeAsofStateSql)),
     Q("q_pipe_groups", pipeGroups, Some(pipeGroupsSql)),
     Q("q_pipe_snapshot", pipeSnapshot, Some(pipeSnapshotSql)),
     Q("q_pipe_hydrate", pipeHydrate, Some(pipeHydrateSql)),
