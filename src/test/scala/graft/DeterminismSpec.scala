@@ -37,7 +37,8 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the queries whose floats come from aggregates (the partition-
     // sensitive kind), across the engine's families
     for (q <- Seq("q_corpus_lm_score", "q_text_search", "q_flag_experiment",
-        "q_agg_q1", "q_text_mix", "q_prod_correlation")) {
+        "q_agg_q1", "q_text_mix", "q_prod_correlation", "q_sim_project_search",
+        "q_text_mix_topk")) {
       val a = runAt(2, q)
       val b = runAt(7, q)
       assert(a.nonEmpty, s"$q returned nothing")

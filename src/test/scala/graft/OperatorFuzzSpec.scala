@@ -94,6 +94,55 @@ class OperatorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
   }
 
+  test("session funnel == brute force over random sessions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val base = 1704067200000000L
+    val types = Array("view", "click", "purchase", "error")
+    val events = (1L to 500L).map { eid =>
+      val us = base + rnd.nextInt(3) * Product.SessionGapUs +
+        rnd.nextLong(2 * Product.SessionGapUs)
+      (eid, new Timestamp(us / 1000), rnd.nextInt(15).toLong,
+        types(rnd.nextInt(types.length)), 1.0, "{}")
+    }
+    val dir = Files.createTempDirectory("sfunfuzz").toString
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    // brute force: sessionize, then per session walk the ordered events
+    val expected = events
+      .map { case (eid, ts, u, et, _, _) => (u, ts.getTime * 1000L, eid, et) }
+      .groupBy(_._1).flatMap { case (u, evs) =>
+        val sorted = evs.toSeq.sortBy(e => (e._2, e._3))
+        val sessions = sorted.foldLeft(List.empty[List[(Long, String)]] -> Long.MinValue) {
+          case ((acc, prevUs), (_, us, eid, et)) =>
+            val acc2 =
+              if (acc.isEmpty || us - prevUs > Product.SessionGapUs)
+                List((eid, et)) :: acc
+              else ((eid, et) :: acc.head) :: acc.tail
+            (acc2, us)
+        }._1.reverse.map(_.reverse)
+        sessions.zipWithIndex.flatMap { case (ss, i) =>
+          // min-event-id semantics (the operator's contract); the fuzz
+          // ids are NOT time-monotone, so this differs from time order
+          def minOf(et: String, after: Long): Option[Long] =
+            ss.collect { case (eid, `et`) if eid > after => eid }
+              .reduceOption(_ min _)
+          val v = minOf("view", Long.MinValue)
+          val c = v.flatMap(minOf("click", _))
+          val p = c.flatMap(minOf("purchase", _))
+          v.map(ve => (u, (i + 1).toLong, ve, c.getOrElse(-1L), p.getOrElse(-1L),
+            1 + c.size + p.size))
+        }
+      }.toSet
+
+    val got = Product.sessionFunnel(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getInt(5))).toSet
+    assert(got == expected)
+  }
+
   test("funnel correlation == brute-force odds ratios") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)

@@ -104,7 +104,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("round-6 additions stay UDF-free with no accidental cartesian") {
     for (q <- Seq("q_dedup_novelty", "q_sim_binary", "q_text_mix",
-        "q_prod_correlation", "q_flag_experiment", "q_fn_morton")) {
+        "q_prod_correlation", "q_flag_experiment", "q_fn_morton",
+        "q_pipe_asof_state", "q_prod_session_funnel", "q_join_asof_fwd")) {
       val p = plan(SparkEntry.queries(q)(spark, sf))
       assert(!p.toLowerCase.contains("scalaudf"), s"$q grew a UDF")
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n${p.take(1200)}")
