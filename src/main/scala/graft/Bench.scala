@@ -29,6 +29,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      // 132 queries × 2 passes compile >>100 generated classes; the
+      // default 100-entry codegen cache evicts between passes and the
+      // largest classes (PQ/LSH expression trees) recompile at 3-4×
+      // their run time — pass2 looked "slower" for pure Janino reasons
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
