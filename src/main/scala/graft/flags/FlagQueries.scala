@@ -300,7 +300,12 @@ object FlagQueries {
     */
   def flagExperiment(s: SparkSession, d: String): DataFrame = {
     GraftExtensions.register(s)
+    // the experiment population is the fixture id space (user-0..N-1):
+    // the oracle can only re-derive buckets it has precomputed, so BOTH
+    // sides must bound the cohort or a larger SF silently diverges
+    // (Spark would evaluate users the oracle's fixture join drops)
     val conv = graft.Tables.events(s, d)
+      .filter(col("user_id") < FlagBucketFixture.n)
       .groupBy(col("user_id"))
       .agg(max(when(col("event_type") === "purchase" && col("value") > 130.0, 1L)
         .otherwise(0L)).as("conv"))
@@ -331,7 +336,7 @@ object FlagQueries {
        |conv AS (
        |  SELECT user_id,
        |    max(CASE WHEN event_type = 'purchase' AND value > 130.0 THEN 1 ELSE 0 END)::BIGINT AS conv
-       |  FROM events GROUP BY user_id),
+       |  FROM events WHERE user_id < ${FlagBucketFixture.n} GROUP BY user_id),
        |a AS (
        |  SELECT CASE WHEN b.bucket < 50 THEN 'control' ELSE 'test' END AS variant, c.conv
        |  FROM conv c JOIN b ON b.i = c.user_id),

@@ -30,17 +30,36 @@ final class TopKAggregator(k: Int)
 
   override def zero: Seq[(Long, Long)] = Vector.empty
 
-  private def keep(sorted: Seq[(Long, Long)]): Seq[(Long, Long)] =
-    if (sorted.length <= k) sorted else sorted.take(k)
+  private val ord = implicitly[Ordering[(Long, Long)]]
 
   override def reduce(buf: Seq[(Long, Long)], row: (Long, Long)): Seq[(Long, Long)] = {
     // skip rows that can't enter a full buffer (the hot path at scale)
-    if (buf.length == k && implicitly[Ordering[(Long, Long)]].lteq(buf.last, row)) buf
-    else keep((buf :+ row).sorted)
+    if (buf.length == k && ord.lteq(buf.last, row)) buf
+    else {
+      // O(k) sorted insertion (the buffer is always sorted)
+      val i = buf.indexWhere(ord.gt(_, row)) match {
+        case -1 => buf.length
+        case idx => idx
+      }
+      val inserted = (buf.take(i) :+ row) ++ buf.drop(i)
+      if (inserted.length <= k) inserted else inserted.take(k)
+    }
   }
 
-  override def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
-    keep((a ++ b).sorted)
+  override def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    // linear two-pointer merge of two sorted buffers, capped at k
+    val out = Vector.newBuilder[(Long, Long)]
+    var i = 0
+    var j = 0
+    var n = 0
+    val cap = math.min(k, a.length + b.length)
+    while (n < cap) {
+      if (j >= b.length || (i < a.length && ord.lteq(a(i), b(j)))) { out += a(i); i += 1 }
+      else { out += b(j); j += 1 }
+      n += 1
+    }
+    out.result()
+  }
 
   override def finish(buf: Seq[(Long, Long)]): Seq[(Long, Long)] = buf
 

@@ -378,6 +378,14 @@ object Similarity {
     * blocking exactly like `q_sim_quant_ivf` when N is too large for
     * even the 8-byte scan.
     */
+  /** DuckDB twin of one 32-bit sign word of [[binarySketch]] —
+    * shared by both binary-search oracles so the sketch rule is
+    * defined once per engine.
+    */
+  private def wordSql(col: String, lo: Int): String =
+    (0 until 32).map(b => s"(CASE WHEN $col[${lo + b + 1}] > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
   def binarySketch(embedding: Column): (Column, Column) = {
     def word(lo: Int): Column =
       (0 until 32).map { b =>
@@ -402,9 +410,6 @@ object Similarity {
   }
 
   val binarySearchSql: String = {
-    def wordSql(col: String, lo: Int) =
-      (0 until 32).map(b => s"(CASE WHEN $col[${lo + b + 1}] > 0 THEN ${1L << b} ELSE 0 END)")
-        .mkString("(", " + ", ")")
     s"""WITH e AS (
        |  SELECT vec_id, ${wordSql("embedding", 0)}::BIGINT AS lo,
        |         ${wordSql("embedding", 32)}::BIGINT AS hi
@@ -444,9 +449,6 @@ object Similarity {
   }
 
   val binaryIvfSearchSql: String = {
-    def wordSql(col: String, lo: Int) =
-      (0 until 32).map(b => s"(CASE WHEN $col[${lo + b + 1}] > 0 THEN ${1L << b} ELSE 0 END)")
-        .mkString("(", " + ", ")")
     s"""WITH assign AS ($ivfAssignSql),
        |e AS (
        |  SELECT em.vec_id, ${wordSql("embedding", 0)}::BIGINT AS lo,
@@ -494,12 +496,19 @@ object Similarity {
     if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1 else -1
   }
 
-  def project(s: SparkSession, d: String): DataFrame = {
-    val dims = (0 until ProjK).map { j =>
+  /** The p0..p(k-1) projection columns — THE single Scala definition
+    * of the JL sign matrix, shared by [[project]] and [[projectSearch]]
+    * (the SQL side reuses `projectSql` as a CTE for the same reason).
+    */
+  private def projCols: Seq[Column] =
+    (0 until ProjK).map { j =>
       (1 to Dim).map { i =>
         element_at(col("embedding"), i).cast(DoubleType) * lit(projSign(i, j).toDouble)
       }.reduceLeft(_ + _)./(sqrt(lit(ProjK.toDouble))).as(s"p$j")
     }
+
+  def project(s: SparkSession, d: String): DataFrame = {
+    val dims = projCols
     Tables.embeddings(s, d).select(col("vec_id") +: dims: _*)
   }
 
@@ -524,11 +533,7 @@ object Similarity {
   val ProjShortlist = 20
 
   def projectSearch(s: SparkSession, d: String): DataFrame = {
-    val dims = (0 until ProjK).map { j =>
-      (1 to Dim).map { i =>
-        element_at(col("embedding"), i).cast(DoubleType) * lit(projSign(i, j).toDouble)
-      }.reduceLeft(_ + _)./(sqrt(lit(ProjK.toDouble))).as(s"p$j")
-    }
+    val dims = projCols
     val pnrm = sqrt((0 until ProjK).map(j => col(s"p$j") * col(s"p$j")).reduceLeft(_ + _))
     val e = Tables.par(Tables.embeddings(s, d))
       .select(Seq(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm")) ++ dims: _*)

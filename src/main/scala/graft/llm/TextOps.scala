@@ -549,25 +549,31 @@ object TextOps {
     */
   val MixK = 300
 
-  def mix(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.par(Tables.documents(s, d))
+  /** (doc_id, lang, h): the hashed corpus both mix forms rank. */
+  private def mixDocs(s: SparkSession, d: String): DataFrame =
+    Tables.par(Tables.documents(s, d))
       .select(col("doc_id"), col("lang"), h60(col("text")).as("h"))
+
+  /** (lang, n_docs, target): THE single definition of the α=0.5
+    * temperature targets — shared by [[mix]] and [[mixTopK]] so the
+    * formula (and its deterministic lang-ordered float fold) cannot
+    * drift between the two registered forms.
+    */
+  private def mixTargets(docs: DataFrame): DataFrame = {
     val wAll = Window.orderBy(col("lang"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val targets = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
       .withColumn("sq", sqrt(col("n_docs")))
       .withColumn("tot", sum(col("sq")).over(wAll))
       .select(col("lang"), col("n_docs"),
         floor(lit(MixK.toDouble) * col("sq") / col("tot")).cast(LongType).as("target"))
-    val wl = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
-    docs.withColumn("rk", row_number().over(wl).cast(LongType))
-      .join(broadcast(targets), Seq("lang"))
-      .select(col("doc_id"), col("lang"), col("n_docs"), col("target"),
-        (col("rk") <= col("target")).as("kept"))
   }
 
-  val mixSql: String =
-    s"""WITH docs AS (SELECT doc_id, lang, ${h60Sql("text")} AS h FROM documents),
+  /** DuckDB twin of [[mixDocs]]+[[mixTargets]]: CTEs ending in `targets`
+    * (lang, n_docs, target) and `docs` (doc_id, lang, h).
+    */
+  private val mixTargetsCte: String =
+    s"""docs AS (SELECT doc_id, lang, ${h60Sql("text")} AS h FROM documents),
        |counts AS (SELECT lang, count(*)::BIGINT AS n_docs FROM docs GROUP BY lang),
        |t AS (
        |  SELECT lang, n_docs, sqrt(n_docs) AS sq,
@@ -575,7 +581,19 @@ object TextOps {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS tot
        |  FROM counts),
        |targets AS (
-       |  SELECT lang, n_docs, floor(${MixK}.0 * sq / tot)::BIGINT AS target FROM t),
+       |  SELECT lang, n_docs, floor(${MixK}.0 * sq / tot)::BIGINT AS target FROM t)""".stripMargin
+
+  def mix(s: SparkSession, d: String): DataFrame = {
+    val docs = mixDocs(s, d)
+    val wl = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    docs.withColumn("rk", row_number().over(wl).cast(LongType))
+      .join(broadcast(mixTargets(docs)), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_docs"), col("target"),
+        (col("rk") <= col("target")).as("kept"))
+  }
+
+  val mixSql: String =
+    s"""WITH $mixTargetsCte,
        |r AS (
        |  SELECT doc_id, lang,
        |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)::BIGINT AS rk
@@ -595,17 +613,9 @@ object TextOps {
     */
   def mixTopK(s: SparkSession, d: String): DataFrame = {
     val topk = udaf(new graft.functions.TopKAggregator(MixK))
-    val docs = Tables.par(Tables.documents(s, d))
-      .select(col("doc_id"), col("lang"), h60(col("text")).as("h"))
-    val wAll = Window.orderBy(col("lang"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val targets = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-      .withColumn("sq", sqrt(col("n_docs")))
-      .withColumn("tot", sum(col("sq")).over(wAll))
-      .select(col("lang"),
-        floor(lit(MixK.toDouble) * col("sq") / col("tot")).cast(LongType).as("target"))
+    val docs = mixDocs(s, d)
     docs.groupBy(col("lang")).agg(topk(col("h"), col("doc_id")).as("top"))
-      .join(broadcast(targets), Seq("lang"))
+      .join(broadcast(mixTargets(docs).select(col("lang"), col("target"))), Seq("lang"))
       .select(col("lang"), col("target"), posexplode(col("top")))
       .filter(col("pos") < col("target"))
       .select(col("lang"), (col("pos") + 1).cast(LongType).as("rk"),
@@ -613,14 +623,7 @@ object TextOps {
   }
 
   val mixTopKSql: String =
-    s"""WITH docs AS (SELECT doc_id, lang, ${h60Sql("text")} AS h FROM documents),
-       |counts AS (SELECT lang, count(*)::BIGINT AS n_docs FROM docs GROUP BY lang),
-       |t AS (
-       |  SELECT lang, n_docs, sqrt(n_docs) AS sq,
-       |    sum(sqrt(n_docs)) OVER (ORDER BY lang
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS tot
-       |  FROM counts),
-       |targets AS (SELECT lang, floor(${MixK}.0 * sq / tot)::BIGINT AS target FROM t),
+    s"""WITH $mixTargetsCte,
        |r AS (
        |  SELECT doc_id, lang,
        |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)::BIGINT AS rk

@@ -333,37 +333,52 @@ object Product {
     */
   val SessionGapUs: Long = 30L * 60 * 1000000
 
-  def sessions(s: SparkSession, d: String): DataFrame = {
+  /** Gap-sessionized event rows — THE single definition of the session
+    * boundary (30-min gap, (us, event_id) tie-break), shared by
+    * [[sessions]] and [[sessionFunnel]] so the rule cannot drift
+    * between them (Streaming.sessionize is the third expression of the
+    * same definition, pinned equal by StreamingSpec).
+    */
+  private def sessionized(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
     Tables.events(s, d)
-      .select(col("user_id"), col("event_id"), tsUs(col("ts")).as("us"))
+      .select(col("user_id"), col("event_id"), col("event_type"), tsUs(col("ts")).as("us"))
       .withColumn("new_sess",
         when(lag(col("us"), 1).over(w).isNull ||
           col("us") - lag(col("us"), 1).over(w) > SessionGapUs, 1L).otherwise(0L))
       .withColumn("session_id", sum(col("new_sess")).over(w))
+      .select(col("user_id"), col("session_id"), col("event_id"),
+        col("event_type"), col("us"))
+  }
+
+  /** DuckDB twin of [[sessionized]]: CTEs ending in `sess`. */
+  private val sessionizedCte: String =
+    s"""b AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+       |f AS (
+       |  SELECT user_id, event_id, event_type, us,
+       |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > $SessionGapUs
+       |         THEN 1 ELSE 0 END AS new_sess
+       |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |sess AS (
+       |  SELECT user_id, event_id, event_type, us,
+       |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id)::BIGINT AS session_id
+       |  FROM f)""".stripMargin
+
+  def sessions(s: SparkSession, d: String): DataFrame =
+    sessionized(s, d)
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         min(col("us")).as("start_us"), max(col("us")).as("end_us"))
       .select(col("user_id"), col("session_id"), col("n_events"),
         col("start_us"), col("end_us"),
         (col("end_us") - col("start_us")).as("dur_us"))
-  }
 
   val sessionsSql: String =
-    s"""WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
-       |f AS (
-       |  SELECT user_id, event_id, us,
-       |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > $SessionGapUs
-       |         THEN 1 ELSE 0 END AS new_sess
-       |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-       |g AS (
-       |  SELECT user_id, us,
-       |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id)::BIGINT AS session_id
-       |  FROM f)
+    s"""WITH $sessionizedCte
        |SELECT user_id, session_id, count(*)::BIGINT AS n_events,
        |  min(us) AS start_us, max(us) AS end_us, max(us) - min(us) AS dur_us
-       |FROM g GROUP BY user_id, session_id""".stripMargin
+       |FROM sess GROUP BY user_id, session_id""".stripMargin
 
   // ------------------------------------------------------------ correlation
 
@@ -431,14 +446,7 @@ object Product {
     * rollups and the stage joins; no per-session event arrays.
     */
   def sessionFunnel(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-    val sess = Tables.events(s, d)
-      .select(col("user_id"), col("event_id"), col("event_type"), tsUs(col("ts")).as("us"))
-      .withColumn("new_sess",
-        when(lag(col("us"), 1).over(w).isNull ||
-          col("us") - lag(col("us"), 1).over(w) > SessionGapUs, 1L).otherwise(0L))
-      .withColumn("session_id", sum(col("new_sess")).over(w))
+    val sess = sessionized(s, d)
       .select(col("user_id"), col("session_id"), col("event_id"), col("event_type"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keys = Seq("user_id", "session_id")
@@ -462,16 +470,7 @@ object Product {
   }
 
   val sessionFunnelSql: String =
-    s"""WITH b AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
-       |f AS (
-       |  SELECT user_id, event_id, event_type, us,
-       |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > $SessionGapUs
-       |         THEN 1 ELSE 0 END AS new_sess
-       |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-       |sess AS (
-       |  SELECT user_id, event_id, event_type,
-       |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id)::BIGINT AS session_id
-       |  FROM f),
+    s"""WITH $sessionizedCte,
        |s1 AS (
        |  SELECT user_id, session_id, min(event_id) AS view_eid
        |  FROM sess WHERE event_type = 'view' GROUP BY user_id, session_id),
