@@ -105,5 +105,36 @@ object Bench {
     val qs = entries.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"others":${fmt(others)},"nq":${names.size},"sf":"$sfDir"}""")
     spark.stop()
+
+    // regression gate (full runs only — SPARK_GRAFT_ONLY subsets run
+    // COLD and would false-positive): each query's best-of-passes time
+    // against its committed budget (scripts/make_budgets.py: 2× the
+    // bench_full.json baseline with a +0.5 s noise floor). Breaches
+    // print AFTER every artifact is written, then exit nonzero — the
+    // "compare r_N to r_N−1 by hand" step as a hard gate. Budgets are
+    // per-sf: the gate only arms when the budget file was generated
+    // from the same sf dir this run measured.
+    val budgetFile = new java.io.File("bench_budgets.json")
+    if (only.isEmpty && budgetFile.exists()) {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(budgetFile)
+      val sfMatch = root.path("source_sf").asText("") == sfDir
+      if (sfMatch) {
+        val budgets = root.path("budgets")
+        val breaches = best.flatMap { case (n, t) =>
+          val b = budgets.path(n)
+          if (!b.isMissingNode && t > b.asDouble()) Some(s""""$n":{"sec":${fmt(t)},"budget":${b.asDouble()}}""")
+          else None
+        }
+        val unguarded = best.collect { case (n, _) if budgets.path(n).isMissingNode => n }
+        if (unguarded.nonEmpty)
+          System.err.println(s"[bench-guard] unguarded (no budget entry — regenerate " +
+            s"bench_budgets.json after committing a new baseline): ${unguarded.mkString(",")}")
+        if (breaches.nonEmpty) {
+          System.err.println(s"""{"metric":"bench_guard","breaches":${breaches.mkString("{", ",", "}")}}""")
+          sys.exit(1)
+        }
+      } else System.err.println(
+        s"[bench-guard] budgets are for ${root.path("source_sf").asText("")}, run is $sfDir — gate skipped")
+    }
   }
 }

@@ -88,6 +88,15 @@ object Tables {
     * plan consumes lazily, so they cannot unpersist before returning —
     * the harness reclaims the blocks between queries instead, keeping
     * a long multi-query session free of leaked-cache eviction churn.
+    *
+    * THE single-app cache contract (central note; KMeans/Select/Dedup/
+    * Corpus each rely on it rather than re-documenting): query builders
+    * may persist intermediates and return without unpersisting, BECAUSE
+    * every entry point that runs many queries in one SparkSession
+    * (Verify, Bench, the driver harness) calls this between queries. A
+    * library embedder running graft queries inside a long-lived shared
+    * session should do the same — or accept that persisted blocks
+    * accumulate until executor-storage eviction starts churning.
     */
   def releaseCaches(s: SparkSession): Unit = {
     s.catalog.clearCache()

@@ -159,6 +159,12 @@ object VecDist2 {
   * and the result is bit-identical to the
   * `aggregate(zip_with(a, b, _*_), 0L, _+_)` HOF form it replaces,
   * minus the interpreted-lambda dispatch and per-element boxing.
+  * Overflow on adversarial (non-quantized) inputs raises
+  * `ArithmeticException` via `Math.multiplyExact`/`addExact` — the
+  * same fail-loud contract the HOF form has under `spark.sql.ansi
+  * .enabled` — rather than silently wrapping, so the equivalence
+  * holds in both ANSI and legacy modes (exact intrinsics, no
+  * measurable cost vs raw `*`/`+`).
   */
 case class VecIDot(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
@@ -177,7 +183,7 @@ case class VecIDot(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      acc += x.getLong(i) * y.getLong(i)
+      acc = Math.addExact(acc, Math.multiplyExact(x.getLong(i), y.getLong(i)))
       i += 1
     }
     acc
@@ -196,7 +202,7 @@ case class VecIDot(left: Expression, right: Expression)
          |  long $acc = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |    $acc = java.lang.Math.addExact($acc, java.lang.Math.multiplyExact($a.getLong($i), $b.getLong($i)));
          |  }
          |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}

@@ -37,7 +37,7 @@ object IngestQueries {
   def prepare(s: SparkSession, d: String): Unit =
     Seq(captureInput(s, d), wireInput(s, d), batchInput(s, d),
       enrichInput(s, d), hmacInput(s, d), groupsInput(s, d),
-      formInput(s, d), browserInput(s, d), deadInput(s, d))
+      formInput(s, d), browserInput(s, d), deadInput(s, d), sessionInput(s, d))
       .foreach(_.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ()))
 
   // ------------------------------------------------------------ Q-ING-1
@@ -367,6 +367,60 @@ object IngestQueries {
       |  NULL::VARCHAR AS group2
       |FROM events""".stripMargin
 
+  // ---------------------------------------------------------- Q-ING-10
+
+  /** Session-recording chunks at rest: a third carry the
+    * `/data/metadata/distinct_id` pointer AND a decoy top-level
+    * `distinct_id` (pointer must win), a third only the top-level id,
+    * a third neither (→ the literal `"session-recording"` fallback).
+    * Mode-0 payloads also carry a `token` so api_key precedence
+    * (header > payload token) is exercised both ways.
+    */
+  private def sessionInput(s: SparkSession, d: String): DataFrame =
+    synth(s, d, "session") {
+      val e = Tables.par(Tables.events(s, d))
+      val mode = (col("event_id") % 3).cast("int")
+      val body = when(mode === 0, to_json(struct(
+          struct(
+            struct(concat(lit("m"), col("user_id")).as("distinct_id")).as("metadata"),
+            col("event_id").as("size")).as("data"),
+          concat(lit("decoy"), col("user_id")).as("distinct_id"),
+          concat(lit("stok-"), col("user_id") % 5).as("token"))))
+        .when(mode === 1, to_json(struct(
+          struct(col("event_id").as("size")).as("data"),
+          concat(lit("top"), col("user_id")).as("distinct_id"))))
+        .otherwise(to_json(struct(
+          struct(col("event_id").as("size")).as("data"))))
+      e.select(col("event_id"), col("user_id"), col("ts"), mode.as("mode"), body.as("body"))
+    }
+
+  /** Q-ING-10 (S9): session-recording intake (`/s`) — raw snapshot
+    * chunk → `$snapshot` event with the whole payload in `properties`,
+    * distinct_id via the pointer → top-level → literal fallback chain,
+    * api_key via header → payload `token` (lib.rs:1149-1189,
+    * pipeline.rs:338-365).
+    */
+  def session(s: SparkSession, d: String): DataFrame = {
+    val ctx = IngestContext(
+      headerApiKey = when(col("event_id") % 2 === 0, concat(lit("hk-"), col("user_id"))),
+      sentAtHeader = date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
+    Normalizer.sessionIntake(sessionInput(s, d), col("body"), ctx)
+      .select(col("event_id"), col("mode"), col("event"), col("distinct_id"),
+        col("api_key"),
+        get_json_object(col("properties"), "$.data.size").cast(LongType).as("snap_size"),
+        element_at(col("extra"), "$sent_at").as("sent_at"))
+  }
+
+  val sessionSql: String =
+    """SELECT event_id, (event_id % 3)::INT AS mode, '$snapshot' AS event,
+      |  CASE (event_id % 3) WHEN 0 THEN 'm' || user_id
+      |       WHEN 1 THEN 'top' || user_id ELSE 'session-recording' END AS distinct_id,
+      |  CASE WHEN event_id % 2 = 0 THEN 'hk-' || user_id
+      |       WHEN event_id % 3 = 0 THEN 'stok-' || (user_id % 5) END AS api_key,
+      |  event_id AS snap_size,
+      |  strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS sent_at
+      |FROM events""".stripMargin
+
   // ----------------------------------------------------------- Q-ING-9
 
   private def deadInput(s: SparkSession, d: String): DataFrame =
@@ -405,5 +459,6 @@ object IngestQueries {
     Q("q_ingest_groups", groups, Some(groupsSql)),
     Q("q_ingest_form", form, Some(formSql)),
     Q("q_ingest_browser", browser, Some(browserSql)),
-    Q("q_ingest_dead", dead, Some(deadSql)))
+    Q("q_ingest_dead", dead, Some(deadSql)),
+    Q("q_ingest_session", session, Some(sessionSql)))
 }

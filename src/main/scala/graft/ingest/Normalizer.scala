@@ -183,10 +183,14 @@ object Normalizer {
       when(browserGroupIdentify, lit("unknown")))
     val groupType = coalesce(element_at(m, "group_type"), element_at(pm, "$group_type"),
       when(browserGroupIdentify, lit("unknown")))
+    // properties-level fallback prefers the `$`-sentinel key — the
+    // reference tries `$distinct_id` BEFORE `distinct_id`
+    // (lib.rs:518-525); when both ride `properties` with different
+    // values the sentinel must win
     val distinctId = coalesce(
       element_at(m, "distinct_id"),
-      element_at(pm, "distinct_id"),
-      element_at(pm, "$distinct_id"))
+      element_at(pm, "$distinct_id"),
+      element_at(pm, "distinct_id"))
     // envelope-level sent_at beats the transport header
     // (extractors.rs:279-282). Substring-gated: the envelope JSON is
     // only parsed for bodies that can carry the key — get_json_object
@@ -252,7 +256,12 @@ object Normalizer {
         lit(null).cast("timestamp").as("person_created_at"),
         lit(null).cast("string").as("group_properties"),
         // the envelope fallbacks sit behind the coalesce short-circuit:
-        // rows whose item carries a key never re-parse the envelope
+        // rows whose item carries a key never re-parse the envelope.
+        // api_key-before-token is uniform here; the reference is
+        // endpoint-dependent when a payload carries BOTH (token-first
+        // on /e lib.rs:515, api_key-first on /decide lib.rs:1065) —
+        // real SDKs send one or the other, and the batch normalizer
+        // has no endpoint axis to dispatch on (documented divergence)
         coalesce(
           element_at(m, "api_key"),
           element_at(m, "token"),

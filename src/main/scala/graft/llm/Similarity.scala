@@ -387,6 +387,11 @@ object Similarity {
       .mkString("(", " + ", ")")
 
   def binarySketch(embedding: Column): (Column, Column) = {
+    // two 32-bit words cover exactly 64 dims; a silent Dim change would
+    // otherwise truncate the sketch (out-of-range element_at → null →
+    // the `when` maps it to 0) in BOTH engines — fail loudly instead
+    require(Dim == 64,
+      s"binarySketch packs exactly 2×32 sign bits; Dim=$Dim needs ceil(Dim/32) words")
     def word(lo: Int): Column =
       (0 until 32).map { b =>
         when(element_at(embedding, lo + b + 1) > 0f, lit(1L << b)).otherwise(0L)

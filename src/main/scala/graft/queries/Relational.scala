@@ -181,16 +181,24 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
 
   /** Q-AGG-4: approximate distinct (HyperLogLog++) per event type —
-    * bench/scale path for cardinality at 100 TB (no driver oracle: HLL
-    * estimates are engine-specific, so DuckDB can't hash-match; the
-    * driver records rows-only). NOT unchecked, though: EndToEndSpec
-    * asserts every group's estimate lands within a bounded relative
-    * error of the exact `countDistinct` (rsd 0.01, gate at 5×rsd).
+    * bench/scale path for cardinality at 100 TB. The raw HLL estimate
+    * is engine-specific, so DuckDB can't hash-match it directly;
+    * instead the estimate rides NEXT TO its exact `countDistinct` twin
+    * and the accuracy gate is computed IN-ROW (|est−exact| ≤ 5%·exact
+    * = 5×rsd — loose enough to never flake, tight enough that an
+    * off-by-10% estimator fails). Every output column is then
+    * deterministic: the exact column hash-matches the oracle and the
+    * boolean bounds the estimator, making this a full driver-checked
+    * row instead of a rows-only record.
     */
   def aggApprox(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * lit(0.05)).as("est_within_5pct"))
 
   /** Q-AGG-7: explicit GROUPING SETS through the SQL entry point (the
     * engine's spark.sql surface — temp view + ANSI SQL text).
@@ -505,10 +513,12 @@ object Relational {
     * counts do NOT sum, so per-day counts can't roll up; per-day
     * SKETCHES can. Daily sketches are built once (and in production
     * persisted to the lake as binary columns); any window rolls up by
-    * unioning sketches — no rescan of raw events. No DuckDB oracle
-    * (sketch internals differ across implementations); the driver
-    * records rows-only and EndToEndSpec bounds the estimate against
-    * the exact distinct.
+    * unioning sketches — no rescan of raw events. Sketch internals
+    * differ across implementations, so the union ESTIMATE can't
+    * hash-match DuckDB; it is bounded IN-ROW against its exact-distinct
+    * twin (cross-joined single rows — both sides one row, the join is
+    * trivial) so every output column is deterministic and the driver
+    * checks the full row.
     */
   def aggSketchRollup(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.events(s, d)
@@ -516,10 +526,17 @@ object Relational {
       .groupBy(col("day"))
       .agg(expr("hll_sketch_agg(user_id)").as("sk"),
         countDistinct(col("user_id")).as("daily_users"))
+    val exact = Tables.events(s, d)
+      .agg(countDistinct(col("user_id")).as("exact_total_users"))
     daily.agg(
-      count(lit(1)).as("n_days"),
-      sum(col("daily_users")).as("sum_daily_users"), // > true distinct: why sketches exist
-      expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_total_users"))
+        count(lit(1)).as("n_days"),
+        sum(col("daily_users")).as("sum_daily_users"), // > true distinct: why sketches exist
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_total_users"))
+      .crossJoin(exact)
+      // default lgConfigK=12 → ~1.6% rse; gate loose at 5%
+      .select(col("n_days"), col("sum_daily_users"), col("exact_total_users"),
+        (abs(col("est_total_users") - col("exact_total_users")) <=
+          col("exact_total_users") * lit(0.05)).as("est_within_5pct"))
   }
 
   /** Q-SQL-1: the SQL-text entrypoint — the engine's tables exposed as
@@ -734,7 +751,10 @@ object Relational {
     Q("q_agg_distinct", aggDistinct, Some(
       """SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS n_users, count(*) AS n
         |FROM events GROUP BY CAST(ts AS DATE)""".stripMargin)),
-    Q("q_agg_approx", aggApprox, None),
+    Q("q_agg_approx", aggApprox, Some(
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS est_within_5pct
+        |FROM events GROUP BY event_type""".stripMargin)),
     Q("q_agg_groupingsets", aggGroupingSets, Some(
       """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
@@ -847,7 +867,15 @@ object Relational {
         |FROM lineitem WHERE l_orderkey % 100 = 0""".stripMargin)),
     Q("q_fn_morton", fnMorton, Some(fnMortonSql)),
     Q("q_sql_insight", sqlInsight, Some(sqlInsightSql)),
-    Q("q_agg_sketch_rollup", aggSketchRollup, None),
+    Q("q_agg_sketch_rollup", aggSketchRollup, Some(
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    count(DISTINCT user_id) AS daily_users
+        |  FROM events GROUP BY 1)
+        |SELECT count(*)::BIGINT AS n_days, sum(daily_users)::BIGINT AS sum_daily_users,
+        |  (SELECT count(DISTINCT user_id) FROM events) AS exact_total_users,
+        |  TRUE AS est_within_5pct
+        |FROM daily""".stripMargin)),
     Q("q_fn_json", fnJson, Some(
       """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
         |  CAST(sum(k) AS DOUBLE) / count(*) AS avg_k

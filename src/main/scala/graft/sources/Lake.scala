@@ -105,18 +105,22 @@ object Lake {
   def writeEventsObserved(events: DataFrame, path: String,
       timeoutMs: Long = 30000): Row = {
     val spark = events.sparkSession
+    // the observation name is per-call unique: the listener is
+    // session-global, so two concurrent ingests on one SparkSession
+    // sharing a name would deliver one caller the other's metrics
+    val obsName = s"ingest_metrics_${java.util.UUID.randomUUID().toString.take(8)}"
     @volatile var metrics: Option[Row] = None
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
-        qe.observedMetrics.get("ingest_metrics").foreach(r => metrics = Some(r))
+        qe.observedMetrics.get(obsName).foreach(r => metrics = Some(r))
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
     }
     spark.listenerManager.register(listener)
     try {
       withPartition(events.dropDuplicates("uuid"))
-        .observe("ingest_metrics",
+        .observe(obsName,
           count(lit(1)).as("n_rows"),
           sum(when(col("distinct_id").isNull || col("distinct_id") === "", 1L)
             .otherwise(0L)).as("n_missing_did"),

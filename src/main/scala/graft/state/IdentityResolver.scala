@@ -97,6 +97,14 @@ object IdentityResolver {
 
     import spark.implicits._
 
+    // quiet micro-batches (zero alias edges) are the common case in the
+    // streaming replay epoch loop — short-circuit BEFORE the distinct
+    // shuffle + stats job. take(1) on the un-shuffled edge set is a
+    // narrow scan (no exchange), so non-empty batches pay one cheap
+    // extra job while empty ones skip the whole CC machinery.
+    if (edges.select(col("src"), col("dst")).isEmpty)
+      return Seq.empty[(String, String)].toDF("id", "canonical")
+
     val undirected = edges.select(col("src"), col("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // one job computes the count AND the id-byte volume the fast path

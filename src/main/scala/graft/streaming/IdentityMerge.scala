@@ -130,7 +130,7 @@ final class IdentityMergeState(spark: SparkSession) {
       val untouched = stComp.join(broadcast(touched), Seq("comp"), "left_anti")
         .drop("comp").as[PersonRecord]
       val seeds = stComp.join(broadcast(touched), Seq("comp"), "left_semi")
-        .select(col("comp"), struct(stateDf.columns.map(col): _*).as("rec"))
+        .select(col("comp"), struct(stateDf.columns.toIndexedSeq.map(col): _*).as("rec"))
         .as[(String, PersonRecord)]
 
       val folded = seeds.groupByKey(_._1)
@@ -150,6 +150,17 @@ final class IdentityMergeState(spark: SparkSession) {
 
   /** Final person dimension with dense first-touch sequence ids —
     * identical assignment to batch [[Replay.persons]].
+    *
+    * Scale note: the dense ids come from a global `sortBy` +
+    * `zipWithIndex` over the PERSON DIMENSION — fine while persons ≪
+    * events (always, here: the dimension is the distinct-id set, not
+    * the event stream), but a total sort all the same. At an extreme
+    * dimension size (billions of persons) assign ids per-partition
+    * instead: `sortBy` then `zipWithIndex`'s two-job form is already
+    * partition-offset based, so the swap is to a monotonically-
+    * increasing-id + offset-fix layout that avoids holding the sort's
+    * single range-partitioned pass — the ordering contract (first_ord,
+    * canonical_id) is what must be preserved, not this implementation.
     */
   def persons(): Dataset[PersonRecord] = {
     val withIds = stateRdd

@@ -362,4 +362,111 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     val names = out.columns.toSet
     EventSchema.schema.fields.foreach(f => assert(names.contains(f.name), f.name))
   }
+
+  // P6 fuzz: randomized adversarial browser `/e` payloads — the
+  // distinct_id fallback chain (top-level > properties.$distinct_id >
+  // properties.distinct_id, lib.rs:518-525), $identify/$groupidentify
+  // routing, unknown-group defaults, and api_key-vs-header precedence,
+  // checked against an independent Scala mirror of the reference's
+  // resolution rules. Ids are drawn from an escape-free adversarial
+  // pool (unicode, spaces, sentinel-lookalike strings, empty, 300-char)
+  // so the JSON stays hand-assemblable. Payloads carry at most ONE of
+  // token/api_key: with both present the reference is endpoint-
+  // dependent (token-first on /e lib.rs:515, api_key-first on /decide
+  // lib.rs:1065) while the batch engine is uniformly api_key-first.
+  test("fuzz: browser /e rewrite distinct_id chain + routing (300 adversarial payloads)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    def jobj(fields: Seq[(String, String)]): String =
+      fields.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def jstr(s: String): String = "\"" + s + "\""
+    val idPool = Vector[Int => String](
+      n => s"u-$n", n => s"üser-ид-$n", n => s"sp ace $n",
+      n => s"$$distinct_id-$n", _ => "distinct_id", _ => "",
+      n => "x" * 300 + n)
+    def mkId(n: Int): String = idPool(rnd.nextInt(idPool.size))(n)
+    def opt[A](v: => A): Option[A] = if (rnd.nextBoolean()) Some(v) else None
+
+    case class C(i: Int, body: String, expEvent: String, expDid: Option[String],
+      expKey: Option[String], expGType: Option[String], expGKey: Option[String],
+      expPPlan: Option[String])
+
+    val cases = (0 until 300).map { n =>
+      val shape = rnd.nextInt(3) // 0=$identify 1=$groupidentify 2=capture
+      val top = opt(mkId(n))
+      val pSent = opt(mkId(n + 1000))
+      val pPlain = opt(mkId(n + 2000))
+      val itemKey = rnd.nextInt(3) match {
+        case 0 => Some("token" -> s"tok-$n")
+        case 1 => Some("api_key" -> s"ak-$n")
+        case _ => None
+      }
+      val gType = opt(s"team$n")
+      val gKey = opt(s"gk-$n")
+      val gSet = opt(s"tier-$n")
+      val setPlan = opt(s"plan-$n")
+
+      val didProps: Seq[(String, String)] =
+        pSent.map("$distinct_id" -> jstr(_)).toSeq ++
+          pPlain.map("distinct_id" -> jstr(_))
+      val chain = top.orElse(pSent).orElse(pPlain)
+
+      val (body, exp) = shape match {
+        case 0 =>
+          val b = jobj(
+            Seq("event" -> jstr("$identify")) ++
+              top.map("distinct_id" -> jstr(_)) ++
+              Seq("properties" -> jobj(didProps)) ++
+              setPlan.map(p => "$set" -> jobj(Seq("plan" -> jstr(p)))) ++
+              itemKey.map { case (k, v) => k -> jstr(v) })
+          (b, C(n, b, "$identify", chain, itemKey.map(_._2), None, None, setPlan))
+        case 1 =>
+          val gProps = didProps ++
+            gType.map("$group_type" -> jstr(_)) ++
+            gKey.map("$group_key" -> jstr(_)) ++
+            gSet.map(t => "$group_set" -> jobj(Seq("tier" -> jstr(t))))
+          val b = jobj(
+            Seq("event" -> jstr("$groupidentify")) ++
+              top.map("distinct_id" -> jstr(_)) ++
+              Seq("properties" -> jobj(gProps)) ++
+              itemKey.map { case (k, v) => k -> jstr(v) })
+          // group_key becomes distinct_id; both default to "unknown"
+          (b, C(n, b, "$groupidentify", Some(gKey.getOrElse("unknown")),
+            itemKey.map(_._2), Some(gType.getOrElse("unknown")),
+            Some(gKey.getOrElse("unknown")), None))
+        case _ =>
+          val b = jobj(
+            Seq("event" -> jstr(s"click-$n")) ++
+              top.map("distinct_id" -> jstr(_)) ++
+              Seq("properties" -> jobj(didProps)) ++
+              itemKey.map { case (k, v) => k -> jstr(v) })
+          (b, C(n, b, s"click-$n", chain, itemKey.map(_._2), None, None, None))
+      }
+      exp.copy(body = body)
+    }
+
+    val ctx = IngestContext(headerApiKey = lit("hh-key"))
+    val out = Normalizer.ingest(
+        cases.map(c => (c.i, c.body)).toDF("i", "body"), col("body"), ctx)
+      .select(col("i"), col("event"), col("distinct_id"), col("api_key"),
+        col("person_properties"),
+        element_at(col("extra"), "group_type").as("g_type"),
+        element_at(col("extra"), "group_key").as("g_key"))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out.size == cases.size)
+
+    cases.foreach { c =>
+      val r = out(c.i)
+      assert(r.getAs[String]("event") == c.expEvent, s"case ${c.i}: ${c.body}")
+      assert(Option(r.getAs[String]("distinct_id")) == c.expDid,
+        s"case ${c.i} distinct_id: got ${r.getAs[String]("distinct_id")} " +
+          s"want ${c.expDid} body=${c.body}")
+      assert(r.getAs[String]("api_key") == c.expKey.getOrElse("hh-key"),
+        s"case ${c.i} api_key: ${c.body}")
+      assert(Option(r.getAs[String]("g_type")) == c.expGType, s"case ${c.i}: ${c.body}")
+      assert(Option(r.getAs[String]("g_key")) == c.expGKey, s"case ${c.i}: ${c.body}")
+      c.expPPlan.foreach(p => assert(
+        r.getAs[String]("person_properties").contains(p), s"case ${c.i}: ${c.body}"))
+    }
+  }
 }

@@ -347,28 +347,55 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(flips > 0, "expected at least one cross-batch decision flip")
   }
 
-  test("keyed person state accumulates across micro-batches") {
+  /** Drives the fMGWS keyed person fold across three micro-batches,
+    * optionally under an explicit state-store provider class; returns
+    * every emitted record.
+    */
+  private def runPersonState(provider: Option[String]): Seq[graft.state.PersonRecord] = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[PersonOp]
-    val q = Streaming.personStateStream(mem.toDS())
-      .writeStream.format("memory").queryName("pstate").outputMode(OutputMode.Update()).start()
+    provider.foreach(p =>
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", p))
     try {
-      mem.addData(
-        PersonOp("u1", 1, Map("plan" -> "free"), Map("first" -> "a"), Nil, None))
-      q.processAllAvailable()
-      mem.addData(
-        PersonOp("u1", 2, Map("plan" -> "pro"), Map("first" -> "b"), Nil, None),
-        PersonOp("u1", 3, Map.empty, Map.empty, Seq("plan"), None))
-      q.processAllAvailable()
-      mem.addData(
-        PersonOp("u1", 4, Map.empty, Map.empty, Nil, None)) // ensure: no bump
-      q.processAllAvailable()
-      val rows = spark.table("pstate").as[graft.state.PersonRecord].collect()
-      assert(rows.map(_.version).max == 3) // the empty op did NOT bump (ensure_person)
-      val last = rows.maxBy(_.version)
-      assert(last.properties.get("plan").isEmpty)      // unset in batch 2
-      assert(last.properties_set_once("first") == "a") // set_once survived
-    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS pstate") }
+      val mem = MemoryStream[PersonOp]
+      val q = Streaming.personStateStream(mem.toDS())
+        .writeStream.format("memory").queryName("pstate").outputMode(OutputMode.Update()).start()
+      try {
+        mem.addData(
+          PersonOp("u1", 1, Map("plan" -> "free"), Map("first" -> "a"), Nil, None))
+        q.processAllAvailable()
+        mem.addData(
+          PersonOp("u1", 2, Map("plan" -> "pro"), Map("first" -> "b"), Nil, None),
+          PersonOp("u1", 3, Map.empty, Map.empty, Seq("plan"), None))
+        q.processAllAvailable()
+        mem.addData(
+          PersonOp("u1", 4, Map.empty, Map.empty, Nil, None)) // ensure: no bump
+        q.processAllAvailable()
+        spark.table("pstate").as[graft.state.PersonRecord].collect().toSeq
+      } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS pstate") }
+    } finally provider.foreach(_ =>
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))
+  }
+
+  test("keyed person state accumulates across micro-batches") {
+    val rows = runPersonState(None)
+    assert(rows.map(_.version).max == 3) // the empty op did NOT bump (ensure_person)
+    val last = rows.maxBy(_.version)
+    assert(last.properties.get("plan").isEmpty)      // unset in batch 2
+    assert(last.properties_set_once("first") == "a") // set_once survived
+  }
+
+  test("keyed person state: RocksDB state store == default HDFS-backed store") {
+    // the scaladoc's scale claim (Streaming.scala: "keyed state lives in
+    // the state store — RocksDB provider at scale") proven for the fMGWS
+    // path, not just transformWithState (which REQUIRES RocksDB): the
+    // same three micro-batches under both providers yield identical
+    // emissions and the same final record
+    val hdfs = runPersonState(None)
+    val rocks = runPersonState(Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+    assert(rocks.map(_.version).max == hdfs.map(_.version).max)
+    assert(rocks.maxBy(_.version) == hdfs.maxBy(_.version))
+    assert(rocks.sortBy(_.version) == hdfs.sortBy(_.version))
   }
 }
