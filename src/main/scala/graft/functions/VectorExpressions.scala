@@ -159,12 +159,18 @@ object VecDist2 {
   * and the result is bit-identical to the
   * `aggregate(zip_with(a, b, _*_), 0L, _+_)` HOF form it replaces,
   * minus the interpreted-lambda dispatch and per-element boxing.
-  * Overflow on adversarial (non-quantized) inputs raises
-  * `ArithmeticException` via `Math.multiplyExact`/`addExact` — the
-  * same fail-loud contract the HOF form has under `spark.sql.ansi
-  * .enabled` — rather than silently wrapping, so the equivalence
-  * holds in both ANSI and legacy modes (exact intrinsics, no
-  * measurable cost vs raw `*`/`+`).
+  *
+  * Overflow contract (deliberate): the accumulation uses RAW int64
+  * `*`/`+`, which WRAPS on adversarial non-quantized inputs — the
+  * same behavior as the HOF fold in legacy mode, but NOT under
+  * `spark.sql.ansi.enabled`, where the HOF raises
+  * ARITHMETIC_OVERFLOW. The bit-identical claim is therefore scoped
+  * to inputs where every partial sum stays in int64 (any |v| ≤ 2^27
+  * at dims ≤ 2^7 — vastly beyond the int8 range this kernel is
+  * for). Checked `Math.multiplyExact`/`addExact` was measured at ~2×
+  * on the quantized-search queries (the overflow branch defeats the
+  * vectorized reduction), so the exact variant is intentionally NOT
+  * used — this scoring kernel exists for exactly that loop.
   */
 case class VecIDot(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
@@ -183,7 +189,7 @@ case class VecIDot(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      acc = Math.addExact(acc, Math.multiplyExact(x.getLong(i), y.getLong(i)))
+      acc += x.getLong(i) * y.getLong(i)
       i += 1
     }
     acc
@@ -202,7 +208,7 @@ case class VecIDot(left: Expression, right: Expression)
          |  long $acc = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $acc = java.lang.Math.addExact($acc, java.lang.Math.multiplyExact($a.getLong($i), $b.getLong($i)));
+         |    $acc += $a.getLong($i) * $b.getLong($i);
          |  }
          |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}

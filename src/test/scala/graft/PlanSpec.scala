@@ -225,6 +225,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("session intake (S9) is a map-only codegen pass: no shuffle, no UDF") {
+    val p = plan(SparkEntry.queries("q_ingest_session")(spark, sf))
+    assert(!p.contains("Exchange"), "snapshot intake must not shuffle:\n" + p.take(1500))
+    assert(!p.toLowerCase.contains("scalaudf"), "session intake grew a UDF")
+  }
+
   test("lake scans prune partitions on event_date") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("planlake").toString
