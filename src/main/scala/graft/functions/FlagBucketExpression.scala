@@ -66,8 +66,35 @@ object GraftExtensions {
     new ExpressionInfo(classOf[FlagBucket].getName, "flag_bucket"),
     (children: Seq[Expression]) => FlagBucket(children(0), children(1)))
 
+  // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
+  // internal runtime join filters but does not expose them in the SQL
+  // registry; surfacing them makes the bloom-prefilter pattern
+  // (decontamination against a sketch instead of a broadcast hash set)
+  // a first-class function. Builders mirror the internal injection
+  // sites: agg input is xxhash64(col) (long), might_contain's filter
+  // side must be a foldable binary (or scalar subquery) — the
+  // expression's own checkInputDataTypes enforces that.
+  private[functions] val bloomAggDescriptor = (
+    FunctionIdentifier("bloom_filter_agg"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+      "bloom_filter_agg"),
+    (children: Seq[Expression]) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        children(0), children(1), children(2)))
+
+  private[functions] val bloomMightContainDescriptor = (
+    FunctionIdentifier("might_contain"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      "might_contain"),
+    (children: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        children(0), children(1)))
+
   private[functions] val descriptors =
-    Seq(flagBucketDescriptor, VecDot.descriptor, VecDist2.descriptor, VecIDot.descriptor)
+    Seq(flagBucketDescriptor, VecDot.descriptor, VecDist2.descriptor, VecIDot.descriptor,
+      bloomAggDescriptor, bloomMightContainDescriptor)
 
   /** Install into an existing session's function registry. */
   def register(spark: SparkSession): Unit =

@@ -121,7 +121,110 @@ object Corpus {
        |FROM tr t LEFT JOIN m ON t.doc_id = m.doc_id""".stripMargin
   }
 
+  /** Bloom-prefiltered decontamination — the shape [[decontam]] grows
+    * into when even the eval set's DISTINCT shingle-hash set is too big
+    * to broadcast as an exact hash set: a fixed-size Bloom sketch
+    * (bitwise-OR mergeable → deterministic under any partitioning)
+    * stands in for the set. Two tiers:
+    *
+    *   1. map-side PREFILTER: every (doc, shingle) pair probes the
+    *      broadcast sketch via codegen'd `might_contain` — non-matching
+    *      pairs (the overwhelming majority) die before any shuffle;
+    *   2. exact CONFIRM: only surviving pairs (true hits + the sketch's
+    *      ~fpp false positives) meet the exact eval-hash set in a
+    *      left-semi join.
+    *
+    * Bloom filters have NO false negatives, so the confirmed overlap
+    * counts are bit-identical to [[decontam]] — the oracle is the same
+    * exact computation. The sketch's behavior is gated IN-ROW (the
+    * [[graft.queries.Relational]] estimate-twin pattern):
+    * `bloom_no_false_negatives` (survivors cover every exact hit) and
+    * `bloom_fp_ok` (false-positive pairs ≤ 5% + 8 per doc, far above
+    * the sized fpp) must both hold on every row.
+    *
+    * At 100 TB: a 4B-item eval set at 1% fpp is a ~4.8 GB sketch vs
+    * tens-of-GB exact sets — and the sketch is ONE binary literal in
+    * the plan, not a shuffled side. The driver-side `head()` that
+    * materializes it moves sketch-sized data only (same class as
+    * k-means centroids, [[KMeans]]).
+    */
+  def decontamBloom(s: SparkSession, d: String): DataFrame = {
+    import Portable._
+    graft.functions.GraftExtensions.register(s)
+    val docs = Dedup.shingleDocs(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val isEval = col("doc_id") % 50 === 0
+    val evalHashes = docs.filter(isEval)
+      .select(explode(col("sh")).as("g"))
+      .select(h60(col("g")).as("gh")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // sketch sized generously above the eval cardinality at any test sf
+    // (1M items / 8M bits ≈ 1 MB); caps are within Spark's runtime-
+    // filter limits. Deterministic: insertions OR into the bit array.
+    val bloom = evalHashes
+      .agg(call_function("bloom_filter_agg", xxhash64(col("gh")),
+        lit(1L << 20), lit(1L << 23)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n_shingles"))
+    val pairs = train.select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), h60(col("g")).as("gh"))
+    // tier 1: sketch probe, map-side, no shuffle, no broadcast set
+    val survivors = pairs
+      .filter(call_function("might_contain", lit(bloom), xxhash64(col("gh"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perDocBloom = survivors.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bloom"))
+    // tier 2: exact confirm on the (tiny) survivor set only
+    val perDocExact = survivors
+      .join(broadcast(evalHashes), Seq("gh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    train.select(col("doc_id"), col("n_shingles"))
+      .join(perDocExact, Seq("doc_id"), "left")
+      .join(perDocBloom, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        coalesce(col("n_bloom"), lit(0L)).as("n_bloom"))
+      .withColumn("overlap_frac",
+        when(col("n_shingles") > 0,
+          col("n_overlap").cast("double") / col("n_shingles")).otherwise(lit(0.0)))
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"), col("overlap_frac"),
+        (col("overlap_frac") >= 0.3).as("is_contaminated"),
+        (col("n_bloom") >= col("n_overlap")).as("bloom_no_false_negatives"),
+        (col("n_bloom") - col("n_overlap") <=
+          greatest(lit(8L), (col("n_shingles") * 0.05).cast("long")))
+          .as("bloom_fp_ok"))
+  }
+
+  val decontamBloomSql: String = {
+    import Portable._
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${shingles3Sql(tokensSql("text"))} AS sh FROM documents),
+       |ev AS (
+       |  SELECT DISTINCT ${h60Sql("g")} AS gh
+       |  FROM (SELECT unnest(sh) AS g FROM docs WHERE doc_id % 50 = 0)),
+       |tr AS (SELECT doc_id, sh, len(sh)::BIGINT AS n_shingles
+       |       FROM docs WHERE doc_id % 50 <> 0),
+       |ex AS (
+       |  SELECT doc_id, ${h60Sql("g")} AS gh
+       |  FROM (SELECT doc_id, unnest(sh) AS g FROM tr)),
+       |m AS (
+       |  SELECT doc_id, count(*) AS n_overlap FROM ex
+       |  WHERE gh IN (SELECT gh FROM ev) GROUP BY doc_id)
+       |SELECT t.doc_id, t.n_shingles,
+       |  coalesce(m.n_overlap, 0)::BIGINT AS n_overlap,
+       |  CASE WHEN t.n_shingles > 0
+       |       THEN coalesce(m.n_overlap, 0)::DOUBLE / t.n_shingles ELSE 0.0 END AS overlap_frac,
+       |  (CASE WHEN t.n_shingles > 0
+       |        THEN coalesce(m.n_overlap, 0)::DOUBLE / t.n_shingles ELSE 0.0 END) >= 0.3
+       |    AS is_contaminated,
+       |  TRUE AS bloom_no_false_negatives,
+       |  TRUE AS bloom_fp_ok
+       |FROM tr t LEFT JOIN m ON t.doc_id = m.doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_corpus_funnel", funnel, Some(funnelSql)),
-    Q("q_corpus_decontam", decontam, Some(decontamSql)))
+    Q("q_corpus_decontam", decontam, Some(decontamSql)),
+    Q("q_corpus_decontam_bloom", decontamBloom, Some(decontamBloomSql)))
 }

@@ -225,6 +225,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bloom decontamination probes the sketch map-side (might_contain, no cartesian)") {
+    val p = plan(SparkEntry.queries("q_corpus_decontam_bloom")(spark, sf))
+    assert(p.contains("might_contain"), "sketch probe missing from plan:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.toLowerCase.contains("scalaudf"), "bloom path grew a UDF")
+  }
+
   test("session intake (S9) is a map-only codegen pass: no shuffle, no UDF") {
     val p = plan(SparkEntry.queries("q_ingest_session")(spark, sf))
     assert(!p.contains("Exchange"), "snapshot intake must not shuffle:\n" + p.take(1500))
