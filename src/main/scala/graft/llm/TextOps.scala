@@ -480,6 +480,71 @@ object TextOps {
        |ORDER BY tf DESC, ngram LIMIT $NgramTopK""".stripMargin
   }
 
+  // --------------------------------------------------------- Q-TEXT-14
+
+  /** CMS parameters: eps bounds the overestimate (≤ eps·N per probe,
+    * w = ⌈e/eps⌉ = 2719 counters wide), confidence sets the depth
+    * (d = ⌈ln 1/(1−conf)⌉ ≈ 10 hash rows) — a ~220 KB summary
+    * regardless of corpus size. Seed fixed for cross-run determinism.
+    */
+  val CmsEps = 0.001
+  val CmsConfidence = 0.9999
+  val CmsSeed = 42
+
+  /** Q-TEXT-14: Count-Min-Sketch frequency twin of the exact bigram
+    * heavy hitters ([[ngrams]]): the exact path's full (ngram, count)
+    * shuffle is the cost you stop paying at 100 TB — the CMS is a
+    * FIXED-SIZE mergeable summary built in one map-side-combined pass
+    * (the same estimate-twin structure as `q_agg_approx`: sketch beside
+    * exact, gates in-row). The elected top-k (driver-sized by
+    * construction, like the k-means centroids) is probed against the
+    * sketch on the driver — the sketch moves, not the data — and two
+    * deterministic booleans ride each row: `cms_no_undercount` (the
+    * CMS one-sided-error guarantee) and `cms_within_eps` (overestimate
+    * ≤ 3·eps·N + 8 — triple the per-probe bound at depth 10, so a
+    * correct sketch never flakes and a broken hash family fails).
+    */
+  def ngramsCms(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens(col("text"))
+    val bigrams = when(size(col("toks")) >= 2,
+      transform(sequence(lit(1), size(col("toks")) - 1), i =>
+        concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val grams = Tables.par(Tables.documents(s, d))
+      .select(col("doc_id"), toks.as("toks"))
+      .select(explode(bigrams).as("ngram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val row = grams.agg(
+      expr(s"count_min_sketch(ngram, ${CmsEps}d, ${CmsConfidence}d, $CmsSeed)").as("cms"),
+      count(lit(1)).as("total")).head()
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("cms")))
+    val total = row.getLong(1)
+    val bound = 3.0 * CmsEps * total + 8
+    val top = grams.groupBy(col("ngram")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("ngram")).limit(NgramTopK)
+      .collect()
+    top.toSeq.map { r =>
+      val (g, tf) = (r.getString(0), r.getLong(1))
+      val est = cms.estimateCount(g)
+      (g, tf, est >= tf, est <= tf + bound)
+    }.toDF("ngram", "tf", "cms_no_undercount", "cms_within_eps")
+  }
+
+  val ngramsCmsSql: String = {
+    val toks = tokensSql("text")
+    s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+       |bg AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i + 1])) AS ngram
+       |  FROM tk)
+       |SELECT ngram, count(*)::BIGINT AS tf,
+       |  TRUE AS cms_no_undercount, TRUE AS cms_within_eps
+       |FROM bg GROUP BY ngram
+       |ORDER BY tf DESC, ngram LIMIT $NgramTopK""".stripMargin
+  }
+
   /** RAG/window chunking parameters: window and stride in tokens. */
   val ChunkLen = 64
   val ChunkStride = 48
@@ -631,9 +696,71 @@ object TextOps {
        |SELECT r.lang, r.rk, r.doc_id
        |FROM r JOIN targets tg USING (lang) WHERE r.rk <= tg.target""".stripMargin
 
+  // --------------------------------------------------------- Q-TEXT-13
+
+  /** Vocabulary size for [[vocab]] — small enough that the id-assign
+    * window and the broadcast stay trivially bounded at any sf, large
+    * enough that coverage (and therefore OOV routing) is non-trivial
+    * on the synthetic corpus.
+    */
+  val VocabSize = 256
+
+  /** Q-TEXT-13: vocabulary build + id encoding — the tokenize-to-ids
+    * prep stage every training pipeline runs before packing: the top-V
+    * tokens by (freq desc, token asc) become ids 1..V, everything else
+    * encodes to the OOV id 0, and each document re-assembles its token
+    * ids in order.
+    *
+    * 100 TB shape: token frequency is one COMPACT-PAIR shuffle
+    * (token → count, map-side combined — payloads don't move); the
+    * elected vocab is V rows and BROADCASTS to the encode join; the
+    * only payload-bearing shuffle is the per-doc reassembly keyed by
+    * doc_id. The id-assignment window runs on exactly V rows (the
+    * documented bounded partition-less-window family). The (freq desc,
+    * token asc) total order makes the vocab — and therefore every
+    * emitted id — deterministic across engines and partitionings,
+    * including the cut at rank V.
+    */
+  def vocab(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val vocabDf = pairs.groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("tok"))
+      .limit(VocabSize)
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("f").desc, col("tok"))).cast(LongType))
+      .select(col("tok"), col("id"))
+    pairs.join(broadcast(vocabDf), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("id").isNull, 1L).otherwise(0L)).as("n_oov"),
+        transform(
+          array_sort(collect_list(struct(col("pos"),
+            coalesce(col("id"), lit(0L)).as("id")))),
+          x => x.getField("id")).as("ids"))
+  }
+
+  val vocabSql: String = {
+    val toks = tokensSql("text")
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |p AS (SELECT doc_id, unnest(toks) AS tok,
+       |        unnest(range(1, len(toks) + 1)) AS pos FROM t),
+       |v AS (SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok)::BIGINT AS id
+       |      FROM p GROUP BY tok ORDER BY count(*) DESC, tok LIMIT $VocabSize),
+       |e AS (SELECT doc_id, pos, coalesce(v.id, 0) AS id
+       |      FROM p LEFT JOIN v USING (tok))
+       |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       |  sum(CASE WHEN id = 0 THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+       |  list(id ORDER BY pos) AS ids
+       |FROM e GROUP BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_text_stats", textStats, Some(textStatsSql)),
+    Q("q_text_vocab", vocab, Some(vocabSql)),
     Q("q_text_ngrams", ngrams, Some(ngramsSql)),
+    Q("q_text_ngrams_cms", ngramsCms, Some(ngramsCmsSql)),
     Q("q_text_chunks", chunks, Some(chunksSql)),
     Q("q_text_pack", pack, Some(packSql)),
     Q("q_text_langid", langId, Some(langIdSql)),

@@ -680,12 +680,73 @@ object Relational {
       |WHERE rn = (n + 3) // 4 OR rn = (n + 1) // 2 OR rn = (3 * n + 3) // 4
       |GROUP BY event_type""".stripMargin
 
+  /** Q-AGG-11: MERGEABLE approximate quantiles (`approx_percentile`,
+    * Greenwald-Khanna summaries) beside rank-selected exact twins —
+    * the [[aggApprox]] estimate-twin pattern applied to percentiles.
+    * Exact per-group quantiles at 100 TB mean a per-key sort (or a
+    * per-group array) — a non-starter; the single-pass mergeable
+    * summary IS the production operator, and the exact path here
+    * exists to oracle-gate it. The sketch's rank-error contract
+    * (ε = 1/accuracy) is checked IN-ROW: each estimate must land
+    * between the exact order statistics at q ± 0.05 (vastly looser
+    * than ε = 10⁻⁴, so a correct sketch never flakes and a broken one
+    * fails loudly). All exact columns hash-match DuckDB; the booleans
+    * are deterministically TRUE.
+    */
+  def aggApproxQuantiles(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    // exact order statistics at q−δ / q / q+δ for q ∈ {0.5, 0.9, 0.99}
+    // (p99's upper bound clamps to the max, rank n) — one sorted window
+    // pass, nine surviving rows per group
+    val ranks = Seq(
+      "lo45" -> "(45 * n + 99) DIV 100", "p50" -> "(n + 1) DIV 2",
+      "hi55" -> "(55 * n + 99) DIV 100",
+      "lo85" -> "(85 * n + 99) DIV 100", "p90" -> "(9 * n + 9) DIV 10",
+      "hi95" -> "(95 * n + 99) DIV 100",
+      "lo94" -> "(94 * n + 99) DIV 100", "p99" -> "(99 * n + 99) DIV 100",
+      "hin" -> "n")
+    val exact = Tables.events(s, d)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(ranks.map { case (_, r) => col("rn") === expr(r) }.reduce(_ || _))
+      .groupBy(col("event_type"))
+      .agg(first(col("n")).as("n"),
+        ranks.map { case (name, r) =>
+          max(when(col("rn") === expr(r), col("value"))).as(name)
+        }: _*)
+    val approx = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(expr("approx_percentile(value, array(0.5D, 0.9D, 0.99D), 10000)").as("ap"))
+    exact.join(approx, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("p50"), col("p90"), col("p99"),
+        col("ap")(0).between(col("lo45"), col("hi55")).as("a50_ok"),
+        col("ap")(1).between(col("lo85"), col("hi95")).as("a90_ok"),
+        col("ap")(2).between(col("lo94"), col("hin")).as("a99_ok"))
+  }
+
+  val aggApproxQuantilesSql: String =
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type, any_value(n) AS n,
+      |  max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
+      |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90,
+      |  max(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99,
+      |  TRUE AS a50_ok, TRUE AS a90_ok, TRUE AS a99_ok
+      |FROM r
+      |WHERE rn = (n + 1) // 2 OR rn = (9 * n + 9) // 10 OR rn = (99 * n + 99) // 100
+      |GROUP BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- oracle
 
   /** All relational queries with their DuckDB oracles. */
   val all: Seq[Q] = Seq(
     Q("q_fn_url", fnUrl, Some(fnUrlSql)),
     Q("q_agg_quantiles", aggQuantiles, Some(aggQuantilesSql)),
+    Q("q_agg_approx_quantiles", aggApproxQuantiles, Some(aggApproxQuantilesSql)),
     Q("q_scan_count", scanCount, Some("SELECT count(*) AS n FROM events")),
     Q("q_scan_tables", scanTables, Some(
       Tables.names.map(n => s"SELECT '$n' AS table_name, count(*) AS n FROM $n")

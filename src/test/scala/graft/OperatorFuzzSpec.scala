@@ -174,4 +174,60 @@ class OperatorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getLong(2), r.getDouble(5))).toSet
     assert(got == expected)
   }
+
+  test("vocab build + encode == brute force on a pool wider than the vocab") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2718)
+    // 400 distinct words force a real cut at VocabSize=256, with ties
+    val pool = (0 until 400).map(i => f"w${rnd.nextInt(300)}%03d-$i")
+    val docs = (1L to 40L).map { id =>
+      id -> Array.fill(5 + rnd.nextInt(30))(pool(rnd.nextInt(pool.length)))
+    }
+    val dir = Files.createTempDirectory("vocfuzz").toString
+    docs.map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'unit' AS source",
+        "length(text) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val freq = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val vocabIds = freq.toSeq.sortBy { case (t, f) => (-f, t) }
+      .take(graft.llm.TextOps.VocabSize)
+      .zipWithIndex.map { case ((t, _), i) => t -> (i + 1).toLong }.toMap
+    val expected = docs.map { case (id, toks) =>
+      val ids = toks.map(t => vocabIds.getOrElse(t, 0L)).toSeq
+      (id, toks.length.toLong, ids.count(_ == 0L).toLong, ids)
+    }.toSet
+
+    val got = graft.llm.TextOps.vocab(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getSeq[Long](3).toSeq))
+      .toSet
+    assert(got == expected)
+  }
+
+  test("bloom decontamination == exact decontamination row-for-row, gates all hold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31415)
+    val vocab = Array("aa", "bb", "cc", "dd", "ee", "ff")
+    // ids 1..120 → docs 50 and 100 land on the eval side (doc_id % 50 == 0);
+    // a small vocab plants heavy shingle overlap across the split
+    val docs = (1L to 120L).map { id =>
+      id -> Array.fill(3 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.length)))
+    }
+    val dir = Files.createTempDirectory("bloomfuzz").toString
+    docs.map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'unit' AS source",
+        "length(text) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def key(r: org.apache.spark.sql.Row) = // n_shingles is int (size())
+      (r.getLong(0), r.getAs[Number](1).longValue, r.getAs[Number](2).longValue,
+        r.getDouble(3), r.getBoolean(4))
+    val exact = graft.llm.Corpus.decontam(spark, dir).collect().map(key).toSet
+    val bloomRows = graft.llm.Corpus.decontamBloom(spark, dir).collect()
+    assert(bloomRows.map(key).toSet == exact)
+    bloomRows.foreach { r =>
+      assert(r.getBoolean(5), s"false negative reported for doc ${r.getLong(0)}")
+      assert(r.getBoolean(6), s"fp bound breached for doc ${r.getLong(0)}")
+    }
+  }
 }
