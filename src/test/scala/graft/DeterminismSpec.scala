@@ -46,4 +46,19 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
         a.zip(b).find { case (x, y) => x != y }.orElse(Some((a.length, b.length)))}")
     }
   }
+
+  test("sketch-twin queries are partition-invariant (merge order must not leak)") {
+    // the estimate-twin family: bloom (bitwise-OR merge), CMS (counter
+    // sums), HLL (register max), GK quantile summaries (order-SENSITIVE
+    // internally — the ±0.05-quantile gate must absorb it), plus the
+    // vocab election whose rank-V cut depends on a total order
+    for (q <- Seq("q_agg_approx", "q_agg_approx_quantiles", "q_agg_sketch_rollup",
+        "q_corpus_decontam_bloom", "q_text_ngrams_cms", "q_text_vocab")) {
+      val a = runAt(2, q)
+      val b = runAt(7, q)
+      assert(a.nonEmpty, s"$q returned nothing")
+      assert(a == b, s"$q is partition-dependent (first diff: ${
+        a.zip(b).find { case (x, y) => x != y }.orElse(Some((a.length, b.length)))}")
+    }
+  }
 }

@@ -225,6 +225,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("vocab encode broadcasts the elected vocabulary (no shuffled dictionary join)") {
+    val p = plan(SparkEntry.queries("q_text_vocab")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "vocab join lost its broadcast:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("bloom decontamination probes the sketch map-side (might_contain, no cartesian)") {
     val p = plan(SparkEntry.queries("q_corpus_decontam_bloom")(spark, sf))
     assert(p.contains("might_contain"), "sketch probe missing from plan:\n" + p.take(1500))
