@@ -106,8 +106,10 @@ object Bench {
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"others":${fmt(others)},"nq":${names.size},"sf":"$sfDir"}""")
     spark.stop()
 
-    // regression gate (full runs only — SPARK_GRAFT_ONLY subsets run
-    // COLD and would false-positive): each query's best-of-passes time
+    // regression gate (full MULTI-PASS runs only: SPARK_GRAFT_ONLY
+    // subsets run COLD and a SPARK_GRAFT_PASSES=1 run has no warm pass
+    // to take the min over — both would false-positive): each query's
+    // best-of-passes time
     // against its committed budget (scripts/make_budgets.py: 2× the
     // bench_full.json baseline with a +0.5 s noise floor). Breaches
     // print AFTER every artifact is written, then exit nonzero — the
@@ -115,7 +117,7 @@ object Bench {
     // per-sf: the gate only arms when the budget file was generated
     // from the same sf dir this run measured.
     val budgetFile = new java.io.File("bench_budgets.json")
-    if (only.isEmpty && budgetFile.exists()) {
+    if (only.isEmpty && passes >= 2 && budgetFile.exists()) {
       val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(budgetFile)
       val sfMatch = root.path("source_sf").asText("") == sfDir
       if (sfMatch) {

@@ -79,18 +79,31 @@ object GraftExtensions {
     new ExpressionInfo(
       classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
       "bloom_filter_agg"),
-    (children: Seq[Expression]) =>
-      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-        children(0), children(1), children(2)))
+    (children: Seq[Expression]) => children match {
+      // all three arities the underlying expression supports (1/2-arg
+      // forms take conf-derived defaults), with a proper analysis error
+      // instead of an IndexOutOfBounds on a wrong-arity call
+      case Seq(c) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+      case Seq(c, n) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n)
+      case Seq(c, n, b) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n, b)
+      case _ => throw new IllegalArgumentException(
+        s"bloom_filter_agg expects 1 to 3 arguments, got ${children.length}")
+    })
 
   private[functions] val bloomMightContainDescriptor = (
     FunctionIdentifier("might_contain"),
     new ExpressionInfo(
       classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
       "might_contain"),
-    (children: Seq[Expression]) =>
-      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        children(0), children(1)))
+    (children: Seq[Expression]) => children match {
+      case Seq(bf, v) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(bf, v)
+      case _ => throw new IllegalArgumentException(
+        s"might_contain expects exactly 2 arguments, got ${children.length}")
+    })
 
   private[functions] val descriptors =
     Seq(flagBucketDescriptor, VecDot.descriptor, VecDist2.descriptor, VecIDot.descriptor,

@@ -452,12 +452,20 @@ object TextOps {
     * sort). The distinct-doc count rides the same shuffle via the
     * (bigram, doc) pre-aggregation.
     */
+  /** Bigram list over a materialized `toks` column — ONE definition
+    * shared by the exact heavy hitters and their CMS twin, so the
+    * sketch can never gate a different n-gram population than the
+    * exact query it validates.
+    */
+  private def bigramsOf(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
   def ngrams(s: SparkSession, d: String): DataFrame = {
     val toks = tokens(col("text"))
-    val bigrams = when(size(col("toks")) >= 2,
-      transform(sequence(lit(1), size(col("toks")) - 1), i =>
-        concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
-      .otherwise(array().cast("array<string>"))
+    val bigrams = bigramsOf(col("toks"))
     Tables.par(Tables.documents(s, d))
       .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"), explode(bigrams).as("ngram"))
@@ -482,10 +490,12 @@ object TextOps {
 
   // --------------------------------------------------------- Q-TEXT-14
 
-  /** CMS parameters: eps bounds the overestimate (≤ eps·N per probe,
-    * w = ⌈e/eps⌉ = 2719 counters wide), confidence sets the depth
-    * (d = ⌈ln 1/(1−conf)⌉ ≈ 10 hash rows) — a ~220 KB summary
-    * regardless of corpus size. Seed fixed for cross-run determinism.
+  /** CMS parameters, per Spark's `util.sketch.CountMinSketch`
+    * construction (stream-lib lineage): width w = ⌈2/eps⌉ = 2000
+    * counters, depth d = ⌈−log₂(1−conf)⌉ = 14 hash rows → a ~224 KB
+    * summary regardless of corpus size, with per-probe overestimate
+    * ≤ 2N/w = eps·N at confidence `conf`. Seed fixed for cross-run
+    * determinism.
     */
   val CmsEps = 0.001
   val CmsConfidence = 0.9999
@@ -507,10 +517,7 @@ object TextOps {
   def ngramsCms(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val toks = tokens(col("text"))
-    val bigrams = when(size(col("toks")) >= 2,
-      transform(sequence(lit(1), size(col("toks")) - 1), i =>
-        concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
-      .otherwise(array().cast("array<string>"))
+    val bigrams = bigramsOf(col("toks"))
     val grams = Tables.par(Tables.documents(s, d))
       .select(col("doc_id"), toks.as("toks"))
       .select(explode(bigrams).as("ngram"))
@@ -722,8 +729,12 @@ object TextOps {
     * including the cut at rank V.
     */
   def vocab(s: SparkSession, d: String): DataFrame = {
+    // both the election aggregate and the encode join consume the
+    // tokenized pairs — persist so the regex tokenization (the
+    // dominant per-row cost) runs once, not twice
     val pairs = Tables.documents(s, d)
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocabDf = pairs.groupBy(col("tok")).agg(count(lit(1)).as("f"))
       .orderBy(col("f").desc, col("tok"))
       .limit(VocabSize)
