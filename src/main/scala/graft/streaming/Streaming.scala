@@ -215,6 +215,39 @@ object Streaming {
         graft.flags.FlagColumns.resultCols(frame, flags, options): _*)
   }
 
+  /** Live decontamination gate — the streaming face of
+    * [[graft.llm.Corpus.decontamBloom]]: each arriving document's
+    * distinct 3-shingles probe the broadcast eval-set Bloom sketch
+    * (built once, batch-side, from the held-out benchmark suite) and
+    * the document is flagged when the hit fraction crosses the
+    * threshold. The whole gate is ONE stateless per-row expression —
+    * no shuffle, no state store, no watermark — so it runs unchanged
+    * over `readStream` micro-batches and batch frames, and belongs at
+    * INGEST: contaminated documents are tagged before they ever land
+    * in the lake, instead of by a later full-corpus sweep.
+    *
+    * The sketch rides the plan as a foldable binary literal (a ~1 MB–
+    * 4.8 GB broadcast depending on eval-set size — vs an exact hash
+    * set this is the piece that stays fixed-size as the suite grows).
+    * Bloom filters have no false negatives, so a document every exact
+    * sweep would flag is always flagged here; false positives are
+    * bounded by the sketch's fpp (StreamingSpec pins both properties
+    * plus stream == batch parity).
+    */
+  def decontamGateStream(docs: DataFrame, bloom: Array[Byte],
+      threshold: Double = 0.3): DataFrame = {
+    import graft.llm.Portable._
+    graft.functions.GraftExtensions.register(docs.sparkSession)
+    docs
+      .withColumn("__sh", shingles3(tokens(col("text"))))
+      .withColumn("n_shingles", size(col("__sh")))
+      .withColumn("n_bloom_hits", size(filter(col("__sh"), g =>
+        call_function("might_contain", lit(bloom), xxhash64(h60(g))))))
+      .withColumn("flagged", col("n_shingles") > 0 &&
+        col("n_bloom_hits").cast("double") >= col("n_shingles") * threshold)
+      .drop("__sh")
+  }
+
   /** transformWithState wiring of [[PersonStateProcessor]]. */
   def personStateTws(ops: Dataset[PersonOp]): Dataset[PersonRecord] = {
     import ops.sparkSession.implicits._

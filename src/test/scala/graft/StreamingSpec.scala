@@ -347,6 +347,60 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(flips > 0, "expected at least one cross-batch decision flip")
   }
 
+  test("streaming decontamination gate: stream == batch, bloom never misses an exact hit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{call_function, explode, xxhash64}
+    import graft.llm.Portable.{h60, shingles3, tokens}
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(4242)
+    val vocab = Array("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    def doc() =
+      Array.fill(4 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val evalDocs = (1 to 8).map(_ => doc())
+    val batch1 = (1L to 25L).map(i => (i, doc()))
+    val batch2 = (26L to 50L).map(i => (i, doc()))
+
+    val bloom = evalDocs.toDF("text")
+      .select(explode(shingles3(tokens(col("text")))).as("g"))
+      .select(h60(col("g")).as("gh")).distinct()
+      .agg(call_function("bloom_filter_agg", xxhash64(col("gh")),
+        org.apache.spark.sql.functions.lit(1L << 16),
+        org.apache.spark.sql.functions.lit(1L << 20)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.decontamGateStream(mem.toDF().toDF("doc_id", "text"), bloom)
+      .writeStream.format("memory").queryName("decon_out")
+      .outputMode(OutputMode.Append()).start()
+    val streamed = try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      spark.table("decon_out").collect()
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS decon_out") }
+
+    // stream == batch: the gate is stateless, so the union of all
+    // micro-batch outputs must equal the batch run bit-for-bit
+    val batchRows = Streaming.decontamGateStream(
+      (batch1 ++ batch2).toDF("doc_id", "text"), bloom).collect()
+    assert(canon(streamed) == canon(batchRows))
+
+    // no false negatives: every document an exact sweep flags at the
+    // same threshold must be flagged by the sketch gate
+    def sh3(t: String): Set[String] =
+      t.split(" ").toSeq.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    val evalShingles = evalDocs.flatMap(sh3).toSet
+    val exactFlagged = (batch1 ++ batch2).filter { case (_, t) =>
+      val sh = sh3(t)
+      sh.nonEmpty && sh.count(evalShingles) >= 0.3 * sh.size
+    }.map(_._1).toSet
+    assert(exactFlagged.nonEmpty, "fixture produced no contaminated docs")
+    val streamFlagged = streamed.filter(_.getAs[Boolean]("flagged"))
+      .map(_.getLong(0)).toSet
+    assert(exactFlagged.subsetOf(streamFlagged),
+      s"bloom gate missed exact hits: ${exactFlagged -- streamFlagged}")
+  }
+
   /** Drives the fMGWS keyed person fold across three micro-batches,
     * optionally under an explicit state-store provider class; returns
     * every emitted record.
