@@ -624,8 +624,66 @@ object Similarity {
        |  coalesce(h.n_hit, 0)::DOUBLE / t.n_exact AS recall_at_5
        |FROM tot t LEFT JOIN hits h USING (q_id)""".stripMargin
 
+  /** Recall MATRIX — [[recallAudit]] widened to every blocked search
+    * family that shares the exact query set: per (method, query)
+    * recall@5 vs the exact brute-force top-5. This is the tuning
+    * dashboard an index owner reads when trading nprobe / bands /
+    * projection dims against recall at scale — evaluation-as-operator,
+    * one row per cell. Each method's predictions are the REGISTERED
+    * query's own plan (not a re-implementation), so the matrix can
+    * never drift from what the engine actually serves; the exact side
+    * is computed once and reused across methods (left-semi hit
+    * counting on compact (q_id, vec_id) pairs — payloads never move).
+    */
+  def recallMatrix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val exact = topK(s, d).filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val methods = Seq(
+      "ivf" -> ivfSearch(s, d),
+      "ivf_multiprobe" -> ivfMultiprobe(s, d),
+      "lsh" -> lshSearch(s, d),
+      "jl_project" -> projectSearch(s, d))
+    val preds = methods.map { case (m, df) =>
+      df.select(lit(m).as("method"), col("q_id"), col("vec_id"))
+    }.reduce(_ union _)
+    // per-method top-k rows are unique on (q_id, vec_id): the inner
+    // join yields exactly one row per true hit
+    val hits = preds.join(exact, Seq("q_id", "vec_id"))
+      .groupBy(col("method"), col("q_id")).agg(count(lit(1)).as("n_hit"))
+    val tot = exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+    tot.crossJoin(methods.map(_._1).toDF("method"))
+      .join(hits, Seq("method", "q_id"), "left")
+      .select(col("method"), col("q_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast(DoubleType) / col("n_exact"))
+          .as("recall_at_5"))
+  }
+
+  val recallMatrixSql: String =
+    s"""WITH exact AS (
+       |  SELECT q_id, vec_id FROM ($topKSql) WHERE rank <= 5),
+       |tot AS (SELECT q_id, count(*)::BIGINT AS n_exact FROM exact GROUP BY q_id),
+       |preds AS (
+       |  SELECT 'ivf' AS method, q_id, vec_id FROM ($ivfSearchSql)
+       |  UNION ALL SELECT 'ivf_multiprobe', q_id, vec_id FROM ($ivfMultiprobeSql)
+       |  UNION ALL SELECT 'lsh', q_id, vec_id FROM ($lshSearchSql)
+       |  UNION ALL SELECT 'jl_project', q_id, vec_id FROM ($projectSearchSql)),
+       |hits AS (
+       |  SELECT p.method, e.q_id, count(*)::BIGINT AS n_hit
+       |  FROM exact e JOIN preds p ON p.q_id = e.q_id AND p.vec_id = e.vec_id
+       |  GROUP BY p.method, e.q_id),
+       |m AS (SELECT unnest(['ivf', 'ivf_multiprobe', 'lsh', 'jl_project']) AS method)
+       |SELECT m.method, t.q_id, t.n_exact,
+       |  coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+       |  coalesce(h.n_hit, 0)::DOUBLE / t.n_exact AS recall_at_5
+       |FROM m CROSS JOIN tot t
+       |LEFT JOIN hits h ON h.method = m.method AND h.q_id = t.q_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_sim_topk", topK, Some(topKSql)),
+    Q("q_sim_recall_matrix", recallMatrix, Some(recallMatrixSql)),
     Q("q_sim_lsh", lshBuckets, Some(lshBucketsSql)),
     Q("q_sim_ivf", ivfAssign, Some(ivfAssignSql)),
     Q("q_sim_ivf_search", ivfSearch, Some(ivfSearchSql)),
