@@ -587,53 +587,20 @@ object Similarity {
        |  FROM exact) WHERE rank <= 5""".stripMargin
   }
 
-  /** Q-SIM-13: recall audit — the evaluation harness as an operator:
-    * recall@5 of the IVF single-probe search against the exact
-    * brute-force top-5, per query. The number a production index
-    * owner watches when tuning nprobe/cells: at 100 TB you can't
-    * eyeball results, you sample queries, run both paths, and track
-    * this exact join. Exact-integer hit counts, one double division.
-    */
-  def recallAudit(s: SparkSession, d: String): DataFrame = {
-    val exact = topK(s, d).filter(col("rank") <= 5)
-      .select(col("q_id"), col("vec_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val approx = ivfSearch(s, d).select(col("q_id"), col("vec_id"))
-    val hits = exact.join(approx, Seq("q_id", "vec_id"), "left_semi")
-      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
-    exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
-      .join(hits, Seq("q_id"), "left")
-      .select(col("q_id"), col("n_exact"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        (coalesce(col("n_hit"), lit(0L)).cast(DoubleType) / col("n_exact"))
-          .as("recall_at_5"))
-  }
-
-  val recallAuditSql: String =
-    s"""WITH exact AS (
-       |  SELECT q_id, vec_id FROM ($topKSql) WHERE rank <= 5),
-       |approx AS (SELECT q_id, vec_id FROM ($ivfSearchSql)),
-       |hits AS (
-       |  SELECT e.q_id, count(*)::BIGINT AS n_hit
-       |  FROM exact e
-       |  WHERE EXISTS (SELECT 1 FROM approx a
-       |                WHERE a.q_id = e.q_id AND a.vec_id = e.vec_id)
-       |  GROUP BY e.q_id),
-       |tot AS (SELECT q_id, count(*)::BIGINT AS n_exact FROM exact GROUP BY q_id)
-       |SELECT t.q_id, t.n_exact, coalesce(h.n_hit, 0) AS n_hit,
-       |  coalesce(h.n_hit, 0)::DOUBLE / t.n_exact AS recall_at_5
-       |FROM tot t LEFT JOIN hits h USING (q_id)""".stripMargin
-
-  /** Recall MATRIX — [[recallAudit]] widened to every blocked search
-    * family that shares the exact query set: per (method, query)
-    * recall@5 vs the exact brute-force top-5. This is the tuning
-    * dashboard an index owner reads when trading nprobe / bands /
-    * projection dims against recall at scale — evaluation-as-operator,
-    * one row per cell. Each method's predictions are the REGISTERED
-    * query's own plan (not a re-implementation), so the matrix can
-    * never drift from what the engine actually serves; the exact side
-    * is computed once and reused across methods (left-semi hit
-    * counting on compact (q_id, vec_id) pairs — payloads never move).
+  /** Q-SIM-13, recall MATRIX — the evaluation harness as an operator:
+    * per (method, query) recall@5 vs the exact brute-force top-5 for
+    * every blocked search family sharing the exact query set. This is
+    * the tuning dashboard an index owner reads when trading nprobe /
+    * bands / projection dims against recall at scale — at 100 TB you
+    * can't eyeball results; you sample queries, run every path, and
+    * track exactly this join. Each method's predictions are the
+    * REGISTERED query's own plan (not a re-implementation), so the
+    * matrix can never drift from what the engine actually serves; the
+    * exact side is computed once and reused across methods, and hit
+    * counting is an inner join + count on compact (q_id, vec_id)
+    * pairs — payloads never move. (The single-path `q_sim_recall` of
+    * rounds 6–7 was exactly this matrix's `method = 'ivf'` slice and
+    * is retired in its favor.)
     */
   def recallMatrix(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -683,7 +650,6 @@ object Similarity {
 
   val all: Seq[Q] = Seq(
     Q("q_sim_topk", topK, Some(topKSql)),
-    Q("q_sim_recall_matrix", recallMatrix, Some(recallMatrixSql)),
     Q("q_sim_lsh", lshBuckets, Some(lshBucketsSql)),
     Q("q_sim_ivf", ivfAssign, Some(ivfAssignSql)),
     Q("q_sim_ivf_search", ivfSearch, Some(ivfSearchSql)),
@@ -695,5 +661,5 @@ object Similarity {
     Q("q_sim_binary", binarySearch, Some(binarySearchSql)),
     Q("q_sim_binary_ivf", binaryIvfSearch, Some(binaryIvfSearchSql)),
     Q("q_sim_project_search", projectSearch, Some(projectSearchSql)),
-    Q("q_sim_recall", recallAudit, Some(recallAuditSql)))
+    Q("q_sim_recall_matrix", recallMatrix, Some(recallMatrixSql)))
 }

@@ -226,16 +226,22 @@ object Streaming {
     * INGEST: contaminated documents are tagged before they ever land
     * in the lake, instead of by a later full-corpus sweep.
     *
-    * The sketch rides the plan as a foldable binary literal (a ~1 MB–
-    * 4.8 GB broadcast depending on eval-set size — vs an exact hash
-    * set this is the piece that stays fixed-size as the suite grows).
-    * Bloom filters have no false negatives, so a document every exact
-    * sweep would flag is always flagged here; false positives are
-    * bounded by the sketch's fpp (StreamingSpec pins both properties
-    * plus stream == batch parity).
+    * The sketch rides the plan as a foldable binary literal,
+    * serialized with each task — right for the MB-scale sketches a
+    * benchmark suite produces. A multi-GB sketch (billions of eval
+    * items) does NOT fit this shape: at that size switch the probe to
+    * an explicit broadcast variable inside a mapPartitions, or fall
+    * back to [[graft.llm.Corpus.decontamBloom]]'s batch join — the
+    * fixed-size-vs-exact-set advantage is the same, the transport
+    * changes. Bloom filters have no false negatives, so a document
+    * every exact sweep would flag is always flagged here; false
+    * positives are bounded by the sketch's fpp (StreamingSpec pins
+    * both properties plus stream == batch parity).
     */
+  val DecontamThreshold = 0.3
+
   def decontamGateStream(docs: DataFrame, bloom: Array[Byte],
-      threshold: Double = 0.3): DataFrame = {
+      threshold: Double = DecontamThreshold): DataFrame = {
     import graft.llm.Portable._
     graft.functions.GraftExtensions.register(docs.sparkSession)
     docs

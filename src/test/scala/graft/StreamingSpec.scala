@@ -392,7 +392,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val evalShingles = evalDocs.flatMap(sh3).toSet
     val exactFlagged = (batch1 ++ batch2).filter { case (_, t) =>
       val sh = sh3(t)
-      sh.nonEmpty && sh.count(evalShingles) >= 0.3 * sh.size
+      sh.nonEmpty && sh.count(evalShingles) >= Streaming.DecontamThreshold * sh.size
     }.map(_._1).toSet
     assert(exactFlagged.nonEmpty, "fixture produced no contaminated docs")
     val streamFlagged = streamed.filter(_.getAs[Boolean]("flagged"))
