@@ -1,11 +1,17 @@
 #!/usr/bin/env python3
 """Regenerate bench_budgets.json from the committed bench_full.json.
 
-Per-query budget = max(2 * t, t + 0.5) seconds — 2x the committed
-best-of-passes time, with an additive floor so sub-100ms queries don't
-flake on scheduler noise. Run this whenever the bench_full.json baseline
-is deliberately refreshed; Bench (full runs only) exits nonzero when a
-query breaches its budget.
+Per-query budget = max(3 * t, t + 1.5) seconds, plus a total-level
+budget of 1.75 * baseline total. Calibration: on this (shared) box,
+ambient multi-tenant contention was measured to inflate sub-2s queries
+up to ~3x and full-run totals up to ~1.55x on identical code, while
+real plan regressions (a lost broadcast, a cartesian product, a silent
+codegen-cache eviction) show up as 5-10x on the affected query. The
+gate is sized to catch the latter and never flake on the former.
+
+Run this whenever the bench_full.json baseline is deliberately
+refreshed (from a WARM, full, multi-pass run); Bench (full multi-pass
+runs only) exits nonzero when a query or the total breaches.
 
 Usage: python3 scripts/make_budgets.py [bench_full.json] [bench_budgets.json]
 """
@@ -19,10 +25,16 @@ with open(src) as f:
     full = json.load(f)
 
 budgets = {
-    name: round(max(2 * t, t + 0.5), 3)
+    name: round(max(3 * t, t + 1.5), 3)
     for name, t in sorted(full["queries"].items())
 }
+out = {
+    "source_sf": full.get("sf"),
+    "total_budget": round(1.75 * full["value"], 1),
+    "budgets": budgets,
+}
 with open(dst, "w") as f:
-    json.dump({"source_sf": full.get("sf"), "budgets": budgets}, f, indent=1)
+    json.dump(out, f, indent=1)
     f.write("\n")
-print(f"wrote {dst}: {len(budgets)} budgets from {src} (sf={full.get('sf')})")
+print(f"wrote {dst}: {len(budgets)} budgets, total_budget={out['total_budget']}s "
+      f"from {src} (sf={full.get('sf')})")
