@@ -511,8 +511,9 @@ object TextOps {
     * sketch on the driver — the sketch moves, not the data — and two
     * deterministic booleans ride each row: `cms_no_undercount` (the
     * CMS one-sided-error guarantee) and `cms_within_eps` (overestimate
-    * ≤ 3·eps·N + 8 — triple the per-probe bound at depth 10, so a
-    * correct sketch never flakes and a broken hash family fails).
+    * ≤ 3·eps·N + 8 — triple the per-probe bound at the constructed
+    * depth d = ceil(-log2(1-conf)) = 14, so a correct sketch never
+    * flakes and a broken hash family fails).
     */
   def ngramsCms(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -716,7 +717,9 @@ object TextOps {
     * prep stage every training pipeline runs before packing: the top-V
     * tokens by (freq desc, token asc) become ids 1..V, everything else
     * encodes to the OOV id 0, and each document re-assembles its token
-    * ids in order.
+    * ids in order — emitted as the order-sensitive scalar digest
+    * `ids_h` (h60 over the space-joined id sequence, the
+    * [[chunks]] pattern) so every output column stays scalar-hashable.
     *
     * 100 TB shape: token frequency is one COMPACT-PAIR shuffle
     * (token → count, map-side combined — payloads don't move); the
@@ -746,10 +749,10 @@ object TextOps {
       .agg(
         count(lit(1)).as("n_tokens"),
         sum(when(col("id").isNull, 1L).otherwise(0L)).as("n_oov"),
-        transform(
+        h60(concat_ws(" ", transform(
           array_sort(collect_list(struct(col("pos"),
             coalesce(col("id"), lit(0L)).as("id")))),
-          x => x.getField("id")).as("ids"))
+          x => x.getField("id").cast("string")))).as("ids_h"))
   }
 
   val vocabSql: String = {
@@ -763,7 +766,7 @@ object TextOps {
        |      FROM p LEFT JOIN v USING (tok))
        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
        |  sum(CASE WHEN id = 0 THEN 1 ELSE 0 END)::BIGINT AS n_oov,
-       |  list(id ORDER BY pos) AS ids
+       |  ${h60Sql("array_to_string(list(id ORDER BY pos), ' ')")} AS ids_h
        |FROM e GROUP BY doc_id""".stripMargin
   }
 

@@ -193,13 +193,18 @@ class OperatorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     val vocabIds = freq.toSeq.sortBy { case (t, f) => (-f, t) }
       .take(graft.llm.TextOps.VocabSize)
       .zipWithIndex.map { case ((t, _), i) => t -> (i + 1).toLong }.toMap
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
     val expected = docs.map { case (id, toks) =>
       val ids = toks.map(t => vocabIds.getOrElse(t, 0L)).toSeq
-      (id, toks.length.toLong, ids.count(_ == 0L).toLong, ids)
+      (id, toks.length.toLong, ids.count(_ == 0L).toLong, h60(ids.mkString(" ")))
     }.toSet
 
     val got = graft.llm.TextOps.vocab(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getSeq[Long](3).toSeq))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
     assert(got == expected)
   }
