@@ -54,9 +54,14 @@ object IdentityResolver {
   private[graft] def estimatedHeapBytes(edgeCount: Long, idBytes: Long): Long =
     4L * idBytes + 160L * edgeCount
 
-  private def localComponents(
+  /** Driver-local union-find over an edge list. Public within graft:
+    * the streaming identity merge runs it directly on its per-batch
+    * alias pairs (already driver-resident by that operator's design)
+    * so both CC paths share one implementation.
+    */
+  private[graft] def localComponents(
       edges: Seq[(String, String)],
-      labelOf: String => String): Seq[(String, String)] = {
+      labelOf: String => String = identity): Seq[(String, String)] = {
     val parent = collection.mutable.Map.empty[String, String]
     def find(x: String): String = {
       var r = x
@@ -97,31 +102,29 @@ object IdentityResolver {
 
     import spark.implicits._
 
-    // quiet micro-batches (zero alias edges) are the common case in the
-    // streaming replay epoch loop — short-circuit BEFORE the distinct
-    // shuffle + stats job. take(1) on the un-shuffled edge set is a
-    // narrow scan (no exchange), so non-empty batches pay one cheap
-    // extra job while empty ones skip the whole CC machinery.
-    if (edges.select(col("src"), col("dst")).isEmpty)
-      return Seq.empty[(String, String)].toDF("id", "canonical")
-
     val undirected = edges.select(col("src"), col("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // one job computes the count AND the id-byte volume the fast path
-    // would collect — the path choice is a memory decision, made on
-    // estimated bytes rather than a row count
-    val stats = undirected.agg(
-      count(lit(1)),
-      coalesce(sum(length(col("src")) + length(col("dst"))), lit(0L))).head()
-    val edgeCount = stats.getLong(0)
-    val idBytes = stats.getLong(1)
+    // ONE job decides the path AND (usually) delivers the data: collect
+    // up to the largest edge count the heap budget could possibly admit
+    // (every edge costs ≥160 B of overhead alone, so budget/160 is a
+    // hard cap on what the local path could ever accept). The take also
+    // subsumes the old empty-batch probe — a quiet micro-batch returns
+    // zero rows from the same job. Only a result that spills past the
+    // cap, or whose actual id bytes push the estimate over budget,
+    // falls through to the distributed fixpoint on the persisted set —
+    // by then the driver has provably refused to union-find it anyway.
+    val maxLocalEdges = math.min(localHeapBudget / 160L, Int.MaxValue - 1L).toInt
+    val head = undirected.take(maxLocalEdges + 1)
+    val idBytes = head.iterator
+      .map(r => r.getString(0).length.toLong + r.getString(1).length.toLong).sum
 
-    if (estimatedHeapBytes(edgeCount, idBytes) <= localHeapBudget) {
+    if (head.length <= maxLocalEdges &&
+        estimatedHeapBytes(head.length, idBytes) <= localHeapBudget) {
+      undirected.unpersist()
+      if (head.isEmpty) return Seq.empty[(String, String)].toDF("id", "canonical")
       // driver-local union-find; labelOf still evaluated by Spark so
       // both paths share one canonical-election definition
-      val pairs = undirected.collect().map(r => (r.getString(0), r.getString(1))).toSeq
-      undirected.unpersist()
-      if (pairs.isEmpty) return Seq.empty[(String, String)].toDF("id", "canonical")
+      val pairs = head.map(r => (r.getString(0), r.getString(1))).toSeq
       // identity labels need no evaluation pass — skip the Spark job
       // (matters for per-micro-batch CC where driver latency dominates)
       val lbl: String => String =

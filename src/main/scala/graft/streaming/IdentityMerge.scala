@@ -14,25 +14,25 @@ import org.apache.spark.storage.StorageLevel
   * cannot be expressed as keyed state: Spark's state store scopes each
   * key's state to itself, while the reference merges two live records
   * inside the Durable Object at alias time
-  * (`/root/reference/src/persons.rs:255-338`). This operator is the
-  * relational form: state is a person-record Dataset, and each
-  * micro-batch is reconciled against it in four declarative steps —
+  * (`/root/reference/src/persons.rs:255-338`). Each micro-batch is
+  * reconciled against the state in four steps —
   *
-  *   1. RESOLVE: join the batch's ops against the redirect dimension
+  *   1. RESOLVE: map the batch's ids through the redirect dimension
   *      derived from state (`distinct_id → canonical_id` for every
   *      registered non-canonical id — depth-1 complete by
   *      construction, so no chain walk is needed here);
   *   2. CONNECT: connected components over THIS batch's resolved alias
-  *      edges ([[IdentityResolver]]) give the fold key — two existing
-  *      canonical ids linked by a new edge land in one group;
+  *      edges ([[IdentityResolver.localComponents]]) give the fold
+  *      key — two existing canonical ids linked by a new edge land in
+  *      one group;
   *   3. RE-KEY + MERGE: records whose canonical id joins a touched
   *      component are re-keyed to it and cogrouped with the batch's
   *      ops; [[Replay.foldComponent]] — the SAME fold as batch replay —
   *      runs seeded with those records, so merge-prefers-primary and
   *      version absorption are shared code, not a re-implementation;
-  *   4. COMMIT: untouched records (broadcast anti-join against the
-  *      batch's component keys — the full state never shuffles) union
-  *      the folded survivors into the next state epoch.
+  *   4. COMMIT: untouched records (a narrow filter against the batch's
+  *      component-key set — the full state never shuffles) union the
+  *      folded survivors into the next state epoch.
   *
   * Parity: after any prefix of batches the state equals batch
   * [[Replay.persons]] over the ops seen so far, provided each entity's
@@ -40,12 +40,32 @@ import org.apache.spark.storage.StorageLevel
   * free — the fold sorts). That is the reference's own guarantee: a DO
   * applies updates in arrival order (`persons.rs:488-542`).
   *
+  * WHY the state loop runs on RDDs, not DataFrames (the one deliberate
+  * exception to graft's Dataset-first rule, per SURVEY §4's carve-out):
+  * the first cut of this operator WAS fully declarative — the redirect
+  * dimension, component keys, and touched set were broadcast-joined
+  * DataFrames and the commit was a Dataset union. Profiling it at
+  * sf0.1 showed ~0.8 s PER EPOCH of driver-side Catalyst work
+  * (analysis + optimization + codegen of the RDD-rooted state join
+  * forest, re-planned every epoch because the state leaf is new each
+  * time) against ~0.25 s of actual cluster execution — at a 1-second
+  * micro-batch cadence the planner alone would consume the whole
+  * budget, and the cost is per-BATCH, not per-byte, so no cluster
+  * makes it better. Keyed state maintenance is exactly the imperative
+  * per-partition logic the RDD layer is for (it is what Structured
+  * Streaming's own stateful operators do internally); the dimension
+  * maps this trades through the driver (redirects, per-batch
+  * components, touched comps) are the SAME sets the declarative form
+  * moved through broadcast exchanges — one driver hop either way, now
+  * without re-planning.
+  *
   * At scale: per epoch the work is proportional to the BATCH size
-  * (ops, their redirect-join, the touched records), not the state
-  * size — state is re-keyed only where touched, commits stay
-  * partitioned, and lineage is cut per epoch by re-rooting the state
-  * RDD (locally here; a production deployment writes the epoch delta
-  * to the lake keyed by `batchId`, idempotent like [[graft.sources.Lake]]).
+  * (ops, their redirect lookups, the touched records), not the state
+  * size — untouched state passes through a narrow filter (no shuffle),
+  * only touched records and the batch's ops shuffle into the cogroup,
+  * and lineage is cut per epoch by re-rooting the state RDD (locally
+  * here; a production deployment writes the epoch delta to the lake
+  * keyed by `batchId`, idempotent like [[graft.sources.Lake]]).
   */
 final class IdentityMergeState(spark: SparkSession) {
   import spark.implicits._
@@ -66,86 +86,95 @@ final class IdentityMergeState(spark: SparkSession) {
     */
   def processBatch(ops: Dataset[PersonOp], batchId: Long): Unit = synchronized {
     if (batchId <= epoch) return
-    val opsDf = ops.toDF().persist(StorageLevel.MEMORY_AND_DISK)
+    val trace = sys.env.contains("SPARK_GRAFT_TRACE")
+    var t0 = System.nanoTime()
+    def mark(what: String): Unit = if (trace) {
+      val t1 = System.nanoTime()
+      System.err.println(f"[merge-trace] batch=$batchId $what ${(t1 - t0) / 1e9}%.3fs")
+      t0 = t1
+    }
+    // the ONE Catalyst plan of the epoch: scan/filter/deserialize the
+    // batch into JVM objects; everything after runs at the RDD layer
+    // (class doc explains why). Persisted because two jobs read it:
+    // the id-pair collect and the fold.
+    val opsRdd = ops.rdd.persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val state = records
-      // RESOLVE as a reusable transform. The redirect dimension (every
-      // registered non-canonical distinct_id) is explicitly broadcast:
-      // it derives from an RDD-rooted Dataset, so Catalyst has no size
-      // stats and would fall back to shuffling the batch through two
-      // sort-merge joins. The redirect map is orders of magnitude
-      // smaller than the event volume (the reference keeps it in a
-      // single Durable Object); past broadcast sizes the hint drops out
-      // and the equi-joins shuffle — same plan, bigger cluster.
-      // It is applied twice — to the (tiny) alias subset for the edge
-      // derivation and to the full batch for the fold input — instead
-      // of materializing a resolved copy of the whole batch: the alias
-      // branch re-pays two broadcast probes on a few rows, and the full
-      // batch is never cached twice.
-      // First epoch (epoch -1 ⇒ state is empty by construction): there
-      // are no redirects, so resolution is the identity — skip the
-      // state scan and the join builds entirely.
-      val resolve: DataFrame => DataFrame =
-        if (epoch < 0L) {
-          df => df
-            .withColumn("r_raw", col("raw_id"))
-            .withColumn("r_alias", col("alias_to"))
-        } else {
-          val redirects = broadcast(state.flatMap(r =>
-              r.distinct_ids.filter(_ != r.canonical_id).map(d => (d, r.canonical_id)))
-            .toDF("did", "canon"))
-          df => df
-            .join(redirects.as("rr"), df("raw_id") === col("rr.did"), "left")
-            .withColumn("r_raw", coalesce(col("rr.canon"), col("raw_id")))
-            .drop("did", "canon")
-            .join(redirects.as("ra"), col("alias_to") === col("ra.did"), "left")
-            .withColumn("r_alias",
-              when(col("alias_to").isNotNull, coalesce(col("ra.canon"), col("alias_to"))))
-            .drop("did", "canon")
+      // RESOLVE (driver side): the redirect dimension — every
+      // registered non-canonical distinct_id → its canonical id — is
+      // redirect-map-sized (the reference keeps it in a single Durable
+      // Object), exactly the set the declarative form collected into a
+      // broadcast. First epoch (epoch -1 ⇒ state empty by
+      // construction): no redirects, skip the state scan entirely.
+      val redirectMap: Map[String, String] =
+        if (epoch < 0L) Map.empty
+        else stateRdd.flatMap(r =>
+            r.distinct_ids.filter(_ != r.canonical_id).map(d => (d, r.canonical_id)))
+          .collect().toMap
+      mark("resolve-built")
+
+      // CONNECT (driver side): the batch's distinct (raw_id, alias_to)
+      // pairs — bounded by the batch's id dimension, the same set the
+      // declarative form moved through the `touched` broadcast — give
+      // both the alias edges (union-find → component map) and the
+      // touched-component set (every resolved raw id's comp).
+      val idPairs = opsRdd.map(o => (o.raw_id, o.alias_to)).distinct().collect()
+      def res(id: String): String = redirectMap.getOrElse(id, id)
+      val edges = idPairs.iterator.collect {
+        case (raw, Some(al)) if al != raw => (res(raw), res(al))
+      }.filter(e => e._1 != e._2).toSeq.distinct
+      val ccMap: Map[String, String] =
+        IdentityResolver.localComponents(edges).toMap
+      def compOf(canonicalId: String): String = ccMap.getOrElse(canonicalId, canonicalId)
+      val touchedSet: Set[String] = idPairs.iterator.map(p => compOf(res(p._1))).toSet
+      mark("components")
+
+      // one broadcast carries every per-epoch dimension to the tasks
+      val dims = spark.sparkContext.broadcast((redirectMap, ccMap, touchedSet))
+      val opRows: RDD[(String, ResolvedOp)] = opsRdd.map { o =>
+        val (rm, cm, _) = dims.value
+        val rRaw = rm.getOrElse(o.raw_id, o.raw_id)
+        val rAlias = o.alias_to.map(a => rm.getOrElse(a, a))
+        val comp = cm.getOrElse(rRaw, rRaw)
+        comp -> ResolvedOp(comp, o.raw_id, o.ord, o.set, o.set_once, o.unset,
+          o.alias_to, rRaw, rAlias)
+      }
+      mark("oprows-built")
+
+      // RE-KEY + MERGE: untouched state passes through a NARROW filter
+      // (the full state never shuffles); only the touched records and
+      // the batch's ops shuffle into the cogroup.
+      val untouched = stateRdd.filter { r =>
+        val (_, cm, ts) = dims.value
+        !ts.contains(cm.getOrElse(r.canonical_id, r.canonical_id))
+      }
+      val seeds: RDD[(String, PersonRecord)] = stateRdd.flatMap { r =>
+        val (_, cm, ts) = dims.value
+        val comp = cm.getOrElse(r.canonical_id, r.canonical_id)
+        if (ts.contains(comp)) Some(comp -> r) else None
+      }
+      val parts = spark.sparkContext.defaultParallelism
+      val folded: RDD[PersonRecord] = seeds.cogroup(opRows, parts)
+        .map { case (_, (recs, opIt)) =>
+          Replay.foldComponent(recs.iterator, opIt.iterator)
         }
+      mark("plan-built")
 
-      // components over this batch's effective alias edges only
-      val edges = resolve(
-          opsDf.filter(col("alias_to").isNotNull && col("alias_to") =!= col("raw_id")))
-        .filter(col("r_alias") =!= col("r_raw"))
-        .select(col("r_raw").as("src"), col("r_alias").as("dst"))
-      val cc = IdentityResolver.components(spark, edges)
-        .withColumnRenamed("canonical", "comp")
-
-      val opRows = resolve(opsDf)
-        .join(broadcast(cc), col("r_raw") === cc("id"), "left")
-        .select(coalesce(col("comp"), col("r_raw")).as("comp"),
-          col("raw_id"), col("ord"), col("set"), col("set_once"), col("unset"),
-          col("alias_to"), col("r_raw"), col("r_alias"))
-        .as[ResolvedOp]
+      // COMMIT: re-root the state RDD (cuts lineage, explicit block
+      // control). Coalesce first: the union's partition count is
+      // untouched's (the prior state's) PLUS the fold shuffle's, so
+      // without it the state gains partitions every epoch and every
+      // later state scan pays the extra empty-task overhead.
+      val next = untouched.union(folded).coalesce(parts)
         .persist(StorageLevel.MEMORY_AND_DISK)
-
-      val touched = opRows.select(col("comp")).distinct()
-      val stateDf = state.toDF()
-      val stComp = stateDf
-        .join(broadcast(cc), stateDf("canonical_id") === cc("id"), "left")
-        .withColumn("comp", coalesce(col("comp"), col("canonical_id")))
-        .drop("id")
-      // untouched records never shuffle: batch-sized build side broadcasts
-      val untouched = stComp.join(broadcast(touched), Seq("comp"), "left_anti")
-        .drop("comp").as[PersonRecord]
-      val seeds = stComp.join(broadcast(touched), Seq("comp"), "left_semi")
-        .select(col("comp"), struct(stateDf.columns.toIndexedSeq.map(col): _*).as("rec"))
-        .as[(String, PersonRecord)]
-
-      val folded = seeds.groupByKey(_._1)
-        .cogroup(opRows.groupByKey(_.comp)) { (_, recIt, opIt) =>
-          Iterator.single(Replay.foldComponent(recIt.map(_._2), opIt))
-        }
-
-      // commit: re-root the state RDD (cuts lineage, explicit block control)
-      val next = untouched.union(folded).rdd.persist(StorageLevel.MEMORY_AND_DISK)
       next.count()
-      opRows.unpersist()
+      mark("commit-count")
+      // unpersist, not destroy: a lost `next` block recomputes through
+      // this epoch's lineage, which still closes over the broadcast
+      dims.unpersist(blocking = false)
       stateRdd.unpersist()
       stateRdd = next
       epoch = batchId
-    } finally opsDf.unpersist()
+    } finally opsRdd.unpersist()
   }
 
   /** Final person dimension with dense first-touch sequence ids —
@@ -258,14 +287,23 @@ object IdentityMerge {
     // a real cluster deployment checkpoints the op table reliably (lake
     // write) instead. The blocks are released below once the last batch
     // commits — localCheckpoint pins them for the app lifetime otherwise.
+    val trace = sys.env.contains("SPARK_GRAFT_TRACE")
+    var tr0 = System.nanoTime()
+    def mark(what: String): Unit = if (trace) {
+      val t1 = System.nanoTime()
+      System.err.println(f"[merge-trace] replay $what ${(t1 - tr0) / 1e9}%.3fs")
+      tr0 = t1
+    }
     val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val opsDf = ops.localCheckpoint(true)
     val ckptRdds = spark.sparkContext.getPersistentRDDs
       .collect { case (id, rdd) if !persistedBefore.contains(id) => rdd }
+    mark("checkpoint")
     // arithmetic ord cuts from one cheap min/max agg (parity holds for
     // ANY ord-respecting split, so there is no reason to pay a
     // quantile pass for balanced batch sizes)
     val mm = opsDf.agg(min(col("ord")), max(col("ord"))).head()
+    mark("minmax")
     val cuts: Seq[(Double, Double)] =
       if (mm.isNullAt(0) || chunks <= 1) Seq((Double.NegativeInfinity, Double.PositiveInfinity))
       else {
