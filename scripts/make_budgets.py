@@ -1,21 +1,30 @@
 #!/usr/bin/env python3
 """Regenerate bench_budgets.json from the committed bench_full.json.
 
-Per-query budget = max(3 * t, t + 1.5) seconds, plus a total-level
-budget of 1.75 * baseline total. Calibration: on this (shared) box,
-ambient multi-tenant contention was measured to inflate sub-2s queries
-up to ~3x and full-run totals up to ~1.55x on identical code, while
-real plan regressions (a lost broadcast, a cartesian product, a silent
-codegen-cache eviction) show up as 5-10x on the affected query. The
-gate is sized to catch the latter and never flake on the former.
+Per-query budget = max(2.25 * t, t + 0.5) seconds, plus a total-level
+budget of 1.5 * baseline total. Calibration: Bench records the MEDIAN
+of 3 passes per query (round 8 on), which discards the single-pass
+contention spikes that shared-box noise produces; medians on this box
+wobble well under 2x per query and ~1.2x on totals on identical code,
+while real plan regressions (a lost broadcast, a cartesian product, a
+silent codegen-cache eviction) show up as 2-10x on the affected query.
+The gate is sized to catch the latter and never flake on the former.
+
+Budgets are derived from the baseline's query set, so a retired query
+drops out of the budgets (and the total) automatically as long as the
+baseline itself is fresh; if the previous budgets file carries entries
+the new baseline no longer has, they are reported as dropped so a
+stale-baseline regeneration is loud instead of silent.
 
 Run this whenever the bench_full.json baseline is deliberately
 refreshed (from a WARM, full, multi-pass run); Bench (full multi-pass
-runs only) exits nonzero when a query or the total breaches.
+runs only) exits nonzero when a query or the total breaches, when a
+registered query has no budget entry, or when a query throws.
 
 Usage: python3 scripts/make_budgets.py [bench_full.json] [bench_budgets.json]
 """
 import json
+import os
 import sys
 
 src = sys.argv[1] if len(sys.argv) > 1 else "bench_full.json"
@@ -24,13 +33,23 @@ dst = sys.argv[2] if len(sys.argv) > 2 else "bench_budgets.json"
 with open(src) as f:
     full = json.load(f)
 
+if full.get("failures"):
+    sys.exit(f"refusing to budget a baseline with failed queries: {sorted(full['failures'])}")
+
 budgets = {
-    name: round(max(3 * t, t + 1.5), 3)
+    name: round(max(2.25 * t, t + 0.5), 3)
     for name, t in sorted(full["queries"].items())
 }
+
+dropped = []
+if os.path.exists(dst):
+    with open(dst) as f:
+        prev = json.load(f).get("budgets", {})
+    dropped = sorted(set(prev) - set(budgets))
+
 out = {
     "source_sf": full.get("sf"),
-    "total_budget": round(1.75 * full["value"], 1),
+    "total_budget": round(1.5 * full["value"], 1),
     "budgets": budgets,
 }
 with open(dst, "w") as f:
@@ -38,3 +57,5 @@ with open(dst, "w") as f:
     f.write("\n")
 print(f"wrote {dst}: {len(budgets)} budgets, total_budget={out['total_budget']}s "
       f"from {src} (sf={full.get('sf')})")
+if dropped:
+    print(f"dropped stale budget entries (not in the new baseline): {','.join(dropped)}")

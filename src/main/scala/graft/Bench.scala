@@ -10,19 +10,25 @@ import org.apache.spark.sql.SparkSession
   * measurement) while writing nothing. One JVM-warmup query runs first;
   * timings are per-query wall clock on a warm session.
   *
-  * Robustness: the suite runs in TWO full passes and each query
-  * records the per-pass MINIMUM — a transient contention spike on a
-  * shared box distorts one pass, not the same query in both. Full
-  * per-pass precision goes to `bench_full.json` in the working
-  * directory; stdout carries a compact line sized to survive a
-  * 2000-char log-tail window (the slowest queries individually, the
-  * fast tail summed under `"others"`, `"nq"` = total query count).
+  * Robustness: the suite runs in THREE full passes and each query
+  * records the per-pass MEDIAN — a transient contention spike on a
+  * shared box distorts one pass, and the median discards it in either
+  * direction (a min would also hide a genuine slow-every-pass
+  * regression behind one lucky pass). Full per-pass precision goes to
+  * `bench_full.json` in the working directory; stdout carries a
+  * compact line sized to survive a 2000-char log-tail window (the
+  * slowest queries individually, the fast tail summed under
+  * `"others"`, `"nq"` = total query count).
+  *
+  * Failures are never silent: a query that throws is recorded in the
+  * artifact (`"failures"`) and on stderr, and a full run exits
+  * nonzero — a crashing query must not masquerade as a fast one.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -57,10 +63,16 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.contains)))
-    val byPass: Seq[Seq[(String, Double)]] = (1 to passes).map { _ =>
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val byPass: Seq[Seq[(String, Double)]] = (1 to passes).map { pass =>
       names.map { name =>
         val t0 = System.nanoTime()
-        try run(SparkEntry.queries(name)(spark, sfDir)) catch { case _: Throwable => }
+        try run(SparkEntry.queries(name)(spark, sfDir)) catch {
+          case e: Throwable =>
+            failures.getOrElseUpdate(name,
+              s"pass$pass ${e.getClass.getSimpleName}: " +
+                Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(200))
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         // reclaim per-query persisted blocks: timings stay independent —
         // no eviction churn from blocks a finished query left behind
@@ -68,8 +80,12 @@ object Bench {
         name -> dt
       }
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     val best: Seq[(String, Double)] =
-      names.map(n => n -> byPass.map(_.toMap.apply(n)).min)
+      names.map(n => n -> median(byPass.map(_.toMap.apply(n))))
     val total = best.map(_._2).sum
 
     // full precision, all passes, for inspection
@@ -78,7 +94,10 @@ object Bench {
         kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val ps = byPass.zipWithIndex
         .map { case (p, i) => "\"pass" + (i + 1) + "\":" + m(p) }.mkString(",")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${m(best)},$ps,"sf":"$sfDir"}"""
+      val fs = failures
+        .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${m(best)},$ps,"failures":$fs,"sf":"$sfDir"}"""
     }
     // the committed baseline artifact records FULL runs only — a
     // SPARK_GRAFT_ONLY dev subset writes to bench_dev.json so it can
@@ -106,20 +125,28 @@ object Bench {
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"others":${fmt(others)},"nq":${names.size},"sf":"$sfDir"}""")
     spark.stop()
 
+    // a throwing query is a hard failure on full runs: it was timed as
+    // a near-instant "success" pre-round-8 and could sail under every
+    // budget while computing nothing
+    failures.foreach { case (n, e) => System.err.println(s"[bench-guard] FAILED $n: $e") }
+
     // regression gate (full MULTI-PASS runs only: SPARK_GRAFT_ONLY
-    // subsets run COLD and a SPARK_GRAFT_PASSES=1 run has no warm pass
-    // to take the min over — both would false-positive): each query's
-    // best-of-passes time against its committed budget, plus a
-    // total-level budget (scripts/make_budgets.py: per-query
-    // max(3×, +1.5 s), total 1.75× — sized so measured ambient
-    // multi-tenant noise on this box, up to ~3× on sub-2 s queries
-    // and ~1.55× on totals, never flakes the gate, while real plan
-    // regressions at 5-10× still trip it). Breaches print AFTER every
-    // artifact is written, then exit nonzero — the "compare r_N to
-    // r_N−1 by hand" step as a hard gate. Budgets are per-sf: the
-    // gate only arms when the budget file was generated from the same
-    // sf dir this run measured.
+    // subsets run COLD and a SPARK_GRAFT_PASSES=1 run has no second
+    // pass to take the median over — both would false-positive): each
+    // query's median-of-passes time against its committed budget, plus
+    // a total-level budget (scripts/make_budgets.py: per-query
+    // max(2.25×, +0.5 s), total 1.5× — medians discard the one-pass
+    // contention spikes that forced the old min-of-2 gate out to
+    // 3×/1.75×, so real plan regressions at 2-10× trip it again).
+    // Breaches print AFTER every artifact is written, then exit
+    // nonzero — the "compare r_N to r_N−1 by hand" step as a hard
+    // gate. Budgets are per-sf: the gate only arms when the budget
+    // file was generated from the same sf dir this run measured.
+    // Unguarded queries (registered but absent from the budgets file)
+    // are themselves a breach: without this, a new query can never
+    // trip the gate until someone remembers to re-baseline.
     val budgetFile = new java.io.File("bench_budgets.json")
+    var gateFailed = only.isEmpty && failures.nonEmpty
     if (only.isEmpty && passes >= 2 && budgetFile.exists()) {
       val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(budgetFile)
       val sfMatch = root.path("source_sf").asText("") == sfDir
@@ -132,17 +159,18 @@ object Bench {
         }
         val unguarded = best.collect { case (n, _) if budgets.path(n).isMissingNode => n }
         if (unguarded.nonEmpty)
-          System.err.println(s"[bench-guard] unguarded (no budget entry — regenerate " +
-            s"bench_budgets.json after committing a new baseline): ${unguarded.mkString(",")}")
+          System.err.println(s"[bench-guard] unguarded (no budget entry — rerun the full " +
+            s"bench and scripts/make_budgets.py, commit both): ${unguarded.mkString(",")}")
         val totalBudget = root.path("total_budget")
         val totalBreach = !totalBudget.isMissingNode && total > totalBudget.asDouble()
         if (totalBreach)
           System.err.println(s"""{"metric":"bench_guard_total","sec":${fmt(total)},"budget":${totalBudget.asDouble()}}""")
         if (breaches.nonEmpty)
           System.err.println(s"""{"metric":"bench_guard","breaches":${breaches.mkString("{", ",", "}")}}""")
-        if (breaches.nonEmpty || totalBreach) sys.exit(1)
+        gateFailed ||= breaches.nonEmpty || totalBreach || unguarded.nonEmpty
       } else System.err.println(
         s"[bench-guard] budgets are for ${root.path("source_sf").asText("")}, run is $sfDir — gate skipped")
     }
+    if (gateFailed) sys.exit(1)
   }
 }
