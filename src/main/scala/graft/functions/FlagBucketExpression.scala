@@ -56,8 +56,10 @@ case class FlagBucket(left: Expression, right: Expression)
   * installs into an already-running session (tests, notebooks).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.JsonFusion)
+  }
 }
 
 object GraftExtensions {
@@ -109,11 +111,15 @@ object GraftExtensions {
     Seq(flagBucketDescriptor, VecDot.descriptor, VecDist2.descriptor, VecIDot.descriptor,
       bloomAggDescriptor, bloomMightContainDescriptor)
 
-  /** Install into an existing session's function registry. */
-  def register(spark: SparkSession): Unit =
+  /** Install into an existing session: function registry + the
+    * [[graft.plans.JsonFusion]] optimizer rule.
+    */
+  def register(spark: SparkSession): Unit = {
     descriptors.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    graft.plans.JsonFusionInstall.register(spark)
+  }
 
   /** Column API for the native expression (resolves through the
     * session registry, so [[register]]/extensions must have run).

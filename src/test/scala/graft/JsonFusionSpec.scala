@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** [[graft.plans.JsonFusion]]: repeated `get_json_object` probes of one
+  * column fuse into a single shared `from_json` — value-equivalent on
+  * every JSON shape, and plan-verified so the fusion (and its
+  * deliberate non-fusions) can't silently regress.
+  */
+class JsonFusionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.functions.GraftExtensions.register(s)
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def optimized(df: DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
+
+  private def withFusionOff[T](body: => T): T = {
+    spark.conf.set(graft.plans.JsonFusion.ConfKey, "false")
+    try body finally spark.conf.unset(graft.plans.JsonFusion.ConfKey)
+  }
+
+  private def probes2(df: DataFrame): DataFrame =
+    df.select(
+      get_json_object(col("j"), "$.a").as("a"),
+      get_json_object(col("j"), "$.b").as("b"))
+
+  test("value equivalence across JSON shapes (fused == unfused)") {
+    import spark.implicits._
+    val docs = Seq(
+      """{"a":"x","b":"y"}""",
+      """{"a":1.50,"b":2}""",
+      """{"a":{"n":1, "m":[1,2]},"b":3}""",
+      """{"a":[1,"two"],"b":4}""",
+      """{"a":null,"b":5}""",
+      """{"b":6}""",
+      """{"a":true,"b":7}""",
+      """not json at all""",
+      """{"a":"multi\nline \"quoted\"","b":9}""",
+      """{"a":1e3,"b":10}""",
+      """{"a":12345678901234567890123,"b":11}""",
+      """[{"a":"array-root"}]""",
+      """ {"a":"pad"} """,
+      """{"a":"x"} trailing""").toDF("j").repartition(1)
+    val fused = probes2(docs).collect().map(r => (r.getString(0), r.getString(1)))
+    val unfused = withFusionOff {
+      probes2(docs).collect().map(r => (r.getString(0), r.getString(1)))
+    }
+    assert(fused.toSeq == unfused.toSeq)
+  }
+
+  test("two probes of one column fuse to a single from_json; nested path keeps its matcher") {
+    import spark.implicits._
+    val df = Seq("""{"a":"1","b":"2","c":{"d":"3"}}""").toDF("j").repartition(1)
+      .select(
+        get_json_object(col("j"), "$.a").as("a"),
+        get_json_object(col("j"), "$.b").as("b"),
+        get_json_object(col("j"), "$.c.d").as("cd"))
+    val p = optimized(df)
+    assert(p.contains("from_json"), p)
+    // exactly the nested probe survives as get_json_object
+    assert("get_json_object".r.findAllIn(p).size == 1, p)
+    assert(df.head() == org.apache.spark.sql.Row("1", "2", "3"))
+  }
+
+  test("a single probe is NOT rewritten (streaming matcher is cheaper than a parse)") {
+    import spark.implicits._
+    val df = Seq("""{"a":"1"}""").toDF("j").repartition(1)
+      .select(get_json_object(col("j"), "$.a").as("a"))
+    val p = optimized(df)
+    assert(!p.contains("from_json"), p)
+    assert(p.contains("get_json_object"), p)
+  }
+
+  test("filter probes fuse too") {
+    import spark.implicits._
+    // parquet roundtrip: a filter over a local relation constant-folds
+    // before any optimizer rule could see it
+    val dir = java.nio.file.Files.createTempDirectory("jsonfusion").toString
+    Seq("""{"a":"1","b":"1"}""", """{"a":"1","b":"2"}""").toDF("j")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .filter(get_json_object(col("j"), "$.a") === get_json_object(col("j"), "$.b"))
+    assert(optimized(df).contains("from_json"), optimized(df))
+    assert(df.count() == 1L)
+  }
+
+  test("conf flag disables the rewrite") {
+    import spark.implicits._
+    val docs = Seq("""{"a":"x","b":"y"}""").toDF("j").repartition(1)
+    withFusionOff {
+      assert(!optimized(probes2(docs)).contains("from_json"))
+    }
+  }
+
+  test("documented divergence: duplicate top-level keys read last-wins when fused") {
+    import spark.implicits._
+    val docs = Seq("""{"a":"first","a":"second","b":"y"}""").toDF("j").repartition(1)
+    // the fused parse is last-wins — the reference's own serde behavior
+    assert(probes2(docs).head().getString(0) == "second")
+  }
+}
