@@ -223,8 +223,75 @@ object Corpus {
        |FROM tr t LEFT JOIN m ON t.doc_id = m.doc_id""".stripMargin
   }
 
+  /** Q-CORPUS-BUDGET: token-budget corpus selection — the "fill N
+    * tokens" step that turns a ranked candidate pool into an actual
+    * training mix: per language, documents are taken in quality order
+    * (quality gate first, then content-hash tie-break — deterministic,
+    * auditable, no RNG) until the language's token budget is spent.
+    * The budget here is a FRACTION of each language's total tokens
+    * (25%), so the query is scale-invariant and the oracle can
+    * recompute it exactly; a production run pins absolute budgets per
+    * language instead — same plan.
+    *
+    * All arithmetic stays integral (`4 * cum <= total` instead of a
+    * float fraction) so the kept set is bit-identical across engines
+    * and partitionings.
+    *
+    * Shape at 100 TB: one shuffle keyed by language feeds both window
+    * functions (running token sum + per-language total); payloads
+    * don't move (doc_id + counts only). Languages are few and huge —
+    * at extreme scale the running-sum window swaps for the bounded
+    * top-k aggregate ([[TextOps.mixTopK]]'s form) exactly like the
+    * mixing operator documents.
+    */
+  def tokenBudget(s: SparkSession, d: String): DataFrame = {
+    import Portable._
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col("text"))
+    val base = Tables.par(Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"), h60(col("text")).as("h"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"))
+      .withColumn("is_quality",
+        col("n_tokens") >= 10 && col("n_tokens") <= 1000 &&
+          col("n_uniq") * 2 >= col("n_tokens"))
+    val order = Seq(col("is_quality").desc, col("h"), col("doc_id"))
+    val wRun = Window.partitionBy(col("lang")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("lang"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    base.select(col("doc_id"), col("lang"), col("is_quality"), col("n_tokens"),
+        sum(col("n_tokens")).over(wRun).as("cum_tokens"),
+        sum(col("n_tokens")).over(wAll).as("lang_tokens"))
+      .withColumn("kept", col("cum_tokens") * 4 <= col("lang_tokens"))
+  }
+
+  val tokenBudgetSql: String = {
+    import Portable._
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, ${h60Sql("text")} AS h,
+       |    len(toks)::BIGINT AS n_tokens,
+       |    len(list_distinct(toks))::BIGINT AS n_uniq
+       |  FROM (SELECT doc_id, lang, text, ${tokensSql("text")} AS toks FROM documents)),
+       |q AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    (n_tokens >= 10 AND n_tokens <= 1000 AND n_uniq * 2 >= n_tokens) AS is_quality, h
+       |  FROM base)
+       |SELECT doc_id, lang, is_quality, n_tokens,
+       |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY is_quality DESC, h, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens,
+       |  sum(n_tokens) OVER (PARTITION BY lang
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)::BIGINT AS lang_tokens,
+       |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY is_quality DESC, h, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 4 <=
+       |    sum(n_tokens) OVER (PARTITION BY lang
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS kept
+       |FROM q""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_corpus_funnel", funnel, Some(funnelSql)),
     Q("q_corpus_decontam", decontam, Some(decontamSql)),
-    Q("q_corpus_decontam_bloom", decontamBloom, Some(decontamBloomSql)))
+    Q("q_corpus_decontam_bloom", decontamBloom, Some(decontamBloomSql)),
+    Q("q_corpus_token_budget", tokenBudget, Some(tokenBudgetSql)))
 }

@@ -770,8 +770,55 @@ object TextOps {
        |FROM e GROUP BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------ Q-TEXT-SHUF
+
+  /** Seed label baked into the shuffle key: change it to re-shuffle,
+    * keep it to reproduce a training order bit-exactly.
+    */
+  val ShuffleSeed = "shuf42"
+  val NumShards = 8
+
+  /** Q-TEXT-SHUF: seeded deterministic corpus shuffle + sharding — the
+    * "globally shuffle the corpus, then write N shard files" step every
+    * training run needs to be REPRODUCIBLE: the order is a pure
+    * function of (seed, doc_id), so re-running the pipeline (or
+    * re-materializing one lost shard) yields the identical order with
+    * no RNG state to checkpoint. Shard = key mod N (balanced in
+    * expectation because the key is a 60-bit content hash of the
+    * seeded id), position-in-shard = rank by key.
+    *
+    * Shape at 100 TB: the key is a per-row expression; writing shards
+    * is one `repartition(shard)` — a single shuffle of (doc payload ×
+    * 1). The in-shard rank window runs per shard (N huge partitions) —
+    * at real scale the POSITION falls out of the sorted shard write
+    * itself (`sortWithinPartitions(shuf_key)` → file order IS the
+    * position); the explicit rank column here is the audit/oracle form
+    * of that contract, same caveat family as [[mix]]'s rank window.
+    */
+  def shuffleShard(s: SparkSession, d: String): DataFrame = {
+    val key = h60(concat(lit(ShuffleSeed + ":"), col("doc_id").cast("string")))
+    Tables.par(Tables.documents(s, d))
+      .select(col("doc_id"), key.as("shuf_key"))
+      .withColumn("shard", col("shuf_key") % NumShards)
+      .withColumn("pos_in_shard",
+        row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("shuf_key"), col("doc_id")))
+          .cast(LongType))
+  }
+
+  val shuffleShardSql: String =
+    s"""WITH k AS (
+       |  SELECT doc_id,
+       |    ${h60Sql(s"'$ShuffleSeed:' || doc_id")} AS shuf_key
+       |  FROM documents)
+       |SELECT doc_id, shuf_key, shuf_key % $NumShards AS shard,
+       |  row_number() OVER (PARTITION BY shuf_key % $NumShards
+       |    ORDER BY shuf_key, doc_id)::BIGINT AS pos_in_shard
+       |FROM k""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_text_stats", textStats, Some(textStatsSql)),
+    Q("q_text_shuffle", shuffleShard, Some(shuffleShardSql)),
     Q("q_text_vocab", vocab, Some(vocabSql)),
     Q("q_text_ngrams", ngrams, Some(ngramsSql)),
     Q("q_text_ngrams_cms", ngramsCms, Some(ngramsCmsSql)),

@@ -106,6 +106,41 @@ class JsonFusionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("fuzz: 300 random documents, fused == unfused on three probes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(8128)
+    def randValue(depth: Int): String = rnd.nextInt(if (depth > 1) 6 else 8) match {
+      case 0 => "\"s" + rnd.alphanumeric.take(rnd.nextInt(6)).mkString + "\""
+      case 1 => rnd.nextInt(10000).toString
+      case 2 => f"${rnd.nextDouble() * 100}%.4f"
+      case 3 => rnd.nextBoolean().toString
+      case 4 => "null"
+      case 5 => "\"x\\n\\\"y\\\"\""
+      case 6 => "[" + Seq.fill(rnd.nextInt(3))(randValue(depth + 1)).mkString(",") + "]"
+      case 7 => "{" + Seq.fill(rnd.nextInt(3))(
+        "\"k" + rnd.nextInt(3) + "\":" + randValue(depth + 1)).mkString(",") + "}"
+    }
+    def randDoc(): String = rnd.nextInt(10) match {
+      case 0 => "garbage" + rnd.nextInt(100)
+      case 1 => "[" + randValue(1) + "]"
+      case _ =>
+        // distinct keys only: duplicate keys are the documented divergence
+        val keys = rnd.shuffle(Seq("a", "b", "c", "d")).take(1 + rnd.nextInt(4))
+        "{" + keys.map(k => "\"" + k + "\":" + randValue(0)).mkString(",") + "}"
+    }
+    val docs = Seq.fill(300)(randDoc()).toDF("j").repartition(3)
+    def probes3(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("j"),
+      get_json_object(col("j"), "$.a").as("a"),
+      get_json_object(col("j"), "$.b").as("b"),
+      get_json_object(col("j"), "$.c").as("c"))
+    val fused = probes3(docs).collect().map(r => Seq(r.get(0), r.get(1), r.get(2), r.get(3)))
+    val unfused = withFusionOff {
+      probes3(docs).collect().map(r => Seq(r.get(0), r.get(1), r.get(2), r.get(3)))
+    }
+    assert(fused.sortBy(_.toString).toSeq == unfused.sortBy(_.toString).toSeq)
+  }
+
   test("documented divergence: duplicate top-level keys read last-wins when fused") {
     import spark.implicits._
     val docs = Seq("""{"a":"first","a":"second","b":"y"}""").toDF("j").repartition(1)
