@@ -118,16 +118,28 @@ object Bpe {
     syms.toSeq
   }
 
-  /** Q-TEXT-BPE: elect the word dict, learn the merges, re-encode the
-    * dict on executors, gate the result (see object doc).
+  /** Dict election: the one corpus-sized stage. `orderBy(...).limit`
+    * with no intervening projection so the physical plan is the
+    * per-partition top-k merge (`TakeOrderedAndProject`), never a
+    * range-partitioned global sort — PlanSpec pins this.
     */
-  def bpe(s: SparkSession, d: String): DataFrame = {
+  def electDict(s: SparkSession, d: String): DataFrame = {
     import Portable._
-    val wordCounts = Tables.par(Tables.documents(s, d))
+    Tables.par(Tables.documents(s, d))
       .select(explode(tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("tok")).limit(DictCap)
-    val dict = wordCounts.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
+
+  /** Q-TEXT-BPE: elect the word dict (one corpus scan, collected under
+    * the same bounded-dict contract the trainer needs anyway), learn
+    * the merges on the driver, then encode + gate the dict rows. The
+    * output side starts from the already-collected dict — re-deriving
+    * it from the corpus would scan 100 TB a second time to rebuild
+    * 1500 rows we are holding.
+    */
+  def bpe(s: SparkSession, d: String): DataFrame = {
+    val dict = electDict(s, d).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     val merges = train(dict, NumMerges)
     val ranks = merges.zipWithIndex.toMap
     val vocab: Set[String] =
@@ -136,7 +148,7 @@ object Bpe {
     val vocabBc = s.sparkContext.broadcast(vocab)
     val encodeUdf = udf { (w: String) => encode(w, ranksBc.value) }
     val inVocabUdf = udf { (ps: Seq[String]) => ps.forall(vocabBc.value.contains) }
-    wordCounts
+    s.createDataFrame(dict).toDF("tok", "freq")
       .withColumn("pieces", encodeUdf(col("tok")))
       .select(col("tok"), col("freq"), length(col("tok")).cast("long").as("n_chars"),
         (concat_ws("", col("pieces")) === col("tok")).as("reconstructs"),

@@ -52,8 +52,13 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     // sums), HLL (register max), GK quantile summaries (order-SENSITIVE
     // internally — the ±0.05-quantile gate must absorb it), plus the
     // vocab election whose rank-V cut depends on a total order
+    // q_text_bpe and q_corpus_token_budget join for the same reason as
+    // the vocab election: their keeps depend on a rank cut (dict cap /
+    // budget exhaustion) that must come from a total order, not
+    // partition luck
     for (q <- Seq("q_agg_approx", "q_agg_approx_quantiles", "q_agg_sketch_rollup",
-        "q_corpus_decontam_bloom", "q_text_ngrams_cms", "q_text_vocab")) {
+        "q_corpus_decontam_bloom", "q_text_ngrams_cms", "q_text_vocab",
+        "q_text_bpe", "q_corpus_token_budget")) {
       val a = runAt(2, q)
       val b = runAt(7, q)
       assert(a.nonEmpty, s"$q returned nothing")

@@ -257,4 +257,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("event_date") === "2024-03-01"))
     assert(p.contains("PartitionFilters: [isnotnull(event_date"), p.take(1200))
   }
+
+  test("round-8 additions: one lang shuffle for token budget, top-k dict election, no cartesian") {
+    val tb = plan(SparkEntry.queries("q_corpus_token_budget")(spark, sf))
+    assert(!tb.contains("CartesianProduct"), tb.take(1500))
+    // both windows (running sum + language total) must share ONE
+    // lang-keyed exchange; the only other exchange is Tables.par's
+    // input spread
+    val langExchanges = "hashpartitioning\\(lang".r.findAllIn(tb).size
+    assert(langExchanges == 1, s"expected 1 lang-keyed exchange, got $langExchanges:\n" + tb.take(2000))
+
+    val sh = plan(SparkEntry.queries("q_text_shuffle")(spark, sf))
+    assert(!sh.contains("CartesianProduct"), sh.take(1500))
+
+    // the corpus-sized stage of BPE is the dict election — it must be
+    // the per-partition top-k merge, not a range-partitioned global sort
+    val elect = plan(graft.llm.Bpe.electDict(spark, sf))
+    assert(elect.contains("TakeOrderedAndProject"),
+      "dict election should be a bounded top-k, not a global sort:\n" + elect.take(1500))
+    // the encode+gate side runs over the already-collected dict: a
+    // local relation with zero exchanges (a second corpus scan or any
+    // shuffle here would be rebuilding 1500 held rows from 100 TB)
+    val bpe = plan(SparkEntry.queries("q_text_bpe")(spark, sf))
+    assert(bpe.contains("LocalTableScan"), bpe.take(1500))
+    assert(!bpe.contains("Exchange"), bpe.take(1500))
+    assert(!bpe.contains("CartesianProduct"), bpe.take(1500))
+  }
 }
