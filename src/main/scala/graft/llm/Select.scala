@@ -388,11 +388,204 @@ object Select {
        |${SearchQueries.map { case (q, t) => oneFull(q, t) }.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  // ------------------------------------------------------------ Q-SEL-6
+
+  /** Selection size for the registered DSIR query; a production run
+    * pins its own absolute count — same plan.
+    */
+  val DsirK = 100
+
+  /** Seed for the DSIR priority draw (the only randomness, and it is
+    * a deterministic seeded hash — rerunning reproduces the sample).
+    */
+  val DsirSeed = "dsir1"
+
+  /** Q-SEL-6: DSIR-style importance RESAMPLING (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * the classifier ([[classifier]]) ends at a score; this operator
+    * completes the pipeline stage — draw a K-document sample whose
+    * inclusion probability is proportional to the document's
+    * importance weight `p_target / p_raw`, via priority sampling
+    * (Duffield-Lund-Thorup: priority = w/u with u uniform(0,1];
+    * keep the top K priorities — unbiased weighted-sample semantics
+    * with a deterministic, auditable draw).
+    *
+    * Cross-engine exactness (object doc): DSIR's log-ratio weights
+    * stay out of the oracle path. The weight here is the rational
+    *   `w = (Σ_t tcnt(t)·a_total) / (Σ_t acnt(t)·t_total)`
+    * over the document's token instances — the ratio of the doc's
+    * mean token probability under the TARGET distribution (`lang =
+    * 'en'`, standing in for the curated reference corpus) to its mean
+    * probability under the RAW pool (all documents) — integer sums,
+    * then IEEE-exact double division in a pinned order. The raw side
+    * counts every token, so the denominator is always positive. The
+    * uniform draw is `u ∝ h60(seed:doc_id) + 1` (the constant 2⁻⁶⁰
+    * scale cancels in ranking and is dropped). Int64 bound: token
+    * instances N keep `cnt·total ≤ N²` and the per-doc sum ≤ L·N²
+    * (tokens-per-doc L ≈ 50) — fine through sf10; beyond that the
+    * weight columns widen to DECIMAL(38,0), same plan.
+    *
+    * Shape at 100 TB: the scoring twin of [[classifier]] — one
+    * vocabulary-sized aggregation, one compact token→count equi-join +
+    * per-doc re-aggregation (document payloads never shuffle). The
+    * doc-level (doc_id, priority) table persists compactly; the
+    * selection threshold is a bounded top-K (`TakeOrderedAndProject`)
+    * broadcast back map-side — no global sort, no global rank window.
+    */
+  def dsir(s: SparkSession, d: String, k: Int = DsirK): DataFrame = {
+    val toks = Tables.par(Tables.documents(s, d))
+      .select(col("doc_id"), (col("lang") === "en").as("is_t"),
+        explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("is_t"), h60(col("tok")).as("th"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val stats = toks.groupBy(col("th")).agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("tcnt"),
+      count(lit(1)).as("acnt"))
+    val totals = stats.agg(
+      sum(col("tcnt")).cast(LongType).as("t_total"),
+      sum(col("acnt")).cast(LongType).as("a_total"))
+    val scored = toks.join(stats, Seq("th"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("tcnt") * col("a_total")).as("weight_num"),
+        sum(col("acnt") * col("t_total")).as("weight_den"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("weight_num"), col("weight_den"),
+        (col("weight_num").cast(DoubleType) / col("weight_den").cast(DoubleType))
+          .as("weight"),
+        (h60(concat(lit(DsirSeed + ":"), col("doc_id").cast("string"))) + 1L).as("u_h"))
+      .withColumn("priority", col("weight") / col("u_h").cast(DoubleType))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val thresh = scored.select(col("priority"))
+      .orderBy(col("priority").desc).limit(k)
+      .agg(min(col("priority")).as("thresh"))
+    scored.crossJoin(broadcast(thresh))
+      .select(col("doc_id"), col("n_tokens"), col("weight_num"), col("weight_den"),
+        col("weight"), col("priority"),
+        (col("priority") >= col("thresh")).as("selected"))
+  }
+
+  val dsirSql: String = {
+    val toks = tokensSql("text")
+    s"""WITH tk AS (
+       |  SELECT doc_id, is_t, ${h60Sql("tok")} AS th
+       |  FROM (SELECT doc_id, lang = 'en' AS is_t, unnest($toks) AS tok FROM documents)),
+       |st AS (
+       |  SELECT th,
+       |    sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS tcnt,
+       |    count(*)::BIGINT AS acnt
+       |  FROM tk GROUP BY th),
+       |tot AS (SELECT sum(tcnt)::BIGINT AS t_total, sum(acnt)::BIGINT AS a_total FROM st),
+       |scored AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       |    sum(tcnt * a_total)::BIGINT AS weight_num,
+       |    sum(acnt * t_total)::BIGINT AS weight_den,
+       |    any_value(a_total) AS a_total, any_value(t_total) AS t_total
+       |  FROM tk JOIN st USING (th) CROSS JOIN tot
+       |  GROUP BY doc_id),
+       |pri AS (
+       |  SELECT doc_id, n_tokens, weight_num, weight_den,
+       |    weight_num::DOUBLE / weight_den::DOUBLE AS weight,
+       |    (weight_num::DOUBLE / weight_den::DOUBLE) /
+       |      ((${h60Sql(s"'$DsirSeed:' || doc_id")}) + 1)::DOUBLE AS priority
+       |  FROM scored),
+       |thr AS (
+       |  SELECT min(priority) AS thresh
+       |  FROM (SELECT priority FROM pri ORDER BY priority DESC LIMIT $DsirK))
+       |SELECT doc_id, n_tokens, weight_num, weight_den, weight, priority,
+       |  priority >= thresh AS selected
+       |FROM pri CROSS JOIN thr""".stripMargin
+  }
+
+  // ------------------------------------------------------------ Q-SEL-7
+
+  /** Q-SEL-7: CCNet-style per-language perplexity bucketing (Wenzek et
+    * al. 2020): score every document under the corpus language model
+    * ([[lmScore]]'s linear-domain perplexity proxy), then split EACH
+    * LANGUAGE into equal head / middle / tail thirds by score — CCNet
+    * keeps head+middle and drops (or quarantines) the tail. Bucketing
+    * per language is the point: absolute thresholds would empty
+    * low-resource languages; per-language terciles keep every
+    * language's best two-thirds.
+    *
+    * The tercile cut is `ntile(3)` over (score DESC, doc_id) — the
+    * deterministic total order makes the bucket boundary engine-exact
+    * (same rule as every rank cut in this package).
+    *
+    * Shape at 100 TB: the [[lmScore]] scoring shuffles (vocabulary
+    * aggregation + compact token join; payloads never move), then ONE
+    * lang-keyed exchange shared by the tercile window — languages are
+    * few and huge, so the per-language window is the same
+    * single-shuffle shape as [[Corpus.tokenBudget]] and swaps for its
+    * bounded top-k form at extreme skew.
+    */
+  def ccnet(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.par(Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("lang"), h60(col("tok")).as("th"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vocab = toks.groupBy(col("th")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).cast(LongType).as("t_total"))
+    val scored = toks.join(vocab, Seq("th"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        first(col("lang")).as("lang"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("cnt")).as("sum_cnt"),
+        first(col("t_total")).as("t_total"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (col("sum_cnt").cast(DoubleType) /
+          (col("n_tokens").cast(DoubleType) * col("t_total").cast(DoubleType)))
+          .as("mean_tok_prob"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("mean_tok_prob").desc, col("doc_id"))
+    scored
+      .withColumn("bucket", ntile(3).over(w).cast(LongType))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("mean_tok_prob"),
+        col("bucket"),
+        when(col("bucket") === 1L, "head")
+          .when(col("bucket") === 2L, "middle")
+          .otherwise("tail").as("ppl_bucket"),
+        (col("bucket") <= 2L).as("kept"))
+  }
+
+  val ccnetSql: String = {
+    val toks = tokensSql("text")
+    s"""WITH tk AS (
+       |  SELECT doc_id, lang, ${h60Sql("tok")} AS th
+       |  FROM (SELECT doc_id, lang, unnest($toks) AS tok FROM documents)),
+       |vocab AS (SELECT th, count(*)::BIGINT AS cnt FROM tk GROUP BY th),
+       |tot AS (SELECT sum(cnt)::BIGINT AS t_total FROM vocab),
+       |agg AS (
+       |  SELECT doc_id, any_value(lang) AS lang, count(*)::BIGINT AS n_tokens,
+       |    sum(cnt)::BIGINT AS sum_cnt, any_value(t_total) AS t_total
+       |  FROM tk JOIN vocab USING (th) CROSS JOIN tot
+       |  GROUP BY doc_id),
+       |scored AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    sum_cnt::DOUBLE / (n_tokens::DOUBLE * t_total::DOUBLE) AS mean_tok_prob
+       |  FROM agg)
+       |SELECT doc_id, lang, n_tokens, mean_tok_prob,
+       |  ntile(3) OVER (PARTITION BY lang
+       |    ORDER BY mean_tok_prob DESC, doc_id)::BIGINT AS bucket,
+       |  CASE ntile(3) OVER (PARTITION BY lang
+       |    ORDER BY mean_tok_prob DESC, doc_id)
+       |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket,
+       |  ntile(3) OVER (PARTITION BY lang
+       |    ORDER BY mean_tok_prob DESC, doc_id) <= 2 AS kept
+       |FROM scored""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_corpus_lm_score", lmScore, Some(lmScoreSql)),
     Q("q_corpus_classifier", classifier, Some(classifierSql)),
     Q("q_corpus_split", split, Some(splitSql)),
     Q("q_corpus_domain_cap", domainCap, Some(domainCapSql)),
     Q("q_corpus_domain_topk", domainTopK, Some(domainTopKSql)),
+    Q("q_corpus_dsir", (s, d) => dsir(s, d), Some(dsirSql)),
+    Q("q_corpus_ccnet", ccnet, Some(ccnetSql)),
     Q("q_text_search", search, Some(searchSql)))
 }

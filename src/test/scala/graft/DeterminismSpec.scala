@@ -56,9 +56,11 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the vocab election: their keeps depend on a rank cut (dict cap /
     // budget exhaustion) that must come from a total order, not
     // partition luck
+    // q_corpus_dsir (priority-sampling threshold = a rank-k cut) and
+    // q_corpus_ccnet (per-language tercile boundary) are rank cuts too
     for (q <- Seq("q_agg_approx", "q_agg_approx_quantiles", "q_agg_sketch_rollup",
         "q_corpus_decontam_bloom", "q_text_ngrams_cms", "q_text_vocab",
-        "q_text_bpe", "q_corpus_token_budget")) {
+        "q_text_bpe", "q_corpus_token_budget", "q_corpus_dsir", "q_corpus_ccnet")) {
       val a = runAt(2, q)
       val b = runAt(7, q)
       assert(a.nonEmpty, s"$q returned nothing")

@@ -282,5 +282,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bpe.contains("LocalTableScan"), bpe.take(1500))
     assert(!bpe.contains("Exchange"), bpe.take(1500))
     assert(!bpe.contains("CartesianProduct"), bpe.take(1500))
+
+    // DSIR: the selection threshold must be a bounded top-k broadcast
+    // back map-side — never a global sort or rank window over the pool
+    val dsir = plan(SparkEntry.queries("q_corpus_dsir")(spark, sf))
+    assert(dsir.contains("TakeOrderedAndProject"),
+      "dsir threshold should be a bounded top-k:\n" + dsir.take(1500))
+    assert(!dsir.contains("CartesianProduct"), dsir.take(1500))
+    assert(!dsir.contains("Window"), "dsir must not rank the whole pool:\n" + dsir.take(1500))
+
+    // CCNet: the tercile window rides ONE lang-keyed exchange
+    val cc = plan(SparkEntry.queries("q_corpus_ccnet")(spark, sf))
+    assert(!cc.contains("CartesianProduct"), cc.take(1500))
+    val ccLang = "hashpartitioning\\(lang".r.findAllIn(cc).size
+    assert(ccLang == 1, s"expected 1 lang-keyed exchange, got $ccLang:\n" + cc.take(2000))
   }
 }

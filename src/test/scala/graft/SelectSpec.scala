@@ -111,4 +111,76 @@ class SelectSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  private def h60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  test("dsir: weights and selection match an independent driver-side implementation") {
+    val k = 10
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // independent recompute: token counts from raw strings, no Spark
+    val perDoc = docs.map { case (id, lang, text) =>
+      (id, lang == "en", text.split("\\s+").filter(_.nonEmpty).toSeq)
+    }
+    val tcnt = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val acnt = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    perDoc.foreach { case (_, isT, toks) =>
+      toks.foreach { t => if (isT) tcnt(t) += 1; acnt(t) += 1 }
+    }
+    val tTotal = tcnt.values.sum
+    val aTotal = acnt.values.sum
+    val expected = perDoc.map { case (id, _, toks) =>
+      val num = toks.map(t => tcnt(t) * aTotal).sum
+      val den = toks.map(t => acnt(t) * tTotal).sum
+      val w = num.toDouble / den.toDouble
+      val pri = w / (h60(s"${Select.DsirSeed}:$id") + 1L).toDouble
+      (id, num, den, pri)
+    }
+    val expSelected = expected.sortBy { case (id, _, _, p) => (-p, id) }
+      .take(k).map(_._1).toSet
+
+    val got = Select.dsir(spark, sf, k).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getDouble(5), r.getBoolean(6)))
+    assert(got.length == expected.length)
+    val expById = expected.map(e => e._1 -> e).toMap
+    got.foreach { case (id, num, den, pri, sel) =>
+      val (_, eNum, eDen, ePri) = expById(id)
+      assert(num == eNum && den == eDen, s"doc $id weight mismatch")
+      assert(pri == ePri, s"doc $id priority mismatch")
+      assert(sel == expSelected.contains(id), s"doc $id selection mismatch")
+    }
+    assert(got.count(_._5) == k, "selected count != k")
+  }
+
+  test("ccnet: per-language terciles are balanced, ordered by score, tail dropped") {
+    val rows = Select.ccnet(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(3),
+        r.getLong(4), r.getString(5), r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val sizes = rs.groupBy(_._4).view.mapValues(_.size).toMap
+      // ntile: bucket sizes within a language differ by at most 1
+      assert(sizes.keySet.subsetOf(Set(1L, 2L, 3L)))
+      if (rs.length >= 3) {
+        assert(sizes.values.max - sizes.values.min <= 1,
+          s"$lang terciles unbalanced: $sizes")
+        // every head score >= every middle score >= every tail score
+        val hMin = rs.filter(_._4 == 1L).map(_._3).min
+        val mMax = rs.filter(_._4 == 2L).map(_._3).max
+        val mMin = rs.filter(_._4 == 2L).map(_._3).min
+        val tMax = rs.filter(_._4 == 3L).map(_._3).max
+        assert(hMin >= mMax && mMin >= tMax, s"$lang buckets out of score order")
+      }
+      rs.foreach { case (_, _, _, b, label, kept) =>
+        assert(label == (if (b == 1L) "head" else if (b == 2L) "middle" else "tail"))
+        assert(kept == (b <= 2L))
+      }
+    }
+  }
 }
