@@ -539,6 +539,124 @@ object Relational {
           col("exact_total_users") * lit(0.05)).as("est_within_5pct"))
   }
 
+  /** Sketch size for [[aggThetaOverlap]]: 2¹⁰ = 1024 retained hashes
+    * (~8 KB compact) → ~3.1% relative standard error in estimation
+    * mode. Production dashboards typically run lgK 12–16; the gates
+    * below are sized for this lgK.
+    */
+  val ThetaLgK = 10
+
+  /** Theta-sketch overlap core over a keyed cohort table `(k, a, b)`:
+    * item key + membership flags for cohorts A and B. Exposed for the
+    * spec; the registered query is [[aggThetaOverlap]].
+    *
+    * Exact twin: one compact-key shuffle (groupBy k, flag ORs, count).
+    * Sketch side: MAP-ONLY — each input partition builds two local
+    * `UpdateSketch`es and emits their ~8 KB compact forms; the driver
+    * merge is bounded by 2 × partitions × 8 KB (the same k-bounded
+    * collect contract as the k-means centroids). Theta's retained set
+    * is the k smallest hash values of the DISTINCT key set — a pure
+    * function of the set, so estimates are partition- and
+    * order-invariant (DeterminismSpec).
+    */
+  def thetaOverlap(keyed: DataFrame): DataFrame = {
+    val exact = keyed.groupBy(col("k"))
+      .agg(max(col("a")).as("ia"), max(col("b")).as("ib"))
+      .agg(
+        sum(when(col("ia"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("ib"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("ia") && col("ib"), 1L).otherwise(0L)).as("n_and"),
+        count(lit(1)).as("n_or"))
+    val (estA, estB, estAnd, estOr) = thetaEstimates(keyed)
+    // intersection compounds both operands' error; +32 floors tiny sets
+    def ok(est: Double, exactCol: org.apache.spark.sql.Column) =
+      abs(lit(est) - exactCol.cast(DoubleType)) <= exactCol.cast(DoubleType) * 0.10 + 32.0
+    exact.select(
+      col("n_a"), col("n_b"), col("n_and"), col("n_or"),
+      (col("n_and").cast(DoubleType) / col("n_or").cast(DoubleType)).as("jaccard"),
+      ok(estA, col("n_a")).as("est_a_ok"),
+      ok(estB, col("n_b")).as("est_b_ok"),
+      ok(estAnd, col("n_and")).as("est_and_ok"),
+      ok(estOr, col("n_or")).as("est_or_ok"))
+  }
+
+  /** The sketch path of [[thetaOverlap]]: per-partition theta builds,
+    * k-bounded driver merge, returns (|A|, |B|, |A∩B|, |A∪B|)
+    * estimates. Exposed so the spec can assert exact-mode equality
+    * and estimation-mode accuracy directly.
+    */
+  def thetaEstimates(keyed: DataFrame): (Double, Double, Double, Double) = {
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.theta.{SetOperation, Sketches, UpdateSketch}
+    val encIn = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaBoolean,
+      org.apache.spark.sql.Encoders.scalaBoolean)
+    val encOut = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaBoolean,
+      org.apache.spark.sql.Encoders.BINARY)
+    val partials = keyed.select(col("k"), col("a"), col("b")).as[(Long, Boolean, Boolean)](encIn)
+      .mapPartitions { it =>
+        val sa = UpdateSketch.builder().setLogNominalEntries(ThetaLgK).build()
+        val sb = UpdateSketch.builder().setLogNominalEntries(ThetaLgK).build()
+        it.foreach { case (k, a, b) => if (a) sa.update(k); if (b) sb.update(k) }
+        Iterator((true, sa.compact().toByteArray), (false, sb.compact().toByteArray))
+      }(encOut).collect()
+    val ua = SetOperation.builder().setLogNominalEntries(ThetaLgK).buildUnion()
+    val ub = SetOperation.builder().setLogNominalEntries(ThetaLgK).buildUnion()
+    partials.foreach { case (isA, bytes) =>
+      val sk = Sketches.wrapSketch(Memory.wrap(bytes))
+      if (isA) ua.union(sk) else ub.union(sk)
+    }
+    val inter = SetOperation.builder().setLogNominalEntries(ThetaLgK).buildIntersection()
+    inter.intersect(ua.getResult); inter.intersect(ub.getResult)
+    val uor = SetOperation.builder().setLogNominalEntries(ThetaLgK).buildUnion()
+    uor.union(ua.getResult); uor.union(ub.getResult)
+    (ua.getResult.getEstimate, ub.getResult.getEstimate,
+      inter.getResult.getEstimate, uor.getResult.getEstimate)
+  }
+
+  /** Q-AGG-THETA: cohort overlap via Theta sketches — the companion to
+    * [[aggSketchRollup]] for the question HLL cannot answer: "how many
+    * items are in BOTH audiences?" HLL unions; Theta (Apache
+    * DataSketches, on Spark's own classpath) supports set INTERSECTION
+    * with bounded error, so two cohorts summarized independently (and
+    * in production persisted to the lake as ~8 KB binary columns) can
+    * be intersected without rescanning raw events.
+    *
+    * The item is an active (user, day) pair — `user_id·10⁵ + epoch
+    * day` (day < 10⁵ until year 2243) — so cohort A = click-days and
+    * cohort B = purchase-days overlap partially at any scale; the
+    * exact columns (`n_a/n_b/n_and/n_or/jaccard`) hash-match DuckDB
+    * and each sketch estimate is gated in-row against its exact twin
+    * (the estimate-twin pattern).
+    *
+    * Shape at 100 TB: the sketch path is one map-only pass + a
+    * 2×partitions×8 KB driver merge — no shuffle at all; the exact
+    * twin's compact-key shuffle exists only to earn the oracle hash.
+    */
+  def aggThetaOverlap(s: SparkSession, d: String): DataFrame =
+    thetaOverlap(Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(
+        (col("user_id") * 100000L + expr("unix_micros(ts) DIV 86400000000")).as("k"),
+        (col("event_type") === "click").as("a"),
+        (col("event_type") === "purchase").as("b")))
+
+  val aggThetaOverlapSql: String =
+    """WITH k AS (
+      |  SELECT user_id * 100000 + epoch_us(ts) // 86400000000 AS k,
+      |    bool_or(event_type = 'click') AS ia,
+      |    bool_or(event_type = 'purchase') AS ib
+      |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1)
+      |SELECT sum(CASE WHEN ia THEN 1 ELSE 0 END)::BIGINT AS n_a,
+      |  sum(CASE WHEN ib THEN 1 ELSE 0 END)::BIGINT AS n_b,
+      |  sum(CASE WHEN ia AND ib THEN 1 ELSE 0 END)::BIGINT AS n_and,
+      |  count(*)::BIGINT AS n_or,
+      |  sum(CASE WHEN ia AND ib THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS jaccard,
+      |  TRUE AS est_a_ok, TRUE AS est_b_ok, TRUE AS est_and_ok, TRUE AS est_or_ok
+      |FROM k""".stripMargin
+
   /** Q-SQL-1: the SQL-text entrypoint — the engine's tables exposed as
     * views and queried with `spark.sql(...)` rather than the DataFrame
     * DSL (the reference's users write ad-hoc SQL over the landed lake,
@@ -937,6 +1055,7 @@ object Relational {
         |  (SELECT count(DISTINCT user_id) FROM events) AS exact_total_users,
         |  TRUE AS est_within_5pct
         |FROM daily""".stripMargin)),
+    Q("q_agg_theta_overlap", aggThetaOverlap, Some(aggThetaOverlapSql)),
     Q("q_fn_json", fnJson, Some(
       """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
         |  CAST(sum(k) AS DOUBLE) / count(*) AS avg_k
