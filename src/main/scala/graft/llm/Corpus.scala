@@ -289,9 +289,81 @@ object Corpus {
        |FROM q""".stripMargin
   }
 
+  /** Seed for the fractional-epoch Bernoulli draw and per-copy shard
+    * placement — deterministic, so the assembled mix is reproducible.
+    */
+  val EpochSeed = "epoch1"
+
+  /** Q-CORPUS-EPOCHS: epoch-based source up/down-sampling — the
+    * replication step that turns mixture weights into an actual
+    * training corpus (the "N epochs of curated, fraction of an epoch
+    * of web" recipe used by published LLM data mixes): each source
+    * gets a fractional epoch factor; every document materializes
+    * `floor(f)` copies plus one more with probability `frac(f)`,
+    * decided by a seeded hash — deterministic Bernoulli rounding, so
+    * the expected token count per source is exactly `f ×` its size
+    * and reruns are byte-identical. Factors here cycle 2.5 / 1.5 /
+    * 1.0 / 0.5 over the source index (0.5 = downsample half), stored
+    * as integer percent so the arithmetic never touches floats.
+    *
+    * Each copy carries a seeded shard key ([[TextOps.shuffleShard]]'s
+    * form) so replicas of the same document scatter across output
+    * shards — replication and the global shuffle compose.
+    *
+    * Shape at 100 TB: MAP-ONLY — a codegen'd `explode(sequence)` per
+    * row, zero shuffle; downstream writes partition by `shard`. The
+    * one exchange in the plan is the input spread (PlanSpec pins
+    * exactly that).
+    */
+  def epochs(s: SparkSession, d: String): DataFrame = {
+    import Portable._
+    val si = expr("CAST(substring(source, 4) AS INT)")
+    val pct = when(si % 4 === 0, 250).when(si % 4 === 1, 150)
+      .when(si % 4 === 2, 100).otherwise(50)
+    Tables.par(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"), pct.as("epoch_pct"),
+        (h60(concat(lit(EpochSeed + ":"), col("doc_id").cast("string"))) % 100L).as("h"))
+      .withColumn("n_copies",
+        (expr("epoch_pct div 100") +
+          when(col("h") < col("epoch_pct") % 100, 1).otherwise(0)).cast("int"))
+      .withColumn("copy_idx",
+        explode(when(col("n_copies") >= 1, sequence(lit(1), col("n_copies")))
+          .otherwise(array().cast("array<int>"))))
+      .select(col("doc_id"), col("source"), col("epoch_pct"), col("n_copies"),
+        col("copy_idx").cast("long").as("copy_idx"),
+        (h60(concat(lit(EpochSeed + "s:"), col("doc_id").cast("string"),
+          lit(":"), col("copy_idx").cast("string"))) % 32L).as("shard"))
+  }
+
+  val epochsSql: String = {
+    import Portable._
+    s"""WITH base AS (
+       |  SELECT doc_id, source, substr(source, 4)::INT AS si,
+       |    ${h60Sql(s"'$EpochSeed:' || doc_id")} % 100 AS h
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, source,
+       |    CASE si % 4 WHEN 0 THEN 250 WHEN 1 THEN 150 WHEN 2 THEN 100 ELSE 50 END
+       |      AS epoch_pct, h
+       |  FROM base),
+       |c AS (
+       |  SELECT doc_id, source, epoch_pct,
+       |    (epoch_pct // 100 + CASE WHEN h < epoch_pct % 100 THEN 1 ELSE 0 END)::INT
+       |      AS n_copies
+       |  FROM p WHERE epoch_pct // 100 + CASE WHEN h < epoch_pct % 100 THEN 1 ELSE 0 END >= 1),
+       |e AS (
+       |  SELECT doc_id, source, epoch_pct, n_copies,
+       |    unnest(generate_series(1, n_copies)) AS copy_idx
+       |  FROM c)
+       |SELECT doc_id, source, epoch_pct, n_copies, copy_idx::BIGINT AS copy_idx,
+       |  ${h60Sql(s"'${EpochSeed}s:' || doc_id || ':' || copy_idx")} % 32 AS shard
+       |FROM e""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_corpus_funnel", funnel, Some(funnelSql)),
     Q("q_corpus_decontam", decontam, Some(decontamSql)),
     Q("q_corpus_decontam_bloom", decontamBloom, Some(decontamBloomSql)),
-    Q("q_corpus_token_budget", tokenBudget, Some(tokenBudgetSql)))
+    Q("q_corpus_token_budget", tokenBudget, Some(tokenBudgetSql)),
+    Q("q_corpus_epochs", epochs, Some(epochsSql)))
 }

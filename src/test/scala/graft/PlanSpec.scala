@@ -296,5 +296,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!cc.contains("CartesianProduct"), cc.take(1500))
     val ccLang = "hashpartitioning\\(lang".r.findAllIn(cc).size
     assert(ccLang == 1, s"expected 1 lang-keyed exchange, got $ccLang:\n" + cc.take(2000))
+
+    // epoch replication is map-only: the sole exchange is the input
+    // spread; the replication itself is a codegen'd explode
+    val ep = plan(SparkEntry.queries("q_corpus_epochs")(spark, sf))
+    val epExchanges = "Exchange".r.findAllIn(ep).size
+    assert(epExchanges == 1 && ep.contains("RoundRobinPartitioning"),
+      s"epochs should shuffle nothing beyond the input spread:\n" + ep.take(2000))
+    assert(ep.contains("Generate explode"), ep.take(1500))
   }
 }

@@ -158,6 +158,47 @@ class SelectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count(_._5) == k, "selected count != k")
   }
 
+  test("epochs: replication matches a driver-side recompute; copies scatter shards") {
+    import graft.llm.Corpus
+    val rows = Corpus.epochs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // independent recompute of n_copies per doc from the seeded hash
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expCopies = docs.map { case (id, src) =>
+      val pct = src.drop(3).toInt % 4 match {
+        case 0 => 250; case 1 => 150; case 2 => 100; case _ => 50
+      }
+      val h = h60(s"${Corpus.EpochSeed}:$id") % 100L
+      (id, pct / 100 + (if (h < pct % 100) 1 else 0))
+    }.toMap
+    val gotByDoc = rows.groupBy(_._1)
+    expCopies.foreach { case (id, n) =>
+      if (n == 0) assert(!gotByDoc.contains(id), s"doc $id should be dropped")
+      else {
+        val copies = gotByDoc(id)
+        assert(copies.length == n, s"doc $id expected $n copies, got ${copies.length}")
+        assert(copies.map(_._5).sorted.toSeq == (1L to n), s"doc $id copy_idx not dense")
+        assert(copies.forall(_._4 == n))
+      }
+    }
+    rows.foreach { case (_, _, pct, _, _, shard) =>
+      assert(Set(250, 150, 100, 50)(pct))
+      assert(shard >= 0L && shard < 32L)
+    }
+    // replicas of one doc must not all land in one shard globally:
+    // with 32 shards and >= 2 copies, expect many distinct pairs
+    val multi = gotByDoc.filter(_._2.length >= 2)
+    if (multi.size >= 10) {
+      val scattered = multi.count { case (_, cs) => cs.map(_._6).distinct.length >= 2 }
+      assert(scattered * 10 >= multi.size * 5,
+        s"copies failed to scatter: $scattered of ${multi.size} docs use >1 shard")
+    }
+  }
+
   test("ccnet: per-language terciles are balanced, ordered by score, tail dropped") {
     val rows = Select.ccnet(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(3),
