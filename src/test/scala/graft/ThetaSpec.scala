@@ -51,6 +51,46 @@ class ThetaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2 == e7, s"partitioning leaked into theta estimates: $e2 vs $e7")
   }
 
+  test("theta sketches survive the lake: parquet binary round-trip merges to the direct estimate") {
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.theta.{SetOperation, Sketches, UpdateSketch}
+    import spark.implicits._
+    val lgK = Relational.ThetaLgK
+    // daily sketches, as a production job would persist them
+    val daily = (0 until 5000).map(k => (k % 7, k.toLong)).toDF("day", "k")
+      .as[(Int, Long)].groupByKey(_._1)
+      .mapGroups { (day, it) =>
+        val sk = UpdateSketch.builder().setLogNominalEntries(lgK).build()
+        it.foreach(t => sk.update(t._2))
+        (day, sk.compact().toByteArray)
+      }.toDF("day", "sk")
+    val dir = java.nio.file.Files.createTempDirectory("thetalake").toString
+    daily.write.mode("overwrite").parquet(dir)
+
+    def unionOf(rows: Array[Array[Byte]]): Double = {
+      val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+      rows.foreach(b => u.union(Sketches.wrapSketch(Memory.wrap(b))))
+      u.getResult.getEstimate
+    }
+    val persisted = unionOf(spark.read.parquet(dir).select("sk")
+      .collect().map(_.getAs[Array[Byte]](0)))
+    val direct = unionOf(daily.select("sk").collect().map(_.getAs[Array[Byte]](0)))
+    assert(persisted == direct, s"parquet round-trip changed the estimate: $persisted vs $direct")
+    assert(math.abs(persisted - 5000.0) <= 5000 * 0.10, s"union estimate off: $persisted")
+  }
+
+  test("HLL sketches survive the lake: hll_union_agg over persisted binaries == direct") {
+    import spark.implicits._
+    val df = (0 until 5000).map(k => (k % 7, k.toLong)).toDF("day", "k")
+    val daily = df.groupBy(col("day")).agg(expr("hll_sketch_agg(k)").as("sk"))
+    val dir = java.nio.file.Files.createTempDirectory("hlllake").toString
+    daily.write.mode("overwrite").parquet(dir)
+    val persisted = spark.read.parquet(dir)
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")).head.getLong(0)
+    val direct = df.agg(expr("hll_sketch_estimate(hll_sketch_agg(k))")).head.getLong(0)
+    assert(persisted == direct, s"round-trip changed the HLL estimate: $persisted vs $direct")
+  }
+
   test("registered query: gates hold and jaccard is the exact ratio") {
     val r = Relational.aggThetaOverlap(spark, "/root/testdata/sf0.001").collect()
     assert(r.length == 1)
