@@ -635,13 +635,19 @@ object Relational {
     * 2×partitions×8 KB driver merge — no shuffle at all; the exact
     * twin's compact-key shuffle exists only to earn the oracle hash.
     */
-  def aggThetaOverlap(s: SparkSession, d: String): DataFrame =
-    thetaOverlap(Tables.events(s, d)
+  /** The cohort item table for [[aggThetaOverlap]] (and its streaming
+    * twin [[graft.streaming.Streaming.thetaCohortStream]]).
+    */
+  def thetaKeyed(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
       .filter(col("event_type").isin("click", "purchase"))
       .select(
         (col("user_id") * 100000L + expr("unix_micros(ts) DIV 86400000000")).as("k"),
         (col("event_type") === "click").as("a"),
-        (col("event_type") === "purchase").as("b")))
+        (col("event_type") === "purchase").as("b"))
+
+  def aggThetaOverlap(s: SparkSession, d: String): DataFrame =
+    thetaOverlap(thetaKeyed(s, d))
 
   val aggThetaOverlapSql: String =
     """WITH k AS (

@@ -254,6 +254,46 @@ object Streaming {
       .drop("__sh")
   }
 
+  /** Incremental cohort sketches: theta union as keyed streaming
+    * state — the live-dashboard form of
+    * [[graft.queries.Relational.thetaOverlap]]. Input rows are
+    * (label, key) cohort-membership items. Each micro-batch
+    * pre-sketches per PARTITION map-side (the same combine as the
+    * batch operator — only ~8 KB compact partials reach the state
+    * shuffle, never raw keys), then per-label state unions the
+    * partials and emits the label's compact sketch + running
+    * estimate. The two labels' latest sketches intersect driver-side
+    * for "items in BOTH cohorts so far" without rescanning history;
+    * theta union is associative and its retained set is a pure
+    * function of the item set, so any batch split yields the batch
+    * operator's exact estimates (StreamingSpec pins this).
+    */
+  def thetaCohortStream(items: Dataset[(Boolean, Long)]): Dataset[(Boolean, Array[Byte], Double)] = {
+    import items.sparkSession.implicits._
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.theta.{SetOperation, Sketches, UpdateSketch}
+    val lgK = graft.queries.Relational.ThetaLgK
+    val partials = items.mapPartitions { it =>
+      val sks = scala.collection.mutable.Map.empty[Boolean, UpdateSketch]
+      it.foreach { case (lab, k) =>
+        sks.getOrElseUpdate(lab,
+          UpdateSketch.builder().setLogNominalEntries(lgK).build()).update(k)
+      }
+      sks.iterator.map { case (lab, sk) => (lab, sk.compact().toByteArray) }
+    }
+    partials.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Byte], (Boolean, Array[Byte], Double)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (label: Boolean, it: Iterator[(Boolean, Array[Byte])], state: GroupState[Array[Byte]]) =>
+          val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+          state.getOption.foreach(b => u.union(Sketches.wrapSketch(Memory.wrap(b))))
+          it.foreach { case (_, b) => u.union(Sketches.wrapSketch(Memory.wrap(b))) }
+          val out = u.getResult.toByteArray
+          state.update(out)
+          Iterator((label, out, u.getResult.getEstimate))
+      }
+  }
+
   /** transformWithState wiring of [[PersonStateProcessor]]. */
   def personStateTws(ops: Dataset[PersonOp]): Dataset[PersonRecord] = {
     import ops.sparkSession.implicits._

@@ -452,4 +452,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rocks.maxBy(_.version) == hdfs.maxBy(_.version))
     assert(rocks.sortBy(_.version) == hdfs.sortBy(_.version))
   }
+
+  test("incremental theta cohorts: any batch split == the batch operator's estimates") {
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.theta.{SetOperation, Sketches}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val keyed = graft.queries.Relational.thetaKeyed(spark, sf)
+    // flatten (k, a, b) rows into (label, key) cohort-membership items
+    val items = keyed.collect().flatMap { r =>
+      val k = r.getLong(0)
+      (if (r.getBoolean(1)) Seq((true, k)) else Nil) ++
+        (if (r.getBoolean(2)) Seq((false, k)) else Nil)
+    }
+    val (estA, estB, estAnd, estOr) = graft.queries.Relational.thetaEstimates(keyed)
+
+    val mem = MemoryStream[(Boolean, Long)]
+    val q = Streaming.thetaCohortStream(mem.toDS())
+      .toDF("label", "sk", "est")
+      .writeStream.format("memory").queryName("theta_stream")
+      .outputMode(OutputMode.Update()).start()
+    val rows = try {
+      items.grouped(math.max(1, items.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toSeq: _*); q.processAllAvailable()
+      }
+      spark.table("theta_stream").collect()
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS theta_stream") }
+
+    // last emission per label is the running total; it must equal the
+    // batch sketch path exactly (theta union is associative)
+    val last = rows.zipWithIndex.groupBy(_._1.getBoolean(0))
+      .map { case (lab, rs) => lab -> rs.maxBy(_._2)._1 }
+    assert(last(true).getDouble(2) == estA, "cohort A estimate diverged from batch")
+    assert(last(false).getDouble(2) == estB, "cohort B estimate diverged from batch")
+
+    val skA = Sketches.wrapSketch(Memory.wrap(last(true).getAs[Array[Byte]](1)))
+    val skB = Sketches.wrapSketch(Memory.wrap(last(false).getAs[Array[Byte]](1)))
+    val lgK = graft.queries.Relational.ThetaLgK
+    val inter = SetOperation.builder().setLogNominalEntries(lgK).buildIntersection()
+    inter.intersect(skA); inter.intersect(skB)
+    assert(inter.getResult.getEstimate == estAnd, "final-sketch intersection diverged")
+    val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+    u.union(skA); u.union(skB)
+    assert(u.getResult.getEstimate == estOr, "final-sketch union diverged")
+  }
 }
