@@ -360,10 +360,76 @@ object Corpus {
        |FROM e""".stripMargin
   }
 
+  /** Shard count for [[stratShards]]; production picks its worker
+    * count — same plan.
+    */
+  val NumStratShards = 32L
+
+  /** Q-CORPUS-STRAT: stratified shard packing — assign documents to N
+    * output shards so EVERY shard carries the same language × quality
+    * mix (each training worker reads one shard; an unstratified split
+    * hands worker 7 the low-resource-language tail and skews its
+    * gradient). Within each (lang, is_quality) stratum, documents
+    * order by a seeded hash (the [[TextOps.shuffleShard]] draw — a
+    * deterministic permutation) and deal round-robin: shard =
+    * (rank − 1) mod N, so per-stratum shard counts differ by at most
+    * one, by construction.
+    *
+    * Shape at 100 TB: ONE stratum-keyed shuffle of compact columns
+    * (doc_id, key, flags — payloads don't move) feeds the rank
+    * window; strata are few (langs × 2), so at extreme scale the
+    * same swap as [[tokenBudget]] applies (bounded top-k per stratum
+    * or write-time `repartition(stratum).sortWithinPartitions`).
+    */
+  def stratShards(s: SparkSession, d: String): DataFrame = {
+    import Portable._
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col("text"))
+    val base = Tables.par(Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"),
+        h60(concat(lit(EpochSeed + "st:"), col("doc_id").cast("string"))).as("shuf_key"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"))
+      .withColumn("is_quality",
+        col("n_tokens") >= 10 && col("n_tokens") <= 1000 &&
+          col("n_uniq") * 2 >= col("n_tokens"))
+    val w = Window.partitionBy(col("lang"), col("is_quality"))
+      .orderBy(col("shuf_key"), col("doc_id"))
+    base
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("lang"), col("is_quality"), col("n_tokens"),
+        ((col("rn") - 1L) % NumStratShards).as("shard"),
+        (expr("(rn - 1) div " + NumStratShards)).as("pos_in_shard"))
+  }
+
+  val stratShardsSql: String = {
+    import Portable._
+    s"""WITH base AS (
+       |  SELECT doc_id, lang,
+       |    ${h60Sql(s"'${EpochSeed}st:' || doc_id")} AS shuf_key,
+       |    len(toks)::BIGINT AS n_tokens,
+       |    len(list_distinct(toks))::BIGINT AS n_uniq
+       |  FROM (SELECT doc_id, lang, text, ${tokensSql("text")} AS toks FROM documents)),
+       |q AS (
+       |  SELECT doc_id, lang, shuf_key, n_tokens,
+       |    (n_tokens >= 10 AND n_tokens <= 1000 AND n_uniq * 2 >= n_tokens) AS is_quality
+       |  FROM base),
+       |r AS (
+       |  SELECT doc_id, lang, is_quality, n_tokens,
+       |    row_number() OVER (PARTITION BY lang, is_quality
+       |      ORDER BY shuf_key, doc_id)::BIGINT AS rn
+       |  FROM q)
+       |SELECT doc_id, lang, is_quality, n_tokens,
+       |  (rn - 1) % $NumStratShards AS shard,
+       |  (rn - 1) // $NumStratShards AS pos_in_shard
+       |FROM r""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_corpus_funnel", funnel, Some(funnelSql)),
     Q("q_corpus_decontam", decontam, Some(decontamSql)),
     Q("q_corpus_decontam_bloom", decontamBloom, Some(decontamBloomSql)),
     Q("q_corpus_token_budget", tokenBudget, Some(tokenBudgetSql)),
-    Q("q_corpus_epochs", epochs, Some(epochsSql)))
+    Q("q_corpus_epochs", epochs, Some(epochsSql)),
+    Q("q_corpus_strat_shards", stratShards, Some(stratShardsSql)))
 }

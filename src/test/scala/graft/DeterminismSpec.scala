@@ -61,7 +61,7 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (q <- Seq("q_agg_approx", "q_agg_approx_quantiles", "q_agg_sketch_rollup",
         "q_corpus_decontam_bloom", "q_text_ngrams_cms", "q_text_vocab",
         "q_text_bpe", "q_corpus_token_budget", "q_corpus_dsir", "q_corpus_ccnet",
-        "q_agg_theta_overlap")) {
+        "q_agg_theta_overlap", "q_corpus_strat_shards")) {
       val a = runAt(2, q)
       val b = runAt(7, q)
       assert(a.nonEmpty, s"$q returned nothing")

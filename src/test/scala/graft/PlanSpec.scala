@@ -304,5 +304,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(epExchanges == 1 && ep.contains("RoundRobinPartitioning"),
       s"epochs should shuffle nothing beyond the input spread:\n" + ep.take(2000))
     assert(ep.contains("Generate explode"), ep.take(1500))
+
+    // stratified shards: one stratum-keyed exchange feeds the rank window
+    val st = plan(SparkEntry.queries("q_corpus_strat_shards")(spark, sf))
+    assert(!st.contains("CartesianProduct"), st.take(1500))
+    val stEx = "hashpartitioning\\(lang".r.findAllIn(st).size
+    assert(stEx == 1, s"expected 1 stratum-keyed exchange, got $stEx:\n" + st.take(2000))
   }
 }

@@ -199,6 +199,24 @@ class SelectSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("stratified shards: every (stratum, shard) count within 1; positions dense") {
+    import graft.llm.Corpus
+    val rows = Corpus.stratShards(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r._2, r._3)).foreach { case (stratum, rs) =>
+      val byShard = rs.groupBy(_._4).view.mapValues(_.length).toMap
+      // round-robin deal: counts across the 32 shards differ by <= 1
+      val counts = (0L until Corpus.NumStratShards).map(byShard.getOrElse(_, 0))
+      assert(counts.max - counts.min <= 1, s"$stratum unbalanced: $byShard")
+      rs.groupBy(_._4).foreach { case (shard, srs) =>
+        assert(srs.map(_._5).sorted.toSeq == (0L until srs.length),
+          s"$stratum shard $shard positions not dense")
+      }
+    }
+    assert(rows.map(_._4).forall(s => s >= 0 && s < Corpus.NumStratShards))
+  }
+
   test("ccnet: per-language terciles are balanced, ordered by score, tail dropped") {
     val rows = Select.ccnet(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(3),
