@@ -235,4 +235,29 @@ class OperatorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getBoolean(6), s"fp bound breached for doc ${r.getLong(0)}")
     }
   }
+
+  test("write-time shuffle form == rank window: sortWithinPartitions reproduces pos_in_shard") {
+    // shuffleShard's scaladoc claims the rank window is the audit form
+    // of `repartition(shard).sortWithinPartitions(shuf_key)` — at
+    // scale the file order IS the position. Prove the orders coincide:
+    // within any physical partition, each shard's rows appear exactly
+    // in the window's pos_in_shard sequence.
+    val sf = "/root/testdata/sf0.001"
+    val df = graft.llm.TextOps.shuffleShard(spark, sf)
+    val expected = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._3).view.mapValues(_.sortBy(_._4).map(_._1).toSeq).toMap
+    import org.apache.spark.sql.functions.col
+    val encountered = df.repartition(5, col("shard"))
+      .sortWithinPartitions(col("shuf_key"), col("doc_id"))
+      .select(col("shard"), col("doc_id"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .mapPartitions(it => Iterator(it.toSeq)).collect()
+    val got = scala.collection.mutable.Map.empty[Long, Vector[Long]].withDefaultValue(Vector.empty)
+    encountered.foreach(_.foreach { case (sh, id) => got(sh) = got(sh) :+ id })
+    expected.foreach { case (sh, ids) =>
+      assert(got(sh) == ids, s"shard $sh: write-time order diverged from the rank window")
+    }
+    assert(got.keySet == expected.keySet)
+  }
 }
