@@ -94,8 +94,17 @@ object Bench {
         kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val ps = byPass.zipWithIndex
         .map { case (p, i) => "\"pass" + (i + 1) + "\":" + m(p) }.mkString(",")
+      // escape control chars too (a CRLF message keeps its \r after the
+      // takeWhile above; raw control bytes would make the artifact
+      // unparseable for make_budgets.py)
+      def jstr(v: String): String = v.flatMap {
+        case '\\' => "\\\\"
+        case '"' => "\\\""
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
       val fs = failures
-        .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
+        .map { case (k, v) => "\"" + k + "\":\"" + jstr(v) + "\"" }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${m(best)},$ps,"failures":$fs,"sf":"$sfDir"}"""
     }

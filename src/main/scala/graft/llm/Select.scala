@@ -481,8 +481,7 @@ object Select {
        |scored AS (
        |  SELECT doc_id, count(*)::BIGINT AS n_tokens,
        |    sum(tcnt * a_total)::BIGINT AS weight_num,
-       |    sum(acnt * t_total)::BIGINT AS weight_den,
-       |    any_value(a_total) AS a_total, any_value(t_total) AS t_total
+       |    sum(acnt * t_total)::BIGINT AS weight_den
        |  FROM tk JOIN st USING (th) CROSS JOIN tot
        |  GROUP BY doc_id),
        |pri AS (

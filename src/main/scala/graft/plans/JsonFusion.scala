@@ -88,12 +88,22 @@ object JsonFusion extends Rule[LogicalPlan] {
 
     val tz = Some(SQLConf.get.sessionLocalTimeZone)
     // one parse expression per probed column; identical instances at
-    // every former probe site → codegen subexpression elimination
+    // every former probe site → codegen subexpression elimination.
+    // The explicit mode option IS the default (semantics unchanged) but
+    // must be present: when this rule runs inside the operator-
+    // optimization fixed point (the `injectOptimizerRule` install
+    // path), Spark's OptimizeCsvJsonExprs prunes any options-free
+    // multi-field GetStructField(JsonToStructs) back down to one
+    // single-field parse PER SITE on the next iteration — k separate
+    // Jackson passes again, silently undoing the fusion. The rule
+    // only fires on `options.isEmpty`, so pinning the default mode
+    // keeps the shared parse intact (JsonFusionSpec pins this under a
+    // real `spark.sql.extensions` session).
     val parsed: Map[Expression, (JsonToStructs, Seq[String])] =
       fusable.map { case (canon, nameSet) =>
         val fields = nameSet.toSeq
         val schema = StructType(fields.map(StructField(_, StringType)))
-        canon -> (JsonToStructs(schema, Map.empty[String, String], sample(canon), tz), fields)
+        canon -> (JsonToStructs(schema, Map("mode" -> "PERMISSIVE"), sample(canon), tz), fields)
       }.toMap
 
     exprs.map(_.transform {

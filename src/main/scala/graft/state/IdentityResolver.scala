@@ -46,6 +46,13 @@ object IdentityResolver {
     */
   val LocalHeapBudget: Long = 512L * 1024 * 1024
 
+  /** Edge cap for the single-job quick probe in [[components]]: small
+    * enough that the collect stays tens of MB even with very long ids
+    * (65536 × ~400 B ≈ 25 MB), large enough to cover any realistic
+    * per-micro-batch alias graph in one job.
+    */
+  val QuickProbeEdges: Long = 65536L
+
   /** Retained-heap estimate for the collected edge list + union-find:
     * per edge, two String objects live in the row array and again as
     * map keys (UTF-16 → 2 bytes/char, ×2 copies), plus ~160 B of
@@ -97,34 +104,18 @@ object IdentityResolver {
       spark: SparkSession,
       edges: DataFrame,
       labelOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column = IdentityLabel,
-      localHeapBudget: Long = LocalHeapBudget)
+      localHeapBudget: Long = LocalHeapBudget,
+      quickProbeEdges: Long = QuickProbeEdges)
     : DataFrame = {
 
     import spark.implicits._
 
     val undirected = edges.select(col("src"), col("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // ONE job decides the path AND (usually) delivers the data: collect
-    // up to the largest edge count the heap budget could possibly admit
-    // (every edge costs ≥160 B of overhead alone, so budget/160 is a
-    // hard cap on what the local path could ever accept). The take also
-    // subsumes the old empty-batch probe — a quiet micro-batch returns
-    // zero rows from the same job. Only a result that spills past the
-    // cap, or whose actual id bytes push the estimate over budget,
-    // falls through to the distributed fixpoint on the persisted set —
-    // by then the driver has provably refused to union-find it anyway.
-    val maxLocalEdges = math.min(localHeapBudget / 160L, Int.MaxValue - 1L).toInt
-    val head = undirected.take(maxLocalEdges + 1)
-    val idBytes = head.iterator
-      .map(r => r.getString(0).length.toLong + r.getString(1).length.toLong).sum
 
-    if (head.length <= maxLocalEdges &&
-        estimatedHeapBytes(head.length, idBytes) <= localHeapBudget) {
-      undirected.unpersist()
-      if (head.isEmpty) return Seq.empty[(String, String)].toDF("id", "canonical")
-      // driver-local union-find; labelOf still evaluated by Spark so
-      // both paths share one canonical-election definition
-      val pairs = head.map(r => (r.getString(0), r.getString(1))).toSeq
+    // driver-local union-find; labelOf still evaluated by Spark so
+    // both paths share one canonical-election definition
+    def localPath(pairs: Seq[(String, String)]): DataFrame = {
       // identity labels need no evaluation pass — skip the Spark job
       // (matters for per-micro-batch CC where driver latency dominates)
       val lbl: String => String =
@@ -135,7 +126,46 @@ object IdentityResolver {
             .select(col("id"), labelOf(col("id")).cast("string").as("lbl"))
             .collect().map(r => r.getString(0) -> r.getString(1)).toMap
         }
-      return localComponents(pairs, lbl).toDF("id", "canonical")
+      localComponents(pairs, lbl).toDF("id", "canonical")
+    }
+    def idChars(rows: Array[org.apache.spark.sql.Row]): Long = rows.iterator
+      .map(r => r.getString(0).length.toLong + r.getString(1).length.toLong).sum
+
+    // ONE job decides the path AND (usually) delivers the data for the
+    // per-micro-batch case: collect up to QuickProbeEdges rows — a cap
+    // whose BYTES stay driver-trivial even with pathological id
+    // lengths, unlike the heap budget's edge-count ceiling (budget/160
+    // ≈ 3.4M edges could be gigabytes of strings; shipping them to
+    // find out they don't fit is the failure mode this cap exists to
+    // avoid). The take subsumes the old empty-batch probe — a quiet
+    // micro-batch returns zero rows from the same job.
+    val maxLocalEdges = math.min(localHeapBudget / 160L, Int.MaxValue - 1L).toInt
+    val quickCap = math.min(maxLocalEdges.toLong, quickProbeEdges).toInt
+    val head = undirected.take(quickCap + 1)
+
+    if (head.length <= quickCap) {
+      if (estimatedHeapBytes(head.length, idChars(head)) <= localHeapBudget) {
+        undirected.unpersist()
+        if (head.isEmpty) return Seq.empty[(String, String)].toDF("id", "canonical")
+        return localPath(head.map(r => (r.getString(0), r.getString(1))).toSeq)
+      }
+      // few edges but ids alone blow the budget → distributed fixpoint
+    } else {
+      // spilled past the quick cap: decide with a count+bytes aggregate
+      // BEFORE any large collect, so an over-budget edge set is never
+      // shipped to the driver (long ids flip to the distributed path
+      // without the driver ever holding them)
+      val probe = undirected
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("src")) + length(col("dst"))).cast("long").as("chars"))
+        .head()
+      if (probe.getLong(0) <= maxLocalEdges &&
+          estimatedHeapBytes(probe.getLong(0), probe.getLong(1)) <= localHeapBudget) {
+        val pairs = undirected.take(probe.getLong(0).toInt)
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+        undirected.unpersist()
+        return localPath(pairs)
+      }
     }
 
     val e = undirected

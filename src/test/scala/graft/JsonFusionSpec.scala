@@ -147,4 +147,55 @@ class JsonFusionSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the fused parse is last-wins — the reference's own serde behavior
     assert(probes2(docs).head().getString(0) == "second")
   }
+
+  test("spark.sql.extensions install survives the optimizer fixed point") {
+    // injectOptimizerRule places JsonFusion INSIDE the operator-
+    // optimization fixed point, where OptimizeCsvJsonExprs prunes any
+    // options-free multi-field GetStructField(from_json) back to one
+    // single-field parse per site — which would silently undo the
+    // fusion in the production deploy path while the extraOptimizations
+    // path (every other test here) still passed. The fused parse pins
+    // its (default) mode option to block the prune; this test runs the
+    // REAL extensions path and asserts the shared multi-field parse
+    // survives to the final optimized plan.
+    val prev = spark // force the shared session first
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    // NOTE: `.config("spark.sql.extensions", ...)` is a STATIC conf read
+    // from the SparkContext at its creation — a reused test context
+    // ignores it. `withExtensions` is the documented equivalent deploy
+    // path and injects through the same injectOptimizerRule placement
+    // (inside the operator-optimization fixed point), which is exactly
+    // what this test needs to exercise. ExtProbe-style fresh-JVM runs
+    // confirm the conf path behaves identically.
+    val ext = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new graft.functions.GraftExtensions().apply(_))
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import ext.implicits._
+      val df = Seq("""{"a":"1","b":"2","c":"3"}""").toDF("j").repartition(1)
+        .select(
+          get_json_object(col("j"), "$.a").as("a"),
+          get_json_object(col("j"), "$.b").as("b"),
+          get_json_object(col("j"), "$.c").as("c"))
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(!p.contains("get_json_object"), p)
+      assert(p.contains("from_json"), p)
+      Seq("a", "b", "c").foreach(k =>
+        assert(p.contains(s"StructField($k,StringType,true)"), p))
+      // the pruned (defeated) shape: a from_json whose schema is a
+      // single field applied directly to the source column
+      assert("""from_json\(StructField\(\w+,StringType,true\), j#""".r
+        .findFirstIn(p).isEmpty, "OptimizeCsvJsonExprs won the fixed point:\n" + p)
+      assert(df.head() == org.apache.spark.sql.Row("1", "2", "3"))
+    } finally {
+      // ext shares the SparkContext — do NOT stop() it; just restore
+      // the suite's session as active/default
+      org.apache.spark.sql.SparkSession.setActiveSession(prev)
+      org.apache.spark.sql.SparkSession.setDefaultSession(prev)
+    }
+  }
 }

@@ -386,6 +386,21 @@ class StateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canon.values.toSet == Set(center)) // one star, min label
   }
 
+  test("CC probe: graphs past the quick cap take the budget-checked local path") {
+    import spark.implicits._
+    // the quick single-job probe is byte-bounded; a graph that spills
+    // past it must be sized by the count+bytes AGGREGATE (never a blind
+    // oversized collect) and, when under budget, still resolve locally
+    val edges = Seq(
+      ("b", "a"), ("c", "b"), ("x", "y"), ("m", "n"), ("n", "o")).toDF("src", "dst")
+    val viaAggProbe = IdentityResolver.components(spark, edges, quickProbeEdges = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val direct = IdentityResolver.components(spark, edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(viaAggProbe == direct)
+    assert(viaAggProbe("c") == "a" && viaAggProbe("o") == "m")
+  }
+
   test("out-of-order ops fold by ord, not arrival order") {
     val r = replay(
       op("d", 3, set = Map("k" -> "late")),
