@@ -236,6 +236,73 @@ class OperatorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("fuzz: token budget and stratified shards == driver-side recompute on random docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2718)
+    val langs = Seq("en", "fr", "de")
+    val words = Array("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    // token counts drawn to straddle the quality gate's 10..1000 band
+    // and the uniqueness ratio; a few empty docs test the n=0 edge
+    val docs = (0L until 300L).map { id =>
+      val n = rnd.nextInt(4) match {
+        case 0 => rnd.nextInt(9)          // below the min-length gate
+        case 1 => 10 + rnd.nextInt(40)
+        case _ => 10 + rnd.nextInt(200)
+      }
+      val toks = Seq.fill(n)(words(rnd.nextInt(
+        if (rnd.nextBoolean()) words.length else 2))) // some low-diversity docs
+      (id, toks.mkString(" "), langs(rnd.nextInt(langs.length)))
+    }
+    val dir = Files.createTempDirectory("budgetfuzz").toString
+    docs.toDF("doc_id", "text", "lang")
+      .selectExpr("doc_id", "text", "lang", "concat('src', doc_id % 20) AS source",
+        "length(text) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    case class D(id: Long, lang: String, h: Long, nTok: Long, quality: Boolean)
+    val ref = docs.map { case (id, text, lang) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      val q = toks.length >= 10 && toks.length <= 1000 &&
+        toks.distinct.length * 2 >= toks.length
+      D(id, lang, h60(text), toks.length.toLong, q)
+    }
+
+    // token budget: per lang, quality-first hash order, keep while
+    // 4 * cum <= lang total
+    val expKept = ref.groupBy(_.lang).flatMap { case (_, ds) =>
+      val total = ds.map(_.nTok).sum
+      val ordered = ds.sortBy(d => (!d.quality, d.h, d.id))
+      var cum = 0L
+      ordered.map { d => cum += d.nTok; d.id -> (cum * 4 <= total) }
+    }
+    val gotBudget = graft.llm.Corpus.tokenBudget(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(gotBudget.size == docs.length)
+    expKept.foreach { case (id, kept) =>
+      assert(gotBudget(id) == kept, s"token budget: doc $id kept mismatch")
+    }
+
+    // stratified shards: per (lang, quality), seeded-hash order dealt
+    // round-robin
+    val expShard = ref.groupBy(d => (d.lang, d.quality)).flatMap { case (_, ds) =>
+      ds.sortBy(d => (h60(s"${graft.llm.Corpus.EpochSeed}st:${d.id}"), d.id))
+        .zipWithIndex.map { case (d, i) =>
+          d.id -> (i.toLong % graft.llm.Corpus.NumStratShards,
+            i.toLong / graft.llm.Corpus.NumStratShards) }
+    }
+    val gotShard = graft.llm.Corpus.stratShards(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5))).toMap
+    assert(gotShard.size == docs.length)
+    expShard.foreach { case (id, sp) =>
+      assert(gotShard(id) == sp, s"strat shards: doc $id (shard,pos) mismatch")
+    }
+  }
+
   test("write-time shuffle form == rank window: sortWithinPartitions reproduces pos_in_shard") {
     // shuffleShard's scaladoc claims the rank window is the audit form
     // of `repartition(shard).sortWithinPartitions(shuf_key)` — at
