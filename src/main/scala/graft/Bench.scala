@@ -21,8 +21,10 @@ import org.apache.spark.sql.SparkSession
   * `"others"`, `"nq"` = total query count).
   *
   * Failures are never silent: a query that throws is recorded in the
-  * artifact (`"failures"`) and on stderr, and a full run exits
-  * nonzero — a crashing query must not masquerade as a fast one.
+  * artifact (`"failures"`) and on stderr, and ANY run — full or
+  * `SPARK_GRAFT_ONLY` subset — exits nonzero (2 for failures, 1 for a
+  * budget-gate breach) — a crashing query must not masquerade as a
+  * fast one, warm or cold.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -154,8 +156,11 @@ object Bench {
     // Unguarded queries (registered but absent from the budgets file)
     // are themselves a breach: without this, a new query can never
     // trip the gate until someone remembers to re-baseline.
+    // a crash is unambiguous regardless of warm/cold timing, so it fails
+    // SUBSET (dev) runs too — with a distinct exit code (2) so a dev
+    // loop can tell "my query threw" from "the budget gate tripped" (1)
     val budgetFile = new java.io.File("bench_budgets.json")
-    var gateFailed = only.isEmpty && failures.nonEmpty
+    var gateFailed = failures.nonEmpty
     if (only.isEmpty && passes >= 2 && budgetFile.exists()) {
       val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(budgetFile)
       val sfMatch = root.path("source_sf").asText("") == sfDir
@@ -180,6 +185,7 @@ object Bench {
       } else System.err.println(
         s"[bench-guard] budgets are for ${root.path("source_sf").asText("")}, run is $sfDir — gate skipped")
     }
+    if (failures.nonEmpty) sys.exit(2)
     if (gateFailed) sys.exit(1)
   }
 }

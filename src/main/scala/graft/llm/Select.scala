@@ -417,8 +417,12 @@ object Select {
     * mean token probability under the TARGET distribution (`lang =
     * 'en'`, standing in for the curated reference corpus) to its mean
     * probability under the RAW pool (all documents) — integer sums,
-    * then IEEE-exact double division in a pinned order. The raw side
-    * counts every token, so the denominator is always positive. The
+    * then IEEE-exact double division in a pinned order. The denominator
+    * `Σ acnt·t_total` is positive iff the TARGET cohort has ≥1 token;
+    * an EMPTY target (no `'en'` docs at all) would make every weight
+    * 0/0, so that case is guarded explicitly: weight 0, nothing
+    * selected — there is no target distribution to importance-sample
+    * toward (both engines carry the identical CASE guard). The
     * uniform draw is `u ∝ h60(seed:doc_id) + 1` (the constant 2⁻⁶⁰
     * scale cancels in ranking and is dropped). Int64 bound: token
     * instances N keep `cnt·total ≤ N²` and the per-doc sum ≤ L·N²
@@ -453,7 +457,9 @@ object Select {
         sum(col("acnt") * col("t_total")).as("weight_den"))
       .select(
         col("doc_id"), col("n_tokens"), col("weight_num"), col("weight_den"),
-        (col("weight_num").cast(DoubleType) / col("weight_den").cast(DoubleType))
+        // empty-target guard (object doc): weight_den = 0 ⇔ t_total = 0
+        when(col("weight_den") === 0L, lit(0.0))
+          .otherwise(col("weight_num").cast(DoubleType) / col("weight_den").cast(DoubleType))
           .as("weight"),
         (h60(concat(lit(DsirSeed + ":"), col("doc_id").cast("string"))) + 1L).as("u_h"))
       .withColumn("priority", col("weight") / col("u_h").cast(DoubleType))
@@ -464,7 +470,7 @@ object Select {
     scored.crossJoin(broadcast(thresh))
       .select(col("doc_id"), col("n_tokens"), col("weight_num"), col("weight_den"),
         col("weight"), col("priority"),
-        (col("priority") >= col("thresh")).as("selected"))
+        (col("priority") >= col("thresh") && col("weight_den") > 0L).as("selected"))
   }
 
   val dsirSql: String = {
@@ -486,15 +492,17 @@ object Select {
        |  GROUP BY doc_id),
        |pri AS (
        |  SELECT doc_id, n_tokens, weight_num, weight_den,
-       |    weight_num::DOUBLE / weight_den::DOUBLE AS weight,
-       |    (weight_num::DOUBLE / weight_den::DOUBLE) /
+       |    CASE WHEN weight_den = 0 THEN 0.0::DOUBLE
+       |         ELSE weight_num::DOUBLE / weight_den::DOUBLE END AS weight,
+       |    CASE WHEN weight_den = 0 THEN 0.0::DOUBLE
+       |         ELSE weight_num::DOUBLE / weight_den::DOUBLE END /
        |      ((${h60Sql(s"'$DsirSeed:' || doc_id")}) + 1)::DOUBLE AS priority
        |  FROM scored),
        |thr AS (
        |  SELECT min(priority) AS thresh
        |  FROM (SELECT priority FROM pri ORDER BY priority DESC LIMIT $DsirK))
        |SELECT doc_id, n_tokens, weight_num, weight_den, weight, priority,
-       |  priority >= thresh AS selected
+       |  priority >= thresh AND weight_den > 0 AS selected
        |FROM pri CROSS JOIN thr""".stripMargin
   }
 

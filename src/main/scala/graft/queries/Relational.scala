@@ -567,25 +567,40 @@ object Relational {
         sum(when(col("ib"), 1L).otherwise(0L)).as("n_b"),
         sum(when(col("ia") && col("ib"), 1L).otherwise(0L)).as("n_and"),
         count(lit(1)).as("n_or"))
-    val (estA, estB, estAnd, estOr) = thetaEstimates(keyed)
-    // intersection compounds both operands' error; +32 floors tiny sets
-    def ok(est: Double, exactCol: org.apache.spark.sql.Column) =
-      abs(lit(est) - exactCol.cast(DoubleType)) <= exactCol.cast(DoubleType) * 0.10 + 32.0
+    val est = thetaEstimates(keyed)
+    // union/operand gates: RSE is relative to the estimated set itself
+    def ok(estV: Double, exactCol: org.apache.spark.sql.Column) =
+      abs(lit(estV) - exactCol.cast(DoubleType)) <= exactCol.cast(DoubleType) * 0.10 + 32.0
+    // INTERSECTION error scales with the UNION (RSE grows ~sqrt(n_or /
+    // n_and)), so a fixed pct-of-n_and envelope breaks at low overlap
+    // fractions; gate against the sketch's own 3-σ confidence interval
+    // instead (exact mode collapses it to a point; ±32 floors tiny sets)
     exact.select(
       col("n_a"), col("n_b"), col("n_and"), col("n_or"),
       (col("n_and").cast(DoubleType) / col("n_or").cast(DoubleType)).as("jaccard"),
-      ok(estA, col("n_a")).as("est_a_ok"),
-      ok(estB, col("n_b")).as("est_b_ok"),
-      ok(estAnd, col("n_and")).as("est_and_ok"),
-      ok(estOr, col("n_or")).as("est_or_ok"))
+      ok(est.a, col("n_a")).as("est_a_ok"),
+      ok(est.b, col("n_b")).as("est_b_ok"),
+      (col("n_and").cast(DoubleType) >= lit(est.andLb) - 32.0 &&
+        col("n_and").cast(DoubleType) <= lit(est.andUb) + 32.0).as("est_and_ok"),
+      ok(est.or, col("n_or")).as("est_or_ok"))
   }
+
+  /** [[thetaEstimates]] result: the four set estimates plus the
+    * intersection's own 3-σ confidence bounds (`getLowerBound(3)` /
+    * `getUpperBound(3)`), which size the `est_and_ok` gate — the
+    * library's interval accounts for how intersection error compounds
+    * with the union size, where any fixed pct-of-n_and envelope does
+    * not.
+    */
+  final case class ThetaEst(a: Double, b: Double, and: Double, or: Double,
+      andLb: Double, andUb: Double)
 
   /** The sketch path of [[thetaOverlap]]: per-partition theta builds,
     * k-bounded driver merge, returns (|A|, |B|, |A∩B|, |A∪B|)
-    * estimates. Exposed so the spec can assert exact-mode equality
-    * and estimation-mode accuracy directly.
+    * estimates + intersection bounds. Exposed so the spec can assert
+    * exact-mode equality and estimation-mode accuracy directly.
     */
-  def thetaEstimates(keyed: DataFrame): (Double, Double, Double, Double) = {
+  def thetaEstimates(keyed: DataFrame): ThetaEst = {
     import org.apache.datasketches.memory.Memory
     import org.apache.datasketches.theta.{SetOperation, Sketches, UpdateSketch}
     val encIn = org.apache.spark.sql.Encoders.tuple(
@@ -612,8 +627,10 @@ object Relational {
     inter.intersect(ua.getResult); inter.intersect(ub.getResult)
     val uor = SetOperation.builder().setLogNominalEntries(ThetaLgK).buildUnion()
     uor.union(ua.getResult); uor.union(ub.getResult)
-    (ua.getResult.getEstimate, ub.getResult.getEstimate,
-      inter.getResult.getEstimate, uor.getResult.getEstimate)
+    val interRes = inter.getResult
+    ThetaEst(ua.getResult.getEstimate, ub.getResult.getEstimate,
+      interRes.getEstimate, uor.getResult.getEstimate,
+      interRes.getLowerBound(3), interRes.getUpperBound(3))
   }
 
   /** Q-AGG-THETA: cohort overlap via Theta sketches — the companion to

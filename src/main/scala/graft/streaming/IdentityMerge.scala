@@ -67,7 +67,9 @@ import org.apache.spark.storage.StorageLevel
   * here; a production deployment writes the epoch delta to the lake
   * keyed by `batchId`, idempotent like [[graft.sources.Lake]]).
   */
-final class IdentityMergeState(spark: SparkSession) {
+final class IdentityMergeState(
+    spark: SparkSession,
+    driverHeapBudget: Long = IdentityResolver.LocalHeapBudget) {
   import spark.implicits._
 
   private var stateRdd: RDD[PersonRecord] =
@@ -79,6 +81,31 @@ final class IdentityMergeState(spark: SparkSession) {
 
   /** Current records (canonical state, `person_seq_id` unassigned). */
   def records: Dataset[PersonRecord] = spark.createDataset(stateRdd)
+
+  /** Budgeted driver collect for the per-epoch dimension sets — the RDD-
+    * layer analogue of [[IdentityResolver.components]]' probe contract:
+    * a cheap (count, chars) fold FIRST (narrow over the persisted
+    * source), then collect only if the estimated retained heap fits
+    * [[IdentityResolver.LocalHeapBudget]]. Fails LOUDLY on breach: a
+    * dimension past the budget means this operator's design premise
+    * (id dimension ≪ events, driver-resident — the reference holds the
+    * same map in one Durable Object) no longer holds, and the right
+    * response is a visible error pointing at the distributed resolver,
+    * not a silent driver OOM mid-epoch.
+    */
+  private def collectBudgeted[T: scala.reflect.ClassTag](
+      rdd: RDD[T], chars: T => Long, what: String): Array[T] = {
+    val (n, c) = rdd.map(t => (1L, chars(t)))
+      .fold((0L, 0L)) { case ((n1, c1), (n2, c2)) => (n1 + n2, c1 + c2) }
+    val est = IdentityResolver.estimatedHeapBytes(n, c)
+    require(est <= driverHeapBudget,
+      s"streaming identity merge: $what dimension ($n entries, ~${est >> 20} MiB estimated " +
+        s"retained heap) exceeds the driver budget " +
+        s"(${driverHeapBudget >> 20} MiB). The per-epoch driver-resident " +
+        "dimension premise no longer holds at this id cardinality — resolve identities in " +
+        "batch via IdentityResolver.components (distributed fixpoint) instead, or raise the budget.")
+    rdd.collect()
+  }
 
   /** Fold one micro-batch of ops into the state. Idempotent by
     * `batchId`: a foreachBatch retry of an already-committed epoch is
@@ -107,17 +134,27 @@ final class IdentityMergeState(spark: SparkSession) {
       // construction): no redirects, skip the state scan entirely.
       val redirectMap: Map[String, String] =
         if (epoch < 0L) Map.empty
-        else stateRdd.flatMap(r =>
-            r.distinct_ids.filter(_ != r.canonical_id).map(d => (d, r.canonical_id)))
-          .collect().toMap
+        else collectBudgeted(
+          stateRdd.flatMap(r =>
+            r.distinct_ids.filter(_ != r.canonical_id).map(d => (d, r.canonical_id))),
+          (p: (String, String)) => (p._1.length + p._2.length).toLong,
+          "redirect").toMap
       mark("resolve-built")
 
       // CONNECT (driver side): the batch's distinct (raw_id, alias_to)
       // pairs — bounded by the batch's id dimension, the same set the
       // declarative form moved through the `touched` broadcast — give
       // both the alias edges (union-find → component map) and the
-      // touched-component set (every resolved raw id's comp).
-      val idPairs = opsRdd.map(o => (o.raw_id, o.alias_to)).distinct().collect()
+      // touched-component set (every resolved raw id's comp). The
+      // micro-batch trigger bounds this set in normal operation; the
+      // budget guard catches the pathological batch anyway (the probe
+      // fold reuses the distinct's shuffle outputs, so it costs one
+      // cheap reduce-side job, not a second shuffle).
+      val idPairs = collectBudgeted(
+        opsRdd.map(o => (o.raw_id, o.alias_to)).distinct(),
+        (p: (String, Option[String])) =>
+          (p._1.length + p._2.map(_.length).getOrElse(0)).toLong,
+        "batch id-pair")
       def res(id: String): String = redirectMap.getOrElse(id, id)
       val edges = idPairs.iterator.collect {
         case (raw, Some(al)) if al != raw => (res(raw), res(al))

@@ -84,6 +84,25 @@ class IdentityMergeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inc.size == 2)
   }
 
+  test("driver dimension collects are budget-gated: an over-budget epoch fails loudly") {
+    import spark.implicits._
+    // a 1 KB budget that any non-trivial batch id-pair set breaches —
+    // the guard must refuse BEFORE collecting, with an actionable error
+    // (ADVICE: no silent driver OOM on a pathological alias dimension)
+    val st = new IdentityMergeState(spark, driverHeapBudget = 1024L)
+    val ops = (1 to 64).map(i => PersonOp(s"user-$i", i.toLong, Map("k" -> "v"), Map.empty, Nil, None))
+    val e = intercept[IllegalArgumentException] {
+      st.processBatch(ops.toDS(), 0L)
+    }
+    assert(e.getMessage.contains("exceeds the driver budget"), e.getMessage)
+    st.close()
+    // and the default budget admits the same batch
+    val ok = new IdentityMergeState(spark)
+    ok.processBatch(ops.toDS(), 0L)
+    assert(ok.records.count() == 64L)
+    ok.close()
+  }
+
   test("chained aliases across three batches collapse to one record") {
     val b0 = Seq(
       PersonOp("a", 1, Map("p" -> "1"), Map.empty, Nil, None),

@@ -76,6 +76,34 @@ class JsonFusionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.head() == org.apache.spark.sql.Row("1", "2", "3"))
   }
 
+  test("project probes hoist to ONE shared aliased parse (structural, not CSE)") {
+    import spark.implicits._
+    val p = optimized(probes2(Seq("""{"a":"x","b":"y"}""").toDF("j").repartition(1)))
+    // the parse lives once, in a child-project alias; probe sites are
+    // field accesses on its attribute — one evaluation per row even on
+    // the interpreted (non-codegen) path (ADVICE round 8)
+    assert(p.contains("_graft_json_fused"), p)
+    assert("from_json".r.findAllIn(p).size == 1, p)
+  }
+
+  test("interpreted fallback: fused == unfused with codegen disabled") {
+    import spark.implicits._
+    val docs = Seq("""{"a":"x","b":"y"}""", """{"b":2}""", """not json""")
+      .toDF("j").repartition(1)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val fused = probes2(docs).collect().map(r => (r.getString(0), r.getString(1)))
+      val unfused = withFusionOff {
+        probes2(docs).collect().map(r => (r.getString(0), r.getString(1)))
+      }
+      assert(fused.toSeq == unfused.toSeq)
+    } finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("a single probe is NOT rewritten (streaming matcher is cheaper than a parse)") {
     import spark.implicits._
     val df = Seq("""{"a":"1"}""").toDF("j").repartition(1)

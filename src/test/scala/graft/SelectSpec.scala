@@ -158,6 +158,23 @@ class SelectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count(_._5) == k, "selected count != k")
   }
 
+  test("dsir: an empty target cohort selects nothing (no 0/0 weights)") {
+    // no 'en' docs at all → t_total = 0 → every weight_den = 0; the
+    // guard must yield weight 0 / selected false, not ANSI 0/0 (ADVICE)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dsir_empty").toString
+    Seq((1L, "de", "ein kleiner text"), (2L, "fr", "un petit texte"))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Select.dsir(spark, dir, 1).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getLong(3) == 0L, s"doc ${r.getLong(0)}: weight_den should be 0")
+      assert(r.getDouble(4) == 0.0, s"doc ${r.getLong(0)}: weight should be 0")
+      assert(!r.getBoolean(6), s"doc ${r.getLong(0)}: nothing should be selected")
+    }
+  }
+
   test("epochs: replication matches a driver-side recompute; copies scatter shards") {
     import graft.llm.Corpus
     val rows = Corpus.epochs(spark, sf).collect()

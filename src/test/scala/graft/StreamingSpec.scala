@@ -466,7 +466,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       (if (r.getBoolean(1)) Seq((true, k)) else Nil) ++
         (if (r.getBoolean(2)) Seq((false, k)) else Nil)
     }
-    val (estA, estB, estAnd, estOr) = graft.queries.Relational.thetaEstimates(keyed)
+    val est = graft.queries.Relational.thetaEstimates(keyed)
+    val (estA, estB, estAnd, estOr) = (est.a, est.b, est.and, est.or)
 
     val mem = MemoryStream[(Boolean, Long)]
     val q = Streaming.thetaCohortStream(mem.toDS())

@@ -32,17 +32,32 @@ class ThetaSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("exact mode: below 2^lgK retained entries the estimates ARE the exact counts") {
-    val (ea, eb, eand, eor) = Relational.thetaEstimates(keyed(300, 200, 50, 3))
-    assert(ea == 300.0 && eb == 200.0 && eand == 50.0 && eor == 450.0,
-      s"exact-mode estimates drifted: ($ea, $eb, $eand, $eor)")
+    val e = Relational.thetaEstimates(keyed(300, 200, 50, 3))
+    assert(e.a == 300.0 && e.b == 200.0 && e.and == 50.0 && e.or == 450.0,
+      s"exact-mode estimates drifted: $e")
+    // exact mode collapses the intersection interval to the point
+    assert(e.andLb == 50.0 && e.andUb == 50.0, s"exact-mode bounds not tight: $e")
   }
 
   test("estimation mode: 10k-key cohorts estimate within the documented error") {
-    val (ea, eb, eand, eor) = Relational.thetaEstimates(keyed(10000, 8000, 2000, 5))
-    assert(math.abs(ea - 10000) <= 1000, s"|A| est $ea")
-    assert(math.abs(eb - 8000) <= 800, s"|B| est $eb")
-    assert(math.abs(eand - 2000) <= 2000 * 0.10 + 32, s"|A∩B| est $eand")
-    assert(math.abs(eor - 16000) <= 1600, s"|A∪B| est $eor")
+    val e = Relational.thetaEstimates(keyed(10000, 8000, 2000, 5))
+    assert(math.abs(e.a - 10000) <= 1000, s"|A| est ${e.a}")
+    assert(math.abs(e.b - 8000) <= 800, s"|B| est ${e.b}")
+    assert(e.andLb - 32 <= 2000 && 2000 <= e.andUb + 32, s"|A∩B| bounds exclude truth: $e")
+    assert(math.abs(e.or - 16000) <= 1600, s"|A∪B| est ${e.or}")
+  }
+
+  test("intersection gate self-sizes: low overlap fraction under a large union") {
+    // n_and = 500 against n_or ≈ 99.5k: intersection RSE here is driven
+    // by the UNION size (~sqrt(n_or/n_and) × operand RSE), so the old
+    // fixed 10%·n_and+32 envelope (±82) could flag a CORRECT sketch; the
+    // sketch's own 3-σ interval contains the truth by construction
+    val e = Relational.thetaEstimates(keyed(50000, 50000, 500, 5))
+    assert(e.andLb - 32 <= 500 && 500 <= e.andUb + 32,
+      s"3-σ intersection interval excludes the true overlap: $e")
+    // and the interval is genuinely wider than the old envelope's scale —
+    // the failure mode the ADVICE flagged (gate smaller than the error)
+    assert(e.andUb - e.andLb > 0.0, s"degenerate interval: $e")
   }
 
   test("estimates are partition-invariant (retained set is a function of the key set)") {
