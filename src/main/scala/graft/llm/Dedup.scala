@@ -221,6 +221,52 @@ object Dedup {
        |WHERE len(list_intersect(da.sh, db.sh))::DOUBLE / len(list_distinct(list_concat(da.sh, db.sh))) >= 0.8""".stripMargin
   }
 
+  /** Q-DEDUP-GATE: online near-dup ADMISSION verdicts — "keep the first
+    * document to claim each LSH bucket". For every doc: how many of its
+    * band buckets were already claimed by an EARLIER doc (`n_hot_bands`,
+    * earlier = smaller `doc_id`, the arrival order), the earliest such
+    * claimer (`dup_of`), and the verdict (`kept` ⇔ every bucket
+    * first-claimed by the doc itself). This is the dedup shape a
+    * 100 TB ingest actually runs: documents are admitted or rejected
+    * AS THEY ARRIVE, instead of by a later full-corpus pairwise sweep —
+    * [[minhashPairs]] is the audit tool, this is the gate.
+    *
+    * Scale: candidates never form pairs at all here — the state is one
+    * `min(doc_id)` per (band, band_hash) bucket. Two compact-key
+    * shuffles ((band,hash) then doc_id); the second join is
+    * co-partitioned with the first's output. The streaming twin
+    * ([[graft.streaming.Streaming.lshGateStream]]) holds 8 bytes of
+    * keyed state per bucket and emits verdict rows per arriving doc;
+    * StreamingSpec pins any-batch-split parity with this batch form.
+    */
+  def lshGate(s: SparkSession, d: String): DataFrame = {
+    val bands = minhashBands(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firsts = bands.groupBy(col("band"), col("band_hash"))
+      .agg(min(col("doc_id")).as("m"))
+    bands.join(firsts, Seq("band", "band_hash"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bands"),
+        sum(when(col("m") < col("doc_id"), 1L).otherwise(0L)).as("n_hot_bands"),
+        min(col("m")).as("min_owner"))
+      // min_owner ≤ doc_id always (the doc is in its own buckets), so
+      // kept ⇔ min over its buckets' first-claimers is the doc itself
+      .select(col("doc_id"), col("n_bands"), col("n_hot_bands"),
+        (col("min_owner") === col("doc_id")).as("kept"),
+        when(col("min_owner") < col("doc_id"), col("min_owner")).as("dup_of"))
+  }
+
+  val lshGateSql: String =
+    s"""WITH b AS ($minhashBandsSql),
+       |f AS (SELECT band, band_hash, min(doc_id) AS m FROM b GROUP BY 1, 2)
+       |SELECT t.doc_id, count(*)::BIGINT AS n_bands,
+       |  sum(CASE WHEN f.m < t.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_hot_bands,
+       |  min(f.m) = t.doc_id AS kept,
+       |  CASE WHEN min(f.m) < t.doc_id THEN min(f.m) END AS dup_of
+       |FROM b t JOIN f USING (band, band_hash)
+       |GROUP BY t.doc_id""".stripMargin
+
   private val simhashSqlExpr: String =
     """list_reduce(list_transform(generate_series(0, 59), j ->
       |  CASE WHEN list_sum(list_transform(hts, x -> CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
@@ -580,6 +626,7 @@ object Dedup {
     Q("q_dedup_ngram", ngramJaccard, Some(ngramJaccardSql)),
     Q("q_dedup_minhash", minhashBands, Some(minhashBandsSql)),
     Q("q_dedup_minhash_pairs", minhashPairs, Some(minhashPairsSql)),
+    Q("q_dedup_lsh_gate", lshGate, Some(lshGateSql)),
     Q("q_dedup_simhash", simhash, Some(simhashSql)),
     Q("q_dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     Q("q_dedup_cosine", cosinePairs, Some(cosinePairsSql)),

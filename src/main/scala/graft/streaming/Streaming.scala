@@ -254,6 +254,46 @@ object Streaming {
       .drop("__sh")
   }
 
+  /** Online near-dup admission gate — the streaming face of
+    * [[graft.llm.Dedup.lshGate]]: input rows are the MinHash band rows
+    * `(doc_id, band, band_hash)` of arriving documents (the map-only
+    * signature pass runs upstream, same expressions as batch); keyed
+    * state per (band, band_hash) bucket holds the bucket's first
+    * claimer — ONE long, 8 bytes — and each row emits
+    * `(doc_id, band, owner)` where `owner` is the bucket's claimer at
+    * processing time. A document is admitted iff it owns ALL its
+    * buckets (the per-doc reduce is a plain rollup of the emissions:
+    * kept ⇔ min(owner) == doc_id — the same verdict columns as batch).
+    *
+    * Contract (shared with [[IdentityMergeState]]): documents arrive in
+    * `doc_id` (arrival) order ACROSS micro-batches; within a batch
+    * order is free — the per-bucket fold sorts. Under that contract any
+    * batch split reproduces the batch operator's verdicts exactly
+    * (StreamingSpec pins 1-batch == k-batch == [[graft.llm.Dedup.lshGate]]).
+    *
+    * At 100 TB: state is bounded by DISTINCT buckets, not documents —
+    * and in production it would carry a TTL/watermark horizon (dedup
+    * against the trailing window) or be seeded from the lake's bucket
+    * dimension for exact-history gating; the fold itself is unchanged
+    * either way.
+    */
+  def lshGateStream(bandRows: Dataset[(Long, Int, Long)]): Dataset[(Long, Int, Long)] = {
+    import bandRows.sparkSession.implicits._
+    bandRows.groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[Long, (Long, Int, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: (Int, Long), it: Iterator[(Long, Int, Long)], state: GroupState[Long]) =>
+          var owner = state.getOption.getOrElse(Long.MaxValue)
+          val out = it.toArray.sortBy(_._1).map { case (d, b, _) =>
+            val o = math.min(owner, d) // first-ever claimer = the doc itself
+            owner = o
+            (d, b, o)
+          }
+          state.update(owner)
+          out.iterator
+      }
+  }
+
   /** Incremental cohort sketches: theta union as keyed streaming
     * state — the live-dashboard form of
     * [[graft.queries.Relational.thetaOverlap]]. Input rows are

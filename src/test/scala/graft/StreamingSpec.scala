@@ -453,6 +453,68 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rocks.sortBy(_.version) == hdfs.sortBy(_.version))
   }
 
+  test("LSH admission gate: crafted buckets — shared bucket rejects, fresh buckets admit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // doc 2 shares bucket (0,100) with the earlier doc 1 → rejected,
+    // dup_of 1; doc 3's buckets are fresh → admitted (a later batch)
+    val mem = MemoryStream[(Long, Int, Long)]
+    val q = Streaming.lshGateStream(mem.toDS())
+      .toDF("doc_id", "band", "owner")
+      .writeStream.format("memory").queryName("lsh_gate_crafted")
+      .outputMode(OutputMode.Update()).start()
+    val rows = try {
+      mem.addData((1L, 0, 100L), (1L, 1, 200L)); q.processAllAvailable()
+      mem.addData((2L, 0, 100L), (2L, 1, 300L), (3L, 0, 999L), (3L, 1, 888L))
+      q.processAllAvailable()
+      spark.table("lsh_gate_crafted").collect()
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS lsh_gate_crafted") }
+    val byDoc = rows.groupBy(_.getLong(0))
+    def kept(d: Long) = byDoc(d).forall(r => r.getLong(2) == d)
+    assert(kept(1L) && kept(3L) && !kept(2L))
+    assert(byDoc(2L).map(_.getLong(2)).min == 1L, "doc 2 should trace to doc 1")
+  }
+
+  test("LSH admission gate: sf0.001 through 4 micro-batches == batch lshGate verdicts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val bandRows = graft.llm.Dedup.minhashBands(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // chunk by doc ranges: arrival respects doc_id order across batches
+    // (the operator's contract); all of a doc's bands land in one batch
+    val docChunks = bandRows.map(_._1).distinct.sorted
+      .grouped(math.max(1, bandRows.map(_._1).distinct.length / 4 + 1)).toSeq
+    val mem = MemoryStream[(Long, Int, Long)]
+    val q = Streaming.lshGateStream(mem.toDS())
+      .toDF("doc_id", "band", "owner")
+      .writeStream.format("memory").queryName("lsh_gate_sf")
+      .outputMode(OutputMode.Update()).start()
+    val rows = try {
+      docChunks.foreach { docs =>
+        val ds = docs.toSet
+        mem.addData(bandRows.filter(t => ds(t._1)).toSeq: _*)
+        q.processAllAvailable()
+      }
+      spark.table("lsh_gate_sf").collect()
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS lsh_gate_sf") }
+    val streamed = rows.groupBy(_.getLong(0)).map { case (d, rs) =>
+      val owners = rs.map(_.getLong(2))
+      d -> (owners.forall(_ == d), owners.count(_ < d).toLong,
+        owners.min match { case m if m < d => Some(m); case _ => None })
+    }
+    val batch = graft.llm.Dedup.lshGate(spark, sf).collect().map { r =>
+      r.getLong(0) -> (r.getBoolean(3), r.getLong(2),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))
+    }.toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (d, v) =>
+      assert(v == batch(d), s"doc $d: stream $v != batch ${batch(d)}")
+    }
+    // the gate must actually gate something at this sf, or the test is vacuous
+    assert(batch.values.exists(!_._1), "no rejected docs at sf0.001 — widen the fixture")
+  }
+
   test("incremental theta cohorts: any batch split == the batch operator's estimates") {
     import org.apache.datasketches.memory.Memory
     import org.apache.datasketches.theta.{SetOperation, Sketches}
