@@ -81,9 +81,59 @@ object StreamQueries {
       | AND p.ts >= v.ts AND epoch_us(p.ts) < epoch_us(v.ts) + 1800000000
       |WHERE v.event_type = 'view' AND p.event_type = 'purchase'""".stripMargin
 
+  /** Q-STR-5 (streaming LSH admission gate, driver-checked): the
+    * keyed-state gate [[Streaming.lshGateStream]] run through REAL
+    * micro-batches — documents' MinHash band rows arrive in 3
+    * doc-ascending chunks over a MemoryStream, the per-bucket
+    * first-claimer state carries across batches, and the emitted
+    * (doc, band, owner) rows roll up to the admission verdicts. Oracle:
+    * the identical closed form as the batch gate
+    * ([[graft.llm.Dedup.lshGateSql]]) — streaming == batch is the
+    * operator's contract (StreamingSpec pins it per split; this row
+    * makes the driver hash-check the streaming execution itself, the
+    * [[graft.state.StateQueries.pipeStreamMerge]] precedent).
+    *
+    * The driver-side band-row hop is the MemoryStream HARNESS
+    * transport, not the operator's shape: rows are compact
+    * (long,int,long) tuples (~40 K at sf0.1), and a production
+    * deployment reads the same band rows from `readStream` against the
+    * lake/commit log with the gate unchanged.
+    */
+  def lshGate(s: SparkSession, d: String, chunks: Int = 3): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val bandRows = graft.llm.Dedup.minhashBands(s, d)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val mem = MemoryStream[(Long, Int, Long)]
+    val name = "lsh_gate_sink_" + java.lang.Long.toHexString(System.nanoTime())
+    val q = Streaming.lshGateStream(mem.toDS()).toDF("doc_id", "band", "owner")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update()).start()
+    val emissions = try {
+      val docs = bandRows.map(_._1).distinct.sorted
+      docs.grouped(math.max(1, docs.length / chunks + 1)).foreach { ch =>
+        val in = ch.toSet
+        mem.addData(bandRows.filter(t => in(t._1)).toSeq: _*)
+        q.processAllAvailable()
+      }
+      s.table(name).as[(Long, Int, Long)].collect()
+    } finally { q.stop(); s.sql(s"DROP TABLE IF EXISTS $name") }
+    s.createDataset(emissions.toSeq).toDF("doc_id", "band", "owner")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bands"),
+        sum(when(col("owner") < col("doc_id"), 1L).otherwise(0L)).as("n_hot_bands"),
+        min(col("owner")).as("min_owner"))
+      .select(col("doc_id"), col("n_bands"), col("n_hot_bands"),
+        (col("min_owner") === col("doc_id")).as("kept"),
+        when(col("min_owner") < col("doc_id"), col("min_owner")).as("dup_of"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_stream_tumbling", tumbling, Some(tumblingSql)),
     Q("q_stream_sliding", sliding, Some(slidingSql)),
     Q("q_stream_sessions", sessions, Some(sessionsSql)),
-    Q("q_stream_join", joined, Some(joinedSql)))
+    Q("q_stream_join", joined, Some(joinedSql)),
+    Q("q_stream_lsh_gate", (s, d) => lshGate(s, d), Some(graft.llm.Dedup.lshGateSql)))
 }

@@ -311,4 +311,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val stEx = "hashpartitioning\\(lang".r.findAllIn(st).size
     assert(stEx == 1, s"expected 1 stratum-keyed exchange, got $stEx:\n" + st.take(2000))
   }
+
+  test("LSH admission gate: compact-key shuffles only, no pairs, co-partitioned verdict join") {
+    val g = plan(SparkEntry.queries("q_dedup_lsh_gate")(spark, sf))
+    assert(!g.contains("CartesianProduct"), g.take(1500))
+    // bucket state is min(doc_id) per (band, band_hash): partial+final
+    // aggregate on the band keys, never a doc×doc candidate product
+    assert(g.contains("partial_min"), "bucket firsts should map-side combine:\n" + g.take(1500))
+    // the verdict join keys on the bucket (band, band_hash) — broadcast
+    // when the firsts side fits (this sf), else both sides co-partition
+    // on the bucket key; anything else (nested loop, doc-keyed shuffle
+    // before the join) would be a plan regression
+    val bucketExchanges = "hashpartitioning\\(band".r.findAllIn(g).size
+    val broadcastForm = g.contains("BroadcastHashJoin [band")
+    assert(broadcastForm || bucketExchanges == 2,
+      s"verdict join neither broadcast nor bucket-co-partitioned ($bucketExchanges band exchanges):\n" +
+        g.take(2000))
+  }
 }
