@@ -156,11 +156,10 @@ object Bench {
     // Unguarded queries (registered but absent from the budgets file)
     // are themselves a breach: without this, a new query can never
     // trip the gate until someone remembers to re-baseline.
-    // a crash is unambiguous regardless of warm/cold timing, so it fails
-    // SUBSET (dev) runs too — with a distinct exit code (2) so a dev
-    // loop can tell "my query threw" from "the budget gate tripped" (1)
+    // the budget gate below reports breaches only; crashes are handled
+    // separately at exit (code 2, any run — see the exit logic)
     val budgetFile = new java.io.File("bench_budgets.json")
-    var gateFailed = failures.nonEmpty
+    var gateFailed = false
     if (only.isEmpty && passes >= 2 && budgetFile.exists()) {
       val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(budgetFile)
       val sfMatch = root.path("source_sf").asText("") == sfDir
@@ -185,6 +184,9 @@ object Bench {
       } else System.err.println(
         s"[bench-guard] budgets are for ${root.path("source_sf").asText("")}, run is $sfDir — gate skipped")
     }
+    // a crash is unambiguous regardless of warm/cold timing, so it fails
+    // SUBSET (dev) runs too — with a distinct exit code (2) so a dev
+    // loop can tell "my query threw" from "the budget gate tripped" (1)
     if (failures.nonEmpty) sys.exit(2)
     if (gateFailed) sys.exit(1)
   }

@@ -244,18 +244,28 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val firsts = bands.groupBy(col("band"), col("band_hash"))
       .agg(min(col("doc_id")).as("m"))
-    bands.join(firsts, Seq("band", "band_hash"))
+    gateVerdicts(bands.join(firsts, Seq("band", "band_hash"))
+      .select(col("doc_id"), col("m").as("owner")))
+  }
+
+  /** The ONE definition of the gate's verdict columns, shared by the
+    * batch operator and the streaming rollup
+    * ([[graft.streaming.StreamQueries.lshGate]]) so the two driver rows
+    * cannot diverge from each other or the oracle: input is one row per
+    * (doc, bucket) with `owner` = that bucket's first claimer.
+    */
+  private[graft] def gateVerdicts(ownerRows: DataFrame): DataFrame =
+    ownerRows
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_bands"),
-        sum(when(col("m") < col("doc_id"), 1L).otherwise(0L)).as("n_hot_bands"),
-        min(col("m")).as("min_owner"))
+        sum(when(col("owner") < col("doc_id"), 1L).otherwise(0L)).as("n_hot_bands"),
+        min(col("owner")).as("min_owner"))
       // min_owner ≤ doc_id always (the doc is in its own buckets), so
       // kept ⇔ min over its buckets' first-claimers is the doc itself
       .select(col("doc_id"), col("n_bands"), col("n_hot_bands"),
         (col("min_owner") === col("doc_id")).as("kept"),
         when(col("min_owner") < col("doc_id"), col("min_owner")).as("dup_of"))
-  }
 
   val lshGateSql: String =
     s"""WITH b AS ($minhashBandsSql),

@@ -104,8 +104,19 @@ object StreamQueries {
     import org.apache.spark.sql.streaming.OutputMode
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val bandRows = graft.llm.Dedup.minhashBands(s, d)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // budget-gated harness collect (the collectBudgeted discipline): a
+    // count probe FIRST, collect only if the ~24 B/row band table fits
+    // the driver budget — a giant-sf Bench run fails loudly here rather
+    // than silently pressuring the driver
+    val bandsDf = graft.llm.Dedup.minhashBands(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nRows = bandsDf.count()
+    require(nRows * 24L <= graft.state.IdentityResolver.LocalHeapBudget,
+      s"streaming LSH gate harness: $nRows band rows exceed the MemoryStream driver " +
+        s"budget (${graft.state.IdentityResolver.LocalHeapBudget >> 20} MiB); at this scale " +
+        "feed the gate from readStream against the lake instead of the harness transport.")
+    val bandRows = bandsDf.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    bandsDf.unpersist()
     val mem = MemoryStream[(Long, Int, Long)]
     val name = "lsh_gate_sink_" + java.lang.Long.toHexString(System.nanoTime())
     val q = Streaming.lshGateStream(mem.toDS()).toDF("doc_id", "band", "owner")
@@ -120,14 +131,9 @@ object StreamQueries {
       }
       s.table(name).as[(Long, Int, Long)].collect()
     } finally { q.stop(); s.sql(s"DROP TABLE IF EXISTS $name") }
-    s.createDataset(emissions.toSeq).toDF("doc_id", "band", "owner")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bands"),
-        sum(when(col("owner") < col("doc_id"), 1L).otherwise(0L)).as("n_hot_bands"),
-        min(col("owner")).as("min_owner"))
-      .select(col("doc_id"), col("n_bands"), col("n_hot_bands"),
-        (col("min_owner") === col("doc_id")).as("kept"),
-        when(col("min_owner") < col("doc_id"), col("min_owner")).as("dup_of"))
+    // one shared verdict definition with the batch gate and its oracle
+    graft.llm.Dedup.gateVerdicts(
+      s.createDataset(emissions.toSeq).toDF("doc_id", "band", "owner"))
   }
 
   val all: Seq[Q] = Seq(

@@ -55,9 +55,12 @@ class ThetaSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = Relational.thetaEstimates(keyed(50000, 50000, 500, 5))
     assert(e.andLb - 32 <= 500 && 500 <= e.andUb + 32,
       s"3-σ intersection interval excludes the true overlap: $e")
-    // and the interval is genuinely wider than the old envelope's scale —
-    // the failure mode the ADVICE flagged (gate smaller than the error)
-    assert(e.andUb - e.andLb > 0.0, s"degenerate interval: $e")
+    // and the interval is genuinely wider than the OLD fixed envelope
+    // (2 × (10%·n_and + 32) = 164 total width) — the failure mode the
+    // ADVICE flagged was exactly a gate smaller than the true error,
+    // so a near-degenerate interval here must fail this spec
+    assert(e.andUb - e.andLb > 2 * (0.10 * 500 + 32),
+      s"interval no wider than the old fixed envelope — gate would under-size again: $e")
   }
 
   test("estimates are partition-invariant (retained set is a function of the key set)") {
