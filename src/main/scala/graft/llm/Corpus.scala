@@ -425,11 +425,163 @@ object Corpus {
        |FROM r""".stripMargin
   }
 
+  /** Document budget the temperature weights are materialized against
+    * (a production run pins its own — same plan).
+    */
+  val TemperatureBudget = 100000L
+
+  /** Q-CORPUS-TEMP: temperature-based mixture reweighting — the
+    * published multilingual-corpus recipe (mC4 / XLM-R style): source
+    * sampling probability `q_i ∝ p_i^α` with α < 1, which up-weights
+    * small sources and damps head domination. α = 1/2 here, so the
+    * unnormalized weight is `sqrt(n_i)` — IEEE-754 sqrt is correctly
+    * rounded in both engines, making the weights bit-exact (a general
+    * α needs `pow`, whose last-ulp behavior the two engines do not
+    * contractually share; the plan is identical for any α).
+    *
+    * Normalization sums ~V source doubles in a FIXED order (running
+    * window ordered by source; both engines fold frames in order, and
+    * the full-frame total is taken as `max(cum)` — max is
+    * order-independent), so `q_i`, the boost factor `q_i / p_i`, and
+    * the materialized per-source document target are all bit-exact.
+    *
+    * Shape at 100 TB: one per-source count-agg (map-side partial →
+    * V-row result), then V-row windows — the weight table is
+    * broadcast-sized by construction and feeds [[epochs]]-style
+    * replication as its factor input.
+    */
+  def temperature(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val wCum = Window.orderBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.par(Tables.documents(s, d))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("sqrt_n", sqrt(col("n_docs").cast(DoubleType)))
+      .withColumn("cum", sum(col("sqrt_n")).over(wCum))
+      .withColumn("z", max(col("cum")).over(wAll))
+      .withColumn("n_total", sum(col("n_docs")).over(wAll))
+      .select(col("source"), col("n_docs"),
+        (col("n_docs").cast(DoubleType) / col("n_total").cast(DoubleType)).as("p_raw"),
+        (col("sqrt_n") / col("z")).as("q_temp"),
+        ((col("sqrt_n") / col("z")) /
+          (col("n_docs").cast(DoubleType) / col("n_total").cast(DoubleType))).as("boost"),
+        floor(col("sqrt_n") / col("z") * lit(TemperatureBudget.toDouble))
+          .cast(LongType).as("target_docs"))
+  }
+
+  val temperatureSql: String =
+    s"""WITH src AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source),
+       |c AS (
+       |  SELECT source, n_docs, sqrt(n_docs::DOUBLE) AS sqrt_n,
+       |    sum(sqrt(n_docs::DOUBLE)) OVER (ORDER BY source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM src),
+       |t AS (
+       |  SELECT source, n_docs, sqrt_n,
+       |    max(cum) OVER () AS z,
+       |    sum(n_docs) OVER ()::BIGINT AS n_total
+       |  FROM c)
+       |SELECT source, n_docs,
+       |  n_docs::DOUBLE / n_total::DOUBLE AS p_raw,
+       |  sqrt_n / z AS q_temp,
+       |  (sqrt_n / z) / (n_docs::DOUBLE / n_total::DOUBLE) AS boost,
+       |  floor(sqrt_n / z * ${TemperatureBudget}.0)::BIGINT AS target_docs
+       |FROM t""".stripMargin
+
+  /** The language-neutral stopword probe for [[filterChain]] — union of
+    * the per-language lists the langid query votes with.
+    */
+  private val stopAll: Seq[String] = Seq(
+    "the", "a", "of", "to", "and", "is", "in", "it", "on", "for",
+    "der", "die", "das", "und", "ist", "nicht", "ein", "zu",
+    "le", "la", "les", "et", "est", "une", "pas", "dans",
+    "el", "los", "las", "es", "y", "una", "no", "por")
+
+  /** Q-CORPUS-CHAIN: the C4/FineWeb-style quality FILTER CHAIN — a
+    * fixed-order rule cascade per document (length bounds, mean word
+    * length band, stopword floor, repetition gate) where the verdict
+    * names the FIRST failing rule. This is the auditable form every
+    * published web-corpus pipeline reports (per-filter removal rates);
+    * the named verdict is what lets a curation run explain "why was
+    * this document dropped" and lets rates be diffed across crawls.
+    *
+    * Every rule is an integer cross-multiplication (`n_tc·10 ≥
+    * 38·n_tokens` instead of `avg ≥ 3.8`) — no float compare anywhere,
+    * so the verdict is exact on any engine. Thresholds are fixture
+    * constants tuned so all five verdicts occur on the test corpus; a
+    * production run pins its own — same plan.
+    *
+    * Shape at 100 TB: MAP-ONLY — one codegen'd pass per document, zero
+    * shuffle; removal-rate reporting is a V-row agg over the verdict
+    * column downstream.
+    */
+  def filterChain(s: SparkSession, d: String): DataFrame = {
+    import Portable._
+    import org.apache.spark.sql.types.LongType
+    val toks = tokens(col("text"))
+    Tables.par(Tables.documents(s, d))
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_tokens"),
+        size(array_distinct(col("toks"))).cast(LongType).as("n_uniq"),
+        aggregate(col("toks"), lit(0L), (a, t) => a + length(t)).as("n_tc"),
+        size(filter(col("toks"), t => t.isin(stopAll: _*))).cast(LongType).as("n_stop"))
+      .withColumn("rule_len", col("n_tokens") >= 15 && col("n_tokens") <= 1000)
+      .withColumn("rule_word_len",
+        col("n_tc") * 10 >= col("n_tokens") * 38 && col("n_tc") <= col("n_tokens") * 12)
+      .withColumn("rule_stopword", col("n_stop") * 25 >= col("n_tokens"))
+      .withColumn("rule_repetition", col("n_uniq") * 5 >= col("n_tokens") * 2)
+      .select(col("doc_id"), col("n_tokens"),
+        col("rule_len"), col("rule_word_len"), col("rule_stopword"), col("rule_repetition"),
+        when(!col("rule_len"), "len")
+          .when(!col("rule_word_len"), "word_len")
+          .when(!col("rule_stopword"), "stopword")
+          .when(!col("rule_repetition"), "repetition")
+          .otherwise("keep").as("verdict"),
+        (col("rule_len") && col("rule_word_len") && col("rule_stopword") &&
+          col("rule_repetition")).as("selected"))
+  }
+
+  val filterChainSql: String = {
+    import Portable._
+    val stopList = stopAll.map("'" + _ + "'").mkString(",")
+    s"""WITH base AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    len(toks)::BIGINT AS n_tokens,
+       |    len(list_distinct(toks))::BIGINT AS n_uniq,
+       |    list_reduce(list_transform(toks, t -> len(t)::BIGINT), (a, b) -> a + b) AS n_tc,
+       |    len(list_filter(toks, t -> list_contains([$stopList], t)))::BIGINT AS n_stop
+       |  FROM base),
+       |r AS (
+       |  SELECT doc_id, n_tokens,
+       |    (n_tokens >= 15 AND n_tokens <= 1000) AS rule_len,
+       |    (n_tc * 10 >= n_tokens * 38 AND n_tc <= n_tokens * 12) AS rule_word_len,
+       |    (n_stop * 25 >= n_tokens) AS rule_stopword,
+       |    (n_uniq * 5 >= n_tokens * 2) AS rule_repetition
+       |  FROM f)
+       |SELECT doc_id, n_tokens,
+       |  rule_len, rule_word_len, rule_stopword, rule_repetition,
+       |  CASE WHEN NOT rule_len THEN 'len'
+       |       WHEN NOT rule_word_len THEN 'word_len'
+       |       WHEN NOT rule_stopword THEN 'stopword'
+       |       WHEN NOT rule_repetition THEN 'repetition'
+       |       ELSE 'keep' END AS verdict,
+       |  (rule_len AND rule_word_len AND rule_stopword AND rule_repetition) AS selected
+       |FROM r""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_corpus_funnel", funnel, Some(funnelSql)),
     Q("q_corpus_decontam", decontam, Some(decontamSql)),
     Q("q_corpus_decontam_bloom", decontamBloom, Some(decontamBloomSql)),
     Q("q_corpus_token_budget", tokenBudget, Some(tokenBudgetSql)),
     Q("q_corpus_epochs", epochs, Some(epochsSql)),
-    Q("q_corpus_strat_shards", stratShards, Some(stratShardsSql)))
+    Q("q_corpus_strat_shards", stratShards, Some(stratShardsSql)),
+    Q("q_corpus_temperature", temperature, Some(temperatureSql)),
+    Q("q_corpus_filter_chain", filterChain, Some(filterChainSql)))
 }

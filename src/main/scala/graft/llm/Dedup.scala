@@ -434,6 +434,47 @@ object Dedup {
        |  d.doc_id = coalesce(c.cluster_id, d.doc_id) AS is_keeper
        |FROM documents d LEFT JOIN canon c USING (doc_id)""".stripMargin
 
+  /** Q-DEDUP-KEEP: cluster SURVIVORSHIP — the decision step after
+    * [[clusters]]: within each near-dup cluster, elect the canonical
+    * survivor by a QUALITY policy (longest document wins, doc_id
+    * tiebreak — the "keep longest" rule web-corpus pipelines such as
+    * FineWeb apply, rather than [[clusters]]' structural min-id label)
+    * and remap every member to its keeper. The output is the dedup
+    * rewrite table: `doc_id → keeper_id` plus the keep/drop bit.
+    *
+    * Shape at 100 TB: the election window runs over compact
+    * (cluster_id, n_chars, doc_id) triples — document payloads never
+    * enter the shuffle; cluster state is one row per *clustered*
+    * document (singletons keep themselves via the same window on a
+    * 1-row partition). The rewrite table is the broadcast side of the
+    * final keep-join against the corpus.
+    */
+  def keepBest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    clusters(s, d).select(col("doc_id"), col("cluster_id"))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .withColumn("keeper_id", first(col("doc_id")).over(w))
+      .select(col("doc_id"), col("cluster_id"), col("n_chars"), col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).as("is_keeper"))
+  }
+
+  val keepBestSql: String =
+    s"""WITH cl AS ($clustersSql),
+       |j AS (
+       |  SELECT c.doc_id, c.cluster_id, d.n_chars
+       |  FROM cl c JOIN documents d USING (doc_id))
+       |SELECT doc_id, cluster_id, n_chars,
+       |  first_value(doc_id) OVER (PARTITION BY cluster_id
+       |    ORDER BY n_chars DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS keeper_id,
+       |  doc_id = first_value(doc_id) OVER (PARTITION BY cluster_id
+       |    ORDER BY n_chars DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS is_keeper
+       |FROM j""".stripMargin
+
   /** Q-DEDUP-10: SemDeDup — semantic dedup scoped to coarse-quantizer
     * cells (Abbas et al. 2023: cluster the embedding space, then
     * deduplicate WITHIN each cluster only). Candidates come from a
@@ -643,6 +684,7 @@ object Dedup {
     Q("q_dedup_cosine_blocked", cosineBlocked, Some(cosineBlockedSql)),
     Q("q_dedup_semantic", semantic, Some(semanticSql)),
     Q("q_dedup_clusters", clusters, Some(clustersSql)),
+    Q("q_dedup_keep_best", keepBest, Some(keepBestSql)),
     Q("q_dedup_spans", spans, Some(spansSql)),
     Q("q_dedup_novelty", novelty, Some(noveltySql)))
 }

@@ -586,6 +586,117 @@ object Select {
        |FROM scored""".stripMargin
   }
 
+  // ------------------------------------------------------------ Q-SEL-8
+
+  /** Query-by-example exemplars for [[hybridRrf]] — fixed doc ids
+    * present in BOTH `documents` and `embeddings` at every SF, so the
+    * lexical and dense retrievers serve the same information needs.
+    */
+  val HybridExemplars: Seq[Long] = Seq(7L, 123L, 401L)
+  val HybridListK = 20
+  val HybridTopK = 10
+  val RrfC = 60
+
+  /** Q-SEL-8: HYBRID retrieval — reciprocal-rank fusion (Cormack et
+    * al. 2009) of a lexical ranker and a dense ranker, the standard
+    * two-tower serving recipe (BM25 ∪ embeddings → RRF) used for
+    * eval-set mining and retrieval-training-data assembly. Per
+    * exemplar document:
+    *
+    *   - LEXICAL list: token-set Jaccard against the corpus (the
+    *     query-by-example form of the inverted-index side; one integer
+    *     division per candidate ⇒ bit-exact), top-[[HybridListK]];
+    *   - DENSE list: cosine against the `embeddings` table (the
+    *     [[Similarity]] scoring kernel), top-[[HybridListK]];
+    *   - FUSION: full outer join of the two K-row lists on (q, doc);
+    *     `rrf = Σ 1/(C + rank)` with C = [[RrfC]] — a fixed-order
+    *     two-term double sum over exact divisions ⇒ bit-exact. Docs on
+    *     one list only score with the terms they have (standard RRF).
+    *     `dense_only` flags semantic hits with NO lexical support —
+    *     the mining signal for retrieval-training negatives/positives.
+    *
+    * Shape at 100 TB: each retriever serves from its own index (the
+    * lexical side's production form is [[search]]'s posting-list scan;
+    * the dense side's is the IVF probe) — the brute scans here are the
+    * registered exact baselines, with exemplars BROADCAST so scoring
+    * is map-only. The fusion itself touches only 2·K rows per query
+    * regardless of corpus size — that is RRF's scale property.
+    */
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.par(Tables.documents(s, d))
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("dt"))
+    val qd = docs.filter(col("doc_id").isin(HybridExemplars: _*))
+      .select(col("doc_id").as("q_id"), col("dt").as("qdt"))
+    val inter = size(array_intersect(col("dt"), col("qdt"))).cast(LongType)
+    val wLex = Window.partitionBy("q_id").orderBy(col("jac").desc, col("doc_id"))
+    val lex = docs.join(broadcast(qd), col("doc_id") =!= col("q_id"))
+      .select(col("q_id"), col("doc_id"),
+        (inter.cast(DoubleType) /
+          (size(col("dt")) + size(col("qdt")) - inter).cast(DoubleType)).as("jac"))
+      .withColumn("r_lex", row_number().over(wLex).cast(LongType))
+      .filter(col("r_lex") <= HybridListK)
+      .select(col("q_id"), col("doc_id"), col("r_lex"))
+    val e = Tables.par(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+    val qe = e.filter(col("vec_id").isin(HybridExemplars: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val wDen = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("doc_id"))
+    val den = e.join(broadcast(qe), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        (dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm"))).as("cosine"))
+      .withColumn("r_dense", row_number().over(wDen).cast(LongType))
+      .filter(col("r_dense") <= HybridListK)
+      .select(col("q_id"), col("doc_id"), col("r_dense"))
+    val wRrf = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(den, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"), col("r_lex"), col("r_dense"),
+        (coalesce(lit(1.0) / (col("r_lex") + lit(RrfC)).cast(DoubleType), lit(0.0)) +
+          coalesce(lit(1.0) / (col("r_dense") + lit(RrfC)).cast(DoubleType), lit(0.0)))
+          .as("rrf"))
+      .withColumn("rk", row_number().over(wRrf).cast(LongType))
+      .filter(col("rk") <= HybridTopK)
+      .select(col("q_id"), col("rk"), col("doc_id"), col("rrf"),
+        col("r_lex"), col("r_dense"), col("r_lex").isNull.as("dense_only"))
+  }
+
+  val hybridRrfSql: String = {
+    val ids = HybridExemplars.mkString(", ")
+    s"""WITH dt AS (
+       |  SELECT doc_id, list_distinct(${tokensSql("text")}) AS dt FROM documents),
+       |qd AS (SELECT doc_id AS q_id, dt AS qdt FROM dt WHERE doc_id IN ($ids)),
+       |lexs AS (
+       |  SELECT q_id, doc_id,
+       |    len(list_intersect(dt, qdt))::DOUBLE /
+       |      (len(dt) + len(qdt) - len(list_intersect(dt, qdt)))::DOUBLE AS jac
+       |  FROM dt CROSS JOIN qd WHERE doc_id <> q_id),
+       |lex AS (
+       |  SELECT q_id, doc_id, r_lex FROM (
+       |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY jac DESC, doc_id)::BIGINT AS r_lex
+       |    FROM lexs) WHERE r_lex <= $HybridListK),
+       |e AS (SELECT vec_id, embedding, ${l2normSql("embedding")} AS nrm FROM embeddings),
+       |qe AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+       |       FROM e WHERE vec_id IN ($ids)),
+       |dens AS (
+       |  SELECT q_id, vec_id AS doc_id,
+       |    ${dotSql("embedding", "q_emb")} / (nrm * q_nrm) AS cosine
+       |  FROM e CROSS JOIN qe WHERE vec_id <> q_id),
+       |den AS (
+       |  SELECT q_id, doc_id, r_dense FROM (
+       |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, doc_id)::BIGINT AS r_dense
+       |    FROM dens) WHERE r_dense <= $HybridListK),
+       |fused AS (
+       |  SELECT q_id, doc_id, r_lex, r_dense,
+       |    coalesce(1.0::DOUBLE / ($RrfC + r_lex)::DOUBLE, 0.0::DOUBLE) +
+       |    coalesce(1.0::DOUBLE / ($RrfC + r_dense)::DOUBLE, 0.0::DOUBLE) AS rrf
+       |  FROM lex FULL JOIN den USING (q_id, doc_id))
+       |SELECT q_id, rk, doc_id, rrf, r_lex, r_dense, r_lex IS NULL AS dense_only FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY rrf DESC, doc_id)::BIGINT AS rk
+       |  FROM fused) WHERE rk <= $HybridTopK""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_corpus_lm_score", lmScore, Some(lmScoreSql)),
     Q("q_corpus_classifier", classifier, Some(classifierSql)),
@@ -594,5 +705,6 @@ object Select {
     Q("q_corpus_domain_topk", domainTopK, Some(domainTopKSql)),
     Q("q_corpus_dsir", (s, d) => dsir(s, d), Some(dsirSql)),
     Q("q_corpus_ccnet", ccnet, Some(ccnetSql)),
-    Q("q_text_search", search, Some(searchSql)))
+    Q("q_text_search", search, Some(searchSql)),
+    Q("q_text_hybrid_rrf", hybridRrf, Some(hybridRrfSql)))
 }
