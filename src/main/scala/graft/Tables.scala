@@ -26,14 +26,25 @@ object Tables {
     // construction time (which can be a different session on another
     // thread, or absent entirely).
     graft.functions.GraftExtensions.register(spark)
-    // The generated events table stores TIMESTAMP(NANOS) which Spark's
-    // parquet reader rejects; read nanos as int64 and truncate to
-    // microseconds (exactly what DuckDB's reader does, so oracle
-    // comparisons stay aligned).
+    // The driver regenerates the test tables between rounds and the
+    // writer's timestamp physical type has varied: TIMESTAMP(NANOS)
+    // (which Spark's parquet reader rejects — read nanos as int64 and
+    // truncate to micros, exactly what DuckDB's reader does) and
+    // TIMESTAMP(MICROS, isAdjustedToUTC=false) (which Spark 4 infers as
+    // TIMESTAMP_NTZ by default — disable the inference so it loads as
+    // the session-tz TIMESTAMP every query and oracle expects; all
+    // graft sessions pin spark.sql.session.timeZone=UTC, so the stored
+    // micros are the same instants either way). Both normalizations
+    // live at this one choke point so every query builder sees one
+    // stable schema regardless of the generator's writer settings.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else if (name == "events" &&
+      df.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+      df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
     else df
   }
 
