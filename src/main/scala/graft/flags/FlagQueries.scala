@@ -353,11 +353,130 @@ object FlagQueries {
        |         (1.0::DOUBLE / n_users + 1.0::DOUBLE / ctl_users)) AS z_score
        |FROM per, ctl""".stripMargin
 
+  /** Q-FLAG-7: CUPED variance-reduced experiment readout — the
+    * industry-standard upgrade of [[flagExperiment]]'s plain lift: the
+    * pre-experiment purchase spend `x` (days 1–14) is used as the
+    * control covariate for the in-experiment spend `y` (days 15–30),
+    * `theta = cov(x,y)/var(x)` fit over the WHOLE enrolled cohort (both
+    * arms — the CUPED-correct choice, since variant assignment is
+    * independent of pre-period behavior), and each arm reports
+    * `mean(y_adj) = mean(y) − theta·(mean(x) − mean(x)_global)`.
+    * `rho2` (squared x↔y correlation) is the achieved variance
+    * reduction — the number an experimentation platform quotes as "N%
+    * shorter experiments".
+    *
+    * Float discipline: per-user x/y and every cohort/arm sum are EXACT
+    * decimal(14,2) aggregates (order-independent ⇒ partition-count
+    * independent); cross-products accumulate as decimal(38,4). The
+    * double formula (theta, means, rho2) is applied once at the very
+    * end to the exact sums, with the IDENTICAL expression tree in the
+    * oracle — every op correctly rounded ⇒ bit-equal.
+    *
+    * Shape at 100 TB: one user-keyed map-side-combined agg over events,
+    * a map-only flag walk (native SHA1 bucket), a 1-row global
+    * reduction and a |variants|-row rollup, then a 1-row broadcast of
+    * the control arm. Nothing driver-side, nothing quadratic.
+    */
+  def flagCuped(s: SparkSession, d: String): DataFrame = {
+    GraftExtensions.register(s)
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+    val dec2 = DecimalType(14, 2)
+    def spend(cond: org.apache.spark.sql.Column) =
+      sum(when(cond, col("value").cast(dec2)).otherwise(lit(0).cast(dec2)))
+    val perUser = graft.Tables.events(s, d)
+      .filter(col("user_id") < FlagBucketFixture.n)
+      .groupBy(col("user_id"))
+      .agg(
+        spend(col("event_type") === "purchase" && col("ts") < cutoff).as("x"),
+        spend(col("event_type") === "purchase" && col("ts") >= cutoff).as("y"))
+    val frame = FlagFrame(col("distinct_id"), map().cast("map<string,string>"))
+    val assigned = perUser
+      .select(col("x"), col("y"), concat(lit("user-"), col("user_id")).as("distinct_id"))
+      .select(col("x"), col("y"),
+        FlagColumns.resultCol(frame, experimentConfig.head).getField("variant").as("variant"))
+    // exact cohort-level sums; the decimal(38,4) cross-products stay
+    // exact far past this dataset's magnitudes (≤ ~1e34)
+    val glob = assigned.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val per = assigned.groupBy(col("variant")).agg(
+      count(lit(1)).as("n_users"),
+      sum(col("x")).as("sx_v"), sum(col("y")).as("sy_v"))
+    // the double formula — ingredients are exact, every op below is a
+    // single correctly-rounded double op mirrored verbatim in the SQL
+    val nD = col("n").cast(DoubleType)
+    val cNum = nD * col("sxy").cast(DoubleType) -
+      col("sx").cast(DoubleType) * col("sy").cast(DoubleType)
+    val cDenX = nD * col("sxx").cast(DoubleType) -
+      col("sx").cast(DoubleType) * col("sx").cast(DoubleType)
+    val cDenY = nD * col("syy").cast(DoubleType) -
+      col("sy").cast(DoubleType) * col("sy").cast(DoubleType)
+    val meanXG = col("sx").cast(DoubleType) / nD
+    val meanY = col("sy_v").cast(DoubleType) / col("n_users")
+    val meanX = col("sx_v").cast(DoubleType) / col("n_users")
+    val withG = per.crossJoin(broadcast(glob))
+      .select(col("variant"), col("n_users"),
+        meanY.as("mean_y"),
+        (meanY - (cNum / cDenX) * (meanX - meanXG)).as("mean_y_adj"),
+        (cNum / cDenX).as("theta"),
+        ((cNum * cNum) / (cDenX * cDenY)).as("rho2"))
+    val ctl = withG.filter(col("variant") === "control")
+      .select(col("mean_y").as("ctl_y"), col("mean_y_adj").as("ctl_y_adj"))
+    withG.crossJoin(broadcast(ctl))
+      .select(col("variant"), col("n_users"), col("mean_y"), col("mean_y_adj"),
+        (col("mean_y") - col("ctl_y")).as("lift"),
+        (col("mean_y_adj") - col("ctl_y_adj")).as("lift_adj"),
+        col("theta"), col("rho2"))
+  }
+
+  val flagCupedSql: String =
+    s"""WITH b AS (SELECT * FROM (VALUES ${FlagBucketFixture.valuesSql}) AS v(i, bucket)),
+       |pu AS (
+       |  SELECT user_id,
+       |    sum(CASE WHEN event_type = 'purchase' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+       |        THEN value::DECIMAL(14,2) ELSE 0::DECIMAL(14,2) END) AS x,
+       |    sum(CASE WHEN event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-15 00:00:00'
+       |        THEN value::DECIMAL(14,2) ELSE 0::DECIMAL(14,2) END) AS y
+       |  FROM events WHERE user_id < ${FlagBucketFixture.n} GROUP BY user_id),
+       |a AS (
+       |  SELECT CASE WHEN b.bucket < 50 THEN 'control' ELSE 'test' END AS variant, x, y
+       |  FROM pu JOIN b ON b.i = pu.user_id),
+       |g AS (
+       |  SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+       |    sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+       |  FROM a),
+       |per AS (
+       |  SELECT variant, count(*)::BIGINT AS n_users, sum(x) AS sx_v, sum(y) AS sy_v
+       |  FROM a GROUP BY variant),
+       |w AS (
+       |  SELECT variant, n_users,
+       |    sy_v::DOUBLE / n_users AS mean_y,
+       |    sy_v::DOUBLE / n_users -
+       |      ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+       |       (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)) *
+       |      (sx_v::DOUBLE / n_users - sx::DOUBLE / n::DOUBLE) AS mean_y_adj,
+       |    (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+       |      (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) AS theta,
+       |    ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) *
+       |     (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)) /
+       |      ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+       |       (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) AS rho2
+       |  FROM per, g),
+       |ctl AS (SELECT mean_y AS ctl_y, mean_y_adj AS ctl_y_adj FROM w WHERE variant = 'control')
+       |SELECT variant, n_users, mean_y, mean_y_adj,
+       |  mean_y - ctl_y AS lift, mean_y_adj - ctl_y_adj AS lift_adj, theta, rho2
+       |FROM w, ctl""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_flag_filters", flagFilters, Some(flagFiltersSql)),
     Q("q_flag_rollout", flagRollout, Some(flagRolloutSql)),
     Q("q_flag_variants", flagVariants, Some(flagVariantsSql)),
     Q("q_flag_groups", flagGroups, Some(flagGroupsSql)),
     Q("q_flag_cohort", flagCohort, Some(flagCohortSql)),
-    Q("q_flag_experiment", flagExperiment, Some(flagExperimentSql)))
+    Q("q_flag_experiment", flagExperiment, Some(flagExperimentSql)),
+    Q("q_flag_cuped", flagCuped, Some(flagCupedSql)))
 }

@@ -575,6 +575,151 @@ object Corpus {
        |FROM r""".stripMargin
   }
 
+  /** Q-CORPUS-DATASHEET: the per-source release datasheet — the summary
+    * table every published corpus ships (docs/tokens per source, filter
+    * keep-rate, exact-duplicate rate, mean document length): one row
+    * per source, composed from the REAL [[filterChain]] verdicts and
+    * the exact-hash duplicate groups, so the numbers a release quotes
+    * are definitionally the pipeline's own, not a re-derivation that
+    * can drift.
+    *
+    * All counts are exact int64; the three rates are single int→double
+    * divisions at the end — bit-equal on any engine and partitioning.
+    *
+    * Shape at 100 TB: filter verdicts are map-only; the dup flag is one
+    * compact-key (60-bit hash) groupBy joined back by hash; the rollup
+    * shuffles |sources| rows. One corpus pass, driver-trivial output.
+    */
+  def datasheet(s: SparkSession, d: String): DataFrame = {
+    import Portable._
+    val docs = Tables.par(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"), h60(col("text")).as("h"))
+    val dupGroups = docs.groupBy(col("h")).agg(count(lit(1)).as("n_same"))
+    val verdicts = filterChain(s, d).select(col("doc_id"), col("n_tokens"), col("selected"))
+    docs
+      .join(dupGroups, Seq("h"))
+      .join(verdicts, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("selected"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("n_same") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_kept"), col("n_dup"),
+        (col("n_kept").cast("double") / col("n_docs").cast("double")).as("kept_rate"),
+        (col("n_dup").cast("double") / col("n_docs").cast("double")).as("dup_rate"),
+        (col("n_tokens").cast("double") / col("n_docs").cast("double")).as("mean_tokens"))
+  }
+
+  val datasheetSql: String = {
+    import Portable._
+    s"""WITH fc AS ($filterChainSql),
+       |docs AS (SELECT doc_id, source, ${h60Sql("text")} AS h FROM documents),
+       |dg AS (SELECT h, count(*)::BIGINT AS n_same FROM docs GROUP BY h),
+       |per AS (
+       |  SELECT source,
+       |    count(*)::BIGINT AS n_docs,
+       |    sum(fc.n_tokens)::BIGINT AS n_tokens,
+       |    sum(CASE WHEN fc.selected THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |    sum(CASE WHEN dg.n_same > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+       |  FROM docs JOIN dg USING (h) JOIN fc USING (doc_id)
+       |  GROUP BY source)
+       |SELECT source, n_docs, n_tokens, n_kept, n_dup,
+       |  n_kept::DOUBLE / n_docs::DOUBLE AS kept_rate,
+       |  n_dup::DOUBLE / n_docs::DOUBLE AS dup_rate,
+       |  n_tokens::DOUBLE / n_docs::DOUBLE AS mean_tokens
+       |FROM per""".stripMargin
+  }
+
+  /** Sample size for [[weightedSample]] — small enough that the sampled
+    * set plus its threshold row is a driver-trivial artifact, large
+    * enough that every priority regime (w dominating, u dominating)
+    * occurs on the test corpus.
+    */
+  val SampleK = 40
+
+  /** Q-CORPUS-WEIGHTED-SAMPLE: priority sampling (Duffield–Lund–Thorup)
+    * — ONE top-k pass that draws a weight-proportional sample WITHOUT
+    * replacement and makes it estimator-grade: each document gets
+    * priority `p_i = w_i / u_i` (weight `w_i` = token count; `u_i` ∈
+    * (0,1] a deterministic per-doc uniform), the sample is the top
+    * [[SampleK]] priorities, and `tau` (the (k+1)-th priority) turns
+    * each kept row into the Horvitz–Thompson estimate `max(w_i, tau)` —
+    * so any downstream SUM over the sample is an unbiased estimate of
+    * the corpus-wide sum. This is the sampling layer a 100 TB curation
+    * run reports its corpus statistics from without a full pass.
+    *
+    * Cross-engine float discipline: `u_i` is never materialized —
+    * `p_i = w·2^60/(h+1)` where `h` = 60-bit seeded md5. Int→double
+    * conversion, one multiply, one divide: each IEEE-correctly-rounded,
+    * so both engines produce bit-identical priorities (no `ln`/`pow`,
+    * whose libm rounding may differ). `tau` handles the degenerate
+    * n ≤ k case explicitly (no (k+1)-th row ⇒ tau = 0 ⇒ estimates
+    * collapse to the exact weights).
+    *
+    * Shape at 100 TB: the priority is a map-only projection; top (k+1)
+    * is TakeOrderedAndProject — a bounded heap per partition, k+1 rows
+    * to the driver, NO corpus shuffle and no full sort. The final
+    * window runs over the k+1 collected rows.
+    */
+  def weightedSample(s: SparkSession, d: String): DataFrame = {
+    import Portable._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val toks = tokens(col("text"))
+    val priority = col("w").cast(DoubleType) * lit(Pow60) / (col("h") + lit(1L)).cast(DoubleType)
+    val top = Tables.par(Tables.documents(s, d))
+      .select(col("doc_id"),
+        greatest(size(toks).cast(LongType), lit(1L)).as("w"),
+        h60(concat(lit(SampleSeed), col("doc_id").cast("string"))).as("h"))
+      .select(col("doc_id"), col("w"), priority.as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(SampleK + 1)
+    val wAll = Window.orderBy(col("priority").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    top
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("priority").desc, col("doc_id"))).cast(LongType))
+      .withColumn("tau",
+        when(count(lit(1)).over(wAll) === (SampleK + 1), min(col("priority")).over(wAll))
+          .otherwise(lit(0.0)))
+      .filter(col("rk") <= SampleK)
+      .select(col("doc_id"), col("w"), col("priority"), col("tau"),
+        greatest(col("w").cast(DoubleType), col("tau")).as("est_w"))
+  }
+
+  /** 2^60 as a double — exceeds 53-bit integer precision but is itself
+    * a power of two, hence exactly representable. The SQL twin spells
+    * the full integer literal because `Double.toString` would render a
+    * rounded decimal.
+    */
+  private val Pow60: Double = 1152921504606846976.0
+  private val Pow60Sql = "1152921504606846976.0"
+  private val SampleSeed = "ps1:"
+
+  val weightedSampleSql: String = {
+    import Portable._
+    val h = h60Sql(s"'$SampleSeed' || doc_id::VARCHAR")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    greatest(len(${tokensSql("text")})::BIGINT, 1::BIGINT) AS w,
+       |    $h AS h
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id, w, w::DOUBLE * $Pow60Sql / (h + 1)::DOUBLE AS priority FROM base),
+       |top AS (
+       |  SELECT doc_id, w, priority FROM scored
+       |  ORDER BY priority DESC, doc_id LIMIT ${SampleK + 1}),
+       |ranked AS (
+       |  SELECT doc_id, w, priority,
+       |    row_number() OVER (ORDER BY priority DESC, doc_id)::BIGINT AS rk,
+       |    CASE WHEN count(*) OVER () = ${SampleK + 1}
+       |         THEN min(priority) OVER () ELSE 0.0 END AS tau
+       |  FROM top)
+       |SELECT doc_id, w, priority, tau, greatest(w::DOUBLE, tau) AS est_w
+       |FROM ranked WHERE rk <= $SampleK""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_corpus_funnel", funnel, Some(funnelSql)),
     Q("q_corpus_decontam", decontam, Some(decontamSql)),
@@ -583,5 +728,7 @@ object Corpus {
     Q("q_corpus_epochs", epochs, Some(epochsSql)),
     Q("q_corpus_strat_shards", stratShards, Some(stratShardsSql)),
     Q("q_corpus_temperature", temperature, Some(temperatureSql)),
-    Q("q_corpus_filter_chain", filterChain, Some(filterChainSql)))
+    Q("q_corpus_filter_chain", filterChain, Some(filterChainSql)),
+    Q("q_corpus_weighted_sample", weightedSample, Some(weightedSampleSql)),
+    Q("q_corpus_datasheet", datasheet, Some(datasheetSql)))
 }

@@ -158,6 +158,60 @@ object Dedup {
        |WHERE n_inter::DOUBLE / (na.n + nb.n - n_inter) >= 0.8""".stripMargin
   }
 
+  /** Q-DEDUP-13: n-gram CONTAINMENT pairs — the asymmetric complement
+    * of [[ngramJaccard]]: `cont_a = |sh(a)∩sh(b)| / |sh(a)|` (how much
+    * of a lives inside b) and vice versa. A short document pasted into
+    * a long one has tiny Jaccard but containment ≈ 1 — this is the
+    * measure sub-document/quote/boilerplate dedup decisions actually
+    * need (the Broder resemblance-vs-containment distinction). Pairs
+    * kept when either direction ≥ 0.6; the symmetric `jaccard` rides
+    * along so downstream policy can see both at once.
+    *
+    * Shape at 100 TB: identical to [[ngramJaccard]] — one inverted
+    * shingle index, a compact-key (60-bit hash) equi-join, per-pair
+    * count agg; both divisions are exact-int → double, bit-equal on
+    * any engine.
+    */
+  def containment(s: SparkSession, d: String): DataFrame = {
+    val docs = shingleDocs(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), h60(col("s")).as("hs"))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    val inter = inv.as("a")
+      .join(inv.as("b"), col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val contA = col("n_inter").cast(DoubleType) / col("na.n").cast(DoubleType)
+    val contB = col("n_inter").cast(DoubleType) / col("nb.n").cast(DoubleType)
+    inter
+      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        contA.as("cont_a"), contB.as("cont_b"),
+        (col("n_inter").cast(DoubleType) /
+          (col("na.n") + col("nb.n") - col("n_inter"))).as("jaccard"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= 0.6)
+  }
+
+  val containmentSql: String = {
+    val sh = shingles3Sql(tokensSql("text"))
+    s"""WITH docs AS (SELECT doc_id, $sh AS sh FROM documents),
+       |sizes AS (SELECT doc_id, len(sh)::BIGINT AS n FROM docs),
+       |inv AS (SELECT doc_id, ${h60Sql("s")} AS hs FROM docs, unnest(sh) AS u(s)),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM inv a JOIN inv b ON a.hs = b.hs AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |paired AS (
+       |  SELECT doc_a, doc_b, n_inter,
+       |    n_inter::DOUBLE / na.n::DOUBLE AS cont_a,
+       |    n_inter::DOUBLE / nb.n::DOUBLE AS cont_b,
+       |    n_inter::DOUBLE / (na.n + nb.n - n_inter) AS jaccard
+       |  FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id)
+       |SELECT * FROM paired WHERE greatest(cont_a, cont_b) >= 0.6""".stripMargin
+  }
+
   /** Q-DEDUP-3: MinHash signatures → LSH band hashes, one row per
     * (doc, band). This is the shuffle-ready form: near-dup candidates
     * are exactly the groups sharing (band, band_hash).
@@ -675,6 +729,7 @@ object Dedup {
   val all: Seq[Q] = Seq(
     Q("q_dedup_exact", exact, Some(exactSql)),
     Q("q_dedup_ngram", ngramJaccard, Some(ngramJaccardSql)),
+    Q("q_dedup_containment", containment, Some(containmentSql)),
     Q("q_dedup_minhash", minhashBands, Some(minhashBandsSql)),
     Q("q_dedup_minhash_pairs", minhashPairs, Some(minhashPairsSql)),
     Q("q_dedup_lsh_gate", lshGate, Some(lshGateSql)),

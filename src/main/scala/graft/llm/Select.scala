@@ -697,6 +697,70 @@ object Select {
        |  FROM fused) WHERE rk <= $HybridTopK""".stripMargin
   }
 
+  val KeywordsTopK = 3
+
+  /** Q-SEL-7: per-document TF-IDF keyword extraction — the corpus-wide
+    * twin of [[search]] (which scores only the query's terms): EVERY
+    * token is scored, and each document reports its [[KeywordsTopK]]
+    * most characteristic terms. This is the doc-level feature a
+    * curation run uses for topic tagging, cluster labeling, and
+    * training-mix audits ("what is this shard actually about").
+    *
+    * idf is the RATIONAL `(N+1)/(df+1)` (no `log` — same monotone
+    * per-term ordering, bit-exact across engines; see [[search]]); the
+    * score is `tf · idf` = int→double conversions, one divide, one
+    * multiply — every op correctly rounded, so the (score desc, term)
+    * rank is identical in both engines.
+    *
+    * Shape at 100 TB: the canonical three-shuffle TF-IDF — (doc, term)
+    * count with map-side combine (compact pairs, not documents), a
+    * vocabulary-sized df rollup, a term-keyed shuffle join of postings
+    * to df (df is vocab-sized — broadcast would not survive an open
+    * vocabulary), and a doc-keyed window for the per-doc top-k. No
+    * driver-side state; every stage is keyed by compact ids.
+    */
+  def keywords(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.par(Tables.documents(s, d))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = base.agg(count(lit(1)).as("n_docs"))
+    val tf = base
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(df_, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf").cast(DoubleType) *
+          ((col("n_docs") + 1).cast(DoubleType) / (col("df") + 1).cast(DoubleType)))
+          .as("score"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= KeywordsTopK)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"), col("score"))
+  }
+
+  val keywordsSql: String = {
+    val toks = tokensSql("text")
+    s"""WITH base AS (SELECT doc_id, $toks AS toks FROM documents),
+       |n AS (SELECT count(*)::BIGINT AS n_docs FROM base),
+       |tf AS (
+       |  SELECT doc_id, term, count(*)::BIGINT AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+       |  GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT doc_id, term, tf, df,
+       |    tf::DOUBLE * ((n_docs + 1)::DOUBLE / (df + 1)::DOUBLE) AS score
+       |  FROM tf JOIN df USING (term), n)
+       |SELECT doc_id, rk, term, tf, df, score FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, term)::BIGINT AS rk
+       |  FROM scored) WHERE rk <= $KeywordsTopK""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_corpus_lm_score", lmScore, Some(lmScoreSql)),
     Q("q_corpus_classifier", classifier, Some(classifierSql)),
@@ -706,5 +770,6 @@ object Select {
     Q("q_corpus_dsir", (s, d) => dsir(s, d), Some(dsirSql)),
     Q("q_corpus_ccnet", ccnet, Some(ccnetSql)),
     Q("q_text_search", search, Some(searchSql)),
-    Q("q_text_hybrid_rrf", hybridRrf, Some(hybridRrfSql)))
+    Q("q_text_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
+    Q("q_text_keywords", keywords, Some(keywordsSql)))
 }

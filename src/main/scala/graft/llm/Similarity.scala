@@ -648,6 +648,133 @@ object Similarity {
        |FROM m CROSS JOIN tot t
        |LEFT JOIN hits h ON h.method = m.method AND h.q_id = t.q_id""".stripMargin
 
+  val ProtoM = 5
+
+  /** Q-SIM-14: cluster-balanced prototype (coreset) selection — per IVF
+    * cell, keep the [[ProtoM]] members CLOSEST to the centroid plus the
+    * cell's population and kept-set radius. This is the
+    * prototypes/herding-style data-pruning recipe (and SemDeDup's
+    * "keep the most typical" dual): a balanced coreset that covers
+    * every region of embedding space instead of oversampling the dense
+    * head, sized |cells|·m regardless of corpus size.
+    *
+    * `keep_frac` (m/|cell| capped at 1) is the per-cell sampling rate a
+    * downstream weighted loss would reweight by. All ranks are over the
+    * bit-deterministic (dist2, vec_id) order (dist2 via the native
+    * [[graft.functions.VecDist2]] codegen kernel = the oracle's ordered
+    * double fold), so the kept set is engine- and partitioning-exact.
+    *
+    * Shape at 100 TB: assignment is map-only against K broadcast
+    * centroids; the per-cell top-m is a cell-keyed window (sort-based,
+    * streams through the sorter — or the bounded
+    * [[graft.functions.TopKAggregator]] when cells are huge and only
+    * the kept rows matter); output is |cells|·m rows — driver-trivial
+    * however large the corpus.
+    */
+  def prototypes(s: SparkSession, d: String): DataFrame = {
+    val assign = ivfAssign(s, d)
+    val sizes = assign.groupBy(col("centroid_id")).agg(count(lit(1)).as("n_cell"))
+    val w = Window.partitionBy(col("centroid_id")).orderBy(col("dist2"), col("vec_id"))
+    val kept = assign
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= ProtoM)
+    val wCell = Window.partitionBy(col("centroid_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    kept
+      .withColumn("radius", max(col("dist2")).over(wCell))
+      .join(broadcast(sizes), Seq("centroid_id"))
+      .select(col("centroid_id"), col("rk"), col("vec_id"), col("dist2"),
+        col("n_cell"), col("radius"),
+        least(lit(ProtoM).cast(DoubleType) / col("n_cell").cast(DoubleType), lit(1.0))
+          .as("keep_frac"))
+  }
+
+  val prototypesSql: String = {
+    val d2 =
+      """list_reduce(list_transform(generate_series(1, len(embedding)), i ->
+        |  (embedding[i]::DOUBLE - c_emb[i]::DOUBLE) * (embedding[i]::DOUBLE - c_emb[i]::DOUBLE)),
+        |  (x, y) -> x + y)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM e WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT vec_id, centroid_id, dist2 FROM (
+       |    SELECT vec_id, centroid_id, $d2 AS dist2,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY $d2, centroid_id) AS rn
+       |    FROM e, c) WHERE rn = 1),
+       |sz AS (SELECT centroid_id, count(*)::BIGINT AS n_cell FROM assign GROUP BY centroid_id),
+       |kept AS (
+       |  SELECT centroid_id, vec_id, dist2,
+       |    row_number() OVER (PARTITION BY centroid_id ORDER BY dist2, vec_id)::BIGINT AS rk
+       |  FROM assign QUALIFY rk <= $ProtoM)
+       |SELECT centroid_id, rk, vec_id, dist2, n_cell,
+       |  max(dist2) OVER (PARTITION BY centroid_id) AS radius,
+       |  least($ProtoM::DOUBLE / n_cell::DOUBLE, 1.0::DOUBLE) AS keep_frac
+       |FROM kept JOIN sz USING (centroid_id)""".stripMargin
+  }
+
+  /** Q-SIM-15: IVF index health audit — the report an index build job
+    * publishes before the index serves traffic: per cell, population,
+    * its share of the corpus, and mean quantization error (mean L2² to
+    * the centroid), plus the global cell count and the balance factor
+    * `max|cell| · K / N` (1 = perfectly balanced; recall and tail
+    * latency degrade as it grows — the signal to retrain or split
+    * cells).
+    *
+    * Float discipline: populations are exact int64; `mean_qerr` sums
+    * dist2 through decimal(27,12) (order-independent, partition-count
+    * independent) and divides once; the share/balance divisions are
+    * single correctly-rounded double ops.
+    *
+    * Shape at 100 TB: map-only assignment against K broadcast
+    * centroids, one K-row aggregate, a K-row window — the audit costs
+    * one corpus pass regardless of K.
+    */
+  def indexStats(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val assign = ivfAssign(s, d)
+    val per = assign.groupBy(col("centroid_id")).agg(
+      count(lit(1)).as("n_cell"),
+      sum(col("dist2").cast(DecimalType(27, 12))).as("qsum"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per
+      .withColumn("n_total", sum(col("n_cell")).over(wAll))
+      .withColumn("n_cells", count(lit(1)).over(wAll))
+      .withColumn("n_max", max(col("n_cell")).over(wAll))
+      .select(col("centroid_id"), col("n_cell"), col("n_cells"),
+        (col("n_cell").cast(DoubleType) / col("n_total").cast(DoubleType)).as("share"),
+        (col("qsum").cast(DoubleType) / col("n_cell").cast(DoubleType)).as("mean_qerr"),
+        ((col("n_max") * col("n_cells")).cast(DoubleType) /
+          col("n_total").cast(DoubleType)).as("balance"))
+  }
+
+  val indexStatsSql: String = {
+    val d2 =
+      """list_reduce(list_transform(generate_series(1, len(embedding)), i ->
+        |  (embedding[i]::DOUBLE - c_emb[i]::DOUBLE) * (embedding[i]::DOUBLE - c_emb[i]::DOUBLE)),
+        |  (x, y) -> x + y)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM e WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT vec_id, centroid_id, dist2 FROM (
+       |    SELECT vec_id, centroid_id, $d2 AS dist2,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY $d2, centroid_id) AS rn
+       |    FROM e, c) WHERE rn = 1),
+       |per AS (
+       |  SELECT centroid_id, count(*)::BIGINT AS n_cell,
+       |    sum(dist2::DECIMAL(27,12)) AS qsum
+       |  FROM assign GROUP BY centroid_id),
+       |g AS (
+       |  SELECT *, sum(n_cell) OVER ()::BIGINT AS n_total,
+       |    count(*) OVER ()::BIGINT AS n_cells,
+       |    max(n_cell) OVER ()::BIGINT AS n_max
+       |  FROM per)
+       |SELECT centroid_id, n_cell, n_cells,
+       |  n_cell::DOUBLE / n_total::DOUBLE AS share,
+       |  qsum::DOUBLE / n_cell::DOUBLE AS mean_qerr,
+       |  (n_max * n_cells)::DOUBLE / n_total::DOUBLE AS balance
+       |FROM g""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_sim_topk", topK, Some(topKSql)),
     Q("q_sim_lsh", lshBuckets, Some(lshBucketsSql)),
@@ -661,5 +788,7 @@ object Similarity {
     Q("q_sim_binary", binarySearch, Some(binarySearchSql)),
     Q("q_sim_binary_ivf", binaryIvfSearch, Some(binaryIvfSearchSql)),
     Q("q_sim_project_search", projectSearch, Some(projectSearchSql)),
-    Q("q_sim_recall_matrix", recallMatrix, Some(recallMatrixSql)))
+    Q("q_sim_recall_matrix", recallMatrix, Some(recallMatrixSql)),
+    Q("q_sim_prototypes", prototypes, Some(prototypesSql)),
+    Q("q_sim_index_stats", indexStats, Some(indexStatsSql)))
 }

@@ -328,4 +328,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"verdict join neither broadcast nor bucket-co-partitioned ($bucketExchanges band exchanges):\n" +
         g.take(2000))
   }
+
+  test("round-10 additions: bounded top-k sample, combined tf rollup, no cartesian audits") {
+    // priority sample: map-only priorities into a bounded top-k — the
+    // whole corpus never sorts and never shuffles
+    val ws = plan(SparkEntry.queries("q_corpus_weighted_sample")(spark, sf))
+    assert(ws.contains("TakeOrderedAndProject"), ws.take(1500))
+    assert(!ws.toLowerCase.contains("scalaudf"))
+    // keywords: (doc, term) counts must map-side combine before the
+    // shuffle — the pairs stream is the corpus-sized stage
+    val kw = plan(SparkEntry.queries("q_text_keywords")(spark, sf))
+    assert(kw.contains("partial_count"), "tf rollup lost map-side combine:\n" + kw.take(2000))
+    assert(!kw.contains("CartesianProduct"))
+    // CUPED: one user-keyed rollup with partials, native bucket (no
+    // UDF), and only broadcast joins for the 1-row global/control sides
+    val cu = plan(SparkEntry.queries("q_flag_cuped")(spark, sf))
+    assert(cu.contains("partial_sum"), "per-user spend rollup lost partials:\n" + cu.take(2000))
+    assert(!cu.toLowerCase.contains("scalaudf"), "CUPED grew a UDF")
+    assert(!cu.contains("CartesianProduct"),
+      "the 1-row global join should broadcast (BNLJ), not cartesian:\n" + cu.take(1500))
+    // audits: assignment against broadcast centroids, never all-pairs
+    for (q <- Seq("q_sim_prototypes", "q_sim_index_stats")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$q: centroid side lost its broadcast:\n" + p.take(1500))
+      assert(!p.contains("CartesianProduct"), s"$q degenerated to a cartesian")
+    }
+  }
 }

@@ -1,0 +1,185 @@
+package graft
+
+import graft.flags.FlagQueries
+import graft.llm.{Corpus, Select, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Behavior checks for the round-10 estimator/selection operators
+  * (priority sampling, CUPED readout, TF-IDF keywords, cluster-balanced
+  * prototypes): the oracle harness proves bit-equality with DuckDB;
+  * these assert the SEMANTIC properties each operator exists for, plus
+  * the plan shapes the 100 TB story depends on.
+  */
+class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("priority sample: exactly k rows, HT estimates = max(w, tau), top-k plan") {
+    val df = Corpus.weightedSample(spark, sf)
+    val rows = df.select(col("doc_id"), col("w"), col("priority"), col("tau"),
+      col("est_w")).collect()
+    assert(rows.length == Corpus.SampleK)
+    // every kept priority is >= tau (the (k+1)-th) — the defining
+    // property of a priority sample
+    val tau = rows.head.getDouble(3)
+    assert(rows.forall(_.getDouble(3) == tau), "tau must be a single threshold")
+    assert(rows.forall(_.getDouble(2) >= tau))
+    rows.foreach { r =>
+      assert(r.getDouble(4) == math.max(r.getLong(1).toDouble, tau),
+        s"est_w must be max(w, tau) for doc ${r.getLong(0)}")
+    }
+    // corpus smaller than k ⇒ tau = 0 and the sample is exact
+    val n = Tables.documents(spark, sf).count()
+    if (n > Corpus.SampleK) assert(tau > 0.0)
+    // the scan side must be a bounded top-k, not a global sort
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("priority sample: HT sum is within 3x of the true total (sanity, not a bound)") {
+    // an unbiased estimator on a 40-of-N sample is noisy; this guards
+    // against catastrophic breakage (wrong weights, wrong tau), not ulp
+    val est = Corpus.weightedSample(spark, sf)
+      .agg(sum(col("est_w"))).collect()(0).getDouble(0)
+    val truth = Tables.documents(spark, sf)
+      .select(greatest(size(split(col("text"), "\\s+")), lit(1)).cast("long").as("w"))
+      .agg(sum(col("w"))).collect()(0).getLong(0).toDouble
+    assert(est > truth / 3.0 && est < truth * 3.0, s"HT estimate $est vs truth $truth")
+  }
+
+  test("CUPED: theta/rho2 shared across arms, rho2 in [0,1], adjustment preserves cohort mean") {
+    val rows = FlagQueries.flagCuped(spark, sf)
+      .select(col("variant"), col("n_users"), col("mean_y"), col("mean_y_adj"),
+        col("theta"), col("rho2")).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("control", "test"))
+    val thetas = rows.map(_.getDouble(4)).distinct
+    val rho2s = rows.map(_.getDouble(5)).distinct
+    assert(thetas.length == 1, "theta is fit on the pooled cohort — one value")
+    assert(rho2s.length == 1)
+    assert(rho2s.head >= 0.0 && rho2s.head <= 1.0, s"rho2=${rho2s.head}")
+    // CUPED is mean-preserving over the whole cohort: the n-weighted
+    // mean of y_adj equals the n-weighted mean of y (the theta term is
+    // centered on the global x mean)
+    val nTot = rows.map(_.getLong(1)).sum.toDouble
+    val my = rows.map(r => r.getLong(1) * r.getDouble(2)).sum / nTot
+    val myAdj = rows.map(r => r.getLong(1) * r.getDouble(3)).sum / nTot
+    assert(math.abs(my - myAdj) < 1e-9, s"cohort mean moved: $my vs $myAdj")
+  }
+
+  test("keywords: per-doc rank is dense 1..k, score = tf * (N+1)/(df+1), ordered") {
+    val docs = Tables.documents(spark, sf).count()
+    val perDoc = Select.keywords(spark, sf)
+      .select(col("doc_id"), col("rk"), col("tf"), col("df"), col("score"))
+      .collect()
+      .groupBy(_.getLong(0))
+    assert(perDoc.nonEmpty)
+    perDoc.foreach { case (docId, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq,
+        s"ranks not dense for doc $docId")
+      assert(sorted.length <= Select.KeywordsTopK)
+      sorted.foreach { r =>
+        val expect = r.getLong(2).toDouble * ((docs + 1).toDouble / (r.getLong(3) + 1).toDouble)
+        assert(r.getDouble(4) == expect, s"score formula mismatch for doc $docId")
+      }
+      // scores weakly decrease with rank
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getDouble(4) >= b.getDouble(4))
+        case _ =>
+      }
+    }
+  }
+
+  test("containment: dominates jaccard, supersets the jaccard-0.8 pairs, threshold holds") {
+    import graft.llm.Dedup
+    val cont = Dedup.containment(spark, sf)
+      .select(col("doc_a"), col("doc_b"), col("cont_a"), col("cont_b"), col("jaccard"))
+      .collect()
+    assert(cont.nonEmpty)
+    cont.foreach { r =>
+      // |A∩B|/|A| >= |A∩B|/|A∪B| always — containment can only exceed
+      assert(r.getDouble(2) >= r.getDouble(4) && r.getDouble(3) >= r.getDouble(4))
+      assert(math.max(r.getDouble(2), r.getDouble(3)) >= 0.6)
+      assert(r.getDouble(2) <= 1.0 && r.getDouble(3) <= 1.0)
+    }
+    // every symmetric near-dup pair is also a containment pair
+    val jacPairs = Dedup.ngramJaccard(spark, sf)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val contPairs = cont.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jacPairs.subsetOf(contPairs),
+      s"jaccard pairs missing from containment: ${jacPairs -- contPairs}")
+  }
+
+  test("index stats: shares sum to 1, balance = max*k/n, counts match the assignment") {
+    val byCell = Similarity.ivfAssign(spark, sf)
+      .groupBy(col("centroid_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Similarity.indexStats(spark, sf)
+      .select(col("centroid_id"), col("n_cell"), col("n_cells"), col("share"),
+        col("mean_qerr"), col("balance")).collect()
+    assert(rows.map(_.getLong(0)).toSet == byCell.keySet)
+    rows.foreach(r => assert(r.getLong(1) == byCell(r.getLong(0))))
+    val shareSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"shares sum to $shareSum")
+    val total = byCell.values.sum.toDouble
+    val expectBalance = byCell.values.max.toDouble * byCell.size / total
+    rows.foreach { r =>
+      assert(r.getLong(2) == byCell.size)
+      assert(math.abs(r.getDouble(5) - expectBalance) < 1e-12)
+      assert(r.getDouble(4) > 0.0)
+    }
+  }
+
+  test("datasheet: per-source totals reconcile with the corpus and the filter chain") {
+    val docs = Tables.documents(spark, sf).groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Corpus.filterChain(spark, sf).filter(col("selected")).count()
+    val rows = Corpus.datasheet(spark, sf)
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_kept"),
+        col("n_dup"), col("kept_rate"), col("dup_rate"), col("mean_tokens")).collect()
+    assert(rows.map(_.getString(0)).toSet == docs.keySet)
+    rows.foreach { r =>
+      assert(r.getLong(1) == docs(r.getString(0)))
+      assert(r.getLong(3) <= r.getLong(1) && r.getLong(4) <= r.getLong(1))
+      assert(r.getDouble(5) == r.getLong(3).toDouble / r.getLong(1).toDouble)
+      assert(r.getDouble(6) == r.getLong(4).toDouble / r.getLong(1).toDouble)
+      assert(r.getDouble(7) == r.getLong(2).toDouble / r.getLong(1).toDouble)
+    }
+    assert(rows.map(_.getLong(3)).sum == kept, "datasheet kept != filter chain kept")
+  }
+
+  test("prototypes: <= m per cell, kept are the cell's closest, radius = max kept dist") {
+    val assign = Similarity.ivfAssign(spark, sf)
+      .select(col("vec_id"), col("centroid_id"), col("dist2")).collect()
+      .groupBy(_.getLong(1))
+    val kept = Similarity.prototypes(spark, sf)
+      .select(col("centroid_id"), col("rk"), col("vec_id"), col("dist2"),
+        col("n_cell"), col("radius"), col("keep_frac")).collect()
+      .groupBy(_.getLong(0))
+    assert(kept.keySet == assign.keySet, "every non-empty cell keeps prototypes")
+    kept.foreach { case (cell, rs) =>
+      val members = assign(cell)
+      assert(rs.length == math.min(Similarity.ProtoM, members.length))
+      assert(rs.forall(_.getLong(4) == members.length), "n_cell mismatch")
+      val radius = rs.map(_.getDouble(3)).max
+      assert(rs.forall(_.getDouble(5) == radius), "radius must be the kept max")
+      // the kept set is exactly the m smallest (dist2, vec_id) members
+      val expectIds = members.sortBy(r => (r.getDouble(2), r.getLong(0)))
+        .take(rs.length).map(_.getLong(0)).toSet
+      assert(rs.map(_.getLong(2)).toSet == expectIds, s"cell $cell kept wrong members")
+    }
+  }
+}
