@@ -275,6 +275,91 @@ object Dedup {
        |WHERE len(list_intersect(da.sh, db.sh))::DOUBLE / len(list_distinct(list_concat(da.sh, db.sh))) >= 0.8""".stripMargin
   }
 
+  /** Q-DEDUP-AUDIT: LSH candidate-quality audit — precision/recall of
+    * the MinHash band-collision CANDIDATE set against the exact
+    * Jaccard ≥ 0.8 truth pairs ([[ngramJaccard]]'s definition). This is
+    * the number that justifies (or retunes) the band/row configuration
+    * before a 100 TB dedup run commits to it: recall says what the gate
+    * will miss, precision says how much exact re-verification the
+    * candidates will cost.
+    *
+    * One summary row: candidate/truth/hit counts (exact int64) and the
+    * two single-division double ratios — bit-equal everywhere.
+    *
+    * Shape at 100 TB: both sides are the existing compact-key
+    * pipelines (band self-join, shingle-hash inverted index); the audit
+    * adds one full-outer join on the pair key and a 1-row aggregate.
+    * The truth side is the expensive one — which is exactly why the
+    * audit runs on a sample slice in production while the GATE runs on
+    * everything; the plan is identical either way.
+    */
+  def lshAudit(s: SparkSession, d: String): DataFrame = {
+    val bands = minhashBands(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .withColumn("is_cand", lit(1L))
+    val docs = shingleDocs(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), h60(col("s")).as("hs"))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    val truth = inv.as("a")
+      .join(inv.as("b"), col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .filter(col("n_inter").cast(DoubleType) /
+        (col("na.n") + col("nb.n") - col("n_inter")) >= 0.8)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("is_truth"))
+    cand.join(truth, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("is_cand"), lit(0L))).as("n_cand"),
+        sum(coalesce(col("is_truth"), lit(0L))).as("n_truth"),
+        sum(when(col("is_cand").isNotNull && col("is_truth").isNotNull, 1L)
+          .otherwise(0L)).as("n_hit"))
+      .select(col("n_cand"), col("n_truth"), col("n_hit"),
+        (col("n_hit").cast(DoubleType) / col("n_cand").cast(DoubleType)).as("precision"),
+        (col("n_hit").cast(DoubleType) / col("n_truth").cast(DoubleType)).as("recall"))
+  }
+
+  val lshAuditSql: String = {
+    val sh = shingles3Sql(tokensSql("text"))
+    s"""WITH b AS ($minhashBandsSql),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM b a JOIN b b2 ON a.band = b2.band AND a.band_hash = b2.band_hash
+       |    AND a.doc_id < b2.doc_id),
+       |docs AS (SELECT doc_id, $sh AS sh FROM documents),
+       |sizes AS (SELECT doc_id, len(sh)::BIGINT AS n FROM docs),
+       |inv AS (SELECT doc_id, ${h60Sql("s")} AS hs FROM docs, unnest(sh) AS u(s)),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM inv a JOIN inv b ON a.hs = b.hs AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT doc_a, doc_b
+       |  FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
+       |  WHERE n_inter::DOUBLE / (na.n + nb.n - n_inter) >= 0.8),
+       |j AS (
+       |  SELECT coalesce(c.doc_a, t.doc_a) AS doc_a,
+       |    (c.doc_a IS NOT NULL)::BIGINT AS is_cand,
+       |    (t.doc_a IS NOT NULL)::BIGINT AS is_truth
+       |  FROM cand c FULL JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b),
+       |agg AS (
+       |  SELECT sum(is_cand)::BIGINT AS n_cand, sum(is_truth)::BIGINT AS n_truth,
+       |    sum(is_cand * is_truth)::BIGINT AS n_hit
+       |  FROM j)
+       |SELECT n_cand, n_truth, n_hit,
+       |  n_hit::DOUBLE / n_cand::DOUBLE AS precision,
+       |  n_hit::DOUBLE / n_truth::DOUBLE AS recall
+       |FROM agg""".stripMargin
+  }
+
   /** Q-DEDUP-GATE: online near-dup ADMISSION verdicts — "keep the first
     * document to claim each LSH bucket". For every doc: how many of its
     * band buckets were already claimed by an EARLIER doc (`n_hot_bands`,
@@ -732,6 +817,7 @@ object Dedup {
     Q("q_dedup_containment", containment, Some(containmentSql)),
     Q("q_dedup_minhash", minhashBands, Some(minhashBandsSql)),
     Q("q_dedup_minhash_pairs", minhashPairs, Some(minhashPairsSql)),
+    Q("q_dedup_lsh_audit", lshAudit, Some(lshAuditSql)),
     Q("q_dedup_lsh_gate", lshGate, Some(lshGateSql)),
     Q("q_dedup_simhash", simhash, Some(simhashSql)),
     Q("q_dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),

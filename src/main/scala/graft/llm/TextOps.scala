@@ -111,6 +111,53 @@ object TextOps {
        |  FROM (SELECT doc_id, lang, $toks AS toks FROM documents))""".stripMargin
   }
 
+  /** Q-TEXT-2b: language-ID evaluation — the confusion matrix of
+    * [[langId]]'s prediction against the gold `lang` label, with
+    * row-normalized rates (the diagonal rate is the class recall) and the corpus micro-accuracy on every row.
+    * This is the audit a curation run publishes before trusting a
+    * classifier to route documents (and the shape any
+    * predicted-vs-gold eval takes on this engine: the model column is
+    * pluggable, the rollup is fixed).
+    *
+    * Counts exact; rate / micro_acc are single int→double divisions —
+    * bit-equal everywhere. Shape at 100 TB: the prediction is the same
+    * map-only pass as [[langId]]; the matrix is a |gold×pred|-row agg
+    * (≤ 25 cells here), the gold marginals a window over those cells,
+    * the accuracy a 1-row broadcast.
+    */
+  def langIdEval(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val cells = langId(s, d)
+      .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+    val wGold = Window.partitionBy(col("lang"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val acc = cells.agg(
+      (sum(when(col("lang") === col("pred_lang"), col("n")).otherwise(0L))
+        .cast(DoubleType) / sum(col("n")).cast(DoubleType)).as("micro_acc"))
+    cells
+      .withColumn("gold_total", sum(col("n")).over(wGold).cast(LongType))
+      .crossJoin(broadcast(acc))
+      .select(col("lang"), col("pred_lang"), col("n"), col("gold_total"),
+        (col("n").cast(DoubleType) / col("gold_total").cast(DoubleType)).as("rate"),
+        col("micro_acc"))
+  }
+
+  val langIdEvalSql: String =
+    s"""WITH pred AS ($langIdSql),
+       |cells AS (
+       |  SELECT lang, pred_lang, count(*)::BIGINT AS n
+       |  FROM pred GROUP BY lang, pred_lang),
+       |acc AS (
+       |  SELECT sum(CASE WHEN lang = pred_lang THEN n ELSE 0 END)::DOUBLE /
+       |    sum(n)::DOUBLE AS micro_acc
+       |  FROM cells)
+       |SELECT lang, pred_lang, n,
+       |  sum(n) OVER (PARTITION BY lang)::BIGINT AS gold_total,
+       |  n::DOUBLE / (sum(n) OVER (PARTITION BY lang))::DOUBLE AS rate,
+       |  micro_acc
+       |FROM cells, acc""".stripMargin
+
   /** Q-TEXT-3: document fingerprinting — a token-sequence polynomial
     * rolling hash (order-sensitive) plus a char-8-gram min-hash
     * (order-insensitive, robust to small edits). All int64 modular
@@ -825,6 +872,7 @@ object TextOps {
     Q("q_text_chunks", chunks, Some(chunksSql)),
     Q("q_text_pack", pack, Some(packSql)),
     Q("q_text_langid", langId, Some(langIdSql)),
+    Q("q_text_langid_eval", langIdEval, Some(langIdEvalSql)),
     Q("q_text_fingerprint", fingerprint, Some(fingerprintSql)),
     Q("q_text_winnow", winnow, Some(winnowSql)),
     Q("q_text_repetition", repetition, Some(repetitionSql)),

@@ -161,6 +161,39 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getLong(3)).sum == kept, "datasheet kept != filter chain kept")
   }
 
+  test("langid eval: cells cover the corpus, micro_acc = diagonal mass, rates row-normalize") {
+    import graft.llm.TextOps
+    val n = Tables.documents(spark, sf).count()
+    val rows = TextOps.langIdEval(spark, sf)
+      .select(col("lang"), col("pred_lang"), col("n"), col("gold_total"),
+        col("rate"), col("micro_acc")).collect()
+    assert(rows.map(_.getLong(2)).sum == n, "confusion cells must cover every doc")
+    val diag = rows.filter(r => r.getString(0) == r.getString(1)).map(_.getLong(2)).sum
+    rows.foreach { r =>
+      assert(r.getDouble(5) == diag.toDouble / n.toDouble, "micro_acc mismatch")
+      assert(r.getDouble(4) == r.getLong(2).toDouble / r.getLong(3).toDouble)
+    }
+    // per-gold rows sum to the gold marginal
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(2)).sum == rs.head.getLong(3))
+    }
+  }
+
+  test("lsh audit: hits = the verified minhash pairs, truth = the exact jaccard pairs") {
+    import graft.llm.Dedup
+    val r = Dedup.lshAudit(spark, sf)
+      .select(col("n_cand"), col("n_truth"), col("n_hit"), col("precision"), col("recall"))
+      .collect()(0)
+    val (nCand, nTruth, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nHit <= math.min(nCand, nTruth))
+    assert(r.getDouble(3) == nHit.toDouble / nCand.toDouble)
+    assert(r.getDouble(4) == nHit.toDouble / nTruth.toDouble)
+    // the hit set IS the band-collision pairs that survive exact
+    // verification — i.e. q_dedup_minhash_pairs
+    assert(nHit == Dedup.minhashPairs(spark, sf).count(), "hits != verified minhash pairs")
+    assert(nTruth == Dedup.ngramJaccard(spark, sf).count(), "truth != exact jaccard pairs")
+  }
+
   test("prototypes: <= m per cell, kept are the cell's closest, radius = max kept dist") {
     val assign = Similarity.ivfAssign(spark, sf)
       .select(col("vec_id"), col("centroid_id"), col("dist2")).collect()
