@@ -354,5 +354,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$q: centroid side lost its broadcast:\n" + p.take(1500))
       assert(!p.contains("CartesianProduct"), s"$q degenerated to a cartesian")
     }
+    // langid eval: prediction stays a UDF-free map pass; the matrix agg
+    // map-side combines so the shuffle carries cells, not documents
+    val le = plan(SparkEntry.queries("q_text_langid_eval")(spark, sf))
+    assert(!le.toLowerCase.contains("scalaudf"))
+    assert(le.contains("partial_count"), "confusion cells lost map-side combine:\n" + le.take(2000))
+    // lsh audit: candidate and truth sides stay compact-key equi-joins
+    val la = plan(SparkEntry.queries("q_dedup_lsh_audit")(spark, sf))
+    assert(!la.contains("CartesianProduct"), "audit degenerated to all-pairs:\n" + la.take(1500))
   }
 }
