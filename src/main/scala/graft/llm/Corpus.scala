@@ -662,16 +662,38 @@ object Corpus {
     * to the driver, NO corpus shuffle and no full sort. The final
     * window runs over the k+1 collected rows.
     */
+  /** (doc_id, w): the weighted population both sample forms draw from —
+    * weight = whitespace token count (min 1). Shared by [[weightedSample]]
+    * and the streaming twin's harness so the two cannot drift.
+    */
+  private[graft] def sampleWeights(s: SparkSession, d: String): DataFrame = {
+    import Portable._
+    import org.apache.spark.sql.types.LongType
+    Tables.par(Tables.documents(s, d))
+      .select(col("doc_id"),
+        greatest(size(tokens(col("text"))).cast(LongType), lit(1L)).as("w"))
+  }
+
+  /** Scala-side twin of the priority expression — used by the streaming
+    * sampler's per-row path. Bit-identical to the Catalyst form: same
+    * md5-over-UTF-8 hash, same 15-hex-char parse, and the same three
+    * correctly-rounded double ops (JVM doubles both ways).
+    */
+  private[graft] def scalaPriority(docId: Long, w: Long): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest((SampleSeed + docId.toString).getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    w.toDouble * Pow60 / (h + 1).toDouble
+  }
+
   def weightedSample(s: SparkSession, d: String): DataFrame = {
     import Portable._
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.{DoubleType, LongType}
-    val toks = tokens(col("text"))
     val priority = col("w").cast(DoubleType) * lit(Pow60) / (col("h") + lit(1L)).cast(DoubleType)
-    val top = Tables.par(Tables.documents(s, d))
-      .select(col("doc_id"),
-        greatest(size(toks).cast(LongType), lit(1L)).as("w"),
-        h60(concat(lit(SampleSeed), col("doc_id").cast("string"))).as("h"))
+    val top = sampleWeights(s, d)
+      .withColumn("h", h60(concat(lit(SampleSeed), col("doc_id").cast("string"))))
       .select(col("doc_id"), col("w"), priority.as("priority"))
       .orderBy(col("priority").desc, col("doc_id"))
       .limit(SampleK + 1)
@@ -693,9 +715,9 @@ object Corpus {
     * the full integer literal because `Double.toString` would render a
     * rounded decimal.
     */
-  private val Pow60: Double = 1152921504606846976.0
+  private[graft] val Pow60: Double = 1152921504606846976.0
   private val Pow60Sql = "1152921504606846976.0"
-  private val SampleSeed = "ps1:"
+  private[graft] val SampleSeed = "ps1:"
 
   val weightedSampleSql: String = {
     import Portable._

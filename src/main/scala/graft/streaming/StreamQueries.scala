@@ -136,10 +136,49 @@ object StreamQueries {
       s.createDataset(emissions.toSeq).toDF("doc_id", "band", "owner"))
   }
 
+  /** Q-STR-6 (streaming priority sample, driver-checked): the O(k)-state
+    * online sampler [[Streaming.prioritySampleStream]] run through REAL
+    * micro-batches — the (doc_id, w) population arrives in 3 chunks over
+    * a MemoryStream, and the LATEST emitted sample (max state version)
+    * is returned in the batch operator's column shape. The oracle is the
+    * BATCH priority-sample SQL: the stream must land on the batch
+    * operator's rows verbatim, whatever the batch split.
+    */
+  def sample(s: SparkSession, d: String, chunks: Int = 3): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // collectBudgeted discipline: 16 B/row (two longs), count probe first
+    val wDf = graft.llm.Corpus.sampleWeights(s, d)
+    val nRows = wDf.count()
+    require(nRows * 16L <= graft.state.IdentityResolver.LocalHeapBudget,
+      s"streaming sample harness: $nRows weight rows exceed the MemoryStream driver " +
+        s"budget (${graft.state.IdentityResolver.LocalHeapBudget >> 20} MiB); at this scale " +
+        "feed the sampler from readStream against the lake instead of the harness transport.")
+    val rows = wDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mem = MemoryStream[(Long, Long)]
+    val name = "sample_sink_" + java.lang.Long.toHexString(System.nanoTime())
+    val q = Streaming.prioritySampleStream(mem.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update()).start()
+    val picks = try {
+      rows.sortBy(_._1).grouped(math.max(1, rows.length / chunks + 1)).foreach { ch =>
+        mem.addData(ch.toSeq: _*)
+        q.processAllAvailable()
+      }
+      s.table(name).as[Streaming.SamplePick].collect()
+    } finally { q.stop(); s.sql(s"DROP TABLE IF EXISTS $name") }
+    val last = if (picks.isEmpty) 0L else picks.map(_.ver).max
+    s.createDataset(picks.filter(_.ver == last).toSeq)
+      .select(col("doc_id"), col("w"), col("priority"), col("tau"), col("est_w"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_stream_tumbling", tumbling, Some(tumblingSql)),
     Q("q_stream_sliding", sliding, Some(slidingSql)),
     Q("q_stream_sessions", sessions, Some(sessionsSql)),
     Q("q_stream_join", joined, Some(joinedSql)),
-    Q("q_stream_lsh_gate", (s, d) => lshGate(s, d), Some(graft.llm.Dedup.lshGateSql)))
+    Q("q_stream_lsh_gate", (s, d) => lshGate(s, d), Some(graft.llm.Dedup.lshGateSql)),
+    Q("q_stream_sample", (s, d) => sample(s, d), Some(graft.llm.Corpus.weightedSampleSql)))
 }

@@ -294,6 +294,64 @@ object Streaming {
       }
   }
 
+  /** One emitted sample row from [[prioritySampleStream]]; `ver` is the
+    * state version (number of micro-batches folded so far) so a sink
+    * can select the latest sample without replaying the stream.
+    */
+  final case class SamplePick(
+      ver: Long, doc_id: Long, w: Long, priority: Double, tau: Double, est_w: Double)
+
+  /** Streaming priority sample: the online twin of
+    * [[graft.llm.Corpus.weightedSample]] — a weight-proportional
+    * without-replacement sample of an UNBOUNDED stream in O(k) state.
+    * Each micro-batch computes bounded per-partition top-(k+1) partials
+    * (map-side, same shape as the batch TakeOrderedAndProject), keyed
+    * state merges them with the retained top-(k+1), and the operator
+    * emits the refreshed top-k with the running threshold `tau` and
+    * Horvitz–Thompson estimate `max(w, tau)`.
+    *
+    * Correct because priority sampling is a pure top-(k+1) over
+    * priorities: any item outside a prefix's top-(k+1) can never
+    * re-enter, so folding per-batch partials reproduces the batch
+    * sample EXACTLY for the same item set — priorities come from
+    * [[graft.llm.Corpus.scalaPriority]], the bit-identical Scala twin
+    * of the batch expression, so any batch split yields the batch
+    * operator's rows verbatim (StreamingSpec pins this).
+    *
+    * At 100 TB: state is k+1 tuples (~1 KB); the single merge key is
+    * deliberate — the heavy lifting happened in the per-partition
+    * partials, the state fold sees ≤ (k+1)·partitions rows per batch.
+    */
+  def prioritySampleStream(
+      docs: Dataset[(Long, Long)],
+      k: Int = graft.llm.Corpus.SampleK): Dataset[SamplePick] = {
+    import docs.sparkSession.implicits._
+    val keep = k + 1
+    def top(rows: Seq[(Double, Long, Long)]): Seq[(Double, Long, Long)] =
+      rows.sortBy(t => (-t._1, t._2)).take(keep)
+    val partials: Dataset[(Double, Long, Long)] = docs.mapPartitions { it =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Double, Long, Long)]
+      it.foreach { case (docId, w) =>
+        buf += ((graft.llm.Corpus.scalaPriority(docId, w), docId, w))
+        if (buf.length > 8 * keep) { val t = top(buf.toSeq); buf.clear(); buf ++= t }
+      }
+      top(buf.toSeq).iterator
+    }
+    partials.groupByKey(_ => true)
+      .flatMapGroupsWithState[(Long, Seq[(Double, Long, Long)]), SamplePick](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: Boolean, it: Iterator[(Double, Long, Long)],
+         state: GroupState[(Long, Seq[(Double, Long, Long)])]) =>
+          val (ver, held) = state.getOption.getOrElse((0L, Seq.empty))
+          val merged = top(held ++ it)
+          state.update((ver + 1, merged))
+          val tau = if (merged.length == keep) merged.last._1 else 0.0
+          merged.take(k).iterator.map { case (p, docId, w) =>
+            SamplePick(ver + 1, docId, w, p, tau, math.max(w.toDouble, tau))
+          }
+      }
+  }
+
   /** Incremental cohort sketches: theta union as keyed streaming
     * state — the live-dashboard form of
     * [[graft.queries.Relational.thetaOverlap]]. Input rows are

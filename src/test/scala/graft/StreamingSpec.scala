@@ -560,4 +560,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     u.union(skA); u.union(skB)
     assert(u.getResult.getEstimate == estOr, "final-sketch union diverged")
   }
+
+  test("streaming priority sample: any batch split == batch weightedSample rows verbatim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val weights = graft.llm.Corpus.sampleWeights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val batch = graft.llm.Corpus.weightedSample(spark, sf)
+      .select(col("doc_id"), col("w"), col("priority"), col("tau"), col("est_w"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toSet
+
+    for (chunks <- Seq(1, 4)) {
+      val mem = MemoryStream[(Long, Long)]
+      val q = graft.streaming.Streaming.prioritySampleStream(mem.toDS())
+        .writeStream.format("memory").queryName("sample_parity")
+        .outputMode(OutputMode.Update()).start()
+      val picks = try {
+        weights.grouped(math.max(1, weights.length / chunks + 1)).foreach { ch =>
+          mem.addData(ch.toSeq: _*); q.processAllAvailable()
+        }
+        spark.table("sample_parity").as[graft.streaming.Streaming.SamplePick].collect()
+      } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS sample_parity") }
+      val lastVer = picks.map(_.ver).max
+      assert(lastVer == chunks.toLong, "one state version per micro-batch")
+      val streamed = picks.filter(_.ver == lastVer)
+        .map(p => (p.doc_id, p.w, p.priority, p.tau, p.est_w)).toSet
+      assert(streamed == batch,
+        s"$chunks-batch stream sample diverged from the batch operator")
+    }
+  }
 }
