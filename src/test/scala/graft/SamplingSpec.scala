@@ -59,6 +59,51 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(est > truth / 3.0 && est < truth * 3.0, s"HT estimate $est vs truth $truth")
   }
 
+  test("priority sampler fuzz: random populations and batch splits == brute force") {
+    import graft.streaming.Streaming
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val k = Corpus.SampleK
+    val rnd = new scala.util.Random(42)
+    // population sizes straddle every regime: below k (tau = 0), at the
+    // k/k+1 boundary, and well above
+    val sizes = Seq(1, k - 1, k, k + 1, k + 2, 3 * k, 5 * k) ++
+      Seq.fill(3)(1 + rnd.nextInt(6 * k))
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val docs = rnd.shuffle((0 until n).map(j =>
+        (i * 100000L + j, 1L + rnd.nextInt(1000)))).toIndexedSeq
+      // independent brute force on the SAME priority definition
+      val scored = docs.map { case (d, w) => (Corpus.scalaPriority(d, w), d, w) }
+        .sortBy(t => (-t._1, t._2))
+      val tau = if (scored.length >= k + 1) scored(k)._1 else 0.0
+      val expect = scored.take(k)
+        .map { case (p, d, w) => (d, w, p, tau, math.max(w.toDouble, tau)) }.toSet
+      val mem = MemoryStream[(Long, Long)]
+      val q = Streaming.prioritySampleStream(mem.toDS())
+        .writeStream.format("memory").queryName(s"sample_fuzz_$i")
+        .outputMode(OutputMode.Update()).start()
+      val picks = try {
+        var rest = docs
+        while (rest.nonEmpty) {
+          val take = 1 + rnd.nextInt(rest.length)
+          mem.addData(rest.take(take): _*)
+          // even cases force a micro-batch boundary per chunk (true
+          // cross-batch folding); odd cases let chunks coalesce
+          if (i % 2 == 0) q.processAllAvailable()
+          rest = rest.drop(take)
+        }
+        q.processAllAvailable()
+        spark.table(s"sample_fuzz_$i").as[Streaming.SamplePick].collect()
+      } finally { q.stop(); spark.sql(s"DROP TABLE IF EXISTS sample_fuzz_$i") }
+      val lastVer = picks.map(_.ver).max
+      val got = picks.filter(_.ver == lastVer)
+        .map(p => (p.doc_id, p.w, p.priority, p.tau, p.est_w)).toSet
+      assert(got == expect, s"case $i (n=$n) diverged from brute force")
+    }
+  }
+
   test("CUPED: theta/rho2 shared across arms, rho2 in [0,1], adjustment preserves cohort mean") {
     val rows = FlagQueries.flagCuped(spark, sf)
       .select(col("variant"), col("n_users"), col("mean_y"), col("mean_y_adj"),
