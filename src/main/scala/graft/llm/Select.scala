@@ -713,11 +713,12 @@ object Select {
     * rank is identical in both engines.
     *
     * Shape at 100 TB: the canonical three-shuffle TF-IDF — (doc, term)
-    * count with map-side combine (compact pairs, not documents), a
-    * vocabulary-sized df rollup, a term-keyed shuffle join of postings
-    * to df (df is vocab-sized — broadcast would not survive an open
-    * vocabulary), and a doc-keyed window for the per-doc top-k. No
-    * driver-side state; every stage is keyed by compact ids.
+    * count with map-side combine (compact pairs, not documents), df as
+    * a term-keyed WINDOW over those counts (one shuffle, no separate
+    * vocab rollup rejoined back — a join form would recompute or
+    * materialize the heavy pairs stage twice), and a doc-keyed window
+    * for the per-doc top-k. No driver-side state; every stage is keyed
+    * by compact ids.
     */
   def keywords(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -729,9 +730,10 @@ object Select {
       .select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wTerm = Window.partitionBy(col("term"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
-    tf.join(df_, Seq("term"))
+    tf.withColumn("df", count(lit(1)).over(wTerm))
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         (col("tf").cast(DoubleType) *
@@ -750,11 +752,11 @@ object Select {
        |  SELECT doc_id, term, count(*)::BIGINT AS tf
        |  FROM (SELECT doc_id, unnest(toks) AS term FROM base)
        |  GROUP BY doc_id, term),
-       |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
        |scored AS (
-       |  SELECT doc_id, term, tf, df,
-       |    tf::DOUBLE * ((n_docs + 1)::DOUBLE / (df + 1)::DOUBLE) AS score
-       |  FROM tf JOIN df USING (term), n)
+       |  SELECT doc_id, term, tf, count(*) OVER (PARTITION BY term)::BIGINT AS df,
+       |    tf::DOUBLE * ((n_docs + 1)::DOUBLE /
+       |      (count(*) OVER (PARTITION BY term) + 1)::DOUBLE) AS score
+       |  FROM tf, n)
        |SELECT doc_id, rk, term, tf, df, score FROM (
        |  SELECT *, row_number() OVER (PARTITION BY doc_id
        |    ORDER BY score DESC, term)::BIGINT AS rk
