@@ -672,7 +672,12 @@ object Similarity {
     * however large the corpus.
     */
   def prototypes(s: SparkSession, d: String): DataFrame = {
+    // persisted intermediate consumed by the RETURNED lazy plan (the
+    // shared convention — harness releases via Tables.releaseCaches):
+    // both the kept set and the cell sizes branch from the assignment,
+    // which is THE corpus pass and must not run twice
     val assign = ivfAssign(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = assign.groupBy(col("centroid_id")).agg(count(lit(1)).as("n_cell"))
     val w = Window.partitionBy(col("centroid_id")).orderBy(col("dist2"), col("vec_id"))
     val kept = assign
