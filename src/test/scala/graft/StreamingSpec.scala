@@ -561,6 +561,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(u.getResult.getEstimate == estOr, "final-sketch union diverged")
   }
 
+  test("streaming priority sample: RocksDB state store == default store") {
+    def run(provider: Option[String]): Set[(Long, Long, Double, Double, Double)] = {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      provider.foreach(p =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p))
+      try {
+        val weights = graft.llm.Corpus.sampleWeights(spark, "/root/testdata/sf0.001")
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val mem = MemoryStream[(Long, Long)]
+        val q = graft.streaming.Streaming.prioritySampleStream(mem.toDS())
+          .writeStream.format("memory").queryName("sample_rocks")
+          .outputMode(OutputMode.Update()).start()
+        try {
+          weights.grouped(math.max(1, weights.length / 3 + 1)).foreach { ch =>
+            mem.addData(ch.toSeq: _*); q.processAllAvailable()
+          }
+          val picks = spark.table("sample_rocks")
+            .as[graft.streaming.Streaming.SamplePick].collect()
+          val last = picks.map(_.ver).max
+          picks.filter(_.ver == last)
+            .map(p => (p.doc_id, p.w, p.priority, p.tau, p.est_w)).toSet
+        } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS sample_rocks") }
+      } finally provider.foreach(_ =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))
+    }
+    val default = run(None)
+    val rocks = run(Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+    assert(default == rocks, "sampler state diverged across state-store providers")
+    assert(default.size == graft.llm.Corpus.SampleK)
+  }
+
   test("streaming priority sample: any batch split == batch weightedSample rows verbatim") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
