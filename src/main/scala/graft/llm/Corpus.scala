@@ -742,6 +742,76 @@ object Corpus {
        |FROM ranked WHERE rk <= $SampleK""".stripMargin
   }
 
+  /** Per-stratum sample size for [[stratSample]]. */
+  val StratSampleK = 10
+
+  /** Q-CORPUS-STRAT-SAMPLE: STRATIFIED priority sampling — an
+    * independent [[weightedSample]] per language, each stratum with its
+    * own threshold `tau` and Horvitz–Thompson estimates. This is how a
+    * release actually reports per-language statistics from a sample:
+    * a global sample under-covers tail languages (they lose the global
+    * priority race to the head), while per-stratum top-k guarantees
+    * every stratum exactly k rows and an unbiased per-stratum
+    * estimator. Same bit-exact priority as the global form (one shared
+    * definition).
+    *
+    * Shape at 100 TB: priorities are map-only; the per-stratum top-(k+1)
+    * is a lang-keyed rank that plans with WindowGroupLimit pushdown —
+    * each input partition holds a bounded per-stratum heap before the
+    * ONE lang shuffle, so the shuffle carries ≤ (k+1)·partitions rows
+    * per stratum, not the corpus. The tau/HT window then runs over
+    * ≤ k+1 rows per stratum.
+    */
+  def stratSample(s: SparkSession, d: String): DataFrame = {
+    import Portable._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val priority = col("w").cast(DoubleType) * lit(Pow60) / (col("h") + lit(1L)).cast(DoubleType)
+    val base = Tables.par(Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"),
+        greatest(size(tokens(col("text"))).cast(LongType), lit(1L)).as("w"),
+        h60(concat(lit(SampleSeed), col("doc_id").cast("string"))).as("h"))
+      .select(col("doc_id"), col("lang"), col("w"), priority.as("priority"))
+    val wRank = Window.partitionBy(col("lang")).orderBy(col("priority").desc, col("doc_id"))
+    val top = base
+      .withColumn("rk", row_number().over(wRank).cast(LongType))
+      .filter(col("rk") <= StratSampleK + 1)
+    val wStrat = Window.partitionBy(col("lang"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    top
+      .withColumn("tau",
+        when(count(lit(1)).over(wStrat) === (StratSampleK + 1),
+          min(col("priority")).over(wStrat)).otherwise(lit(0.0)))
+      .filter(col("rk") <= StratSampleK)
+      .select(col("lang"), col("rk"), col("doc_id"), col("w"), col("priority"), col("tau"),
+        greatest(col("w").cast(DoubleType), col("tau")).as("est_w"))
+  }
+
+  val stratSampleSql: String = {
+    import Portable._
+    val h = h60Sql(s"'$SampleSeed' || doc_id::VARCHAR")
+    s"""WITH base AS (
+       |  SELECT doc_id, lang,
+       |    greatest(len(${tokensSql("text")})::BIGINT, 1::BIGINT) AS w,
+       |    $h AS h
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id, lang, w,
+       |    w::DOUBLE * $Pow60Sql / (h + 1)::DOUBLE AS priority
+       |  FROM base),
+       |top AS (
+       |  SELECT doc_id, lang, w, priority,
+       |    row_number() OVER (PARTITION BY lang ORDER BY priority DESC, doc_id)::BIGINT AS rk
+       |  FROM scored QUALIFY rk <= ${StratSampleK + 1}),
+       |t AS (
+       |  SELECT *,
+       |    CASE WHEN count(*) OVER (PARTITION BY lang) = ${StratSampleK + 1}
+       |         THEN min(priority) OVER (PARTITION BY lang) ELSE 0.0 END AS tau
+       |  FROM top)
+       |SELECT lang, rk, doc_id, w, priority, tau, greatest(w::DOUBLE, tau) AS est_w
+       |FROM t WHERE rk <= $StratSampleK""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_corpus_funnel", funnel, Some(funnelSql)),
     Q("q_corpus_decontam", decontam, Some(decontamSql)),
@@ -752,5 +822,6 @@ object Corpus {
     Q("q_corpus_temperature", temperature, Some(temperatureSql)),
     Q("q_corpus_filter_chain", filterChain, Some(filterChainSql)),
     Q("q_corpus_weighted_sample", weightedSample, Some(weightedSampleSql)),
-    Q("q_corpus_datasheet", datasheet, Some(datasheetSql)))
+    Q("q_corpus_datasheet", datasheet, Some(datasheetSql)),
+    Q("q_corpus_strat_sample", stratSample, Some(stratSampleSql)))
 }

@@ -59,6 +59,36 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(est > truth / 3.0 && est < truth * 3.0, s"HT estimate $est vs truth $truth")
   }
 
+  test("stratified sample: k rows per stratum, per-stratum tau, bounded rank pushdown") {
+    val df = Corpus.stratSample(spark, sf)
+    val rows = df.select(col("lang"), col("rk"), col("doc_id"), col("w"),
+      col("priority"), col("tau"), col("est_w")).collect()
+    val langCounts = Tables.documents(spark, sf)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byLang = rows.groupBy(_.getString(0))
+    assert(byLang.keySet == langCounts.keySet, "every stratum is sampled")
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.length == math.min(Corpus.StratSampleK, langCounts(lang).toInt))
+      val taus = rs.map(_.getDouble(5)).distinct
+      assert(taus.length == 1, s"one tau per stratum, got ${taus.length} for $lang")
+      // tau arms only when the stratum overflows k
+      if (langCounts(lang) <= Corpus.StratSampleK) assert(taus.head == 0.0)
+      else assert(taus.head > 0.0)
+      rs.foreach { r =>
+        assert(r.getDouble(4) >= taus.head || taus.head == 0.0)
+        assert(r.getDouble(6) == math.max(r.getLong(3).toDouble, taus.head))
+      }
+      // per-stratum priorities agree with the shared scalar definition
+      rs.foreach(r => assert(
+        r.getDouble(4) == Corpus.scalaPriority(r.getLong(2), r.getLong(3))))
+    }
+    // the per-stratum rank must plan as a bounded WindowGroupLimit, not
+    // a full per-stratum sort of the corpus
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+  }
+
   test("priority sampler fuzz: random populations and batch splits == brute force") {
     import graft.streaming.Streaming
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
