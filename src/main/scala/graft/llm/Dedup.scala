@@ -811,12 +811,78 @@ object Dedup {
        |FROM documents d LEFT JOIN seen s USING (doc_id)""".stripMargin
   }
 
+  /** Max absolute edit distance for [[editPairs]]. Sized to the corpus:
+    * docs average ~300 chars, so 40 edits ≈ 13% of a document — the
+    * "template with local edits" band that shingle-set measures (Jaccard,
+    * containment) blur but character-level edit distance pins exactly.
+    */
+  val MaxEdit = 40
+
+  /** Q-DEDUP-EDIT: edit-distance-verified near-dup pairs — the
+    * character-level dedup verdict (catches reorderings, small
+    * insertions and substitutions as *counted edits*, where the
+    * shingle-set measures only see set overlap). Candidates come from
+    * the same MinHash band-collision blocking as [[minhashPairs]] (the
+    * reference's dedup delegate has no equivalent; this is the fuzzy
+    * text-join every curation pipeline runs before training); each
+    * candidate is verified with the banded Levenshtein kernel
+    * (`levenshtein(a, b, threshold)` — O(threshold·min(len)) instead of
+    * O(len²), returns -1 past the cutoff so non-dups exit early), after
+    * a free `|len_a − len_b| ≤ threshold` necessary-condition prefilter.
+    *
+    * `edit_sim = 1 − dist/max(len)` is the normalized similarity a
+    * keep/drop policy thresholds on; one int division pair → double,
+    * bit-equal across engines.
+    *
+    * Shape at 100 TB: identical to [[minhashPairs]] — the all-pairs
+    * product never forms; the band equi-join shuffles (doc_id, int64)
+    * keys, document text joins in only for the verified candidate set,
+    * and the verify is map-side with the banded kernel. Recall is the
+    * LSH trade ([[lshAudit]] measures it); the oracle recomputes the
+    * identical deterministic bands, so the scale path itself is
+    * hash-gated.
+    */
+  def editPairs(s: SparkSession, d: String): DataFrame = {
+    val bands = minhashBands(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val docs = Tables.par(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"), length(col("text")).cast(LongType).as("len"))
+    cand
+      .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
+      .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
+      .filter(abs(col("da.len") - col("db.len")) <= MaxEdit)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("da.text"), col("db.text"), MaxEdit).cast(LongType).as("edit_dist"),
+        greatest(col("da.len"), col("db.len")).as("max_len"))
+      .filter(col("edit_dist") >= 0)
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"),
+        (lit(1.0) - col("edit_dist").cast(DoubleType) / col("max_len").cast(DoubleType))
+          .as("edit_sim"))
+  }
+
+  val editPairsSql: String =
+    s"""WITH b AS ($minhashBandsSql),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM b a JOIN b b2 ON a.band = b2.band AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id),
+       |d AS (SELECT doc_id, text, length(text)::BIGINT AS len FROM documents)
+       |SELECT doc_a, doc_b, levenshtein(da.text, db.text)::BIGINT AS edit_dist,
+       |  1.0 - levenshtein(da.text, db.text)::DOUBLE / greatest(da.len, db.len)::DOUBLE AS edit_sim
+       |FROM cand JOIN d da ON doc_a = da.doc_id JOIN d db ON doc_b = db.doc_id
+       |WHERE abs(da.len - db.len) <= $MaxEdit AND levenshtein(da.text, db.text) <= $MaxEdit""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_dedup_exact", exact, Some(exactSql)),
     Q("q_dedup_ngram", ngramJaccard, Some(ngramJaccardSql)),
     Q("q_dedup_containment", containment, Some(containmentSql)),
     Q("q_dedup_minhash", minhashBands, Some(minhashBandsSql)),
     Q("q_dedup_minhash_pairs", minhashPairs, Some(minhashPairsSql)),
+    Q("q_dedup_edit", editPairs, Some(editPairsSql)),
     Q("q_dedup_lsh_audit", lshAudit, Some(lshAuditSql)),
     Q("q_dedup_lsh_gate", lshGate, Some(lshGateSql)),
     Q("q_dedup_simhash", simhash, Some(simhashSql)),

@@ -94,6 +94,74 @@ class OperatorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
   }
 
+  test("edit-distance pairs == banded-candidate brute force on mutated near-dups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    // 20 base docs long enough to shingle, each with 1-2 mutated copies:
+    // drop/substitute a couple of tokens (≲ 12 char edits — well inside
+    // MaxEdit) so true near-dup pairs exist alongside unrelated docs
+    val bases = (0 until 20).map { i =>
+      Array.fill(30 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.length)))
+    }
+    val docs = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    var id = 0L
+    bases.foreach { b =>
+      docs += ((id, b.mkString(" "))); id += 1
+      (0 until 1 + rnd.nextInt(2)).foreach { _ =>
+        val m = b.clone()
+        (0 until 1 + rnd.nextInt(2)).foreach { _ =>
+          m(rnd.nextInt(m.length)) = vocab(rnd.nextInt(vocab.length))
+        }
+        docs += ((id, m.mkString(" "))); id += 1
+      }
+    }
+    val dir = Files.createTempDirectory("editfuzz").toString
+    docs.toSeq.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'unit' AS source",
+        "length(text) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def lev(a: String, b: String): Int = {
+      val prev = Array.tabulate(b.length + 1)(identity)
+      val cur = new Array[Int](b.length + 1)
+      for (i <- 1 to a.length) {
+        cur(0) = i
+        for (j <- 1 to b.length) {
+          val cost = if (a(i - 1) == b(j - 1)) 0 else 1
+          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        }
+        Array.copy(cur, 0, prev, 0, cur.length)
+      }
+      prev(b.length)
+    }
+
+    // candidates from the operator's OWN blocking (this test pins the
+    // verify stage bit-for-bit; lshAudit owns the recall question)
+    val bandRows = Dedup.minhashBands(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byBand = bandRows.groupBy(t => (t._2, t._3))
+    val cands = byBand.values.flatMap { g =>
+      val ids = g.map(_._1).distinct.sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.length) yield (ids(i), ids(j))
+    }.toSet
+    val text = docs.toMap
+    val expected = cands.flatMap { case (a, b) =>
+      val (ta, tb) = (text(a), text(b))
+      if (math.abs(ta.length - tb.length) > Dedup.MaxEdit) None
+      else {
+        val d = lev(ta, tb)
+        if (d <= Dedup.MaxEdit)
+          Some((a, b, d.toLong, 1.0 - d.toDouble / math.max(ta.length, tb.length)))
+        else None
+      }
+    }
+    assert(expected.nonEmpty, "fixture must produce at least one near-dup pair")
+    val got = Dedup.editPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected)
+  }
+
   test("session funnel == brute force over random sessions") {
     import spark.implicits._
     val rnd = new scala.util.Random(99)
