@@ -5,6 +5,7 @@ import graft.functions.GraftExtensions
 import graft.queries.Q
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import FlagColumns.FlagFrame
 
 /** Oracle-checked drives of the vectorized flag engine (Q-FLAG-1..4):
@@ -471,6 +472,173 @@ object FlagQueries {
        |  mean_y - ctl_y AS lift, mean_y_adj - ctl_y_adj AS lift_adj, theta, rho2
        |FROM w, ctl""".stripMargin
 
+  /** Bootstrap parameters for [[flagBootstrap]]: B replicates, 95% CI
+    * via the 5th / 196th order statistics of the B replicate means
+    * (the percentile-method bootstrap, 2.5% trimmed each side), and the
+    * pinned Poisson(1) CDF thresholds — these exact literal doubles
+    * appear verbatim in BOTH engines, so the per-(user, replicate)
+    * weight is a pure deterministic function of the seed.
+    */
+  val BootB = 200
+  val BootLoRank = 5
+  val BootHiRank = 196
+  val BootSeed = "boot1"
+  val poissonCdf: Seq[String] = Seq(
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238463", "0.9963401531726563", "0.9994058151824183",
+    "0.999916758850712", "0.9999897508033253", "0.999998874797402",
+    "0.9999998885745216")
+
+  /** Q-FLAG-8: Poisson-bootstrap confidence intervals for the
+    * experiment readout — the resampling upgrade of [[flagExperiment]]'s
+    * single z-score: per-arm 95% CIs on mean in-experiment spend and a
+    * percentile CI on the lift itself, from B = [[BootB]] Poisson(1)
+    * bootstrap replicates (Chamandy et al., "Estimating Uncertainty for
+    * Massive Data Streams" — the standard way to bootstrap WITHOUT
+    * resampling shuffles: each (user, replicate) draws an independent
+    * Poisson(1) weight, so a replicate is one weighted aggregate, not a
+    * data copy).
+    *
+    * Determinism: the weight is `PoissonInv(u)` with
+    * `u = (h60(seed:user:r)+1)/2⁶⁰ ∈ (0,1]` compared against the ten
+    * pinned CDF literals ([[poissonCdf]] — identical text in both
+    * engines ⇒ identical doubles ⇒ identical integer weights); replicate
+    * sums are exact (int64 weights × decimal spend); the replicate mean
+    * is one double division; CI bounds are EXACT order statistics
+    * (rank 5 / 196 of 200, ties broken by replicate id) — no quantile
+    * interpolation to diverge on. Lift replicates pair control/test by
+    * replicate id, the correct paired form.
+    *
+    * Shape at 100 TB: per-user rollup is the usual map-side-combined
+    * user-keyed agg; the replicate fan-out happens AFTER aggregation on
+    * the USER DIMENSION (users × B compact rows — the event table is
+    * never multiplied); replicate sums shuffle ≤ |variants|·B rows; the
+    * order-statistic window runs on B rows per variant. Nothing
+    * quadratic, nothing driver-side.
+    */
+  def flagBootstrap(s: SparkSession, d: String): DataFrame = {
+    GraftExtensions.register(s)
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    import graft.llm.Portable.h60
+    val dec2 = DecimalType(14, 2)
+    val perUser = graft.Tables.events(s, d)
+      .filter(col("user_id") < FlagBucketFixture.n)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", col("value").cast(dec2))
+        .otherwise(lit(0).cast(dec2))).cast(dec2).as("y"))
+    val frame = FlagFrame(col("distinct_id"), map().cast("map<string,string>"))
+    val assigned = perUser
+      .select(col("user_id"), col("y"),
+        concat(lit("user-"), col("user_id")).as("distinct_id"))
+      .select(col("user_id"), col("y"),
+        FlagColumns.resultCol(frame, experimentConfig.head).getField("variant").as("variant"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = assigned.select(col("user_id"), col("y"), col("variant"),
+      explode(sequence(lit(0), lit(BootB - 1))).as("r"))
+    val u = (h60(concat(lit(BootSeed + ":"), col("user_id").cast("string"),
+      lit(":"), col("r").cast("string"))) + 1).cast(DoubleType) /
+      lit(1152921504606846976.0)
+    val w = poissonCdf.zipWithIndex
+      .foldRight(lit(poissonCdf.size.toLong)) { case ((c, k), rest) =>
+        when(u < lit(c.toDouble), lit(k.toLong)).otherwise(rest)
+      }
+    val rep = reps.select(col("variant"), col("r"), w.as("w"), col("y"))
+      .groupBy(col("variant"), col("r"))
+      .agg(sum(col("w")).cast(LongType).as("sw"),
+        sum(col("y") * col("w").cast(DecimalType(10, 0))).as("swy"))
+    // empty replicate (every weight 0 — probability e^{-n} per
+    // replicate) pins its mean to 0.0: keeps the operator total and
+    // ANSI-safe on tiny dev cohorts; at any real cohort size the case
+    // never occurs. Identical CASE guard in the oracle.
+    val repMean = rep.select(col("variant"), col("r"),
+        when(col("sw") === 0, lit(0.0))
+          .otherwise(col("swy").cast(DoubleType) / col("sw").cast(DoubleType))
+          .as("rep_mean"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("variant")).orderBy(col("rep_mean"), col("r")))
+        .cast(LongType))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ci = repMean.groupBy(col("variant")).agg(
+      min(when(col("rn") === BootLoRank, col("rep_mean"))).as("ci_lo"),
+      min(when(col("rn") === BootHiRank, col("rep_mean"))).as("ci_hi"))
+    val pv = assigned.groupBy(col("variant")).agg(
+      count(lit(1)).as("n_users"), sum(col("y")).as("sy"))
+    // paired lift replicates: test − control at the SAME replicate id
+    val diffs = repMean.groupBy(col("r")).agg(
+        (min(when(col("variant") === "test", col("rep_mean"))) -
+          min(when(col("variant") === "control", col("rep_mean")))).as("dl"))
+      .withColumn("drn", row_number().over(
+        Window.orderBy(col("dl"), col("r"))).cast(LongType))
+    val liftCi = diffs.agg(
+      min(when(col("drn") === BootLoRank, col("dl"))).as("lift_lo"),
+      min(when(col("drn") === BootHiRank, col("dl"))).as("lift_hi"))
+    val means = pv.select(col("variant"), col("n_users"),
+      (col("sy").cast(DoubleType) / col("n_users").cast(DoubleType)).as("mean_y"))
+    val ctl = means.filter(col("variant") === "control")
+      .select(col("mean_y").as("ctl_y"))
+    means.join(ci, Seq("variant"))
+      .crossJoin(broadcast(ctl))
+      .crossJoin(broadcast(liftCi))
+      .select(col("variant"), col("n_users"), col("mean_y"),
+        col("ci_lo"), col("ci_hi"),
+        (col("mean_y") - col("ctl_y")).as("lift"),
+        col("lift_lo"), col("lift_hi"))
+  }
+
+  val flagBootstrapSql: String = {
+    import graft.llm.Portable.h60Sql
+    val caseChain = poissonCdf.zipWithIndex
+      .map { case (c, k) => s"WHEN u < $c THEN $k" }
+      .mkString("CASE ", " ", s" ELSE ${poissonCdf.size} END")
+    s"""WITH b AS (SELECT * FROM (VALUES ${FlagBucketFixture.valuesSql}) AS v(i, bucket)),
+       |pu AS (
+       |  SELECT user_id,
+       |    sum(CASE WHEN event_type = 'purchase' THEN value::DECIMAL(14,2)
+       |        ELSE 0::DECIMAL(14,2) END)::DECIMAL(14,2) AS y
+       |  FROM events WHERE user_id < ${FlagBucketFixture.n} GROUP BY user_id),
+       |a AS (
+       |  SELECT user_id, CASE WHEN b.bucket < 50 THEN 'control' ELSE 'test' END AS variant, y
+       |  FROM pu JOIN b ON b.i = pu.user_id),
+       |reps AS (
+       |  SELECT user_id, variant, y, r,
+       |    (${h60Sql(s"'$BootSeed:' || user_id || ':' || r")} + 1)::DOUBLE
+       |      / 1152921504606846976.0 AS u
+       |  FROM a, unnest(generate_series(0, ${BootB - 1})) AS g(r)),
+       |wt AS (SELECT variant, r, ($caseChain)::BIGINT AS w, y FROM reps),
+       |rep AS (
+       |  SELECT variant, r, sum(w)::BIGINT AS sw, sum(y * w::DECIMAL(10,0)) AS swy
+       |  FROM wt GROUP BY variant, r),
+       |rm AS (
+       |  SELECT variant, r,
+       |    CASE WHEN sw = 0 THEN 0.0 ELSE swy::DOUBLE / sw::DOUBLE END AS rep_mean,
+       |    row_number() OVER (PARTITION BY variant
+       |      ORDER BY CASE WHEN sw = 0 THEN 0.0 ELSE swy::DOUBLE / sw::DOUBLE END, r)::BIGINT AS rn
+       |  FROM rep),
+       |ci AS (
+       |  SELECT variant,
+       |    min(CASE WHEN rn = $BootLoRank THEN rep_mean END) AS ci_lo,
+       |    min(CASE WHEN rn = $BootHiRank THEN rep_mean END) AS ci_hi
+       |  FROM rm GROUP BY variant),
+       |pv AS (
+       |  SELECT variant, count(*)::BIGINT AS n_users, sum(y) AS sy
+       |  FROM a GROUP BY variant),
+       |df AS (
+       |  SELECT r,
+       |    min(CASE WHEN variant = 'test' THEN rep_mean END) -
+       |    min(CASE WHEN variant = 'control' THEN rep_mean END) AS dl
+       |  FROM rm GROUP BY r),
+       |dr AS (SELECT dl, row_number() OVER (ORDER BY dl, r)::BIGINT AS drn FROM df),
+       |lc AS (
+       |  SELECT min(CASE WHEN drn = $BootLoRank THEN dl END) AS lift_lo,
+       |    min(CASE WHEN drn = $BootHiRank THEN dl END) AS lift_hi
+       |  FROM dr),
+       |m AS (SELECT variant, n_users, sy::DOUBLE / n_users::DOUBLE AS mean_y FROM pv),
+       |ctl AS (SELECT mean_y AS ctl_y FROM m WHERE variant = 'control')
+       |SELECT m.variant, m.n_users, m.mean_y, ci.ci_lo, ci.ci_hi,
+       |  m.mean_y - ctl.ctl_y AS lift, lc.lift_lo, lc.lift_hi
+       |FROM m JOIN ci USING (variant), ctl, lc""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_flag_filters", flagFilters, Some(flagFiltersSql)),
     Q("q_flag_rollout", flagRollout, Some(flagRolloutSql)),
@@ -478,5 +646,6 @@ object FlagQueries {
     Q("q_flag_groups", flagGroups, Some(flagGroupsSql)),
     Q("q_flag_cohort", flagCohort, Some(flagCohortSql)),
     Q("q_flag_experiment", flagExperiment, Some(flagExperimentSql)),
-    Q("q_flag_cuped", flagCuped, Some(flagCupedSql)))
+    Q("q_flag_cuped", flagCuped, Some(flagCupedSql)),
+    Q("q_flag_bootstrap", flagBootstrap, Some(flagBootstrapSql)))
 }

@@ -26,6 +26,70 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("poisson bootstrap: weights, replicate means, order-stat CIs == driver recompute") {
+    import graft.flags.{FlagBucketFixture, FlagQueries}
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .filter(_._1 < FlagBucketFixture.n)
+    val buckets: Map[Long, Int] = FlagBucketFixture.valuesSql
+      .stripPrefix("(").stripSuffix(")").split("\\),\\(")
+      .map { p => val Array(i, b) = p.split(","); i.toLong -> b.toInt }.toMap
+    def h60(sv: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(sv.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val cdf = FlagQueries.poissonCdf.map(_.toDouble)
+    def weight(u: Double): Long = {
+      val i = cdf.indexWhere(u < _)
+      if (i < 0) cdf.size.toLong else i.toLong
+    }
+    val y: Map[Long, JBD] = rows.groupBy(_._1).map { case (uid, es) =>
+      uid -> es.filter(_._2 == "purchase")
+        .map(e => JBD.valueOf(e._3).setScale(2, RoundingMode.HALF_UP))
+        .foldLeft(new JBD("0.00"))(_.add(_))
+    }
+    def variant(uid: Long) = if (buckets(uid) < 50) "control" else "test"
+    val B = FlagQueries.BootB
+    // replicate means per (variant, r)
+    val repMean: Map[(String, Long), Double] =
+      (for { v <- Seq("control", "test"); r <- 0L until B.toLong } yield {
+        val members = y.keys.filter(variant(_) == v)
+        var sw = 0L; var swy = new JBD("0.00")
+        members.foreach { uid =>
+          val u = (h60(s"${FlagQueries.BootSeed}:$uid:$r") + 1).toDouble / 1.152921504606846976e18
+          val w = weight(u)
+          sw += w; swy = swy.add(y(uid).multiply(JBD.valueOf(w)))
+        }
+        (v, r) -> (if (sw == 0L) 0.0 else swy.doubleValue() / sw.toDouble)
+      }).toMap
+    def orderStats(vals: Seq[(Double, Long)]): (Double, Double) = {
+      val sorted = vals.sortBy(identity)
+      (sorted(FlagQueries.BootLoRank - 1)._1, sorted(FlagQueries.BootHiRank - 1)._1)
+    }
+    val ci = Seq("control", "test").map { v =>
+      v -> orderStats((0L until B.toLong).map(r => (repMean((v, r)), r)))
+    }.toMap
+    val (liftLo, liftHi) = orderStats(
+      (0L until B.toLong).map(r => (repMean(("test", r)) - repMean(("control", r)), r)))
+    val meanY = Seq("control", "test").map { v =>
+      val members = y.keys.filter(variant(_) == v).toSeq
+      v -> (members.map(y).foldLeft(new JBD("0.00"))(_.add(_)).doubleValue() /
+        members.size.toDouble)
+    }.toMap
+    val expected = Seq("control", "test").map { v =>
+      (v, y.keys.count(variant(_) == v).toLong, meanY(v), ci(v)._1, ci(v)._2,
+        meanY(v) - meanY("control"), liftLo, liftHi)
+    }.toSet
+    val got = FlagQueries.flagBootstrap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))).toSet
+    assert(got == expected)
+    Tables.releaseCaches(spark)
+  }
+
   test("priority sample: exactly k rows, HT estimates = max(w, tau), top-k plan") {
     val df = Corpus.weightedSample(spark, sf)
     val rows = df.select(col("doc_id"), col("w"), col("priority"), col("tau"),
