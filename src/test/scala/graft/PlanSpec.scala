@@ -363,4 +363,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val la = plan(SparkEntry.queries("q_dedup_lsh_audit")(spark, sf))
     assert(!la.contains("CartesianProduct"), "audit degenerated to all-pairs:\n" + la.take(1500))
   }
+
+  test("edit pairs and bootstrap: banded candidates, post-agg fan-out, no cartesian, no UDF") {
+    // edit-distance dedup: candidates must come from the band equi-join
+    // (never an all-pairs product) and the levenshtein verify is a
+    // built-in, not a UDF
+    val ed = plan(SparkEntry.queries("q_dedup_edit")(spark, sf))
+    assert(!ed.contains("CartesianProduct"), "edit pairs degenerated to all-pairs:\n" + ed.take(1500))
+    assert(!ed.toLowerCase.contains("scalaudf"), "edit verify grew a UDF")
+    // bootstrap: the replicate explode (Generate) must run on the
+    // per-user AGGREGATE, not the raw event stream — the event rollup
+    // keeps map-side partials, the B-fan-out never multiplies events;
+    // the 1-row control/lift sides broadcast (BNLJ), never cartesian
+    val bs = plan(SparkEntry.queries("q_flag_bootstrap")(spark, sf))
+    assert(bs.contains("partial_sum"), "per-user spend rollup lost partials:\n" + bs.take(2000))
+    assert(bs.contains("Generate"), "replicate fan-out missing:\n" + bs.take(1500))
+    val gen = bs.indexOf("Generate")
+    assert(bs.indexOf("HashAggregate", gen) >= 0 || bs.indexOf("partial_sum", gen) >= 0,
+      "no aggregate upstream of the replicate explode (fan-out hits raw events?)")
+    assert(!bs.toLowerCase.contains("scalaudf"), "bootstrap grew a UDF (bucket must stay native)")
+    assert(!bs.contains("CartesianProduct"),
+      "1-row sides should broadcast (BNLJ), not cartesian:\n" + bs.take(1500))
+  }
 }
