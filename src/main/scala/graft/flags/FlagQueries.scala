@@ -639,6 +639,131 @@ object FlagQueries {
        |FROM m JOIN ci USING (variant), ctl, lc""".stripMargin
   }
 
+  /** Winsorization/power constants for [[flagWinsor]]: cap at the
+    * pooled 95th-percentile spend (exact order statistic), and the
+    * pinned standard-normal quantiles z_{0.975} and z_{0.80} for the
+    * minimum-detectable-effect column — literal doubles, verbatim in
+    * both engines.
+    */
+  val WinsorPct = 0.95
+  val Z975 = "1.959963984540054"
+  val Z80 = "0.8416212335729143"
+
+  /** Q-FLAG-9: winsorized experiment readout — the heavy-tail-robust
+    * spend metric every experimentation platform actually ships: cap
+    * each user's spend at the POOLED 95th-percentile (computed on both
+    * arms together — winsorizing per-arm would bias the comparison),
+    * then per-arm capped means, Welch-style standard error from exact
+    * decimal moments, the t statistic on the winsorized lift, and the
+    * minimum detectable effect at 80% power / 5% alpha
+    * (`(z_{0.975}+z_{0.80})·se`) — the "how long must this run"
+    * number.
+    *
+    * Determinism: the cap is an EXACT order statistic — rank
+    * `ceil(0.95·n)` of (spend, user_id) — not an interpolated
+    * percentile; capped spends stay decimal(14,2); every double op
+    * (means, variances, se, t, mde) is a pinned-order expression tree
+    * over exact sums, with the z constants as identical literals.
+    *
+    * Shape at 100 TB: per-user rollup (map-side combined), a bounded
+    * top-(n−r+1) — at scale the threshold comes from the same GK /
+    * exact-quantile machinery as `q_agg_quantiles`; here the rank
+    * window runs on the user DIMENSION — a 1-row threshold broadcast
+    * back map-side, per-arm moment rollup, 1-row control broadcast.
+    * The event table is touched once.
+    */
+  def flagWinsor(s: SparkSession, d: String): DataFrame = {
+    GraftExtensions.register(s)
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    val dec2 = DecimalType(14, 2)
+    val perUser = graft.Tables.events(s, d)
+      .filter(col("user_id") < FlagBucketFixture.n)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", col("value").cast(dec2))
+        .otherwise(lit(0).cast(dec2))).cast(dec2).as("y"))
+    val frame = FlagFrame(col("distinct_id"), map().cast("map<string,string>"))
+    val assigned = perUser
+      .select(col("user_id"), col("y"),
+        concat(lit("user-"), col("user_id")).as("distinct_id"))
+      .select(col("user_id"), col("y"),
+        FlagColumns.resultCol(frame, experimentConfig.head).getField("variant").as("variant"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pooled winsor threshold: exact order statistic at rank ceil(p·n)
+    val ranked = assigned.select(col("y"),
+      row_number().over(Window.orderBy(col("y"), col("user_id"))).cast(LongType).as("rk"))
+    val nRow = assigned.agg(count(lit(1)).as("n"))
+    val thr = ranked.crossJoin(broadcast(nRow))
+      .filter(col("rk") === ceil(lit(WinsorPct) * col("n").cast(DoubleType)).cast(LongType))
+      .select(col("y").as("thresh"))
+    // CASE, not least(): DuckDB's least() promotes DECIMAL args to
+    // DOUBLE, which would turn the winsorized sums into order-dependent
+    // float accumulation; the CASE keeps both engines exact-decimal
+    val capped = assigned.crossJoin(broadcast(thr))
+      .select(col("variant"), col("thresh"),
+        when(col("y") > col("thresh"), col("thresh")).otherwise(col("y")).as("yw"))
+    val per = capped.groupBy(col("variant")).agg(
+      count(lit(1)).as("n_users"),
+      first(col("thresh")).as("thresh"),
+      sum(col("yw")).as("sw"),
+      sum(col("yw") * col("yw")).as("sww"))
+    val nD = col("n_users").cast(DoubleType)
+    val meanW = col("sw").cast(DoubleType) / nD
+    // sample variance from exact sums: (Σy²·n − (Σy)²) / (n·(n−1))
+    val varW = (col("sww").cast(DoubleType) * nD -
+      col("sw").cast(DoubleType) * col("sw").cast(DoubleType)) /
+      (nD * (nD - lit(1.0)))
+    val arm = per.select(col("variant"), col("n_users"), col("thresh").cast(DoubleType).as("thresh"),
+      meanW.as("mean_w"), varW.as("var_w"))
+    val ctl = arm.filter(col("variant") === "control")
+      .select(col("mean_w").as("ctl_mean"), col("var_w").as("ctl_var"),
+        col("n_users").as("ctl_n"))
+    val se = sqrt(col("var_w") / col("n_users").cast(DoubleType) +
+      col("ctl_var") / col("ctl_n").cast(DoubleType))
+    arm.crossJoin(broadcast(ctl))
+      .select(col("variant"), col("n_users"), col("thresh"),
+        col("mean_w"),
+        (col("mean_w") - col("ctl_mean")).as("lift_w"),
+        se.as("se_w"),
+        ((col("mean_w") - col("ctl_mean")) / se).as("t_w"),
+        ((lit(Z975.toDouble) + lit(Z80.toDouble)) * se).as("mde"))
+  }
+
+  val flagWinsorSql: String =
+    s"""WITH b AS (SELECT * FROM (VALUES ${FlagBucketFixture.valuesSql}) AS v(i, bucket)),
+       |pu AS (
+       |  SELECT user_id,
+       |    sum(CASE WHEN event_type = 'purchase' THEN value::DECIMAL(14,2)
+       |        ELSE 0::DECIMAL(14,2) END)::DECIMAL(14,2) AS y
+       |  FROM events WHERE user_id < ${FlagBucketFixture.n} GROUP BY user_id),
+       |a AS (
+       |  SELECT user_id, CASE WHEN b.bucket < 50 THEN 'control' ELSE 'test' END AS variant, y
+       |  FROM pu JOIN b ON b.i = pu.user_id),
+       |nn AS (SELECT count(*)::BIGINT AS n FROM a),
+       |rk AS (SELECT y, row_number() OVER (ORDER BY y, user_id)::BIGINT AS rk FROM a),
+       |thr AS (
+       |  SELECT y AS thresh FROM rk, nn
+       |  WHERE rk = ceil($WinsorPct * n::DOUBLE)::BIGINT),
+       |cap AS (SELECT variant, thresh,
+       |        CASE WHEN y > thresh THEN thresh ELSE y END AS yw FROM a, thr),
+       |per AS (
+       |  SELECT variant, count(*)::BIGINT AS n_users, any_value(thresh) AS thresh,
+       |    sum(yw) AS sw, sum(yw * yw) AS sww
+       |  FROM cap GROUP BY variant),
+       |arm AS (
+       |  SELECT variant, n_users, thresh::DOUBLE AS thresh,
+       |    sw::DOUBLE / n_users::DOUBLE AS mean_w,
+       |    (sww::DOUBLE * n_users::DOUBLE - sw::DOUBLE * sw::DOUBLE) /
+       |      (n_users::DOUBLE * (n_users::DOUBLE - 1.0)) AS var_w
+       |  FROM per),
+       |ctl AS (SELECT mean_w AS ctl_mean, var_w AS ctl_var, n_users AS ctl_n
+       |        FROM arm WHERE variant = 'control')
+       |SELECT variant, n_users, thresh, mean_w,
+       |  mean_w - ctl_mean AS lift_w,
+       |  sqrt(var_w / n_users::DOUBLE + ctl_var / ctl_n::DOUBLE) AS se_w,
+       |  (mean_w - ctl_mean) / sqrt(var_w / n_users::DOUBLE + ctl_var / ctl_n::DOUBLE) AS t_w,
+       |  ($Z975 + $Z80) * sqrt(var_w / n_users::DOUBLE + ctl_var / ctl_n::DOUBLE) AS mde
+       |FROM arm, ctl""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_flag_filters", flagFilters, Some(flagFiltersSql)),
     Q("q_flag_rollout", flagRollout, Some(flagRolloutSql)),
@@ -647,5 +772,6 @@ object FlagQueries {
     Q("q_flag_cohort", flagCohort, Some(flagCohortSql)),
     Q("q_flag_experiment", flagExperiment, Some(flagExperimentSql)),
     Q("q_flag_cuped", flagCuped, Some(flagCupedSql)),
-    Q("q_flag_bootstrap", flagBootstrap, Some(flagBootstrapSql)))
+    Q("q_flag_bootstrap", flagBootstrap, Some(flagBootstrapSql)),
+    Q("q_flag_winsor", flagWinsor, Some(flagWinsorSql)))
 }

@@ -384,5 +384,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!bs.toLowerCase.contains("scalaudf"), "bootstrap grew a UDF (bucket must stay native)")
     assert(!bs.contains("CartesianProduct"),
       "1-row sides should broadcast (BNLJ), not cartesian:\n" + bs.take(1500))
+    // winsor: same family — user-keyed rollup with partials, native
+    // bucket, broadcast threshold/control sides (the rank window runs
+    // on the user DIMENSION, the documented partition-less family)
+    val wz = plan(SparkEntry.queries("q_flag_winsor")(spark, sf))
+    assert(wz.contains("partial_sum"), "per-user spend rollup lost partials:\n" + wz.take(2000))
+    assert(!wz.toLowerCase.contains("scalaudf"), "winsor grew a UDF")
+    assert(!wz.contains("CartesianProduct"),
+      "threshold/control sides should broadcast, not cartesian:\n" + wz.take(1500))
   }
 }

@@ -90,6 +90,50 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     Tables.releaseCaches(spark)
   }
 
+  test("winsorized readout: pooled order-stat cap, exact moments, t/mde == driver recompute") {
+    import graft.flags.{FlagBucketFixture, FlagQueries}
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .filter(_._1 < FlagBucketFixture.n)
+    val buckets: Map[Long, Int] = FlagBucketFixture.valuesSql
+      .stripPrefix("(").stripSuffix(")").split("\\),\\(")
+      .map { p => val Array(i, b) = p.split(","); i.toLong -> b.toInt }.toMap
+    val y: Map[Long, JBD] = rows.groupBy(_._1).map { case (uid, es) =>
+      uid -> es.filter(_._2 == "purchase")
+        .map(e => JBD.valueOf(e._3).setScale(2, RoundingMode.HALF_UP))
+        .foldLeft(new JBD("0.00"))(_.add(_))
+    }
+    def variant(uid: Long) = if (buckets(uid) < 50) "control" else "test"
+    val n = y.size
+    val rank = math.ceil(FlagQueries.WinsorPct * n.toDouble).toLong
+    val thresh = y.toSeq.map { case (uid, v) => (v, uid) }
+      .sortBy { case (v, uid) => (v, uid) }.apply(rank.toInt - 1)._1
+    def capped(uid: Long): JBD = { val v = y(uid); if (v.compareTo(thresh) > 0) thresh else v }
+    case class Arm(n: Long, mean: Double, varW: Double)
+    val arms = Seq("control", "test").map { v =>
+      val m = y.keys.filter(variant(_) == v).toSeq
+      val sw = m.map(capped).foldLeft(new JBD("0.00"))(_.add(_))
+      val sww = m.map(u => capped(u).multiply(capped(u))).foldLeft(new JBD("0.0000"))(_.add(_))
+      val nD = m.size.toDouble
+      v -> Arm(m.size.toLong, sw.doubleValue() / nD,
+        (sww.doubleValue() * nD - sw.doubleValue() * sw.doubleValue()) / (nD * (nD - 1.0)))
+    }.toMap
+    val c = arms("control")
+    val expected = Seq("control", "test").map { v =>
+      val a = arms(v)
+      val se = math.sqrt(a.varW / a.n.toDouble + c.varW / c.n.toDouble)
+      (v, a.n, thresh.doubleValue(), a.mean, a.mean - c.mean, se, (a.mean - c.mean) / se,
+        (FlagQueries.Z975.toDouble + FlagQueries.Z80.toDouble) * se)
+    }.toSet
+    val got = FlagQueries.flagWinsor(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))).toSet
+    assert(got == expected)
+    Tables.releaseCaches(spark)
+  }
+
   test("priority sample: exactly k rows, HT estimates = max(w, tau), top-k plan") {
     val df = Corpus.weightedSample(spark, sf)
     val rows = df.select(col("doc_id"), col("w"), col("priority"), col("tau"),
