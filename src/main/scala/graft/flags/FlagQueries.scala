@@ -764,6 +764,78 @@ object FlagQueries {
        |  ($Z975 + $Z80) * sqrt(var_w / n_users::DOUBLE + ctl_var / ctl_n::DOUBLE) AS mde
        |FROM arm, ctl""".stripMargin
 
+  /** χ²₁ critical value at α = 0.05, pinned as a literal in both
+    * engines (the p-value CDF is transcendental; the GATE against the
+    * critical value is exact).
+    */
+  val Chi2Crit95 = "3.841458820694124"
+
+  /** Q-FLAG-10: sample-ratio-mismatch (SRM) check — the experiment
+    * health gate every platform runs BEFORE any readout: if the
+    * realized arm sizes are implausible under the configured 50/50
+    * split, the assignment pipeline is broken (biased bucketing,
+    * lossy logging, bot filtering hitting one arm) and every metric
+    * downstream is invalid. One summary row: realized counts, the
+    * χ² statistic against the configured split, and the verdict vs
+    * the pinned α = 0.05 critical value ([[Chi2Crit95]]).
+    *
+    * Determinism: counts are exact int64 from the REAL vectorized
+    * evaluator (native SHA1 bucket); χ² is a pinned-order double tree
+    * over them; the verdict is one comparison against an identical
+    * literal — no p-value CDF (transcendental) anywhere.
+    *
+    * Shape at 100 TB: a user-keyed rollup then a 2-row → 1-row
+    * conditional aggregate. The cheapest query in the engine — which
+    * is the point: it gates the expensive ones.
+    */
+  def flagSrm(s: SparkSession, d: String): DataFrame = {
+    GraftExtensions.register(s)
+    import org.apache.spark.sql.types.DoubleType
+    val frame = FlagFrame(col("distinct_id"), map().cast("map<string,string>"))
+    val assigned = graft.Tables.events(s, d)
+      .filter(col("user_id") < FlagBucketFixture.n)
+      .select(col("user_id")).distinct()
+      .select(concat(lit("user-"), col("user_id")).as("distinct_id"))
+      .select(FlagColumns.resultCol(frame, experimentConfig.head)
+        .getField("variant").as("variant"))
+    val agg = assigned.agg(
+      sum(when(col("variant") === "control", 1L).otherwise(0L)).as("n_control"),
+      sum(when(col("variant") === "test", 1L).otherwise(0L)).as("n_test"))
+    val nT = (col("n_control") + col("n_test")).cast(DoubleType)
+    val expd = nT * lit(0.5)
+    val chi2 = (col("n_control").cast(DoubleType) - expd) * (col("n_control").cast(DoubleType) - expd) / expd +
+      (col("n_test").cast(DoubleType) - expd) * (col("n_test").cast(DoubleType) - expd) / expd
+    agg.select(col("n_control"), col("n_test"),
+      (col("n_control") + col("n_test")).as("n_total"),
+      chi2.as("chi2"),
+      (chi2 > lit(Chi2Crit95.toDouble)).as("srm"))
+  }
+
+  val flagSrmSql: String =
+    s"""WITH b AS (SELECT * FROM (VALUES ${FlagBucketFixture.valuesSql}) AS v(i, bucket)),
+       |u AS (SELECT DISTINCT user_id FROM events WHERE user_id < ${FlagBucketFixture.n}),
+       |a AS (
+       |  SELECT CASE WHEN b.bucket < 50 THEN 'control' ELSE 'test' END AS variant
+       |  FROM u JOIN b ON b.i = u.user_id),
+       |c AS (
+       |  SELECT sum(CASE WHEN variant = 'control' THEN 1 ELSE 0 END)::BIGINT AS n_control,
+       |         sum(CASE WHEN variant = 'test' THEN 1 ELSE 0 END)::BIGINT AS n_test
+       |  FROM a)
+       |SELECT n_control, n_test, (n_control + n_test)::BIGINT AS n_total,
+       |  (n_control::DOUBLE - (n_control + n_test)::DOUBLE * 0.5) *
+       |    (n_control::DOUBLE - (n_control + n_test)::DOUBLE * 0.5) /
+       |    ((n_control + n_test)::DOUBLE * 0.5) +
+       |  (n_test::DOUBLE - (n_control + n_test)::DOUBLE * 0.5) *
+       |    (n_test::DOUBLE - (n_control + n_test)::DOUBLE * 0.5) /
+       |    ((n_control + n_test)::DOUBLE * 0.5) AS chi2,
+       |  ((n_control::DOUBLE - (n_control + n_test)::DOUBLE * 0.5) *
+       |    (n_control::DOUBLE - (n_control + n_test)::DOUBLE * 0.5) /
+       |    ((n_control + n_test)::DOUBLE * 0.5) +
+       |  (n_test::DOUBLE - (n_control + n_test)::DOUBLE * 0.5) *
+       |    (n_test::DOUBLE - (n_control + n_test)::DOUBLE * 0.5) /
+       |    ((n_control + n_test)::DOUBLE * 0.5)) > $Chi2Crit95 AS srm
+       |FROM c""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_flag_filters", flagFilters, Some(flagFiltersSql)),
     Q("q_flag_rollout", flagRollout, Some(flagRolloutSql)),
@@ -773,5 +845,6 @@ object FlagQueries {
     Q("q_flag_experiment", flagExperiment, Some(flagExperimentSql)),
     Q("q_flag_cuped", flagCuped, Some(flagCupedSql)),
     Q("q_flag_bootstrap", flagBootstrap, Some(flagBootstrapSql)),
-    Q("q_flag_winsor", flagWinsor, Some(flagWinsorSql)))
+    Q("q_flag_winsor", flagWinsor, Some(flagWinsorSql)),
+    Q("q_flag_srm", flagSrm, Some(flagSrmSql)))
 }

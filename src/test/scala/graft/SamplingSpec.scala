@@ -134,6 +134,25 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     Tables.releaseCaches(spark)
   }
 
+  test("SRM check: realized counts, chi-square, verdict == driver recompute") {
+    import graft.flags.{FlagBucketFixture, FlagQueries}
+    val users = Tables.events(spark, sf)
+      .select(col("user_id")).distinct().collect().map(_.getLong(0))
+      .filter(_ < FlagBucketFixture.n)
+    val buckets: Map[Long, Int] = FlagBucketFixture.valuesSql
+      .stripPrefix("(").stripSuffix(")").split("\\),\\(")
+      .map { p => val Array(i, b) = p.split(","); i.toLong -> b.toInt }.toMap
+    val nc = users.count(buckets(_) < 50).toLong
+    val nt = users.length.toLong - nc
+    val exp = (nc + nt).toDouble * 0.5
+    val chi2 = (nc.toDouble - exp) * (nc.toDouble - exp) / exp +
+      (nt.toDouble - exp) * (nt.toDouble - exp) / exp
+    val expected = (nc, nt, nc + nt, chi2, chi2 > FlagQueries.Chi2Crit95.toDouble)
+    val got = FlagQueries.flagSrm(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).head
+    assert(got == expected)
+  }
+
   test("priority sample: exactly k rows, HT estimates = max(w, tau), top-k plan") {
     val df = Corpus.weightedSample(spark, sf)
     val rows = df.select(col("doc_id"), col("w"), col("priority"), col("tau"),
