@@ -763,9 +763,97 @@ object Select {
        |  FROM scored) WHERE rk <= $KeywordsTopK""".stripMargin
   }
 
+  /** Q-SEL-EVAL: classifier evaluation card — exact ROC-AUC plus the
+    * thresholded confusion counts, in one summary row. The AUC is the
+    * tie-corrected Mann-Whitney U over AVERAGE ranks:
+    * `AUC = (Σ_pos avgrank − n_pos(n_pos+1)/2) / (n_pos·n_neg)` with
+    * `avgrank = cum_before + (cnt+1)/2` per distinct score — integer
+    * counts plus exact .5 halves, so both engines agree to the bit
+    * (no trapezoid interpolation, no sort-order ambiguity: ties share
+    * one rank by construction). Precision/recall/F1 come from the
+    * `score_num > 0` decision [[classifier]] already ships; each ratio
+    * carries a zero-denominator CASE guard mirrored in the oracle.
+    *
+    * Shape at 100 TB: one pass over the scored docs (the classifier's
+    * own plan), a per-distinct-score aggregate, and a running sum over
+    * the DISTINCT-SCORE dimension. The running sum here is a
+    * partition-less window (the documented bounded family — distinct
+    * scores ≪ docs when scores quantize); at extreme cardinality the
+    * same cum counts fall out of a range-partitioned sort + per-
+    * partition offsets (the [[TextOps.shuffleShard]] caveat), the
+    * AUC contract — average ranks — is unchanged.
+    */
+  def classifierEval(s: SparkSession, d: String): DataFrame = {
+    val sc = classifier(s, d)
+      .select(col("is_target"), col("score"), col("pred_target"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val conf = sc.agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("is_target"), 0L).otherwise(1L)).as("n_neg"),
+      sum(when(col("is_target") && col("pred_target"), 1L).otherwise(0L)).as("tp"),
+      sum(when(!col("is_target") && col("pred_target"), 1L).otherwise(0L)).as("fp"),
+      sum(when(col("is_target") && !col("pred_target"), 1L).otherwise(0L)).as("fn"))
+    val perScore = sc.groupBy(col("score")).agg(
+      count(lit(1)).as("cnt"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("pos"))
+    val cum = perScore.withColumn("cum_before",
+      coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("score")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val sumPosRank = cum.agg(
+      sum(col("pos").cast(DoubleType) *
+        (col("cum_before").cast(DoubleType) +
+          (col("cnt").cast(DoubleType) + lit(1.0)) / lit(2.0))).as("pos_rank_sum"))
+    val p = col("tp").cast(DoubleType) / (col("tp") + col("fp")).cast(DoubleType)
+    val r = col("tp").cast(DoubleType) / (col("tp") + col("fn")).cast(DoubleType)
+    conf.crossJoin(broadcast(sumPosRank))
+      .select(col("n_pos"), col("n_neg"), col("tp"), col("fp"), col("fn"),
+        ((col("pos_rank_sum") -
+          (col("n_pos") * (col("n_pos") + 1L)).cast(DoubleType) / lit(2.0)) /
+          (col("n_pos").cast(DoubleType) * col("n_neg").cast(DoubleType))).as("auc"),
+        when(col("tp") + col("fp") === 0L, lit(0.0)).otherwise(p).as("precision"),
+        when(col("tp") + col("fn") === 0L, lit(0.0)).otherwise(r).as("recall"),
+        when(col("tp") + col("fp") === 0L || col("tp") + col("fn") === 0L
+            || col("tp") === 0L, lit(0.0))
+          .otherwise(lit(2.0) * p * r / (p + r)).as("f1"))
+  }
+
+  val classifierEvalSql: String =
+    s"""WITH sc AS (SELECT is_target, score, pred_target FROM ($classifierSql)),
+       |conf AS (
+       |  SELECT
+       |    sum(CASE WHEN is_target THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+       |    sum(CASE WHEN is_target THEN 0 ELSE 1 END)::BIGINT AS n_neg,
+       |    sum(CASE WHEN is_target AND pred_target THEN 1 ELSE 0 END)::BIGINT AS tp,
+       |    sum(CASE WHEN NOT is_target AND pred_target THEN 1 ELSE 0 END)::BIGINT AS fp,
+       |    sum(CASE WHEN is_target AND NOT pred_target THEN 1 ELSE 0 END)::BIGINT AS fn
+       |  FROM sc),
+       |ps AS (
+       |  SELECT score, count(*)::BIGINT AS cnt,
+       |    sum(CASE WHEN is_target THEN 1 ELSE 0 END)::BIGINT AS pos
+       |  FROM sc GROUP BY score),
+       |cum AS (
+       |  SELECT *, coalesce(sum(cnt) OVER (ORDER BY score
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+       |  FROM ps),
+       |pr AS (
+       |  SELECT sum(pos::DOUBLE * (cum_before::DOUBLE + (cnt::DOUBLE + 1.0) / 2.0))
+       |    AS pos_rank_sum FROM cum)
+       |SELECT n_pos, n_neg, tp, fp, fn,
+       |  (pos_rank_sum - (n_pos * (n_pos + 1))::DOUBLE / 2.0) /
+       |    (n_pos::DOUBLE * n_neg::DOUBLE) AS auc,
+       |  CASE WHEN tp + fp = 0 THEN 0.0
+       |    ELSE tp::DOUBLE / (tp + fp)::DOUBLE END AS precision,
+       |  CASE WHEN tp + fn = 0 THEN 0.0
+       |    ELSE tp::DOUBLE / (tp + fn)::DOUBLE END AS recall,
+       |  CASE WHEN tp + fp = 0 OR tp + fn = 0 OR tp = 0 THEN 0.0
+       |    ELSE 2.0 * (tp::DOUBLE / (tp + fp)::DOUBLE) * (tp::DOUBLE / (tp + fn)::DOUBLE) /
+       |      ((tp::DOUBLE / (tp + fp)::DOUBLE) + (tp::DOUBLE / (tp + fn)::DOUBLE)) END AS f1
+       |FROM conf, pr""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_corpus_lm_score", lmScore, Some(lmScoreSql)),
     Q("q_corpus_classifier", classifier, Some(classifierSql)),
+    Q("q_corpus_classifier_eval", classifierEval, Some(classifierEvalSql)),
     Q("q_corpus_split", split, Some(splitSql)),
     Q("q_corpus_domain_cap", domainCap, Some(domainCapSql)),
     Q("q_corpus_domain_topk", domainTopK, Some(domainTopKSql)),

@@ -134,6 +134,39 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     Tables.releaseCaches(spark)
   }
 
+  test("classifier eval: tie-corrected AUC and confusion ratios == driver recompute") {
+    val sc = Select.classifier(spark, sf)
+      .select(col("is_target"), col("score"), col("pred_target")).collect()
+      .map(r => (r.getBoolean(0), r.getDouble(1), r.getBoolean(2)))
+    Tables.releaseCaches(spark)
+    val nPos = sc.count(_._1).toLong; val nNeg = sc.length.toLong - nPos
+    val tp = sc.count(t => t._1 && t._3).toLong
+    val fp = sc.count(t => !t._1 && t._3).toLong
+    val fn = sc.count(t => t._1 && !t._3).toLong
+    // average ranks per distinct score, ascending
+    val byScore = sc.groupBy(_._2).toSeq.sortBy(_._1)
+    var before = 0L; var posRankSum = 0.0
+    byScore.foreach { case (_, g) =>
+      val cnt = g.length.toLong
+      posRankSum += g.count(_._1).toDouble * (before.toDouble + (cnt.toDouble + 1.0) / 2.0)
+      before += cnt
+    }
+    val auc = (posRankSum - (nPos * (nPos + 1)).toDouble / 2.0) / (nPos.toDouble * nNeg.toDouble)
+    val p = tp.toDouble / (tp + fp).toDouble
+    val r = tp.toDouble / (tp + fn).toDouble
+    val expected = (nPos, nNeg, tp, fp, fn, auc,
+      if (tp + fp == 0) 0.0 else p, if (tp + fn == 0) 0.0 else r,
+      if (tp + fp == 0 || tp + fn == 0 || tp == 0) 0.0 else 2.0 * p * r / (p + r))
+    val got = Select.classifierEval(spark, sf).collect().map(x =>
+      (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+        x.getDouble(5), x.getDouble(6), x.getDouble(7), x.getDouble(8))).head
+    assert(got == expected)
+    // AUC must separate better than chance on this corpus (the target
+    // tokens genuinely differ in distribution)
+    assert(auc > 0.5)
+    Tables.releaseCaches(spark)
+  }
+
   test("SRM check: realized counts, chi-square, verdict == driver recompute") {
     import graft.flags.{FlagBucketFixture, FlagQueries}
     val users = Tables.events(spark, sf)
