@@ -392,5 +392,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!wz.toLowerCase.contains("scalaudf"), "winsor grew a UDF")
     assert(!wz.contains("CartesianProduct"),
       "threshold/control sides should broadcast, not cartesian:\n" + wz.take(1500))
+    // SRM + classifier eval: summary-row audits must stay UDF-free
+    // with broadcast 1-row sides, never a cartesian
+    for (q <- Seq("q_flag_srm", "q_corpus_classifier_eval")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.toLowerCase.contains("scalaudf"), s"$q grew a UDF")
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n${p.take(1200)}")
+    }
   }
 }
