@@ -836,6 +836,90 @@ object FlagQueries {
        |    ((n_control + n_test)::DOUBLE * 0.5)) > $Chi2Crit95 AS srm
        |FROM c""".stripMargin
 
+  /** Percentiles for [[flagQte]] — the distributional readout grid. */
+  val QtePcts = Seq(10, 25, 50, 75, 90)
+
+  /** Q-FLAG-11: quantile treatment effects — the distributional
+    * readout behind the mean: per-arm spend at the 10/25/50/75/90th
+    * percentiles and the per-percentile test−control difference. A
+    * mean lift can hide a policy that only moves the tail (or moves
+    * the median the other way); the QTE grid is how experimentation
+    * platforms surface that.
+    *
+    * Determinism: each percentile is an EXACT order statistic — rank
+    * `ceil(p·n/100)` computed in INTEGER arithmetic (`(p·n+99) div
+    * 100`), order (spend, user_id) — and the spends stay decimal(14,2)
+    * until the final double cast, so there is no interpolation and no
+    * float accumulation anywhere.
+    *
+    * Shape at 100 TB: per-user rollup (map-side combined), a per-arm
+    * rank window (partitioned by variant — parallel across arms), a
+    * |arms|·|grid|-row broadcast of target ranks, and a |grid|-row
+    * final pivot. At extreme cohort sizes the rank window yields to
+    * the same GK/exact-quantile machinery as `q_agg_quantiles`; the
+    * contract — exact rank-`ceil(p·n/100)` statistics — is unchanged.
+    */
+  def flagQte(s: SparkSession, d: String): DataFrame = {
+    GraftExtensions.register(s)
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    val dec2 = DecimalType(14, 2)
+    val perUser = graft.Tables.events(s, d)
+      .filter(col("user_id") < FlagBucketFixture.n)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", col("value").cast(dec2))
+        .otherwise(lit(0).cast(dec2))).cast(dec2).as("y"))
+    val frame = FlagFrame(col("distinct_id"), map().cast("map<string,string>"))
+    val assigned = perUser
+      .select(col("user_id"), col("y"),
+        concat(lit("user-"), col("user_id")).as("distinct_id"))
+      .select(col("user_id"), col("y"),
+        FlagColumns.resultCol(frame, experimentConfig.head).getField("variant").as("variant"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val targets = assigned.groupBy(col("variant")).agg(count(lit(1)).as("n"))
+      .select(col("variant"), explode(typedLit(QtePcts.map(_.toLong))).as("pct"), col("n"))
+      .select(col("variant"), col("pct"),
+        // integer ceil: `div`, NOT `/` (Column `/` on longs is double division)
+        expr("(pct * n + 99) div 100").cast(LongType).as("rk"))
+    val ranked = assigned.select(col("variant"), col("y"),
+      row_number().over(
+        Window.partitionBy(col("variant")).orderBy(col("y"), col("user_id")))
+        .cast(LongType).as("rk"))
+    ranked.join(broadcast(targets), Seq("variant", "rk"))
+      .groupBy(col("pct")).agg(
+        min(when(col("variant") === "control", col("y"))).as("cq"),
+        min(when(col("variant") === "test", col("y"))).as("tq"))
+      .select(col("pct"),
+        col("cq").cast(DoubleType).as("control_q"),
+        col("tq").cast(DoubleType).as("test_q"),
+        (col("tq") - col("cq")).cast(DoubleType).as("qte"))
+  }
+
+  val flagQteSql: String =
+    s"""WITH b AS (SELECT * FROM (VALUES ${FlagBucketFixture.valuesSql}) AS v(i, bucket)),
+       |pu AS (
+       |  SELECT user_id,
+       |    sum(CASE WHEN event_type = 'purchase' THEN value::DECIMAL(14,2)
+       |        ELSE 0::DECIMAL(14,2) END)::DECIMAL(14,2) AS y
+       |  FROM events WHERE user_id < ${FlagBucketFixture.n} GROUP BY user_id),
+       |a AS (
+       |  SELECT user_id, CASE WHEN b.bucket < 50 THEN 'control' ELSE 'test' END AS variant, y
+       |  FROM pu JOIN b ON b.i = pu.user_id),
+       |t AS (
+       |  SELECT variant, pct, (pct * n + 99) // 100 AS rk
+       |  FROM (SELECT variant, count(*)::BIGINT AS n FROM a GROUP BY variant),
+       |       unnest([${QtePcts.mkString(", ")}]::BIGINT[]) AS g(pct)),
+       |r AS (
+       |  SELECT variant, y,
+       |    row_number() OVER (PARTITION BY variant ORDER BY y, user_id)::BIGINT AS rk
+       |  FROM a)
+       |SELECT pct,
+       |  min(CASE WHEN variant = 'control' THEN y END)::DOUBLE AS control_q,
+       |  min(CASE WHEN variant = 'test' THEN y END)::DOUBLE AS test_q,
+       |  (min(CASE WHEN variant = 'test' THEN y END) -
+       |   min(CASE WHEN variant = 'control' THEN y END))::DOUBLE AS qte
+       |FROM r JOIN t USING (variant, rk)
+       |GROUP BY pct""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_flag_filters", flagFilters, Some(flagFiltersSql)),
     Q("q_flag_rollout", flagRollout, Some(flagRolloutSql)),
@@ -846,5 +930,6 @@ object FlagQueries {
     Q("q_flag_cuped", flagCuped, Some(flagCupedSql)),
     Q("q_flag_bootstrap", flagBootstrap, Some(flagBootstrapSql)),
     Q("q_flag_winsor", flagWinsor, Some(flagWinsorSql)),
-    Q("q_flag_srm", flagSrm, Some(flagSrmSql)))
+    Q("q_flag_srm", flagSrm, Some(flagSrmSql)),
+    Q("q_flag_qte", flagQte, Some(flagQteSql)))
 }

@@ -167,6 +167,36 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     Tables.releaseCaches(spark)
   }
 
+  test("QTE grid: exact per-arm order statistics and differences == driver recompute") {
+    import graft.flags.{FlagBucketFixture, FlagQueries}
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .filter(_._1 < FlagBucketFixture.n)
+    val buckets: Map[Long, Int] = FlagBucketFixture.valuesSql
+      .stripPrefix("(").stripSuffix(")").split("\\),\\(")
+      .map { p => val Array(i, b) = p.split(","); i.toLong -> b.toInt }.toMap
+    val y: Map[Long, JBD] = rows.groupBy(_._1).map { case (uid, es) =>
+      uid -> es.filter(_._2 == "purchase")
+        .map(e => JBD.valueOf(e._3).setScale(2, RoundingMode.HALF_UP))
+        .foldLeft(new JBD("0.00"))(_.add(_))
+    }
+    def armSorted(v: String) = y.toSeq
+      .filter { case (uid, _) => (buckets(uid) < 50) == (v == "control") }
+      .sortBy { case (uid, s) => (s, uid) }.map(_._2)
+    val (c, t) = (armSorted("control"), armSorted("test"))
+    def q(sorted: Seq[JBD], p: Long): JBD = sorted(((p * sorted.size + 99) / 100).toInt - 1)
+    val expected = FlagQueries.QtePcts.map { p =>
+      val (cq, tq) = (q(c, p), q(t, p))
+      (p.toLong, cq.doubleValue(), tq.doubleValue(), tq.subtract(cq).doubleValue())
+    }.toSet
+    val got = FlagQueries.flagQte(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(got == expected)
+    Tables.releaseCaches(spark)
+  }
+
   test("SRM check: realized counts, chi-square, verdict == driver recompute") {
     import graft.flags.{FlagBucketFixture, FlagQueries}
     val users = Tables.events(spark, sf)
