@@ -863,9 +863,80 @@ object TextOps {
        |    ORDER BY shuf_key, doc_id)::BIGINT AS pos_in_shard
        |FROM k""".stripMargin
 
+  /** χ²₇ critical value at α = 0.05 (df = NumShards − 1), pinned as an
+    * identical literal in both engines — the shard-balance verdict is a
+    * comparison, never a transcendental p-value.
+    */
+  val ShardChi2Crit95 = "14.067140449340169"
+
+  /** Q-TEXT-SHARD-AUDIT: shard-balance release gate for the seeded
+    * corpus shuffle ([[shuffleShard]]) — per-shard doc AND byte counts
+    * plus one pooled χ² row-statistic against the uniform expectation,
+    * with the verdict vs the pinned df = 7 critical value
+    * ([[ShardChi2Crit95]]). A skewed shard means the hash key is broken
+    * (or an upstream filter is shard-correlated) and training-time data
+    * loaders will stall on the fat shard; this is the check a shard
+    * writer runs before publishing.
+    *
+    * One row per shard: n_docs, n_bytes, plus the POOLED chi2/verdict
+    * repeated (the 1-row audit broadcast onto the grid — keeps the
+    * output a single flat table). All counts exact int64; χ² is a
+    * pinned-order double tree (per-shard terms summed in shard order
+    * via a bounded |shards|-row aggregate).
+    *
+    * Shape at 100 TB: one map-side-combined groupBy on the 3-bit shard
+    * key — 8 rows out of any corpus size; the χ² fold runs on those 8
+    * rows.
+    */
+  def shardAudit(s: SparkSession, d: String): DataFrame = {
+    val per = shuffleShard(s, d)
+      .join(Tables.par(Tables.documents(s, d)).select(col("doc_id"), col("n_chars")),
+        Seq("doc_id"))
+      .groupBy(col("shard")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast(LongType).as("n_bytes"))
+    // deterministic fold order: pivot the (at most) 8 shard counts into
+    // one row, then sum the χ² terms as an EXPLICIT shard-0..7 left
+    // fold — no aggregation-order dependence anywhere (a missing shard
+    // counts 0)
+    val aggCols = sum(col("n_docs")).cast(LongType).as("n_total") +:
+      (0 until NumShards).map(k =>
+        coalesce(min(when(col("shard") === k, col("n_docs"))), lit(0L)).as(s"d$k"))
+    val counts = per.agg(aggCols.head, aggCols.tail: _*)
+    val e = col("n_total").cast(DoubleType) / lit(NumShards.toDouble)
+    val chi = counts.select(
+      (0 until NumShards).map(k =>
+        (col(s"d$k").cast(DoubleType) - e) * (col(s"d$k").cast(DoubleType) - e) / e)
+        .reduce(_ + _).as("chi2"))
+    per.crossJoin(broadcast(chi))
+      .select(col("shard"), col("n_docs"), col("n_bytes"),
+        col("chi2"),
+        (col("chi2") > lit(ShardChi2Crit95.toDouble)).as("skewed"))
+  }
+
+  val shardAuditSql: String = {
+    val ds = (0 until NumShards).map(k =>
+      s"coalesce(min(CASE WHEN shard = $k THEN n_docs END), 0)::BIGINT AS d$k").mkString(",\n       |    ")
+    val terms = (0 until NumShards).map(k =>
+      s"(d$k::DOUBLE - n_total::DOUBLE / ${NumShards}.0) * (d$k::DOUBLE - n_total::DOUBLE / ${NumShards}.0) / (n_total::DOUBLE / ${NumShards}.0)")
+      .reduce((a, b) => s"($a) + $b")
+    s"""WITH sh AS ($shuffleShardSql),
+       |per AS (
+       |  SELECT shard, count(*)::BIGINT AS n_docs, sum(d.n_chars)::BIGINT AS n_bytes
+       |  FROM sh JOIN documents d USING (doc_id) GROUP BY shard),
+       |cnt AS (
+       |  SELECT sum(n_docs)::BIGINT AS n_total,
+       |    $ds
+       |  FROM per),
+       |chi AS (SELECT ($terms) AS chi2 FROM cnt)
+       |SELECT shard, n_docs, n_bytes, chi2, chi2 > $ShardChi2Crit95 AS skewed
+       |FROM per, chi""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_text_stats", textStats, Some(textStatsSql)),
     Q("q_text_shuffle", shuffleShard, Some(shuffleShardSql)),
+    Q("q_text_shard_audit", shardAudit, Some(shardAuditSql)),
     Q("q_text_vocab", vocab, Some(vocabSql)),
     Q("q_text_ngrams", ngrams, Some(ngramsSql)),
     Q("q_text_ngrams_cms", ngramsCms, Some(ngramsCmsSql)),

@@ -167,6 +167,36 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     Tables.releaseCaches(spark)
   }
 
+  test("shard audit: balance counts and explicit-fold chi-square == driver recompute") {
+    import graft.llm.TextOps
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def h60(sv: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(sv.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val byShard = docs.groupBy { case (id, _) =>
+      h60(s"${TextOps.ShuffleSeed}:$id") % TextOps.NumShards
+    }
+    val nTotal = docs.length.toLong
+    val e = nTotal.toDouble / TextOps.NumShards.toDouble
+    val chi2 = (0 until TextOps.NumShards).map { k =>
+      val d = byShard.get(k.toLong).map(_.length.toLong).getOrElse(0L)
+      (d.toDouble - e) * (d.toDouble - e) / e
+    }.reduce(_ + _)
+    val expected = byShard.map { case (k, g) =>
+      (k, g.length.toLong, g.map(_._2).sum, chi2,
+        chi2 > TextOps.ShardChi2Crit95.toDouble)
+    }.toSet
+    val got = TextOps.shardAudit(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toSet
+    assert(got == expected)
+    // the seeded hash must actually balance on this corpus
+    assert(!got.head._5, s"uniform hash sharding flagged as skewed: chi2=$chi2")
+  }
+
   test("QTE grid: exact per-arm order statistics and differences == driver recompute") {
     import graft.flags.{FlagBucketFixture, FlagQueries}
     import java.math.{BigDecimal => JBD, RoundingMode}
