@@ -491,8 +491,93 @@ object Product {
        |LEFT JOIN s2 USING (user_id, session_id)
        |LEFT JOIN s3 USING (user_id, session_id)""".stripMargin
 
+  /** Q-PROD-11: funnel time-to-convert — the latency distribution
+    * between funnel steps ([[funnel]]'s view→click and click→purchase
+    * transitions): per step pair, how many users converted and the
+    * exact lower-median / p90 / mean of the conversion delay in epoch
+    * micros. Counts say WHETHER users convert; this says HOW LONG they
+    * take — the number a growth team actually watches after a change.
+    *
+    * Determinism: delays are int64 micro differences; median is the
+    * EXACT rank-`(n+1) div 2` (lower-median) order statistic and p90
+    * the rank-`ceil(9n/10)` one (`(9n+9) div 10` — integer arithmetic
+    * end to end), tie order (delay, user_id); the mean is one double
+    * division of an exact int64 sum.
+    *
+    * Shape at 100 TB: the funnel's own user-keyed plan, two
+    * co-keyed joins back to (user_id, event_id, ts) to fetch step
+    * timestamps, a per-step rank window (partitioned by the 2-value
+    * step key — at extreme user counts the same order statistics come
+    * from the GK/exact-quantile machinery of `q_agg_quantiles`), and a
+    * 2-row broadcast of target ranks.
+    */
+  def funnelTime(s: SparkSession, d: String): DataFrame = {
+    val f = funnel(s, d)
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"))
+    val pairs = f.filter(col("click_eid").isNotNull)
+      .select(col("user_id"), lit("view_click").as("step"),
+        col("view_eid").as("eid_a"), col("click_eid").as("eid_b"))
+      .unionByName(
+        f.filter(col("purchase_eid").isNotNull)
+          .select(col("user_id"), lit("click_purchase").as("step"),
+            col("click_eid").as("eid_a"), col("purchase_eid").as("eid_b")))
+    val durs = pairs.as("p")
+      .join(ev.as("a"), col("p.user_id") === col("a.user_id") && col("p.eid_a") === col("a.event_id"))
+      .join(ev.as("b"), col("p.user_id") === col("b.user_id") && col("p.eid_b") === col("b.event_id"))
+      .select(col("p.user_id"), col("p.step").as("step"), (col("b.us") - col("a.us")).as("dur_us"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val targets = durs.groupBy(col("step")).agg(
+        count(lit(1)).as("n"), sum(col("dur_us")).cast(LongType).as("sum_us"))
+      .select(col("step"), col("n"), col("sum_us"),
+        expr("(n + 1) div 2").cast(LongType).as("rk_med"),
+        expr("(9 * n + 9) div 10").cast(LongType).as("rk_p90"))
+    val ranked = durs.select(col("step"), col("dur_us"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("step")).orderBy(col("dur_us"), col("user_id")))
+        .cast(LongType).as("rk"))
+    ranked.join(broadcast(targets), Seq("step"))
+      .filter(col("rk") === col("rk_med") || col("rk") === col("rk_p90"))
+      .groupBy(col("step")).agg(
+        first(col("n")).as("n_users"),
+        min(when(col("rk") === col("rk_med"), col("dur_us"))).as("med_us"),
+        min(when(col("rk") === col("rk_p90"), col("dur_us"))).as("p90_us"),
+        (first(col("sum_us")).cast("double") / first(col("n")).cast("double")).as("mean_us"))
+  }
+
+  val funnelTimeSql: String =
+    s"""WITH f AS ($funnelSql),
+       |ev AS (SELECT user_id, event_id, epoch_us(ts)::BIGINT AS us FROM events),
+       |pairs AS (
+       |  SELECT user_id, 'view_click' AS step, view_eid AS eid_a, click_eid AS eid_b
+       |  FROM f WHERE click_eid IS NOT NULL
+       |  UNION ALL
+       |  SELECT user_id, 'click_purchase', click_eid, purchase_eid
+       |  FROM f WHERE purchase_eid IS NOT NULL),
+       |durs AS (
+       |  SELECT p.user_id, p.step, b.us - a.us AS dur_us
+       |  FROM pairs p
+       |  JOIN ev a ON p.user_id = a.user_id AND p.eid_a = a.event_id
+       |  JOIN ev b ON p.user_id = b.user_id AND p.eid_b = b.event_id),
+       |t AS (
+       |  SELECT step, count(*)::BIGINT AS n, sum(dur_us)::BIGINT AS sum_us,
+       |    (count(*) + 1) // 2 AS rk_med, (9 * count(*) + 9) // 10 AS rk_p90
+       |  FROM durs GROUP BY step),
+       |r AS (
+       |  SELECT step, dur_us,
+       |    row_number() OVER (PARTITION BY step ORDER BY dur_us, user_id)::BIGINT AS rk
+       |  FROM durs)
+       |SELECT step, any_value(n)::BIGINT AS n_users,
+       |  min(CASE WHEN rk = rk_med THEN dur_us END)::BIGINT AS med_us,
+       |  min(CASE WHEN rk = rk_p90 THEN dur_us END)::BIGINT AS p90_us,
+       |  any_value(sum_us)::DOUBLE / any_value(n)::DOUBLE AS mean_us
+       |FROM r JOIN t USING (step)
+       |WHERE rk = rk_med OR rk = rk_p90
+       |GROUP BY step""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_prod_funnel", funnel, Some(funnelSql)),
+    Q("q_prod_funnel_time", funnelTime, Some(funnelTimeSql)),
     Q("q_prod_wau", wau, Some(wauSql)),
     Q("q_prod_retention", retention, Some(retentionSql)),
     Q("q_prod_range_join", rangeJoin, Some(rangeJoinSql)),

@@ -167,6 +167,30 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     Tables.releaseCaches(spark)
   }
 
+  test("funnel time-to-convert: exact order-stat latencies == driver recompute") {
+    import graft.queries.Product
+    val f = Product.funnel(spark, sf).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), Option(r.get(3)).map(_.asInstanceOf[Long])))
+    val us: Map[(Long, Long), Long] = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "unix_micros(ts)").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def stats(durs: Seq[(Long, Long)]): (Long, Long, Long, Double) = {
+      val sorted = durs.sortBy(identity).map(_._1)
+      val n = sorted.size.toLong
+      (n, sorted(((n + 1) / 2).toInt - 1), sorted(((9 * n + 9) / 10).toInt - 1),
+        sorted.sum.toDouble / n.toDouble)
+    }
+    val vc = f.collect { case (u, Some(v), Some(c), _) => (us((u, c)) - us((u, v)), u) }
+    val cp = f.collect { case (u, _, Some(c), Some(p)) => (us((u, p)) - us((u, c)), u) }
+    val expected = Set("view_click" -> stats(vc.toSeq), "click_purchase" -> stats(cp.toSeq))
+      .map { case (s, (n, m, p90, mean)) => (s, n, m, p90, mean) }
+    val got = Product.funnelTime(spark, sf).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(got == expected)
+    Tables.releaseCaches(spark)
+  }
+
   test("shard audit: balance counts and explicit-fold chi-square == driver recompute") {
     import graft.llm.TextOps
     val docs = Tables.documents(spark, sf)
