@@ -1,0 +1,52 @@
+#!/usr/bin/env python3
+"""Merge per-query MINIMA across this round's full bench runs into the
+committed baseline.
+
+The bench box is shared: identical code measured 101.5s, 117.8s, 133.1s
+totals across back-to-back full runs (uniform per-query drift — neighbor
+contention, not plan changes). A single contended run makes a misleading
+baseline; the per-query minimum across full 3-pass-median runs is the
+best available estimate of the uncontended cost. Queries present only in
+later runs (added after an earlier baseline) keep their own minima.
+
+Usage: python3 scripts/merge_baseline.py <out.json> <run.json|git:REV> ...
+The FIRST input provides the JSON skeleton (sf, unit, metric); `value`
+is recomputed as the sum of merged per-query times.
+"""
+import json
+import subprocess
+import sys
+
+
+def load(src):
+    if src.startswith("git:"):
+        return json.loads(subprocess.check_output(
+            ["git", "show", f"{src[4:]}:bench_full.json"]))
+    with open(src) as f:
+        return json.load(f)
+
+
+def main(out, sources):
+    runs = [load(s) for s in sources]
+    for r in runs:
+        if r.get("failures"):
+            sys.exit(f"refusing: run has failures {sorted(r['failures'])}")
+    merged = {}
+    for r in runs:
+        for q, t in r["queries"].items():
+            merged[q] = min(t, merged.get(q, t))
+    base = dict(runs[0])
+    # the skeleton's pass1-3 tails describe a single run, not the merge
+    for k in ("pass1", "pass2", "pass3"):
+        base.pop(k, None)
+    base["queries"] = merged
+    base["value"] = round(sum(merged.values()), 3)
+    base["merged_from_runs"] = len(runs)
+    with open(out, "w") as f:
+        json.dump(base, f, indent=1, sort_keys=True)
+    print(f"wrote {out}: {len(merged)} queries, total {base['value']}s "
+          f"(min over {len(runs)} full runs)")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2:])
