@@ -38,7 +38,13 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     // sensitive kind), across the engine's families
     for (q <- Seq("q_corpus_lm_score", "q_text_search", "q_flag_experiment",
         "q_agg_q1", "q_text_mix", "q_prod_correlation", "q_sim_project_search",
-        "q_text_mix_topk")) {
+        "q_text_mix_topk",
+        // round-9 estimator/readout additions: bootstrap replicate
+        // means, winsor moments, QTE order stats, AUC ranks, chi-square
+        // folds, funnel latency stats — all float-bearing aggregates
+        "q_flag_bootstrap", "q_flag_winsor", "q_flag_qte", "q_flag_srm",
+        "q_corpus_classifier_eval", "q_text_shard_audit", "q_prod_funnel_time",
+        "q_dedup_edit")) {
       val a = runAt(2, q)
       val b = runAt(7, q)
       assert(a.nonEmpty, s"$q returned nothing")
