@@ -150,8 +150,15 @@ final class IdentityMergeState(
       // budget guard catches the pathological batch anyway (the probe
       // fold reuses the distinct's shuffle outputs, so it costs one
       // cheap reduce-side job, not a second shuffle).
+      // shuffle width follows the BATCH's own partition count, not the
+      // global default: a micro-batch is input-partition-sized, and a
+      // 32-wide shuffle over a few-partition batch is mostly empty-task
+      // scheduling overhead (measured ~0.3 s/epoch at sf0.1). A huge
+      // batch arrives wide and keeps a wide shuffle — the width scales
+      // with the data, which is the property the 100 TB story needs.
+      val batchParts = math.max(2, opsRdd.getNumPartitions)
       val idPairs = collectBudgeted(
-        opsRdd.map(o => (o.raw_id, o.alias_to)).distinct(),
+        opsRdd.map(o => (o.raw_id, o.alias_to)).distinct(batchParts),
         (p: (String, Option[String])) =>
           (p._1.length + p._2.map(_.length).getOrElse(0)).toLong,
         "batch id-pair")
@@ -189,7 +196,10 @@ final class IdentityMergeState(
         val comp = cm.getOrElse(r.canonical_id, r.canonical_id)
         if (ts.contains(comp)) Some(comp -> r) else None
       }
-      val parts = spark.sparkContext.defaultParallelism
+      // fold width: enough for the batch AND the prior state's touched
+      // slice (state partitions bound the seed side)
+      val parts = math.max(batchParts, stateRdd.getNumPartitions min
+        spark.sparkContext.defaultParallelism)
       val folded: RDD[PersonRecord] = seeds.cogroup(opRows, parts)
         .map { case (_, (recs, opIt)) =>
           Replay.foldComponent(recs.iterator, opIt.iterator)
