@@ -36,6 +36,69 @@ object Relational {
       .map(n => Tables.t(s, d, n).agg(count(lit(1)).as("n")).select(lit(n).as("table_name"), col("n")))
       .reduce(_ unionAll _)
 
+  /** Q-SCAN-3: ANALYZE-style column statistics — the stats a
+    * cost-based optimizer (or a data catalog) collects per column:
+    * row count, null count, exact NDV with an HLL++ accuracy gate
+    * (the estimate itself stays engine-specific and is emitted only as
+    * the in-row `est_within_5pct` boolean — the q_agg_approx pattern),
+    * and min/max rendered through type-pinned casts (numerics via
+    * decimal, dates via date) so both engines print identical strings.
+    *
+    * One row per profiled column, all from ONE scan: the stats fold in
+    * a single aggregate (multiple exact distincts plan as one Expand —
+    * at 100 TB you drop the exact NDVs and keep only the HLL sketches,
+    * same plan minus the expand; the gate column is exactly the audit
+    * that justifies that swap), then unpivot to the per-column layout.
+    */
+  def scanColStats(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    case class Col(name: String,
+      minMax: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+    val dec2 = org.apache.spark.sql.types.DecimalType(14, 2)
+    val cols = Seq(
+      Col("l_orderkey", c => c.cast("string")),
+      Col("l_quantity", c => c.cast(dec2).cast("string")),
+      Col("l_returnflag", c => c.cast("string")),
+      Col("l_shipdate", c => c.cast("date").cast("string")))
+    val aggs = cols.flatMap { cd =>
+      val c = col(cd.name)
+      Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"nn_${cd.name}"),
+        countDistinct(c).as(s"ndv_${cd.name}"),
+        approx_count_distinct(c, 0.01).as(s"ap_${cd.name}"),
+        min(cd.minMax(c)).as(s"mn_${cd.name}"),
+        max(cd.minMax(c)).as(s"mx_${cd.name}"))
+    }
+    val one = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val rows = array(cols.map { cd =>
+      struct(
+        lit(cd.name).as("col_name"),
+        col("n_rows"),
+        col(s"nn_${cd.name}").as("n_nulls"),
+        col(s"ndv_${cd.name}").as("ndv"),
+        (abs(col(s"ap_${cd.name}") - col(s"ndv_${cd.name}")) <=
+          col(s"ndv_${cd.name}") * lit(0.05) + lit(16L)).as("est_within_5pct"),
+        col(s"mn_${cd.name}").as("min_s"),
+        col(s"mx_${cd.name}").as("max_s"))
+    }: _*)
+    one.select(explode(rows).as("r")).select(col("r.*"))
+  }
+
+  val scanColStatsSql: String = {
+    def one(name: String, mm: String => String) =
+      s"""SELECT '$name' AS col_name, count(*)::BIGINT AS n_rows,
+         |  sum(CASE WHEN $name IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+         |  count(DISTINCT $name)::BIGINT AS ndv,
+         |  TRUE AS est_within_5pct,
+         |  min(${mm(name)}) AS min_s, max(${mm(name)}) AS max_s
+         |FROM lineitem""".stripMargin
+    Seq(
+      one("l_orderkey", c => s"$c::VARCHAR"),
+      one("l_quantity", c => s"($c::DECIMAL(14,2))::VARCHAR"),
+      one("l_returnflag", c => s"$c::VARCHAR"),
+      one("l_shipdate", c => s"($c::DATE)::VARCHAR")).mkString("\nUNION ALL\n")
+  }
+
   // ------------------------------------------------------- filter/project
 
   /** Q-FILT-1: purchase events in the first week; pushed-down predicate +
@@ -892,6 +955,7 @@ object Relational {
     Q("q_scan_tables", scanTables, Some(
       Tables.names.map(n => s"SELECT '$n' AS table_name, count(*) AS n FROM $n")
         .mkString(" UNION ALL "))),
+    Q("q_scan_colstats", scanColStats, Some(scanColStatsSql)),
     Q("q_filt_events", filtEvents, Some(
       """SELECT event_id, user_id, value, epoch_us(ts) AS ts_us
         |FROM events

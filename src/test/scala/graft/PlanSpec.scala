@@ -392,6 +392,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!wz.toLowerCase.contains("scalaudf"), "winsor grew a UDF")
     assert(!wz.contains("CartesianProduct"),
       "threshold/control sides should broadcast, not cartesian:\n" + wz.take(1500))
+    // column stats: ONE scan feeding the multi-distinct Expand — no
+    // per-column re-scans, no UDF
+    val cs = plan(SparkEntry.queries("q_scan_colstats")(spark, sf))
+    assert(cs.contains("Expand"), "multi-distinct stats lost the single-scan Expand:\n" + cs.take(1500))
+    assert(!cs.toLowerCase.contains("scalaudf"), "colstats grew a UDF")
+    assert("Scan parquet".r.findAllIn(cs).size <= 1,
+      "colstats re-scans the table per column:\n" + cs.take(2000))
     // SRM + classifier eval: summary-row audits must stay UDF-free
     // with broadcast 1-row sides, never a cartesian
     for (q <- Seq("q_flag_srm", "q_corpus_classifier_eval")) {
