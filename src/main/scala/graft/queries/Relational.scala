@@ -52,51 +52,67 @@ object Relational {
     */
   def scanColStats(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
-    case class Col(name: String,
-      minMax: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
     val dec2 = org.apache.spark.sql.types.DecimalType(14, 2)
-    val cols = Seq(
-      Col("l_orderkey", c => c.cast("string")),
-      Col("l_quantity", c => c.cast(dec2).cast("string")),
-      Col("l_returnflag", c => c.cast("string")),
-      Col("l_shipdate", c => c.cast("date").cast("string")))
-    val aggs = cols.flatMap { cd =>
-      val c = col(cd.name)
+    // typed views: min/max compare in the NATIVE order (numeric/date),
+    // then render to string — never lexicographic over digit strings
+    def typed(name: String): org.apache.spark.sql.Column = name match {
+      case "l_quantity" => col(name).cast(dec2)
+      case "l_shipdate" => col(name).cast("date")
+      case n => col(n)
+    }
+    val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+    // pass 1: count/nulls/min/max/HLL — a plain Hash/ObjectHashAggregate
+    // (NO exact distincts here: mixing multiple DISTINCT aggregates with
+    // sketch buffers rewrites into an Expand + SortAggregate that sorts
+    // a 4x-expanded input while merging 16 KB HLL buffers — measured
+    // ~40 s/run at sf0.1 vs ~1 s for this split)
+    val aggs = cols.flatMap { n =>
       Seq(
-        sum(when(c.isNull, 1L).otherwise(0L)).as(s"nn_${cd.name}"),
-        countDistinct(c).as(s"ndv_${cd.name}"),
-        approx_count_distinct(c, 0.01).as(s"ap_${cd.name}"),
-        min(cd.minMax(c)).as(s"mn_${cd.name}"),
-        max(cd.minMax(c)).as(s"mx_${cd.name}"))
+        sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"nn_$n"),
+        approx_count_distinct(col(n), 0.05).as(s"ap_$n"),
+        min(typed(n)).cast("string").as(s"mn_$n"),
+        max(typed(n)).cast("string").as(s"mx_$n"))
     }
     val one = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
-    val rows = array(cols.map { cd =>
+    // pass 2: exact NDVs as ONE compact (col_idx, value) pair shuffle —
+    // map-side combine shrinks to the distinct dimension; this is the
+    // shape that survives 100 TB (the sketch gate in pass 1 is the
+    // audit that justifies dropping this pass at extreme scale)
+    val pairs = li.select(posexplode(
+      array(cols.map(n => col(n).cast("string")): _*)).as(Seq("idx", "v")))
+    val ndv = pairs.filter(col("v").isNotNull)
+      .select(col("idx"), col("v")).distinct()
+      .groupBy(col("idx")).agg(count(lit(1)).as("ndv"))
+    val rows = array(cols.zipWithIndex.map { case (n, i) =>
       struct(
-        lit(cd.name).as("col_name"),
-        col("n_rows"),
-        col(s"nn_${cd.name}").as("n_nulls"),
-        col(s"ndv_${cd.name}").as("ndv"),
-        (abs(col(s"ap_${cd.name}") - col(s"ndv_${cd.name}")) <=
-          col(s"ndv_${cd.name}") * lit(0.05) + lit(16L)).as("est_within_5pct"),
-        col(s"mn_${cd.name}").as("min_s"),
-        col(s"mx_${cd.name}").as("max_s"))
+        lit(i).as("idx"), lit(n).as("col_name"),
+        col("n_rows"), col(s"nn_$n").as("n_nulls"),
+        col(s"ap_$n").as("ap"),
+        col(s"mn_$n").as("min_s"), col(s"mx_$n").as("max_s"))
     }: _*)
     one.select(explode(rows).as("r")).select(col("r.*"))
+      .join(broadcast(ndv), Seq("idx"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"), col("ndv"),
+        // 3-sigma bound for the rsd=0.05 sketch (+16 small-count floor):
+        // deterministic given the data, loose enough to hold at any sf
+        (abs(col("ap") - col("ndv")) <= col("ndv") * lit(0.15) + lit(16L))
+          .as("est_ok"),
+        col("min_s"), col("max_s"))
   }
 
   val scanColStatsSql: String = {
-    def one(name: String, mm: String => String) =
+    def one(name: String, mm: String) =
       s"""SELECT '$name' AS col_name, count(*)::BIGINT AS n_rows,
          |  sum(CASE WHEN $name IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
          |  count(DISTINCT $name)::BIGINT AS ndv,
-         |  TRUE AS est_within_5pct,
-         |  min(${mm(name)}) AS min_s, max(${mm(name)}) AS max_s
+         |  TRUE AS est_ok,
+         |  min($mm)::VARCHAR AS min_s, max($mm)::VARCHAR AS max_s
          |FROM lineitem""".stripMargin
     Seq(
-      one("l_orderkey", c => s"$c::VARCHAR"),
-      one("l_quantity", c => s"($c::DECIMAL(14,2))::VARCHAR"),
-      one("l_returnflag", c => s"$c::VARCHAR"),
-      one("l_shipdate", c => s"($c::DATE)::VARCHAR")).mkString("\nUNION ALL\n")
+      one("l_orderkey", "l_orderkey"),
+      one("l_quantity", "l_quantity::DECIMAL(14,2)"),
+      one("l_returnflag", "l_returnflag"),
+      one("l_shipdate", "l_shipdate::DATE")).mkString("\nUNION ALL\n")
   }
 
   // ------------------------------------------------------- filter/project

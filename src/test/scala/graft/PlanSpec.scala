@@ -392,12 +392,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!wz.toLowerCase.contains("scalaudf"), "winsor grew a UDF")
     assert(!wz.contains("CartesianProduct"),
       "threshold/control sides should broadcast, not cartesian:\n" + wz.take(1500))
-    // column stats: ONE scan feeding the multi-distinct Expand — no
-    // per-column re-scans, no UDF
+    // column stats: two passes exactly (typed agg + compact-pair NDV
+    // shuffle) — NEVER the multi-distinct Expand/SortAggregate rewrite
+    // (sorts a 4x-expanded input while merging HLL buffers; measured
+    // ~40x slower), no per-column re-scans, no UDF
     val cs = plan(SparkEntry.queries("q_scan_colstats")(spark, sf))
-    assert(cs.contains("Expand"), "multi-distinct stats lost the single-scan Expand:\n" + cs.take(1500))
+    assert(!cs.contains("Expand"), "colstats regressed to the multi-distinct Expand:\n" + cs.take(1500))
+    // (a KEYLESS SortAggregate is fine — no grouping keys means it is a
+    // streaming fold with partials, not a sort; the string min/max
+    // buffer forces it off the hash path and that costs nothing)
     assert(!cs.toLowerCase.contains("scalaudf"), "colstats grew a UDF")
-    assert("Scan parquet".r.findAllIn(cs).size <= 1,
+    assert("Scan parquet".r.findAllIn(cs).size <= 2,
       "colstats re-scans the table per column:\n" + cs.take(2000))
     // SRM + classifier eval: summary-row audits must stay UDF-free
     // with broadcast 1-row sides, never a cartesian
