@@ -221,6 +221,55 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.head._5, s"uniform hash sharding flagged as skewed: chi2=$chi2")
   }
 
+  test("winsor + QTE under heavy spend ties: order-stat tie-break holds") {
+    import graft.flags.{FlagBucketFixture, FlagQueries}
+    import java.math.{BigDecimal => JBD}
+    // discrete spends force ties AT the threshold/percentile ranks —
+    // the (spend, user_id) tie order must pin the selected value
+    val rnd = new scala.util.Random(777)
+    val grid = Array(0.0, 10.0, 10.0, 20.0, 50.0)
+    val rows = (0L until 60L).flatMap { uid =>
+      (0 until 1 + rnd.nextInt(3)).map { i =>
+        (uid, if (rnd.nextBoolean()) "purchase" else "view",
+          grid(rnd.nextInt(grid.length)),
+          java.sql.Timestamp.valueOf(s"2024-01-0${1 + rnd.nextInt(9)} 00:00:00"))
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("tiefuzz").toString
+    import spark.implicits._
+    rows.toDF("user_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val buckets: Map[Long, Int] = FlagBucketFixture.valuesSql
+      .stripPrefix("(").stripSuffix(")").split("\\),\\(")
+      .map { p => val Array(i, b) = p.split(","); i.toLong -> b.toInt }.toMap
+    val y: Map[Long, JBD] = rows.groupBy(_._1).map { case (uid, es) =>
+      uid -> es.filter(_._2 == "purchase")
+        .map(e => JBD.valueOf(e._3).setScale(2, java.math.RoundingMode.HALF_UP))
+        .foldLeft(new JBD("0.00"))(_.add(_))
+    }
+    // winsor threshold: pooled rank ceil(0.95 n) in (y, uid) order
+    val pooled = y.toSeq.sortBy { case (uid, v) => (v, uid) }
+    val thresh = pooled(((FlagQueries.WinsorPct * pooled.size).ceil.toLong).toInt - 1)._2
+    val gotThresh = FlagQueries.flagWinsor(spark, dir)
+      .select(col("thresh")).head().getDouble(0)
+    assert(gotThresh == thresh.doubleValue(), s"threshold tie-break diverged")
+    Tables.releaseCaches(spark)
+    // QTE: every grid row must equal the driver order statistic
+    def armSorted(ctl: Boolean) = y.toSeq
+      .filter { case (uid, _) => (buckets(uid) < 50) == ctl }
+      .sortBy { case (uid, v) => (v, uid) }.map(_._2)
+    val (c, t) = (armSorted(true), armSorted(false))
+    def q(sorted: Seq[JBD], p: Long): JBD = sorted(((p * sorted.size + 99) / 100).toInt - 1)
+    val expected = FlagQueries.QtePcts.map { p =>
+      (p.toLong, q(c, p).doubleValue(), q(t, p).doubleValue(),
+        q(t, p).subtract(q(c, p)).doubleValue())
+    }.toSet
+    val got = FlagQueries.flagQte(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(got == expected)
+    Tables.releaseCaches(spark)
+  }
+
   test("QTE grid: exact per-arm order statistics and differences == driver recompute") {
     import graft.flags.{FlagBucketFixture, FlagQueries}
     import java.math.{BigDecimal => JBD, RoundingMode}
