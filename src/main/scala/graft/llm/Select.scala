@@ -850,10 +850,74 @@ object Select {
        |      ((tp::DOUBLE / (tp + fp)::DOUBLE) + (tp::DOUBLE / (tp + fn)::DOUBLE)) END AS f1
        |FROM conf, pr""".stripMargin
 
+  /** Q-SEL-CURVE: selection tradeoff curve — the quality-vs-size
+    * Pareto a curator reads before picking a classifier threshold:
+    * rank the corpus by score descending and report, at each keep-rate
+    * decile, the documents/tokens kept, the score cut, and the target
+    * recall (what fraction of known-target docs survive the cut).
+    * DataComp/FineWeb-style threshold sweeps ARE this table.
+    *
+    * Determinism: ranks are `row_number` over (score DESC, doc_id) —
+    * the score doubles are bit-equal cross-engine ([[classifier]]),
+    * ties pinned by id; cut ranks are integer-ceil `(p·N+99) div 100`;
+    * cumulative token/target counts are exact int64 running sums;
+    * recall is one double division.
+    *
+    * Shape at 100 TB: the scored table is the classifier's own plan;
+    * the running sums ride ONE total-order window over the compact
+    * (score, doc_id, n_tokens, is_target) projection — the documented
+    * partition-less family; at extreme cardinality the same cums fall
+    * out of a range-partitioned sort with per-partition offsets (the
+    * [[TextOps.shuffleShard]] swap), and the decile rows join against
+    * a 10-row broadcast.
+    */
+  def selectionCurve(s: SparkSession, d: String): DataFrame = {
+    val sc = classifier(s, d)
+      .select(col("doc_id"), col("score"), col("n_tokens"), col("is_target"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cums = sc.select(col("score"),
+      row_number().over(w).cast(LongType).as("rk"),
+      sum(col("n_tokens")).over(wf).cast(LongType).as("cum_tokens"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).over(wf).cast(LongType).as("cum_target"))
+    val tot = sc.agg(count(lit(1)).as("n"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).cast(LongType).as("n_target"))
+    val targets = tot.select(col("n"), col("n_target"),
+        explode(typedLit((1 to 10).map(_ * 10L))).as("pct"))
+      .select(col("pct"), col("n_target"),
+        expr("(pct * n + 99) div 100").cast(LongType).as("rk"))
+    cums.join(broadcast(targets), Seq("rk"))
+      .select(col("pct"), col("rk").as("n_docs_kept"), col("cum_tokens"),
+        col("score").as("score_cut"),
+        (col("cum_target").cast(DoubleType) / col("n_target").cast(DoubleType))
+          .as("target_recall"))
+  }
+
+  val selectionCurveSql: String =
+    s"""WITH sc AS (SELECT doc_id, score, n_tokens, is_target FROM ($classifierSql)),
+       |cums AS (
+       |  SELECT score,
+       |    row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rk,
+       |    sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens,
+       |    sum(CASE WHEN is_target THEN 1 ELSE 0 END) OVER (ORDER BY score DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_target
+       |  FROM sc),
+       |tot AS (SELECT count(*)::BIGINT AS n,
+       |  sum(CASE WHEN is_target THEN 1 ELSE 0 END)::BIGINT AS n_target FROM sc),
+       |t AS (
+       |  SELECT pct, n_target, (pct * n + 99) // 100 AS rk
+       |  FROM tot, unnest([10, 20, 30, 40, 50, 60, 70, 80, 90, 100]::BIGINT[]) AS g(pct))
+       |SELECT pct, rk AS n_docs_kept, cum_tokens, score AS score_cut,
+       |  cum_target::DOUBLE / n_target::DOUBLE AS target_recall
+       |FROM cums JOIN t USING (rk)""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_corpus_lm_score", lmScore, Some(lmScoreSql)),
     Q("q_corpus_classifier", classifier, Some(classifierSql)),
     Q("q_corpus_classifier_eval", classifierEval, Some(classifierEvalSql)),
+    Q("q_corpus_selection_curve", selectionCurve, Some(selectionCurveSql)),
     Q("q_corpus_split", split, Some(splitSql)),
     Q("q_corpus_domain_cap", domainCap, Some(domainCapSql)),
     Q("q_corpus_domain_topk", domainTopK, Some(domainTopKSql)),

@@ -862,6 +862,64 @@ object Relational {
       |  'https' AS protocol
       |FROM documents""".stripMargin
 
+  /** Q-FN-8: IPv4 / CIDR function family over the enrichment IPs the
+    * ingest layer attaches (`$ip` — `extractors.rs` request
+    * enrichment): dotted-quad → uint32 (pure arithmetic, no UDF), /24
+    * subnet rollup (the abuse/geo aggregation unit), and a CIDR
+    * containment flag (`10.42.0.0/16` — a prefix compare on the top
+    * bits). Everything folds to integer arithmetic the oracle mirrors
+    * verbatim; at 100 TB this is one map pass + one compact-key rollup
+    * (subnet ints, map-side combined).
+    */
+  def fnIp(s: SparkSession, d: String): DataFrame = {
+    val ip = concat(lit("10."), col("user_id") % 200, lit("."),
+      expr("(user_id div 200) % 250"), lit("."), col("event_id") % 250)
+    val oct = split(col("ip"), "\\.")
+    val ipInt = element_at(oct, 1).cast(LongType) * 16777216L +
+      element_at(oct, 2).cast(LongType) * 65536L +
+      element_at(oct, 3).cast(LongType) * 256L +
+      element_at(oct, 4).cast(LongType)
+    // 10.42.0.0/16 ⇒ compare the top 16 bits: ip_int div 65536 == 10·256+42
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), ip.as("ip"))
+      .select(col("user_id"), ipInt.as("ip_int"))
+      .select(col("user_id"), col("ip_int"),
+        expr("ip_int div 256").as("subnet24"),
+        (expr("ip_int div 65536") === lit(10L * 256L + 42L)).as("in_net"))
+      .groupBy(col("subnet24"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        max(col("in_net")).as("in_10_42_16"))
+      .select(
+        concat(expr("subnet24 div 65536"), lit("."),
+          expr("(subnet24 div 256) % 256"), lit("."),
+          col("subnet24") % 256L, lit(".0/24")).as("subnet"),
+        col("n_events"), col("n_users"), col("in_10_42_16"))
+  }
+
+  val fnIpSql: String =
+    """WITH ips AS (
+      |  SELECT user_id,
+      |    '10.' || (user_id % 200) || '.' || ((user_id // 200) % 250) || '.' || (event_id % 250) AS ip
+      |  FROM events),
+      |parsed AS (
+      |  SELECT user_id,
+      |    string_split(ip, '.')[1]::BIGINT * 16777216 +
+      |    string_split(ip, '.')[2]::BIGINT * 65536 +
+      |    string_split(ip, '.')[3]::BIGINT * 256 +
+      |    string_split(ip, '.')[4]::BIGINT AS ip_int
+      |  FROM ips),
+      |marked AS (
+      |  SELECT user_id, ip_int, ip_int // 256 AS subnet24,
+      |    (ip_int // 65536 = 10 * 256 + 42) AS in_net
+      |  FROM parsed)
+      |SELECT
+      |  (subnet24 // 65536) || '.' || ((subnet24 // 256) % 256) || '.' || (subnet24 % 256) || '.0/24' AS subnet,
+      |  count(*)::BIGINT AS n_events,
+      |  count(DISTINCT user_id)::BIGINT AS n_users,
+      |  max(in_net) AS in_10_42_16
+      |FROM marked GROUP BY subnet24""".stripMargin
+
   /** Q-AGG-10: exact fixed quantiles (p25/p50/p75, lower-value
     * discretized: the element at rank ⌈p·n⌉ of the tie-broken total
     * order) per event type — generalizes [[aggMedian]] to a quantile
@@ -965,6 +1023,7 @@ object Relational {
   /** All relational queries with their DuckDB oracles. */
   val all: Seq[Q] = Seq(
     Q("q_fn_url", fnUrl, Some(fnUrlSql)),
+    Q("q_fn_ip", fnIp, Some(fnIpSql)),
     Q("q_agg_quantiles", aggQuantiles, Some(aggQuantilesSql)),
     Q("q_agg_approx_quantiles", aggApproxQuantiles, Some(aggApproxQuantilesSql)),
     Q("q_scan_count", scanCount, Some("SELECT count(*) AS n FROM events")),
