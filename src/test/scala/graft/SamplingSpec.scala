@@ -300,6 +300,29 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     Tables.releaseCaches(spark)
   }
 
+  test("selection curve: decile cuts, running sums, target recall == driver recompute") {
+    val sc = Select.classifier(spark, sf)
+      .select(col("doc_id"), col("score"), col("n_tokens"), col("is_target")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getBoolean(3)))
+    Tables.releaseCaches(spark)
+    val ordered = sc.sortBy { case (id, s0, _, _) => (-s0, id) }
+    val n = ordered.length.toLong
+    val nTarget = ordered.count(_._4).toLong
+    val expected = (1 to 10).map(_ * 10L).map { pct =>
+      val rk = ((pct * n + 99) / 100).toInt
+      val kept = ordered.take(rk)
+      (pct, rk.toLong, kept.map(_._3).sum, ordered(rk - 1)._2,
+        kept.count(_._4).toDouble / nTarget.toDouble)
+    }.toSet
+    val got = Select.selectionCurve(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSet
+    assert(got == expected)
+    // curve must be monotone: each decile keeps at least as much as the last
+    val byPct = got.toSeq.sortBy(_._1)
+    assert(byPct.sliding(2).forall { case Seq(a, b) => b._2 >= a._2 && b._3 >= a._3 && b._5 >= a._5 })
+    Tables.releaseCaches(spark)
+  }
+
   test("SRM check: realized counts, chi-square, verdict == driver recompute") {
     import graft.flags.{FlagBucketFixture, FlagQueries}
     val users = Tables.events(spark, sf)
