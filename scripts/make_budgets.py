@@ -43,8 +43,9 @@ with open(src) as f:
 if full.get("failures"):
     sys.exit(f"refusing to budget a baseline with failed queries: {sorted(full['failures'])}")
 
+qmax = full.get("queries_max", {})
 budgets = {
-    name: round(max(2.5 * t, t + 0.75), 3)
+    name: round(max(2.5 * t, t + 0.75, 1.15 * qmax.get(name, 0.0)), 3)
     for name, t in sorted(full["queries"].items())
 }
 
