@@ -40,13 +40,14 @@ def main(out, sources):
     # the skeleton's pass1-3 tails describe a single run, not the merge
     for k in ("pass1", "pass2", "pass3"):
         base.pop(k, None)
-    base["queries"] = merged
+    # round minima the same way as queries_max so min <= max holds
+    base["queries"] = {q: round(t, 3) for q, t in sorted(merged.items())}
     # per-query worst legitimately-observed cost this round: budgets are
     # floored at 1.15x this, so a query whose cost is bimodal under JIT/
     # codegen-cache variance (e.g. q_dedup_cosine: ~0.43s or ~1.35s for
     # the identical plan) cannot flake the gate on its slow mode
     base["queries_max"] = {q: round(t, 3) for q, t in sorted(observed_max.items())}
-    base["value"] = round(sum(merged.values()), 3)
+    base["value"] = round(sum(base["queries"].values()), 3)
     base["merged_from_runs"] = len(runs)
     with open(out, "w") as f:
         json.dump(base, f, indent=1, sort_keys=True)

@@ -472,6 +472,44 @@ object FlagQueries {
        |  mean_y - ctl_y AS lift, mean_y_adj - ctl_y_adj AS lift_adj, theta, rho2
        |FROM w, ctl""".stripMargin
 
+  /** Per-user total purchase spend (decimal-exact) over the
+    * fixture-bounded cohort, labeled with the experiment variant from
+    * the REAL vectorized evaluator — the shared input of the
+    * bootstrap / winsorized / QTE readouts. Persisted because every
+    * consumer branches it at least twice; callers release via
+    * `Tables.releaseCaches` (the harness convention).
+    */
+  private def assignedSpend(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec2 = DecimalType(14, 2)
+    val perUser = graft.Tables.events(s, d)
+      .filter(col("user_id") < FlagBucketFixture.n)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", col("value").cast(dec2))
+        .otherwise(lit(0).cast(dec2))).cast(dec2).as("y"))
+    val frame = FlagFrame(col("distinct_id"), map().cast("map<string,string>"))
+    perUser
+      .select(col("user_id"), col("y"),
+        concat(lit("user-"), col("user_id")).as("distinct_id"))
+      .select(col("user_id"), col("y"),
+        FlagColumns.resultCol(frame, experimentConfig.head).getField("variant").as("variant"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** DuckDB twin of [[assignedSpend]]: the shared `b`/`pu`/`a` CTE
+    * prefix of the readout oracles.
+    */
+  private val spendCohortSql: String =
+    s"""b AS (SELECT * FROM (VALUES ${FlagBucketFixture.valuesSql}) AS v(i, bucket)),
+       |pu AS (
+       |  SELECT user_id,
+       |    sum(CASE WHEN event_type = 'purchase' THEN value::DECIMAL(14,2)
+       |        ELSE 0::DECIMAL(14,2) END)::DECIMAL(14,2) AS y
+       |  FROM events WHERE user_id < ${FlagBucketFixture.n} GROUP BY user_id),
+       |a AS (
+       |  SELECT user_id, CASE WHEN b.bucket < 50 THEN 'control' ELSE 'test' END AS variant, y
+       |  FROM pu JOIN b ON b.i = pu.user_id)"""
+
   /** Bootstrap parameters for [[flagBootstrap]]: B replicates, 95% CI
     * via the 5th / 196th order statistics of the B replicate means
     * (the percentile-method bootstrap, 2.5% trimmed each side), and the
@@ -520,19 +558,7 @@ object FlagQueries {
     GraftExtensions.register(s)
     import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
     import graft.llm.Portable.h60
-    val dec2 = DecimalType(14, 2)
-    val perUser = graft.Tables.events(s, d)
-      .filter(col("user_id") < FlagBucketFixture.n)
-      .groupBy(col("user_id"))
-      .agg(sum(when(col("event_type") === "purchase", col("value").cast(dec2))
-        .otherwise(lit(0).cast(dec2))).cast(dec2).as("y"))
-    val frame = FlagFrame(col("distinct_id"), map().cast("map<string,string>"))
-    val assigned = perUser
-      .select(col("user_id"), col("y"),
-        concat(lit("user-"), col("user_id")).as("distinct_id"))
-      .select(col("user_id"), col("y"),
-        FlagColumns.resultCol(frame, experimentConfig.head).getField("variant").as("variant"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = assignedSpend(s, d)
     val reps = assigned.select(col("user_id"), col("y"), col("variant"),
       explode(sequence(lit(0), lit(BootB - 1))).as("r"))
     val u = (h60(concat(lit(BootSeed + ":"), col("user_id").cast("string"),
@@ -590,15 +616,7 @@ object FlagQueries {
     val caseChain = poissonCdf.zipWithIndex
       .map { case (c, k) => s"WHEN u < $c THEN $k" }
       .mkString("CASE ", " ", s" ELSE ${poissonCdf.size} END")
-    s"""WITH b AS (SELECT * FROM (VALUES ${FlagBucketFixture.valuesSql}) AS v(i, bucket)),
-       |pu AS (
-       |  SELECT user_id,
-       |    sum(CASE WHEN event_type = 'purchase' THEN value::DECIMAL(14,2)
-       |        ELSE 0::DECIMAL(14,2) END)::DECIMAL(14,2) AS y
-       |  FROM events WHERE user_id < ${FlagBucketFixture.n} GROUP BY user_id),
-       |a AS (
-       |  SELECT user_id, CASE WHEN b.bucket < 50 THEN 'control' ELSE 'test' END AS variant, y
-       |  FROM pu JOIN b ON b.i = pu.user_id),
+    s"""WITH $spendCohortSql,
        |reps AS (
        |  SELECT user_id, variant, y, r,
        |    (${h60Sql(s"'$BootSeed:' || user_id || ':' || r")} + 1)::DOUBLE
@@ -675,19 +693,7 @@ object FlagQueries {
   def flagWinsor(s: SparkSession, d: String): DataFrame = {
     GraftExtensions.register(s)
     import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
-    val dec2 = DecimalType(14, 2)
-    val perUser = graft.Tables.events(s, d)
-      .filter(col("user_id") < FlagBucketFixture.n)
-      .groupBy(col("user_id"))
-      .agg(sum(when(col("event_type") === "purchase", col("value").cast(dec2))
-        .otherwise(lit(0).cast(dec2))).cast(dec2).as("y"))
-    val frame = FlagFrame(col("distinct_id"), map().cast("map<string,string>"))
-    val assigned = perUser
-      .select(col("user_id"), col("y"),
-        concat(lit("user-"), col("user_id")).as("distinct_id"))
-      .select(col("user_id"), col("y"),
-        FlagColumns.resultCol(frame, experimentConfig.head).getField("variant").as("variant"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = assignedSpend(s, d)
     // pooled winsor threshold: exact order statistic at rank ceil(p·n)
     val ranked = assigned.select(col("y"),
       row_number().over(Window.orderBy(col("y"), col("user_id"))).cast(LongType).as("rk"))
@@ -729,15 +735,7 @@ object FlagQueries {
   }
 
   val flagWinsorSql: String =
-    s"""WITH b AS (SELECT * FROM (VALUES ${FlagBucketFixture.valuesSql}) AS v(i, bucket)),
-       |pu AS (
-       |  SELECT user_id,
-       |    sum(CASE WHEN event_type = 'purchase' THEN value::DECIMAL(14,2)
-       |        ELSE 0::DECIMAL(14,2) END)::DECIMAL(14,2) AS y
-       |  FROM events WHERE user_id < ${FlagBucketFixture.n} GROUP BY user_id),
-       |a AS (
-       |  SELECT user_id, CASE WHEN b.bucket < 50 THEN 'control' ELSE 'test' END AS variant, y
-       |  FROM pu JOIN b ON b.i = pu.user_id),
+    s"""WITH $spendCohortSql,
        |nn AS (SELECT count(*)::BIGINT AS n FROM a),
        |rk AS (SELECT y, row_number() OVER (ORDER BY y, user_id)::BIGINT AS rk FROM a),
        |thr AS (
@@ -862,19 +860,7 @@ object FlagQueries {
   def flagQte(s: SparkSession, d: String): DataFrame = {
     GraftExtensions.register(s)
     import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
-    val dec2 = DecimalType(14, 2)
-    val perUser = graft.Tables.events(s, d)
-      .filter(col("user_id") < FlagBucketFixture.n)
-      .groupBy(col("user_id"))
-      .agg(sum(when(col("event_type") === "purchase", col("value").cast(dec2))
-        .otherwise(lit(0).cast(dec2))).cast(dec2).as("y"))
-    val frame = FlagFrame(col("distinct_id"), map().cast("map<string,string>"))
-    val assigned = perUser
-      .select(col("user_id"), col("y"),
-        concat(lit("user-"), col("user_id")).as("distinct_id"))
-      .select(col("user_id"), col("y"),
-        FlagColumns.resultCol(frame, experimentConfig.head).getField("variant").as("variant"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = assignedSpend(s, d)
     val targets = assigned.groupBy(col("variant")).agg(count(lit(1)).as("n"))
       .select(col("variant"), explode(typedLit(QtePcts.map(_.toLong))).as("pct"), col("n"))
       .select(col("variant"), col("pct"),
@@ -895,15 +881,7 @@ object FlagQueries {
   }
 
   val flagQteSql: String =
-    s"""WITH b AS (SELECT * FROM (VALUES ${FlagBucketFixture.valuesSql}) AS v(i, bucket)),
-       |pu AS (
-       |  SELECT user_id,
-       |    sum(CASE WHEN event_type = 'purchase' THEN value::DECIMAL(14,2)
-       |        ELSE 0::DECIMAL(14,2) END)::DECIMAL(14,2) AS y
-       |  FROM events WHERE user_id < ${FlagBucketFixture.n} GROUP BY user_id),
-       |a AS (
-       |  SELECT user_id, CASE WHEN b.bucket < 50 THEN 'control' ELSE 'test' END AS variant, y
-       |  FROM pu JOIN b ON b.i = pu.user_id),
+    s"""WITH $spendCohortSql,
        |t AS (
        |  SELECT variant, pct, (pct * n + 99) // 100 AS rk
        |  FROM (SELECT variant, count(*)::BIGINT AS n FROM a GROUP BY variant),

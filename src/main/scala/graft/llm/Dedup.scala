@@ -870,11 +870,18 @@ object Dedup {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
        |  FROM b a JOIN b b2 ON a.band = b2.band AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id),
-       |d AS (SELECT doc_id, text, length(text)::BIGINT AS len FROM documents)
-       |SELECT doc_a, doc_b, levenshtein(da.text, db.text)::BIGINT AS edit_dist,
-       |  1.0 - levenshtein(da.text, db.text)::DOUBLE / greatest(da.len, db.len)::DOUBLE AS edit_sim
-       |FROM cand JOIN d da ON doc_a = da.doc_id JOIN d db ON doc_b = db.doc_id
-       |WHERE abs(da.len - db.len) <= $MaxEdit AND levenshtein(da.text, db.text) <= $MaxEdit""".stripMargin
+       |d AS (SELECT doc_id, text, length(text)::BIGINT AS len FROM documents),
+       |lev AS (
+       |  -- compute the quadratic edit distance ONCE per length-filtered
+       |  -- candidate (repeating the call in SELECT and WHERE is not
+       |  -- reliably CSE'd and triples the dominant cost)
+       |  SELECT doc_a, doc_b, greatest(da.len, db.len) AS max_len,
+       |    levenshtein(da.text, db.text)::BIGINT AS edit_dist
+       |  FROM cand JOIN d da ON doc_a = da.doc_id JOIN d db ON doc_b = db.doc_id
+       |  WHERE abs(da.len - db.len) <= $MaxEdit)
+       |SELECT doc_a, doc_b, edit_dist,
+       |  1.0 - edit_dist::DOUBLE / max_len::DOUBLE AS edit_sim
+       |FROM lev WHERE edit_dist <= $MaxEdit""".stripMargin
 
   val all: Seq[Q] = Seq(
     Q("q_dedup_exact", exact, Some(exactSql)),

@@ -76,6 +76,19 @@ final class IdentityMergeState(
     spark.sparkContext.emptyRDD[PersonRecord]
   private var epoch: Long = -1L
 
+  /** Target committed-state rows per partition (sizes the state's
+    * partition-count growth as rows accumulate across epochs; the
+    * PersonRecord dimension is compact, so 1M rows ≈ low-hundreds of
+    * MB — well under block limits with headroom).
+    */
+  private val StateRowsPerPartition = 1L << 20
+
+  /** Width hint derived from the last committed state's row count —
+    * grows monotonically so a stream of narrow micro-batches cannot
+    * pin a large accumulated state at the batch width.
+    */
+  private var statePartsHint: Int = 2
+
   /** Highest committed batch id (-1 = fresh state, nothing folded). */
   def committedEpoch: Long = synchronized(epoch)
 
@@ -150,15 +163,15 @@ final class IdentityMergeState(
       // budget guard catches the pathological batch anyway (the probe
       // fold reuses the distinct's shuffle outputs, so it costs one
       // cheap reduce-side job, not a second shuffle).
-      // shuffle width follows the BATCH's own partition count, not the
-      // global default: a micro-batch is input-partition-sized, and a
-      // 32-wide shuffle over a few-partition batch is mostly empty-task
-      // scheduling overhead (measured ~0.3 s/epoch at sf0.1). A huge
-      // batch arrives wide and keeps a wide shuffle — the width scales
-      // with the data, which is the property the 100 TB story needs.
+      // epoch shuffle width follows the BATCH's own partition count
+      // (not the global default): a micro-batch is input-partition-
+      // sized, and a wide shuffle over a few-partition batch is mostly
+      // empty-task scheduling overhead. (The id-pair distinct below
+      // already defaults to its parent's width — the win from this
+      // sizing is in the COGROUP/COALESCE width at the commit step.)
       val batchParts = math.max(2, opsRdd.getNumPartitions)
       val idPairs = collectBudgeted(
-        opsRdd.map(o => (o.raw_id, o.alias_to)).distinct(batchParts),
+        opsRdd.map(o => (o.raw_id, o.alias_to)).distinct(),
         (p: (String, Option[String])) =>
           (p._1.length + p._2.map(_.length).getOrElse(0)).toLong,
         "batch id-pair")
@@ -196,10 +209,14 @@ final class IdentityMergeState(
         val comp = cm.getOrElse(r.canonical_id, r.canonical_id)
         if (ts.contains(comp)) Some(comp -> r) else None
       }
-      // fold width: enough for the batch AND the prior state's touched
-      // slice (state partitions bound the seed side)
-      val parts = math.max(batchParts, stateRdd.getNumPartitions min
-        spark.sparkContext.defaultParallelism)
+      // fold/commit width: the max of the batch's width, the state's
+      // current width, and the state-SIZE-derived width (committed row
+      // count / target rows-per-partition, tracked each epoch below).
+      // The size term is what lets the state grow WIDER than any single
+      // micro-batch as rows accumulate — without it a stream of narrow
+      // batches would pin a multi-million-row state at the batch width
+      // forever (slow full-state scans, 2 GB block-limit risk).
+      val parts = math.max(batchParts, math.max(stateRdd.getNumPartitions, statePartsHint))
       val folded: RDD[PersonRecord] = seeds.cogroup(opRows, parts)
         .map { case (_, (recs, opIt)) =>
           Replay.foldComponent(recs.iterator, opIt.iterator)
@@ -213,7 +230,11 @@ final class IdentityMergeState(
       // later state scan pays the extra empty-task overhead.
       val next = untouched.union(folded).coalesce(parts)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
+      val stateRows = next.count()
+      // the commit count is free sizing information: derive next
+      // epoch's width hint so rows-per-partition stays bounded
+      statePartsHint = math.max(parts,
+        math.ceil(stateRows.toDouble / StateRowsPerPartition).toInt)
       mark("commit-count")
       // unpersist, not destroy: a lost `next` block recomputes through
       // this epoch's lineage, which still closes over the broadcast
