@@ -786,6 +786,23 @@ object FlagQueries {
     * conditional aggregate. The cheapest query in the engine — which
     * is the point: it gates the expensive ones.
     */
+  /** The SRM verdict projection over a 1-row (n_control, n_test)
+    * aggregate — shared by the batch gate and the streaming monitor
+    * ([[graft.streaming.Streaming.srmMonitorStream]]), so the two
+    * faces can never disagree on the statistic.
+    */
+  def srmRow(agg: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val nT = (col("n_control") + col("n_test")).cast(DoubleType)
+    val expd = nT * lit(0.5)
+    val chi2 = (col("n_control").cast(DoubleType) - expd) * (col("n_control").cast(DoubleType) - expd) / expd +
+      (col("n_test").cast(DoubleType) - expd) * (col("n_test").cast(DoubleType) - expd) / expd
+    agg.select(col("n_control"), col("n_test"),
+      (col("n_control") + col("n_test")).as("n_total"),
+      chi2.as("chi2"),
+      (chi2 > lit(Chi2Crit95.toDouble)).as("srm"))
+  }
+
   def flagSrm(s: SparkSession, d: String): DataFrame = {
     GraftExtensions.register(s)
     import org.apache.spark.sql.types.DoubleType
@@ -796,17 +813,9 @@ object FlagQueries {
       .select(concat(lit("user-"), col("user_id")).as("distinct_id"))
       .select(FlagColumns.resultCol(frame, experimentConfig.head)
         .getField("variant").as("variant"))
-    val agg = assigned.agg(
+    srmRow(assigned.agg(
       sum(when(col("variant") === "control", 1L).otherwise(0L)).as("n_control"),
-      sum(when(col("variant") === "test", 1L).otherwise(0L)).as("n_test"))
-    val nT = (col("n_control") + col("n_test")).cast(DoubleType)
-    val expd = nT * lit(0.5)
-    val chi2 = (col("n_control").cast(DoubleType) - expd) * (col("n_control").cast(DoubleType) - expd) / expd +
-      (col("n_test").cast(DoubleType) - expd) * (col("n_test").cast(DoubleType) - expd) / expd
-    agg.select(col("n_control"), col("n_test"),
-      (col("n_control") + col("n_test")).as("n_total"),
-      chi2.as("chi2"),
-      (chi2 > lit(Chi2Crit95.toDouble)).as("srm"))
+      sum(when(col("variant") === "test", 1L).otherwise(0L)).as("n_test")))
   }
 
   val flagSrmSql: String =

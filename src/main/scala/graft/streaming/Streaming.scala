@@ -215,6 +215,27 @@ object Streaming {
         graft.flags.FlagColumns.resultCols(frame, flags, options): _*)
   }
 
+  /** Online SRM monitor — the streaming face of
+    * [[graft.flags.FlagQueries.flagSrm]]: running per-arm assignment
+    * counts as ONE keyless streaming aggregation (update/complete
+    * mode; exact int64 state, two counters), with the chi-square
+    * verdict applied as a stateless projection on the 1-row result —
+    * the SHARED [[graft.flags.FlagQueries.srmRow]] column tree, so the
+    * live monitor and the batch gate can never disagree on the
+    * statistic. This is the alert an experimentation platform fires
+    * DURING the experiment, not at readout time: a broken assignment
+    * path shows up in the running counts within a micro-batch.
+    *
+    * Input: one row per newly assigned user with a `variant` column
+    * (e.g. the first-seen projection of [[flagDecisionStream]]).
+    * Shape at any scale: map-side partial counts → a single 2-counter
+    * state row; no shuffle wider than 1, no per-user state.
+    */
+  def srmMonitorStream(decisions: DataFrame): DataFrame =
+    graft.flags.FlagQueries.srmRow(decisions.groupBy().agg(
+      sum(when(col("variant") === "control", 1L).otherwise(0L)).as("n_control"),
+      sum(when(col("variant") === "test", 1L).otherwise(0L)).as("n_test")))
+
   /** Live decontamination gate — the streaming face of
     * [[graft.llm.Corpus.decontamBloom]]: each arriving document's
     * distinct 3-shingles probe the broadcast eval-set Bloom sketch

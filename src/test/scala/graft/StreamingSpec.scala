@@ -625,4 +625,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$chunks-batch stream sample diverged from the batch operator")
     }
   }
+
+  test("online SRM monitor: running verdict across batches == batch srmRow") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // a deliberately imbalanced assignment stream: the monitor must
+    // flip the SRM flag once enough skew accumulates
+    val b1 = Seq.fill(30)("control") ++ Seq.fill(28)("test")
+    val b2 = Seq.fill(60)("control") ++ Seq.fill(10)("test")
+    def batchRow(vs: Seq[String]) =
+      graft.flags.FlagQueries.srmRow(vs.toDF("variant").agg(
+        sum(when(col("variant") === "control", 1L).otherwise(0L)).as("n_control"),
+        sum(when(col("variant") === "test", 1L).otherwise(0L)).as("n_test")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getBoolean(4))).head
+    val mem = MemoryStream[String]
+    val q = graft.streaming.Streaming.srmMonitorStream(mem.toDF().toDF("variant"))
+      .writeStream.format("memory").queryName("srm_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      val mid = spark.table("srm_out").collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3), r.getBoolean(4))).head
+      assert(mid == batchRow(b1), "mid-stream verdict != batch on the same prefix")
+      assert(!mid._5, "balanced prefix must not trip SRM")
+      mem.addData(b2: _*); q.processAllAvailable()
+      val fin = spark.table("srm_out").collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3), r.getBoolean(4))).head
+      assert(fin == batchRow(b1 ++ b2), "final verdict != batch over all data")
+      assert(fin._5, "accumulated skew must trip SRM")
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS srm_out") }
+  }
 }
