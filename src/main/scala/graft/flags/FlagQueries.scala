@@ -786,26 +786,8 @@ object FlagQueries {
     * conditional aggregate. The cheapest query in the engine — which
     * is the point: it gates the expensive ones.
     */
-  /** The SRM verdict projection over a 1-row (n_control, n_test)
-    * aggregate — shared by the batch gate and the streaming monitor
-    * ([[graft.streaming.Streaming.srmMonitorStream]]), so the two
-    * faces can never disagree on the statistic.
-    */
-  def srmRow(agg: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.DoubleType
-    val nT = (col("n_control") + col("n_test")).cast(DoubleType)
-    val expd = nT * lit(0.5)
-    val chi2 = (col("n_control").cast(DoubleType) - expd) * (col("n_control").cast(DoubleType) - expd) / expd +
-      (col("n_test").cast(DoubleType) - expd) * (col("n_test").cast(DoubleType) - expd) / expd
-    agg.select(col("n_control"), col("n_test"),
-      (col("n_control") + col("n_test")).as("n_total"),
-      chi2.as("chi2"),
-      (chi2 > lit(Chi2Crit95.toDouble)).as("srm"))
-  }
-
   def flagSrm(s: SparkSession, d: String): DataFrame = {
     GraftExtensions.register(s)
-    import org.apache.spark.sql.types.DoubleType
     val frame = FlagFrame(col("distinct_id"), map().cast("map<string,string>"))
     val assigned = graft.Tables.events(s, d)
       .filter(col("user_id") < FlagBucketFixture.n)
@@ -813,9 +795,7 @@ object FlagQueries {
       .select(concat(lit("user-"), col("user_id")).as("distinct_id"))
       .select(FlagColumns.resultCol(frame, experimentConfig.head)
         .getField("variant").as("variant"))
-    srmRow(assigned.agg(
-      sum(when(col("variant") === "control", 1L).otherwise(0L)).as("n_control"),
-      sum(when(col("variant") === "test", 1L).otherwise(0L)).as("n_test")))
+    srmRow(srmCounts(assigned))
   }
 
   val flagSrmSql: String =
@@ -842,6 +822,38 @@ object FlagQueries {
        |    (n_test::DOUBLE - (n_control + n_test)::DOUBLE * 0.5) /
        |    ((n_control + n_test)::DOUBLE * 0.5)) > $Chi2Crit95 AS srm
        |FROM c""".stripMargin
+
+  /** The two-counter arm aggregate over a `variant` column — the whole
+    * SRM pipeline (counts AND verdict) is shared between the batch gate
+    * and the streaming monitor
+    * ([[graft.streaming.Streaming.srmMonitorStream]]), so the two faces
+    * can never disagree on either stage. Sums coalesce to 0 so an empty
+    * input yields a definite (0, 0) row, not nulls.
+    */
+  def srmCounts(assigned: DataFrame): DataFrame =
+    assigned.agg(
+      coalesce(sum(when(col("variant") === "control", 1L).otherwise(0L)), lit(0L)).as("n_control"),
+      coalesce(sum(when(col("variant") === "test", 1L).otherwise(0L)), lit(0L)).as("n_test"))
+
+  /** The SRM verdict projection over a 1-row (n_control, n_test)
+    * aggregate. Zero assigned users (empty stream, or a stream whose
+    * variants are all unrecognized) is a DEFINITE "no mismatch
+    * evidence": chi2 pins to 0.0 and `srm` to false — without the
+    * guard, 0/0 = NaN and Spark's NaN ordering would make
+    * `NaN > crit` TRUE, firing a false alarm on an empty monitor.
+    */
+  def srmRow(agg: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val nT = (col("n_control") + col("n_test")).cast(DoubleType)
+    val expd = nT * lit(0.5)
+    val chi2raw = (col("n_control").cast(DoubleType) - expd) * (col("n_control").cast(DoubleType) - expd) / expd +
+      (col("n_test").cast(DoubleType) - expd) * (col("n_test").cast(DoubleType) - expd) / expd
+    val chi2 = when(col("n_control") + col("n_test") === 0L, lit(0.0)).otherwise(chi2raw)
+    agg.select(col("n_control"), col("n_test"),
+      (col("n_control") + col("n_test")).as("n_total"),
+      chi2.as("chi2"),
+      (chi2 > lit(Chi2Crit95.toDouble)).as("srm"))
+  }
 
   /** Percentiles for [[flagQte]] — the distributional readout grid. */
   val QtePcts = Seq(10, 25, 50, 75, 90)

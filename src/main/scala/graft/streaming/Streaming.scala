@@ -226,15 +226,20 @@ object Streaming {
     * DURING the experiment, not at readout time: a broken assignment
     * path shows up in the running counts within a micro-batch.
     *
-    * Input: one row per newly assigned user with a `variant` column
-    * (e.g. the first-seen projection of [[flagDecisionStream]]).
+    * Input: a stream with one row per NEWLY ASSIGNED user carrying a
+    * `variant` column — an assignment topic, or the lake's replayed
+    * first-decision rows. (It cannot be stacked directly on
+    * [[flagDecisionStream]] in one query: Spark rejects a streaming
+    * aggregation downstream of update-mode flatMapGroupsWithState, so
+    * the decision stream lands first and the monitor reads the landed
+    * assignments — the same two-hop layout any metrics pipeline uses.)
     * Shape at any scale: map-side partial counts → a single 2-counter
-    * state row; no shuffle wider than 1, no per-user state.
+    * state row; no shuffle wider than 1, no per-user state. An empty
+    * or unrecognized-variant stream reads as a definite non-alarm
+    * (srmRow's zero guard), never NaN.
     */
   def srmMonitorStream(decisions: DataFrame): DataFrame =
-    graft.flags.FlagQueries.srmRow(decisions.groupBy().agg(
-      sum(when(col("variant") === "control", 1L).otherwise(0L)).as("n_control"),
-      sum(when(col("variant") === "test", 1L).otherwise(0L)).as("n_test")))
+    graft.flags.FlagQueries.srmRow(graft.flags.FlagQueries.srmCounts(decisions))
 
   /** Live decontamination gate — the streaming face of
     * [[graft.llm.Corpus.decontamBloom]]: each arriving document's

@@ -634,11 +634,13 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b1 = Seq.fill(30)("control") ++ Seq.fill(28)("test")
     val b2 = Seq.fill(60)("control") ++ Seq.fill(10)("test")
     def batchRow(vs: Seq[String]) =
-      graft.flags.FlagQueries.srmRow(vs.toDF("variant").agg(
-        sum(when(col("variant") === "control", 1L).otherwise(0L)).as("n_control"),
-        sum(when(col("variant") === "test", 1L).otherwise(0L)).as("n_test")))
+      graft.flags.FlagQueries.srmRow(graft.flags.FlagQueries.srmCounts(vs.toDF("variant")))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getDouble(3), r.getBoolean(4))).head
+    // unknown-variant-only input: the zero guard must read as a
+    // definite non-alarm, not 0/0 = NaN > crit = true
+    val noneRow = batchRow(Seq("v1", "v2", "v1"))
+    assert(noneRow == (0L, 0L, 0L, 0.0, false), s"zero-arm guard broken: $noneRow")
     val mem = MemoryStream[String]
     val q = graft.streaming.Streaming.srmMonitorStream(mem.toDF().toDF("variant"))
       .writeStream.format("memory").queryName("srm_out")
