@@ -657,13 +657,12 @@ object FlagQueries {
        |FROM m JOIN ci USING (variant), ctl, lc""".stripMargin
   }
 
-  /** Winsorization/power constants for [[flagWinsor]]: cap at the
-    * pooled 95th-percentile spend (exact order statistic), and the
-    * pinned standard-normal quantiles z_{0.975} and z_{0.80} for the
-    * minimum-detectable-effect column — literal doubles, verbatim in
-    * both engines.
+  /** Power constants for [[flagWinsor]]: the pinned standard-normal
+    * quantiles z_{0.975} and z_{0.80} for the minimum-detectable-effect
+    * column — literal doubles, verbatim in both engines. (The winsor
+    * cap itself is the pooled 95th-percentile order statistic, computed
+    * as the integer rank `(19n+19) div 20` inline in both engines.)
     */
-  val WinsorPct = 0.95
   val Z975 = "1.959963984540054"
   val Z80 = "0.8416212335729143"
 
@@ -678,28 +677,37 @@ object FlagQueries {
     * number.
     *
     * Determinism: the cap is an EXACT order statistic — rank
-    * `ceil(0.95·n)` of (spend, user_id) — not an interpolated
-    * percentile; capped spends stay decimal(14,2); every double op
-    * (means, variances, se, t, mde) is a pinned-order expression tree
-    * over exact sums, with the z constants as identical literals.
+    * `ceil(0.95·n)` of (spend, user_id), computed in INTEGER
+    * arithmetic as `(19·n + 19) div 20` (the float form
+    * `ceil(0.95·n::DOUBLE)` can round the product up past the exact
+    * rational at large n and shift the rank by one) — not an
+    * interpolated percentile; capped spends stay decimal(14,2); every
+    * double op (means, variances, se, t, mde) is a pinned-order
+    * expression tree over exact sums, with the z constants as
+    * identical literals. Degenerate arms are pinned, not IEEE:
+    * `var_w = 0` when an arm has < 2 users and `t_w = 0` when
+    * `se = 0`, identically in both engines (Spark would yield
+    * NaN/Inf where DuckDB's NULL semantics differ).
     *
-    * Shape at 100 TB: per-user rollup (map-side combined), a bounded
-    * top-(n−r+1) — at scale the threshold comes from the same GK /
-    * exact-quantile machinery as `q_agg_quantiles`; here the rank
-    * window runs on the user DIMENSION — a 1-row threshold broadcast
-    * back map-side, per-arm moment rollup, 1-row control broadcast.
-    * The event table is touched once.
+    * Shape at 100 TB: per-user rollup (map-side combined), the pooled
+    * rank via [[graft.plans.BucketedOrder]] (range-bucketed two-pass —
+    * every partition sorts in parallel, no single-partition window),
+    * a 1-row threshold broadcast back map-side, per-arm moment rollup,
+    * 1-row control broadcast. The event table is touched once.
     */
   def flagWinsor(s: SparkSession, d: String): DataFrame = {
     GraftExtensions.register(s)
     import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
     val assigned = assignedSpend(s, d)
     // pooled winsor threshold: exact order statistic at rank ceil(p·n)
-    val ranked = assigned.select(col("y"),
-      row_number().over(Window.orderBy(col("y"), col("user_id"))).cast(LongType).as("rk"))
+    val ranked = graft.plans.BucketedOrder.withOrderStats(
+      assigned.select(col("y"), col("user_id")),
+      rangeKey = col("y"), order = Seq(col("y"), col("user_id")))
     val nRow = assigned.agg(count(lit(1)).as("n"))
+    // integer ceil(19n/20): overflow-free exact rank, matching the
+    // QTE / selection-curve convention (no float rounding at large n)
     val thr = ranked.crossJoin(broadcast(nRow))
-      .filter(col("rk") === ceil(lit(WinsorPct) * col("n").cast(DoubleType)).cast(LongType))
+      .filter(col("rk") === expr("(19 * n + 19) div 20"))
       .select(col("y").as("thresh"))
     // CASE, not least(): DuckDB's least() promotes DECIMAL args to
     // DOUBLE, which would turn the winsorized sums into order-dependent
@@ -714,10 +722,12 @@ object FlagQueries {
       sum(col("yw") * col("yw")).as("sww"))
     val nD = col("n_users").cast(DoubleType)
     val meanW = col("sw").cast(DoubleType) / nD
-    // sample variance from exact sums: (Σy²·n − (Σy)²) / (n·(n−1))
-    val varW = (col("sww").cast(DoubleType) * nD -
-      col("sw").cast(DoubleType) * col("sw").cast(DoubleType)) /
-      (nD * (nD - lit(1.0)))
+    // sample variance from exact sums: (Σy²·n − (Σy)²) / (n·(n−1));
+    // pinned to 0 for a < 2-user arm (n−1 = 0 would be IEEE Inf/NaN)
+    val varW = when(col("n_users") < lit(2L), lit(0.0)).otherwise(
+      (col("sww").cast(DoubleType) * nD -
+        col("sw").cast(DoubleType) * col("sw").cast(DoubleType)) /
+        (nD * (nD - lit(1.0))))
     val arm = per.select(col("variant"), col("n_users"), col("thresh").cast(DoubleType).as("thresh"),
       meanW.as("mean_w"), varW.as("var_w"))
     val ctl = arm.filter(col("variant") === "control")
@@ -730,7 +740,8 @@ object FlagQueries {
         col("mean_w"),
         (col("mean_w") - col("ctl_mean")).as("lift_w"),
         se.as("se_w"),
-        ((col("mean_w") - col("ctl_mean")) / se).as("t_w"),
+        when(se === lit(0.0), lit(0.0))
+          .otherwise((col("mean_w") - col("ctl_mean")) / se).as("t_w"),
         ((lit(Z975.toDouble) + lit(Z80.toDouble)) * se).as("mde"))
   }
 
@@ -740,7 +751,7 @@ object FlagQueries {
        |rk AS (SELECT y, row_number() OVER (ORDER BY y, user_id)::BIGINT AS rk FROM a),
        |thr AS (
        |  SELECT y AS thresh FROM rk, nn
-       |  WHERE rk = ceil($WinsorPct * n::DOUBLE)::BIGINT),
+       |  WHERE rk = (19 * n + 19) // 20),
        |cap AS (SELECT variant, thresh,
        |        CASE WHEN y > thresh THEN thresh ELSE y END AS yw FROM a, thr),
        |per AS (
@@ -750,15 +761,18 @@ object FlagQueries {
        |arm AS (
        |  SELECT variant, n_users, thresh::DOUBLE AS thresh,
        |    sw::DOUBLE / n_users::DOUBLE AS mean_w,
-       |    (sww::DOUBLE * n_users::DOUBLE - sw::DOUBLE * sw::DOUBLE) /
-       |      (n_users::DOUBLE * (n_users::DOUBLE - 1.0)) AS var_w
+       |    CASE WHEN n_users < 2 THEN 0.0 ELSE
+       |      (sww::DOUBLE * n_users::DOUBLE - sw::DOUBLE * sw::DOUBLE) /
+       |        (n_users::DOUBLE * (n_users::DOUBLE - 1.0)) END AS var_w
        |  FROM per),
        |ctl AS (SELECT mean_w AS ctl_mean, var_w AS ctl_var, n_users AS ctl_n
        |        FROM arm WHERE variant = 'control')
        |SELECT variant, n_users, thresh, mean_w,
        |  mean_w - ctl_mean AS lift_w,
        |  sqrt(var_w / n_users::DOUBLE + ctl_var / ctl_n::DOUBLE) AS se_w,
-       |  (mean_w - ctl_mean) / sqrt(var_w / n_users::DOUBLE + ctl_var / ctl_n::DOUBLE) AS t_w,
+       |  CASE WHEN sqrt(var_w / n_users::DOUBLE + ctl_var / ctl_n::DOUBLE) = 0.0 THEN 0.0
+       |    ELSE (mean_w - ctl_mean) / sqrt(var_w / n_users::DOUBLE + ctl_var / ctl_n::DOUBLE)
+       |  END AS t_w,
        |  ($Z975 + $Z80) * sqrt(var_w / n_users::DOUBLE + ctl_var / ctl_n::DOUBLE) AS mde
        |FROM arm, ctl""".stripMargin
 
@@ -871,12 +885,13 @@ object FlagQueries {
     * until the final double cast, so there is no interpolation and no
     * float accumulation anywhere.
     *
-    * Shape at 100 TB: per-user rollup (map-side combined), a per-arm
-    * rank window (partitioned by variant — parallel across arms), a
-    * |arms|·|grid|-row broadcast of target ranks, and a |grid|-row
-    * final pivot. At extreme cohort sizes the rank window yields to
-    * the same GK/exact-quantile machinery as `q_agg_quantiles`; the
-    * contract — exact rank-`ceil(p·n/100)` statistics — is unchanged.
+    * Shape at 100 TB: per-user rollup (map-side combined), per-arm
+    * ranks via [[graft.plans.BucketedOrder]] (variant is the partition
+    * key, spend range-buckets subdivide each arm — parallel WITHIN an
+    * arm, not just across the two arms), a |arms|·|grid|-row broadcast
+    * of target ranks, and a |grid|-row final pivot. The contract —
+    * exact rank-`ceil(p·n/100)` statistics — is decomposition-
+    * independent.
     */
   def flagQte(s: SparkSession, d: String): DataFrame = {
     GraftExtensions.register(s)
@@ -887,10 +902,10 @@ object FlagQueries {
       .select(col("variant"), col("pct"),
         // integer ceil: `div`, NOT `/` (Column `/` on longs is double division)
         expr("(pct * n + 99) div 100").cast(LongType).as("rk"))
-    val ranked = assigned.select(col("variant"), col("y"),
-      row_number().over(
-        Window.partitionBy(col("variant")).orderBy(col("y"), col("user_id")))
-        .cast(LongType).as("rk"))
+    val ranked = graft.plans.BucketedOrder.withOrderStats(
+      assigned.select(col("variant"), col("y"), col("user_id")),
+      rangeKey = col("y"), order = Seq(col("y"), col("user_id")),
+      partitionCols = Seq("variant"))
     ranked.join(broadcast(targets), Seq("variant", "rk"))
       .groupBy(col("pct")).agg(
         min(when(col("variant") === "control", col("y"))).as("cq"),

@@ -841,6 +841,14 @@ object Dedup {
     * LSH trade ([[lshAudit]] measures it); the oracle recomputes the
     * identical deterministic bands, so the scale path itself is
     * hash-gated.
+    *
+    * ORACLE CONTRACT — ASCII only: Spark's `levenshtein` counts
+    * code-point edits while DuckDB's counts BYTE edits, and `length`/
+    * the `|Δlen| ≤ threshold` prefilter mix the same units. The two
+    * agree iff the corpus is single-byte (ASCII), which the test
+    * fixture is (DedupSpec asserts it loudly). The Spark side keeps
+    * the code-point semantics — the correct unit for text dedup; a
+    * multi-byte corpus changes only the ORACLE, not this plan.
     */
   def editPairs(s: SparkSession, d: String): DataFrame = {
     val bands = minhashBands(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -776,12 +776,11 @@ object Select {
     *
     * Shape at 100 TB: one pass over the scored docs (the classifier's
     * own plan), a per-distinct-score aggregate, and a running sum over
-    * the DISTINCT-SCORE dimension. The running sum here is a
-    * partition-less window (the documented bounded family — distinct
-    * scores ≪ docs when scores quantize); at extreme cardinality the
-    * same cum counts fall out of a range-partitioned sort + per-
-    * partition offsets (the [[TextOps.shuffleShard]] caveat), the
-    * AUC contract — average ranks — is unchanged.
+    * the DISTINCT-SCORE dimension via [[graft.plans.BucketedOrder]] —
+    * float-scored corpora make distinct-scores ≈ docs, so the prefix
+    * sum runs range-bucketed (parallel partitions), never as a
+    * single-partition window. The AUC contract — average ranks — is
+    * decomposition-independent.
     */
   def classifierEval(s: SparkSession, d: String): DataFrame = {
     val sc = classifier(s, d)
@@ -796,9 +795,11 @@ object Select {
     val perScore = sc.groupBy(col("score")).agg(
       count(lit(1)).as("cnt"),
       sum(when(col("is_target"), 1L).otherwise(0L)).as("pos"))
-    val cum = perScore.withColumn("cum_before",
-      coalesce(sum(col("cnt")).over(
-        Window.orderBy(col("score")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // exclusive prefix = inclusive (bucketed two-pass) minus own count
+    val cum = graft.plans.BucketedOrder.withOrderStats(
+        perScore, rangeKey = col("score"), order = Seq(col("score")),
+        cums = Seq("cum_incl" -> "cnt"), rankCol = "__rk")
+      .withColumn("cum_before", col("cum_incl") - col("cnt"))
     val sumPosRank = cum.agg(
       sum(col("pos").cast(DoubleType) *
         (col("cum_before").cast(DoubleType) +
@@ -807,9 +808,12 @@ object Select {
     val r = col("tp").cast(DoubleType) / (col("tp") + col("fn")).cast(DoubleType)
     conf.crossJoin(broadcast(sumPosRank))
       .select(col("n_pos"), col("n_neg"), col("tp"), col("fp"), col("fn"),
-        ((col("pos_rank_sum") -
-          (col("n_pos") * (col("n_pos") + 1L)).cast(DoubleType) / lit(2.0)) /
-          (col("n_pos").cast(DoubleType) * col("n_neg").cast(DoubleType))).as("auc"),
+        // one-class corpus has no ranking to score: pin AUC to 0.0
+        // rather than IEEE 0/0 (NaN here, NULL-vs-NaN in DuckDB)
+        when(col("n_pos") === 0L || col("n_neg") === 0L, lit(0.0)).otherwise(
+          (col("pos_rank_sum") -
+            (col("n_pos") * (col("n_pos") + 1L)).cast(DoubleType) / lit(2.0)) /
+            (col("n_pos").cast(DoubleType) * col("n_neg").cast(DoubleType))).as("auc"),
         when(col("tp") + col("fp") === 0L, lit(0.0)).otherwise(p).as("precision"),
         when(col("tp") + col("fn") === 0L, lit(0.0)).otherwise(r).as("recall"),
         when(col("tp") + col("fp") === 0L || col("tp") + col("fn") === 0L
@@ -839,8 +843,9 @@ object Select {
        |  SELECT sum(pos::DOUBLE * (cum_before::DOUBLE + (cnt::DOUBLE + 1.0) / 2.0))
        |    AS pos_rank_sum FROM cum)
        |SELECT n_pos, n_neg, tp, fp, fn,
-       |  (pos_rank_sum - (n_pos * (n_pos + 1))::DOUBLE / 2.0) /
-       |    (n_pos::DOUBLE * n_neg::DOUBLE) AS auc,
+       |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0.0
+       |    ELSE (pos_rank_sum - (n_pos * (n_pos + 1))::DOUBLE / 2.0) /
+       |      (n_pos::DOUBLE * n_neg::DOUBLE) END AS auc,
        |  CASE WHEN tp + fp = 0 THEN 0.0
        |    ELSE tp::DOUBLE / (tp + fp)::DOUBLE END AS precision,
        |  CASE WHEN tp + fn = 0 THEN 0.0
@@ -864,23 +869,22 @@ object Select {
     * recall is one double division.
     *
     * Shape at 100 TB: the scored table is the classifier's own plan;
-    * the running sums ride ONE total-order window over the compact
-    * (score, doc_id, n_tokens, is_target) projection — the documented
-    * partition-less family; at extreme cardinality the same cums fall
-    * out of a range-partitioned sort with per-partition offsets (the
-    * [[TextOps.shuffleShard]] swap), and the decile rows join against
+    * rank and running sums come from [[graft.plans.BucketedOrder]]
+    * over the compact (score, doc_id, n_tokens, is_target) projection
+    * — range-bucketed on score, so every partition sorts in parallel
+    * (no single-partition window) — and the decile rows join against
     * a 10-row broadcast.
     */
   def selectionCurve(s: SparkSession, d: String): DataFrame = {
     val sc = classifier(s, d)
       .select(col("doc_id"), col("score"), col("n_tokens"), col("is_target"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val w = Window.orderBy(col("score").desc, col("doc_id"))
-    val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cums = sc.select(col("score"),
-      row_number().over(w).cast(LongType).as("rk"),
-      sum(col("n_tokens")).over(wf).cast(LongType).as("cum_tokens"),
-      sum(when(col("is_target"), 1L).otherwise(0L)).over(wf).cast(LongType).as("cum_target"))
+    // rangeKey −score: ascending-aligned with the score-DESC ranking
+    val cums = graft.plans.BucketedOrder.withOrderStats(
+        sc.withColumn("is_t", when(col("is_target"), 1L).otherwise(0L)),
+        rangeKey = -col("score"), order = Seq(col("score").desc, col("doc_id")),
+        cums = Seq("cum_tokens" -> "n_tokens", "cum_target" -> "is_t"))
+      .select(col("score"), col("rk"), col("cum_tokens"), col("cum_target"))
     val tot = sc.agg(count(lit(1)).as("n"),
       sum(when(col("is_target"), 1L).otherwise(0L)).cast(LongType).as("n_target"))
     val targets = tot.select(col("n"), col("n_target"),
@@ -890,7 +894,9 @@ object Select {
     cums.join(broadcast(targets), Seq("rk"))
       .select(col("pct"), col("rk").as("n_docs_kept"), col("cum_tokens"),
         col("score").as("score_cut"),
-        (col("cum_target").cast(DoubleType) / col("n_target").cast(DoubleType))
+        // no known-target docs → recall is undefined; pin 0.0, not 0/0
+        when(col("n_target") === 0L, lit(0.0)).otherwise(
+          col("cum_target").cast(DoubleType) / col("n_target").cast(DoubleType))
           .as("target_recall"))
   }
 
@@ -910,7 +916,8 @@ object Select {
        |  SELECT pct, n_target, (pct * n + 99) // 100 AS rk
        |  FROM tot, unnest([10, 20, 30, 40, 50, 60, 70, 80, 90, 100]::BIGINT[]) AS g(pct))
        |SELECT pct, rk AS n_docs_kept, cum_tokens, score AS score_cut,
-       |  cum_target::DOUBLE / n_target::DOUBLE AS target_recall
+       |  CASE WHEN n_target = 0 THEN 0.0
+       |    ELSE cum_target::DOUBLE / n_target::DOUBLE END AS target_recall
        |FROM cums JOIN t USING (rk)""".stripMargin
 
   val all: Seq[Q] = Seq(

@@ -427,42 +427,22 @@ object TextOps {
     * "inherently sequential" trap. A naive `sum() OVER (ORDER BY
     * doc_id)` with no partition key collapses Spark to ONE partition
     * for the whole corpus; at 100 TB that is the job. The distributed
-    * form here is the classic two-pass scan:
-    *
-    *   1. range-bucket the order key (arithmetic on doc_id against its
-    *      broadcast max — no driver collect, no sampling pass);
-    *   2. per-bucket token totals (one map-side-combined aggregation),
-    *      cumsum'd by a window over the ≤64-row bucket table — the
-    *      only "global" window runs on data proportional to the bucket
-    *      COUNT, not the corpus;
-    *   3. broadcast the bucket offsets back and finish with a window
-    *      partitioned BY bucket — every partition scans in parallel.
+    * form is [[graft.plans.BucketedOrder]] — the range-bucketed
+    * two-pass prefix scan shared by the whole exact-order-stat family
+    * (winsor cap, QTE, classifier AUC, selection curve).
     *
     * The oracle states the same thing as the naive one-partition
     * window, so the parallel decomposition is hash-checked against the
     * sequential definition.
     */
   val PackLen = 2048
-  val PackBuckets = 64
 
   def pack(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.par(Tables.documents(s, d))
       .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("n_tokens"))
-    val mx = docs.agg(max(col("doc_id")).as("mx"))
-    val bucketed = docs.crossJoin(broadcast(mx))
-      .withColumn("bucket", expr(s"doc_id DIV (mx DIV $PackBuckets + 1)"))
-      .drop("mx")
-    val bucketOffsets = bucketed
-      .groupBy(col("bucket")).agg(sum(col("n_tokens")).as("btoks"))
-      .withColumn("prior",
-        coalesce(sum(col("btoks")).over(
-          Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col("bucket"), col("prior"))
-    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    bucketed.join(broadcast(bucketOffsets), Seq("bucket"))
-      .withColumn("tok_end", col("prior") + sum(col("n_tokens")).over(w))
+    graft.plans.BucketedOrder.withOrderStats(
+        docs, rangeKey = col("doc_id"), order = Seq(col("doc_id")),
+        cums = Seq("tok_end" -> "n_tokens"), rankCol = "__rk")
       .withColumn("tok_start", col("tok_end") - col("n_tokens"))
       .select(col("doc_id"), col("n_tokens"), col("tok_start"), col("tok_end"),
         when(col("n_tokens") > 0, expr(s"tok_start DIV $PackLen")).as("chunk_first"),

@@ -83,9 +83,11 @@ final class IdentityMergeState(
     */
   private val StateRowsPerPartition = 1L << 20
 
-  /** Width hint derived from the last committed state's row count —
-    * grows monotonically so a stream of narrow micro-batches cannot
-    * pin a large accumulated state at the batch width.
+  /** Committed-state width: derived from the last committed row count
+    * (ceil(rows / [[StateRowsPerPartition]])), monotone — so a stream
+    * of narrow micro-batches cannot pin a large accumulated state at
+    * the batch width, and (being size-derived only) a one-off WIDE
+    * batch cannot pin the state at ITS width either.
     */
   private var statePartsHint: Int = 2
 
@@ -209,13 +211,15 @@ final class IdentityMergeState(
         val comp = cm.getOrElse(r.canonical_id, r.canonical_id)
         if (ts.contains(comp)) Some(comp -> r) else None
       }
-      // fold/commit width: the max of the batch's width, the state's
-      // current width, and the state-SIZE-derived width (committed row
-      // count / target rows-per-partition, tracked each epoch below).
-      // The size term is what lets the state grow WIDER than any single
+      // fold width: the max of the batch's width, the state's current
+      // width, and the state-SIZE-derived width (committed row count /
+      // target rows-per-partition, tracked each epoch below). The size
+      // term is what lets the state grow WIDER than any single
       // micro-batch as rows accumulate — without it a stream of narrow
       // batches would pin a multi-million-row state at the batch width
-      // forever (slow full-state scans, 2 GB block-limit risk).
+      // forever (slow full-state scans, 2 GB block-limit risk). This
+      // sizes the EPOCH's shuffle only; the commit below narrows back
+      // to the size-derived width.
       val parts = math.max(batchParts, math.max(stateRdd.getNumPartitions, statePartsHint))
       val folded: RDD[PersonRecord] = seeds.cogroup(opRows, parts)
         .map { case (_, (recs, opIt)) =>
@@ -227,13 +231,25 @@ final class IdentityMergeState(
       // control). Coalesce first: the union's partition count is
       // untouched's (the prior state's) PLUS the fold shuffle's, so
       // without it the state gains partitions every epoch and every
-      // later state scan pays the extra empty-task overhead.
-      val next = untouched.union(folded).coalesce(parts)
+      // later state scan pays the extra empty-task overhead. The commit
+      // width is the SIZE-derived hint, not `parts`: the batch term in
+      // `parts` sizes this epoch's fold parallelism only — committing
+      // at `parts` would pin the state at any one-off wide batch's
+      // width permanently (hint is monotone and the next epoch takes
+      // max(batchParts, committed width, hint), so the wide width would
+      // never relax). The hint lags this epoch's growth by one count —
+      // bounded by a single batch's rows, corrected at the next commit.
+      val next = untouched.union(folded).coalesce(statePartsHint)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val stateRows = next.count()
       // the commit count is free sizing information: derive next
-      // epoch's width hint so rows-per-partition stays bounded
-      statePartsHint = math.max(parts,
+      // epoch's width hint so rows-per-partition stays bounded. Ratchet
+      // on the SIZE-derived term only — folding `parts` in here would
+      // let one anomalously wide micro-batch pin the committed-state
+      // width forever (the empty-task overhead this hint exists to
+      // avoid); a wide batch still widens ITS epoch via the max at the
+      // fold, then the width relaxes back to what the state size needs.
+      statePartsHint = math.max(statePartsHint,
         math.ceil(stateRows.toDouble / StateRowsPerPartition).toInt)
       mark("commit-count")
       // unpersist, not destroy: a lost `next` block recomputes through

@@ -162,6 +162,20 @@ class OperatorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
   }
 
+  test("q_dedup_edit oracle contract: corpus is ASCII-only") {
+    // Spark levenshtein counts code-point edits, DuckDB counts BYTE
+    // edits; the hash oracle for q_dedup_edit is valid only while the
+    // documents fixture is single-byte. If the driver ever regenerates
+    // testdata with multi-byte text, fail HERE with the why, not as an
+    // opaque hash mismatch in the correctness gate.
+    val nonAscii = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(org.apache.spark.sql.functions.expr("length(text) != octet_length(text)")).count()
+    assert(nonAscii == 0L,
+      s"$nonAscii documents contain multi-byte chars: q_dedup_edit's " +
+        "DuckDB oracle (byte-wise levenshtein) no longer matches Spark's " +
+        "code-point semantics — see Dedup.editPairs scaladoc")
+  }
+
   test("session funnel == brute force over random sessions") {
     import spark.implicits._
     val rnd = new scala.util.Random(99)

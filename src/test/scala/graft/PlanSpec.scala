@@ -384,6 +384,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!bs.toLowerCase.contains("scalaudf"), "bootstrap grew a UDF (bucket must stay native)")
     assert(!bs.contains("CartesianProduct"),
       "1-row sides should broadcast (BNLJ), not cartesian:\n" + bs.take(1500))
+    // the events table is touched ONCE: the per-user spend cohort is
+    // one partial-agg + one user-dimension exchange, then cached — the
+    // replicate fan-out, CI ranks, and arm means all read the cache.
+    // In the optimized LOGICAL plan the cache is a leaf
+    // (InMemoryRelation), so any file scan OUTSIDE it means a consumer
+    // re-derives the cohort from raw events.
+    val bsLogical = SparkEntry.queries("q_flag_bootstrap")(spark, sf)
+      .queryExecution.optimizedPlan
+    val rawScans = bsLogical.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(rawScans.isEmpty,
+      s"bootstrap re-scans events ${rawScans.size}x outside the cached spend cohort")
+    assert(bsLogical.collect {
+      case c: org.apache.spark.sql.execution.columnar.InMemoryRelation => c
+    }.nonEmpty, "spend cohort lost its persist (every consumer re-derives it)")
     // winsor: same family — user-keyed rollup with partials, native
     // bucket, broadcast threshold/control sides (the rank window runs
     // on the user DIMENSION, the documented partition-less family)
@@ -411,5 +427,49 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!p.toLowerCase.contains("scalaudf"), s"$q grew a UDF")
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n${p.take(1200)}")
     }
+  }
+
+  /** Queries whose partition-less window is PROVABLY bounded — input
+    * is a preceding `limit`, a fixed grid, or a V-row dimension
+    * aggregate, never the raw input — with the justification inline so
+    * a new entry has to argue its bound. Everything else must use
+    * [[graft.plans.BucketedOrder]] (or a keyed window).
+    */
+  private val boundedWindowJustification: Map[String, String] = Map(
+    "q_corpus_temperature" -> "2 windows over the per-SOURCE count aggregate (V rows)",
+    "q_corpus_weighted_sample" -> "tau window AFTER .limit(SampleK+1) — k+1 rows",
+    "q_flag_bootstrap" -> "CI rank over the 200-replicate dimension (BootReplicates rows)",
+    "q_sim_index_stats" -> "cell-balance window over the K-centroid aggregate (K rows)",
+    "q_text_mix" -> "mixTargets window over the per-LANG count aggregate (V rows)",
+    "q_text_mix_topk" -> "same mixTargets V-row window",
+    "q_text_search" -> "per-query rank AFTER .limit(SearchTopK) — k rows, 3 queries",
+    "q_text_vocab" -> "id assignment AFTER .limit(VocabSize) — V rows (Heaps-bounded)")
+
+  test("registry-wide: no partition-less window over unbounded input") {
+    // `OVER (ORDER BY …)` with no PARTITION BY plans a single task
+    // sorting the entire input — correct at test SF, the job at 100 TB.
+    // The exact-order-stat family (pack, winsor, QTE, classifier AUC,
+    // selection curve) decomposes via BucketedOrder instead; this gate
+    // keeps the pattern from re-entering anywhere in the registry.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) =>
+        // streaming twins execute micro-batches on build (seconds each,
+        // gated by their own StreamingSpec plan assertions) — and their
+        // batch-side plans are all covered by the batch query they twin
+        name.startsWith("q_stream_") || name == "q_pipe_stream_merge"
+      }
+      .flatMap { case (name, fn) =>
+        val windows = fn(spark, sf).queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+        if (windows.nonEmpty && !boundedWindowJustification.contains(name))
+          Some(s"$name (${windows.size} partition-less window(s))")
+        else None
+      }
+    assert(offenders.isEmpty,
+      "partition-less windows over potentially unbounded input — use " +
+        "graft.plans.BucketedOrder or add a justified bound:\n  " +
+        offenders.mkString("\n  "))
   }
 }

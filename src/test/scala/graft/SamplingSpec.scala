@@ -107,7 +107,7 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     def variant(uid: Long) = if (buckets(uid) < 50) "control" else "test"
     val n = y.size
-    val rank = math.ceil(FlagQueries.WinsorPct * n.toDouble).toLong
+    val rank = (19L * n + 19L) / 20L // integer ceil(0.95*n), engine convention
     val thresh = y.toSeq.map { case (uid, v) => (v, uid) }
       .sortBy { case (v, uid) => (v, uid) }.apply(rank.toInt - 1)._1
     def capped(uid: Long): JBD = { val v = y(uid); if (v.compareTo(thresh) > 0) thresh else v }
@@ -249,7 +249,7 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     // winsor threshold: pooled rank ceil(0.95 n) in (y, uid) order
     val pooled = y.toSeq.sortBy { case (uid, v) => (v, uid) }
-    val thresh = pooled(((FlagQueries.WinsorPct * pooled.size).ceil.toLong).toInt - 1)._2
+    val thresh = pooled(((19L * pooled.size + 19L) / 20L).toInt - 1)._2
     val gotThresh = FlagQueries.flagWinsor(spark, dir)
       .select(col("thresh")).head().getDouble(0)
     assert(gotThresh == thresh.doubleValue(), s"threshold tie-break diverged")
