@@ -394,6 +394,37 @@ object Relational {
       .withColumn("cume", cume_dist().over(w))
   }
 
+  /** Q-WIN-6: RANGE-frame window — trailing 7-day revenue per event
+    * type over the daily rollup (`RANGE BETWEEN 6 PRECEDING AND
+    * CURRENT ROW` on an integer day index). The range frame is the one
+    * frame variant the registry didn't exercise, and the one where
+    * RANGE ≠ ROWS actually matters: calendar gaps (days with no
+    * events) must NOT count toward the trailing window, and tied order
+    * keys share one frame — which also makes the decimal sum a
+    * set-sum, bit-exact with no tie-break column.
+    *
+    * Shape at 100 TB: the daily rollup is a map-side-combined
+    * (type, day) aggregate — the window then runs keyed by event_type
+    * over that V·days-row dimension, never over raw events.
+    */
+  def winFrame(s: SparkSession, d: String): DataFrame = {
+    // rev stays DECIMAL through the window (sumd would hand the frame
+    // sum a double and reintroduce order-dependent float accumulation)
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("day"))
+      .agg(sum(dec(col("value")))
+        .cast(org.apache.spark.sql.types.DecimalType(14, 2)).as("rev"))
+    val w = Window.partitionBy("event_type").orderBy("day").rangeBetween(-6, 0)
+    // window sums FIRST in the list: a `.as("rev")` earlier in the same
+    // select would capture `rev` as a lateral column alias and sum the
+    // double instead of the exact decimal
+    daily.select(col("event_type"), col("day"),
+      sum(col("rev")).over(w).cast(DoubleType).as("rev_7d"),
+      count(lit(1)).over(w).cast(LongType).as("n_days_7d"),
+      col("rev").cast(DoubleType).as("rev"))
+  }
+
   /** Q-AGG-9: exact median (and a decile) of `value` per event type —
     * no approximate percentile, no interpolation ambiguity: the median
     * is the mean of the two middle values of the tie-broken total
@@ -920,6 +951,71 @@ object Relational {
       |  max(in_net) AS in_10_42_16
       |FROM marked GROUP BY subnet24""".stripMargin
 
+  /** Q-FN-9: IPv6 parse + prefix containment — the `inet6` companion
+    * to [[fnIp]]'s dotted-quad family. Addresses are synthesized
+    * deterministically (`2001:db8:a:b::c`, exercising `::`
+    * zero-compression including the empty-tail `…::` form when the
+    * last group is 0), then PARSED back on the Spark side: expand the
+    * `::` gap to 8 groups, hex-parse each (`conv`, codegen'd — no
+    * UDF), fold the upper half to one int64, and test /32 and /48
+    * prefix containment as integer compares — exactly how an engine
+    * stores inet6 (two uint64 halves) and evaluates `<<=`.
+    *
+    * The oracle derives hi64 ARITHMETICALLY from the base columns
+    * (the [[fnUrl]] pattern: an independent derivation cross-checks
+    * the parse path rather than re-running it), so a Spark-side
+    * expansion/hex bug cannot self-confirm.
+    *
+    * Shape at 100 TB: one map pass (synthesize + parse are per-row
+    * codegen'd expressions) into a compact-key /48 rollup, map-side
+    * combined; the single distinct rides the same two-level aggregate
+    * (never the multi-distinct Expand rewrite).
+    */
+  def fnIp6(s: SparkSession, d: String): DataFrame = {
+    val a = col("user_id") % 65536L
+    val b = col("event_id") % 65536L
+    val cc = (col("user_id") * 7L + 3L) % 65536L
+    val addr = concat(lit("2001:db8:"), lower(hex(a)), lit(":"), lower(hex(b)),
+      lit("::"), when(cc === 0L, lit("")).otherwise(lower(hex(cc))))
+    val halves = split(col("addr"), "::")
+    val leftG = split(element_at(halves, 1), ":")
+    val rightG = when(size(halves) < 2 || element_at(halves, 2) === "",
+        array().cast("array<string>"))
+      .otherwise(split(element_at(halves, 2), ":"))
+    val full = concat(leftG,
+      array_repeat(lit("0"), lit(8) - size(leftG) - size(rightG)), rightG)
+    def grp(i: Int): org.apache.spark.sql.Column =
+      conv(element_at(full, i + 1), 16, 10).cast(LongType)
+    // upper 64 bits: groups 0..3 (g0 = 0x2001 < 0x8000, so the signed
+    // fold never overflows — pinned by the synthesis)
+    val hi = grp(0) * 281474976710656L + grp(1) * 4294967296L +
+      grp(2) * 65536L + grp(3)
+    Tables.events(s, d)
+      .select(col("user_id"), addr.as("addr"))
+      .select(col("user_id"), hi.as("hi"))
+      .select(col("user_id"), col("hi"),
+        expr("hi div 65536").as("site48"),
+        (expr("hi div 4294967296") === lit(8193L * 65536L + 3512L)).as("in32"),
+        (expr("hi div 65536") ===
+          lit(8193L * 4294967296L + 3512L * 65536L + 42L)).as("in48"))
+      .groupBy(col("site48"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        max(col("in32")).as("in_2001_db8_32"),
+        max(col("in48")).as("in_2001_db8_2a_48"))
+  }
+
+  val fnIp6Sql: String =
+    """WITH p AS (
+      |  SELECT user_id,
+      |    8193 * 4294967296 + 3512 * 65536 + (user_id % 65536) AS site48
+      |  FROM events)
+      |SELECT site48, count(*)::BIGINT AS n_events,
+      |  count(DISTINCT user_id)::BIGINT AS n_users,
+      |  max(TRUE) AS in_2001_db8_32,
+      |  max(site48 % 65536 = 42) AS in_2001_db8_2a_48
+      |FROM p GROUP BY site48""".stripMargin
+
   /** Q-AGG-10: exact fixed quantiles (p25/p50/p75, lower-value
     * discretized: the element at rank ⌈p·n⌉ of the tie-broken total
     * order) per event type — generalizes [[aggMedian]] to a quantile
@@ -1024,6 +1120,7 @@ object Relational {
   val all: Seq[Q] = Seq(
     Q("q_fn_url", fnUrl, Some(fnUrlSql)),
     Q("q_fn_ip", fnIp, Some(fnIpSql)),
+    Q("q_fn_ip6", fnIp6, Some(fnIp6Sql)),
     Q("q_agg_quantiles", aggQuantiles, Some(aggQuantilesSql)),
     Q("q_agg_approx_quantiles", aggApproxQuantiles, Some(aggApproxQuantilesSql)),
     Q("q_scan_count", scanCount, Some("SELECT count(*) AS n FROM events")),
@@ -1148,6 +1245,18 @@ object Relational {
         |  cume_dist() OVER w AS cume
         |FROM events
         |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin)),
+    Q("q_win_frame", winFrame, Some(
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '2024-01-01', ts::DATE)::INT AS day,
+        |    sum(value::DECIMAL(14,2))::DECIMAL(14,2) AS rev
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, rev::DOUBLE AS rev,
+        |  (sum(rev) OVER (PARTITION BY event_type ORDER BY day
+        |     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))::DOUBLE AS rev_7d,
+        |  (count(*) OVER (PARTITION BY event_type ORDER BY day
+        |     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))::BIGINT AS n_days_7d
+        |FROM daily""".stripMargin)),
     Q("q_agg_median", aggMedian, Some(
       """WITH r AS (
         |  SELECT event_type, value,
