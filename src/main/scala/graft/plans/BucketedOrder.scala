@@ -86,12 +86,14 @@ object BucketedOrder {
       .drop("__lo", "__hi")
     val pCols = partitionCols.map(col)
     // two-level offsets, one input pass, O(1) agg work per input row:
-    // (1) ordinary per-bucket totals (map-side combined); (2) fold the
-    // ≤buckets-row bucket table into ONE wide row per partition group
-    // via conditional sums — O(buckets²) work total, on dimension-sized
-    // data. (A single-level wide aggregate straight off the input costs
-    // O(buckets) per ROW — measured 2-2.5× on the order-stat queries;
-    // a prefix window over the bucket table would be a partition-less
+    // (1) ordinary per-bucket totals (map-side combined); (2) gather
+    // the ≤buckets-row bucket table into ONE sorted array row per
+    // partition group and take exclusive prefixes with interpreted
+    // array HOFs — O(nonempty²) adds on dimension-sized data, and
+    // crucially a COMPACT expression tree. (A buckets-wide conditional-
+    // sum pivot here generates hundreds of aggregate expressions whose
+    // codegen compile time alone dominated these sub-second queries; a
+    // prefix window over the bucket table would be a partition-less
     // WindowExec, the very shape the registry-wide PlanSpec gate
     // forbids because in a plan it is indistinguishable from the
     // genuine full-input scale trap.)
@@ -101,29 +103,22 @@ object BucketedOrder {
         cums.map { case (out, in) =>
           sum(col(in).cast(LongType)).as(s"__bsum_$out")
         }: _*)
-    val cntAggs = (0 until buckets).map(k =>
-      sum(when(col("__bucket") === k, col("__cnt")).otherwise(0L)).as(s"__c$k"))
-    val sumAggs = cums.flatMap { case (out, _) =>
-      (0 until buckets).map(k =>
-        sum(when(col("__bucket") === k, col(s"__bsum_$out")).otherwise(0L))
-          .as(s"__s${out}_$k"))
-    }
-    val aggExprs = cntAggs ++ sumAggs
+    val gathered = array_sort(collect_list(struct(
+      (col("__bucket") +: col("__cnt") +:
+        cums.map { case (out, _) => col(s"__bsum_$out") }): _*))).as("__bt")
     val perPart =
-      if (pCols.isEmpty) bucketTable.agg(aggExprs.head, aggExprs.tail: _*)
-      else bucketTable.groupBy(pCols: _*).agg(aggExprs.head, aggExprs.tail: _*)
-    // exclusive prefixes in-row: bucket k's offset = Σ buckets < k —
-    // O(buckets²) long adds on a ≤|partition groups|-row table
-    def arrOf(prefix: String): Column =
-      array((0 until buckets).map(k => col(s"$prefix$k")): _*)
-    def exclusivePrefix(arr: Column, k: Column): Column =
-      aggregate(slice(arr, lit(1), k.cast("int")), lit(0L), (acc, x) => acc + x)
-    val offsetStructs = transform(sequence(lit(0L), lit(buckets - 1L)), k =>
+      if (pCols.isEmpty) bucketTable.agg(gathered)
+      else bucketTable.groupBy(pCols: _*).agg(gathered)
+    // element i's exclusive prefix = fold of the first i array elements
+    def prior(i: Column, field: String): Column =
+      aggregate(slice(col("__bt"), lit(1), i), lit(0L),
+        (acc, x) => acc + x.getField(field))
+    val offsetStructs = transform(col("__bt"), (e, i) =>
       struct(
-        (k.as("__bucket") +:
-          exclusivePrefix(arrOf("__c"), k).as("__prior_cnt") +:
+        (e.getField("__bucket").as("__bucket") +:
+          prior(i, "__cnt").as("__prior_cnt") +:
           cums.map { case (out, _) =>
-            exclusivePrefix(arrOf(s"__s${out}_"), k).as(s"__prior_$out")
+            prior(i, s"__bsum_$out").as(s"__prior_$out")
           }): _*))
     val offsets = perPart
       .select((pCols :+ explode(offsetStructs).as("__e")): _*)
