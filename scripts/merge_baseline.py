@@ -36,6 +36,13 @@ def main(out, sources):
         for q, t in r["queries"].items():
             merged[q] = min(t, merged.get(q, t))
             observed_max[q] = max(t, observed_max.get(q, t))
+        # a merged-baseline input carries the round's accumulated maxima
+        # — fold them in, or re-merging from the committed baseline
+        # silently forgets every past contention observation and budgets
+        # shrink back to the levels that already flaked once
+        for q, t in r.get("queries_max", {}).items():
+            if q in r["queries"]:
+                observed_max[q] = max(t, observed_max.get(q, t))
     base = dict(runs[0])
     # the skeleton's pass1-3 tails describe a single run, not the merge
     for k in ("pass1", "pass2", "pass3"):
