@@ -45,7 +45,11 @@ if full.get("failures"):
 
 qmax = full.get("queries_max", {})
 budgets = {
-    name: round(max(2.5 * t, t + 0.75, 1.15 * qmax.get(name, 0.0)), 3)
+    # 1.3x the observed max: identical-code runs have measured +15%
+    # between their own maxima (q_dedup_semantic 1.53 -> 1.76, round
+    # 10), so a 1.15x floor breaches on pure drift; a real regression
+    # is 2-10x and still trips 1.3x easily
+    name: round(max(2.5 * t, t + 0.75, 1.3 * qmax.get(name, 0.0)), 3)
     for name, t in sorted(full["queries"].items())
 }
 
