@@ -162,6 +162,47 @@ class OperatorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
   }
 
+  test("BucketedOrder == naive total-order window on fuzzed inputs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(4242)
+    // key distributions chosen to hit the decomposition's edges: heavy
+    // duplicates (ties span bucket-assignment), negatives, and the
+    // hi==lo degenerate (everything in bucket 0)
+    val cases: Seq[(String, Int => Double)] = Seq(
+      ("dup-heavy", _ => rnd.nextInt(7).toDouble),
+      ("negative", _ => -500.0 + rnd.nextInt(1000)),
+      ("all-equal", _ => 3.14),
+      ("continuous", _ => rnd.nextDouble() * 1e6 - 5e5))
+    for ((label, gen) <- cases) {
+      val rows = (1L to 400L).map(id =>
+        (id, gen(0), (id % 3).toString, rnd.nextInt(50).toLong))
+      val df = rows.toDF("id", "key", "grp", "v").repartition(5)
+      // global: rank + inclusive prefix sum, ascending
+      val got = graft.plans.BucketedOrder.withOrderStats(
+          df, rangeKey = col("key"), order = Seq(col("key"), col("id")),
+          cums = Seq("cum_v" -> "v"))
+        .select(col("id"), col("rk"), col("cum_v")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val sorted = rows.sortBy(r => (r._2, r._1))
+      val exp = sorted.zipWithIndex.map { case ((id, _, _, _), i) =>
+        (id, (i + 1).toLong, sorted.take(i + 1).map(_._4).sum)
+      }.toSet
+      assert(got == exp, s"global order stats diverged on $label")
+      // per-group (PARTITION BY grp), descending leading key via -key
+      val gotG = graft.plans.BucketedOrder.withOrderStats(
+          df, rangeKey = -col("key"), order = Seq(col("key").desc, col("id")),
+          partitionCols = Seq("grp"))
+        .select(col("grp"), col("id"), col("rk")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val expG = rows.groupBy(_._3).flatMap { case (g, rs) =>
+        rs.sortBy(r => (-r._2, r._1)).zipWithIndex
+          .map { case ((id, _, _, _), i) => (g, id, (i + 1).toLong) }
+      }.toSet
+      assert(gotG == expG, s"per-group desc order stats diverged on $label")
+    }
+  }
+
   test("q_dedup_edit oracle contract: corpus is ASCII-only") {
     // Spark levenshtein counts code-point edits, DuckDB counts BYTE
     // edits; the hash oracle for q_dedup_edit is valid only while the
