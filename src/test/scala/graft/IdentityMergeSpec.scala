@@ -284,4 +284,23 @@ class IdentityMergeSpec extends AnyFunSuite with BeforeAndAfterAll {
     st2.close()
     assert(asComparable(streamed) == asComparable(batchPersons(all)))
   }
+
+  test("committed state width follows size, not a one-off wide batch") {
+    import spark.implicits._
+    // 140k ops at 8 input partitions: the volume sizing gives the EPOCH
+    // a fold width of ceil(140k/64k)=3, but the committed state (1000
+    // distinct persons, far under a partition's worth) must narrow back
+    // to the size-derived width — the old coalesce-at-fold-width commit
+    // pinned the state at the wide batch's width permanently
+    val wide = (1 to 140000).map(i =>
+      PersonOp(s"u${i % 1000}", i.toLong, Map("k" -> s"v$i"), Map.empty, Nil, None))
+    val st = new IdentityMergeState(spark)
+    st.processBatch(wide.toDS().repartition(8), 0L)
+    assert(st.records.rdd.getNumPartitions == 2,
+      s"committed width ${st.records.rdd.getNumPartitions} pinned above the size-derived hint")
+    // a later narrow batch must not inherit the wide epoch's width either
+    st.processBatch(Seq(PersonOp("u1", 200001L, Map("k" -> "z"), Map.empty, Nil, None)).toDS(), 1L)
+    assert(st.records.rdd.getNumPartitions == 2)
+    st.close()
+  }
 }
