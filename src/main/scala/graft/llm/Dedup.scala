@@ -891,6 +891,62 @@ object Dedup {
        |  1.0 - edit_dist::DOUBLE / max_len::DOUBLE AS edit_sim
        |FROM lev WHERE edit_dist <= $MaxEdit""".stripMargin
 
+  /** Q-DEDUP-URL: URL-canonicalization dedup — the metadata dedup axis
+    * every crawl pipeline runs BEFORE content dedup (CommonCrawl-style:
+    * the same page is fetched under host-case, trailing-slash,
+    * tracking-param, param-order, and fragment variants; canonicalizing
+    * the URL collapses them for free, no shingles needed). URLs are
+    * synthesized deterministically from `doc_id` with all five noise
+    * classes; the canonical form is: lowercase host, trailing slash
+    * stripped, fragment dropped, `utm_*` params dropped, remaining
+    * params sorted.
+    *
+    * The oracle derives the canonical URL in CLOSED FORM from `doc_id`
+    * (the `q_fn_url` pattern) — an independent derivation that
+    * cross-checks the whole parse_url/split/filter/sort chain rather
+    * than re-running it.
+    *
+    * Shape at 100 TB: canonicalization is a per-row codegen'd
+    * expression chain (parse_url + regexp + array ops, no UDF); the
+    * rollup shuffles (canonical, compact stats) with map-side combine.
+    * This is the cheapest dedup in the file — which is the point: it
+    * runs first and shrinks what MinHash has to see.
+    */
+  def urlDedup(s: SparkSession, d: String): DataFrame = {
+    val k = expr("doc_id div 3")
+    val url = when(col("doc_id") % 3 === 0,
+        concat(lit("https://example.com/p/"), k, lit("?id="), k, lit("&ref=home")))
+      .when(col("doc_id") % 3 === 1,
+        concat(lit("https://EXAMPLE.com/p/"), k, lit("/?ref=home&id="), k,
+          lit("&utm_source=mail")))
+      .otherwise(
+        concat(lit("https://example.com/p/"), k, lit("/?id="), k,
+          lit("&ref=home#sec2")))
+    val noFrag = regexp_replace(col("url"), "#.*$", "")
+    val host = lower(parse_url(noFrag, lit("HOST")))
+    val path = regexp_replace(parse_url(noFrag, lit("PATH")), "/$", "")
+    val params = array_join(
+      array_sort(filter(split(parse_url(noFrag, lit("QUERY")), "&"),
+        p => !p.startsWith("utm_"))), "&")
+    val canonical = concat(lit("https://"), host, path,
+      when(params === "", lit("")).otherwise(concat(lit("?"), params)))
+    Tables.par(Tables.documents(s, d))
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"), canonical.as("canonical"))
+      .groupBy(col("canonical"))
+      .agg(count(lit(1)).as("n_variants"),
+        min(col("doc_id")).as("keeper_doc"),
+        max(col("doc_id")).as("max_doc"))
+  }
+
+  val urlDedupSql: String =
+    """SELECT 'https://example.com/p/' || (doc_id // 3) || '?id=' || (doc_id // 3)
+      |    || '&ref=home' AS canonical,
+      |  count(*)::BIGINT AS n_variants,
+      |  min(doc_id) AS keeper_doc,
+      |  max(doc_id) AS max_doc
+      |FROM documents GROUP BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_dedup_exact", exact, Some(exactSql)),
     Q("q_dedup_ngram", ngramJaccard, Some(ngramJaccardSql)),
@@ -908,5 +964,6 @@ object Dedup {
     Q("q_dedup_clusters", clusters, Some(clustersSql)),
     Q("q_dedup_keep_best", keepBest, Some(keepBestSql)),
     Q("q_dedup_spans", spans, Some(spansSql)),
-    Q("q_dedup_novelty", novelty, Some(noveltySql)))
+    Q("q_dedup_novelty", novelty, Some(noveltySql)),
+    Q("q_dedup_url", urlDedup, Some(urlDedupSql)))
 }

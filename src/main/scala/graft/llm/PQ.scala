@@ -220,7 +220,57 @@ object PQ {
   val pqSearchSql: String = sqlFor(ivf = false)
   val pqIvfSearchSql: String = sqlFor(ivf = true)
 
+  /** Final list size after the exact rerank stage. */
+  val RerankK = 5
+
+  /** Q-SIM-12: two-stage retrieval — ADC recalls, exact reranks. The
+    * canonical PQ serving shape (FAISS `IndexIVFPQ` + refine): stage 1
+    * scores candidates in the compressed domain (the [[pqSearch]]
+    * top-[[TopK]] list, M byte-lookups per candidate), stage 2 reads
+    * the TRUE embeddings for only those [[TopK]] rows per query and
+    * re-orders by exact cosine, keeping [[RerankK]]. Quantization
+    * error decides recall, never the final order — `rank_adc` vs
+    * `rank` in the output is the reordering evidence.
+    *
+    * Shape at 100 TB: stage 1 never touches an embedding payload;
+    * stage 2 joins queries×[[TopK]] candidate ids against the
+    * embedding table (id-keyed equi-join — row-bounded by the
+    * candidate list, not the corpus) and reranks inside a per-query
+    * window over ≤[[TopK]] rows.
+    */
+  def pqRerank(s: SparkSession, d: String): DataFrame = {
+    val cand = pqSearch(s, d)
+      .select(col("q_id"), col("vec_id"), col("rank").as("rank_adc"))
+    val e = Tables.par(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") % QueryEvery === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    cand.join(e, Seq("vec_id")).join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"), col("rank_adc"),
+        (dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm"))).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= RerankK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("rank_adc"), col("cosine"))
+  }
+
+  val pqRerankSql: String =
+    s"""WITH cand AS ($pqSearchSql),
+       |e AS (SELECT vec_id, embedding, ${l2normSql("embedding")} AS nrm FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+       |      FROM e WHERE vec_id % $QueryEvery = 0),
+       |sc AS (
+       |  SELECT c.q_id, c.vec_id, c.rank AS rank_adc,
+       |    ${dotSql("e.embedding", "q_emb")} / (e.nrm * q_nrm) AS cosine
+       |  FROM cand c JOIN e USING (vec_id) JOIN q USING (q_id))
+       |SELECT q_id, rank, vec_id, rank_adc, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, vec_id)::BIGINT AS rank
+       |  FROM sc) WHERE rank <= $RerankK""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_sim_pq", pqSearch, Some(pqSearchSql)),
-    Q("q_sim_pq_ivf", pqIvfSearch, Some(pqIvfSearchSql)))
+    Q("q_sim_pq_ivf", pqIvfSearch, Some(pqIvfSearchSql)),
+    Q("q_sim_rerank", pqRerank, Some(pqRerankSql)))
 }

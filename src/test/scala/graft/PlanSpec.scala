@@ -429,6 +429,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("round-10 additions: codegen'd url canonicalization, bounded rerank join") {
+    // url dedup: one map pass (parse_url/regexp/array chain, no UDF)
+    // into a map-side-combined rollup — no window, no join at all
+    val u = plan(SparkEntry.queries("q_dedup_url")(spark, sf))
+    assert(!u.toLowerCase.contains("scalaudf"), "url canonicalization grew a UDF")
+    assert(u.contains("partial_count") || u.contains("partial_min"),
+      "url rollup lost map-side partials:\n" + u.take(1500))
+    assert(!u.contains("Join"), "url dedup should be scan+agg only:\n" + u.take(1500))
+    // rerank: candidate ids equi-join the embedding table, queries
+    // broadcast; never a cartesian, no UDF (native vec kernels)
+    val r = plan(SparkEntry.queries("q_sim_rerank")(spark, sf))
+    assert(!r.toLowerCase.contains("scalaudf"), "rerank grew a UDF")
+    assert(!r.contains("CartesianProduct"), s"rerank plans a cartesian:\n${r.take(1500)}")
+    assert(r.contains("BroadcastHashJoin"),
+      "rerank's query side should broadcast:\n" + r.take(1500))
+  }
+
   /** Queries whose partition-less window is PROVABLY bounded — input
     * is a preceding `limit`, a fixed grid, or a V-row dimension
     * aggregate, never the raw input — with the justification inline so
