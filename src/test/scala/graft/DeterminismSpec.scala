@@ -44,7 +44,12 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
         // folds, funnel latency stats — all float-bearing aggregates
         "q_flag_bootstrap", "q_flag_winsor", "q_flag_qte", "q_flag_srm",
         "q_corpus_classifier_eval", "q_text_shard_audit", "q_prod_funnel_time",
-        "q_dedup_edit")) {
+        "q_dedup_edit",
+        // round-10: the BucketedOrder decomposition must place every row
+        // identically regardless of parallelism (bucket offsets + within-
+        // bucket ranks), and the rerank/frame floats are aggregate-fed
+        "q_corpus_selection_curve", "q_text_pack", "q_win_frame",
+        "q_sim_rerank")) {
       val a = runAt(2, q)
       val b = runAt(7, q)
       assert(a.nonEmpty, s"$q returned nothing")
