@@ -50,9 +50,10 @@ def main(out, sources):
     # round minima the same way as queries_max so min <= max holds
     base["queries"] = {q: round(t, 3) for q, t in sorted(merged.items())}
     # per-query worst legitimately-observed cost this round: budgets are
-    # floored at 1.15x this, so a query whose cost is bimodal under JIT/
-    # codegen-cache variance (e.g. q_dedup_cosine: ~0.43s or ~1.35s for
-    # the identical plan) cannot flake the gate on its slow mode
+    # floored at 1.3x this (make_budgets.py), so a query whose cost is
+    # bimodal under JIT/codegen-cache variance (e.g. q_dedup_cosine:
+    # ~0.43s or ~1.35s for the identical plan) cannot flake the gate on
+    # its slow mode
     base["queries_max"] = {q: round(t, 3) for q, t in sorted(observed_max.items())}
     base["value"] = round(sum(base["queries"].values()), 3)
     base["merged_from_runs"] = len(runs)

@@ -36,6 +36,23 @@ import org.apache.spark.sql.types.LongType
   * `q_corpus_selection_curve`. Their oracles all state the naive
   * one-partition window, so the parallel decomposition is hash-checked
   * against the sequential definition every round.
+  *
+  * DISTRIBUTION PREMISE — equal-width buckets bound parallelism only
+  * while no single key VALUE holds a large fraction of the input. A
+  * heavy mode (e.g. zero-inflated spend: 50% of users at y=0) lands in
+  * one bucket by necessity — ties must share a bucket because ranks
+  * among ties are decided by the tie-break columns, which do not
+  * participate in bucketing — so that bucket's window sorts the mode
+  * in one task, and the plan HAS a partition spec, so the registry
+  * PlanSpec gate cannot see it. Remedies when a caller's key is modal
+  * at scale: handle the mode out-of-band (a rank among identical keys
+  * is arbitrary up to the tie-break — e.g. winsor's cap only needs the
+  * rank-r order statistic, and a mode straddling r can be resolved
+  * with one count), or pre-aggregate to distinct keys first (the
+  * `classifierEval` perScore shape). The current call sites' leading
+  * keys (doc_id, per-user spend sums, float scores) are
+  * high-cardinality at the tested scales; this premise is the
+  * documented contract for new callers.
   */
 object BucketedOrder {
 
@@ -77,12 +94,20 @@ object BucketedOrder {
     val mm = df.agg(min(keyD).as("__lo"), max(keyD).as("__hi"))
     // weakly monotone in keyD; the hi==lo degenerate case (all keys
     // equal) puts everything in bucket 0 — still correct, the within-
-    // bucket tie-breaks carry the whole order
+    // bucket tie-breaks carry the whole order. NULL range keys go to
+    // bucket −1 (min/max ignore nulls, so they'd otherwise get a null
+    // bucket: silently dropped by the offsets equi-join AND counted
+    // into every real bucket's offset — rows missing, all ranks wrong).
+    // −1 sorts before every real bucket, matching ASC NULLS FIRST; a
+    // DESC caller (negated rangeKey) whose keys can be null must flip
+    // to `desc_nulls_first` in `order` to stay consistent.
     val bucketed = df.crossJoin(broadcast(mm))
       .withColumn("__bucket",
-        when(col("__hi") <= col("__lo"), lit(0L)).otherwise(
-          least(floor((keyD - col("__lo")) * lit(buckets.toDouble) /
-            (col("__hi") - col("__lo"))).cast(LongType), lit(buckets - 1L))))
+        when(keyD.isNull, lit(-1L))
+          .when(col("__hi") <= col("__lo"), lit(0L))
+          .otherwise(
+            least(floor((keyD - col("__lo")) * lit(buckets.toDouble) /
+              (col("__hi") - col("__lo"))).cast(LongType), lit(buckets - 1L))))
       .drop("__lo", "__hi")
     val pCols = partitionCols.map(col)
     // two-level offsets, one input pass, O(1) agg work per input row:

@@ -98,6 +98,11 @@ final class IdentityMergeState(
     */
   private var statePartsHint: Int = 2
 
+  /** Rows in the last committed state — the pre-count upper-bound input
+    * for the commit width (new rows ≤ last committed + batch ops).
+    */
+  private var lastStateRows: Long = 0L
+
   /** Highest committed batch id (-1 = fresh state, nothing folded). */
   def committedEpoch: Long = synchronized(epoch)
 
@@ -245,16 +250,23 @@ final class IdentityMergeState(
       // untouched's (the prior state's) PLUS the fold shuffle's, so
       // without it the state gains partitions every epoch and every
       // later state scan pays the extra empty-task overhead. The commit
-      // width is the SIZE-derived hint, not `parts`: the batch term in
-      // `parts` sizes this epoch's fold parallelism only — committing
-      // at `parts` would pin the state at any one-off wide batch's
-      // width permanently (hint is monotone and the next epoch takes
+      // width is SIZE-derived, not `parts`: committing at `parts`
+      // would pin the state at any one-off wide batch's width
+      // permanently (hint is monotone and the next epoch takes
       // max(batchParts, committed width, hint), so the wide width would
-      // never relax). The hint lags this epoch's growth by one count —
-      // bounded by a single batch's rows, corrected at the next commit.
-      val next = untouched.union(folded).coalesce(statePartsHint)
+      // never relax). The size bound uses what is known BEFORE the
+      // count: new rows ≤ prior committed rows + this batch's ops, so a
+      // first-epoch backfill of millions of persons still commits wide
+      // enough that no partition exceeds the row target (coalescing a
+      // huge fold into the stale 2-wide hint is the 2 GB-block/OOM
+      // failure StateRowsPerPartition exists to prevent); a small batch
+      // still narrows straight back to the hint.
+      val commitParts = math.min(parts, math.max(statePartsHint,
+        math.ceil((lastStateRows + nOps).toDouble / StateRowsPerPartition).toInt))
+      val next = untouched.union(folded).coalesce(commitParts)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val stateRows = next.count()
+      lastStateRows = stateRows
       // the commit count is free sizing information: derive next
       // epoch's width hint so rows-per-partition stays bounded. Ratchet
       // on the SIZE-derived term only — folding `parts` in here would

@@ -401,8 +401,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       case c: org.apache.spark.sql.execution.columnar.InMemoryRelation => c
     }.nonEmpty, "spend cohort lost its persist (every consumer re-derives it)")
     // winsor: same family — user-keyed rollup with partials, native
-    // bucket, broadcast threshold/control sides (the rank window runs
-    // on the user DIMENSION, the documented partition-less family)
+    // bucket, broadcast threshold/control sides (the pooled cap rank
+    // comes from BucketedOrder since round 10 — no partition-less
+    // window; the registry-wide gate below enforces that)
     val wz = plan(SparkEntry.queries("q_flag_winsor")(spark, sf))
     assert(wz.contains("partial_sum"), "per-user spend rollup lost partials:\n" + wz.take(2000))
     assert(!wz.toLowerCase.contains("scalaudf"), "winsor grew a UDF")
