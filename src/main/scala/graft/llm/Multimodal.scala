@@ -92,6 +92,45 @@ object Multimodal {
       |  list_reduce(list_prepend(0, list_transform(generate_series(1, len(text)), i -> ascii(substr(text, i, 1)))), (a, b) -> a + b)::BIGINT AS checksum
       |FROM documents""".stripMargin
 
+  /** Q-MEDIA-DEDUP: fixed-size chunk-digest dedup over the BINARY
+    * column — the digest-level dedup a crawl pipeline runs on media
+    * payloads BEFORE any decode (whole-payload WARC digests catch only
+    * byte-identical copies; fixed 32-byte chunk digests additionally
+    * catch shared prefixes/segments — re-encoded containers with
+    * identical leading streams, partial re-uploads). No codec
+    * involved, so nothing here is stubbed: slice the raw bytes, md5
+    * each chunk, report digests present in more than one media row.
+    *
+    * Shape at 100 TB: one map pass slicing+hashing (the binary never
+    * shuffles — only 16-byte digests + doc ids do), a digest-keyed
+    * map-side-combined rollup; the single distinct rides the two-level
+    * aggregate.
+    */
+  def mediaDedup(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d)
+      .select(col("doc_id"), col("payload"),
+        posexplode(sequence(lit(0L), expr("(length(payload) + 31) div 32 - 1"))))
+      .select(col("doc_id"),
+        md5(expr("substring(payload, CAST(col * 32 + 1 AS INT), 32)")).as("digest"))
+      .groupBy(col("digest"))
+      .agg(countDistinct(col("doc_id")).as("n_media"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("keeper_doc"))
+      .filter(col("n_media") > 1)
+
+  /** Oracle hashes the same bytes: DuckDB strings are UTF-8, the
+    * payload is exactly `encode(text, 'UTF-8')`, and the corpus is
+    * ASCII (spec-asserted) so `substr` counts the same units.
+    */
+  val mediaDedupSql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, md5(substr(text, (f * 32 + 1)::INT, 32)) AS digest
+      |  FROM documents,
+      |    unnest(generate_series(0, (len(text) + 31) // 32 - 1)) AS g(f))
+      |SELECT digest, count(DISTINCT doc_id)::BIGINT AS n_media,
+      |  count(*)::BIGINT AS n_occurrences, min(doc_id) AS keeper_doc
+      |FROM ch GROUP BY digest HAVING count(DISTINCT doc_id) > 1""".stripMargin
+
   /** Q-MEDIA-2: frame sampling — every media row explodes into its
     * sampled frame index list with a per-frame byte offset (the shape a
     * real frame extractor emits; at 100 TB this is the pre-shuffle form
@@ -235,6 +274,7 @@ object Multimodal {
 
   val all: Seq[Q] = Seq(
     Q("q_media_meta", mediaMeta, Some(mediaMetaSql)),
+    Q("q_media_dedup", mediaDedup, Some(mediaDedupSql)),
     Q("q_media_resize", resize, Some(resizeSql)),
     Q("q_media_frames", frameSample, Some(frameSampleSql)),
     Q("q_media_embed", mediaEmbed, Some(mediaEmbedSql)))

@@ -971,13 +971,16 @@ object Relational {
     * combined; the single distinct rides the same two-level aggregate
     * (never the multi-distinct Expand rewrite).
     */
-  def fnIp6(s: SparkSession, d: String): DataFrame = {
-    val a = col("user_id") % 65536L
-    val b = col("event_id") % 65536L
-    val cc = (col("user_id") * 7L + 3L) % 65536L
-    val addr = concat(lit("2001:db8:"), lower(hex(a)), lit(":"), lower(hex(b)),
-      lit("::"), when(cc === 0L, lit("")).otherwise(lower(hex(cc))))
-    val halves = split(col("addr"), "::")
+  /** Upper 64 bits of a possibly-`::`-compressed IPv6 address as one
+    * int64 — expand the compression to 8 hex groups, `conv`-parse each
+    * (codegen'd, case-insensitive, empty group = 0, so leading-`::`
+    * forms work), fold groups 0–3 big-endian. Requires the first group
+    * < 0x8000 (the signed fold's headroom; every globally-routable
+    * 2000::/3 address qualifies). Fuzzed against
+    * `java.net.InetAddress` in OperatorFuzzSpec.
+    */
+  def ipv6Hi(addr: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val halves = split(addr, "::")
     val leftG = split(element_at(halves, 1), ":")
     val rightG = when(size(halves) < 2 || element_at(halves, 2) === "",
         array().cast("array<string>"))
@@ -985,14 +988,20 @@ object Relational {
     val full = concat(leftG,
       array_repeat(lit("0"), lit(8) - size(leftG) - size(rightG)), rightG)
     def grp(i: Int): org.apache.spark.sql.Column =
-      conv(element_at(full, i + 1), 16, 10).cast(LongType)
-    // upper 64 bits: groups 0..3 (g0 = 0x2001 < 0x8000, so the signed
-    // fold never overflows — pinned by the synthesis)
-    val hi = grp(0) * 281474976710656L + grp(1) * 4294967296L +
+      coalesce(conv(element_at(full, i + 1), 16, 10).cast(LongType), lit(0L))
+    grp(0) * 281474976710656L + grp(1) * 4294967296L +
       grp(2) * 65536L + grp(3)
+  }
+
+  def fnIp6(s: SparkSession, d: String): DataFrame = {
+    val a = col("user_id") % 65536L
+    val b = col("event_id") % 65536L
+    val cc = (col("user_id") * 7L + 3L) % 65536L
+    val addr = concat(lit("2001:db8:"), lower(hex(a)), lit(":"), lower(hex(b)),
+      lit("::"), when(cc === 0L, lit("")).otherwise(lower(hex(cc))))
     Tables.events(s, d)
       .select(col("user_id"), addr.as("addr"))
-      .select(col("user_id"), hi.as("hi"))
+      .select(col("user_id"), ipv6Hi(col("addr")).as("hi"))
       .select(col("user_id"), col("hi"),
         expr("hi div 65536").as("site48"),
         (expr("hi div 4294967296") === lit(8193L * 65536L + 3512L)).as("in32"),

@@ -203,6 +203,39 @@ class OperatorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ipv6Hi == java.net.InetAddress on fuzzed compressed addresses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(1717)
+    def hexOf(g: Int) = {
+      val h = Integer.toHexString(g)
+      if (rnd.nextBoolean()) h else h.toUpperCase
+    }
+    val addrs = (1 to 200).map { _ =>
+      val gs = Array.fill(8)(rnd.nextInt(0x10000))
+      gs(0) = rnd.nextInt(0x8000).max(1) // signed-fold headroom, no leading ::
+      // force a zero run of random length/position, then maybe compress it
+      val runLen = 1 + rnd.nextInt(5)
+      val runAt = 1 + rnd.nextInt(8 - runLen)
+      (runAt until runAt + runLen).foreach(gs(_) = 0)
+      if (rnd.nextBoolean()) {
+        val left = gs.take(runAt).map(hexOf).mkString(":")
+        val right = gs.drop(runAt + runLen).map(hexOf).mkString(":")
+        s"$left::$right" // right may be empty: the trailing-:: form
+      } else gs.map(hexOf).mkString(":")
+    }.distinct
+    val expected = addrs.map { a =>
+      val b = java.net.InetAddress.getByName(a).getAddress
+      val hi = (0 until 8).foldLeft(0L)((acc, i) => (acc << 8) | (b(i) & 0xffL))
+      a -> hi
+    }.toMap
+    val got = addrs.toDF("addr")
+      .select(col("addr"), graft.queries.Relational.ipv6Hi(col("addr")).as("hi"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bad = expected.collect { case (a, e) if got(a) != e => s"$a: got ${got(a)} want $e" }
+    assert(bad.isEmpty, s"ipv6 parse diverged from InetAddress on:\n  ${bad.mkString("\n  ")}")
+  }
+
   test("q_dedup_edit oracle contract: corpus is ASCII-only") {
     // Spark levenshtein counts code-point edits, DuckDB counts BYTE
     // edits; the hash oracle for q_dedup_edit is valid only while the
