@@ -934,6 +934,71 @@ object FlagQueries {
        |FROM r JOIN t USING (variant, rk)
        |GROUP BY pct""".stripMargin
 
+  /** Per-arm sample sizes for the [[flagPower]] planning grid. */
+  val PowerGrid = Seq(100L, 500L, 1000L, 5000L, 10000L, 50000L)
+
+  /** Q-FLAG-12: power planning grid — the "how many users do we need"
+    * table an experimenter reads BEFORE launching: for each candidate
+    * per-arm sample size, the standard error of the two-arm mean
+    * difference under the observed metric variance, the minimum
+    * detectable effect at 80% power / 5% alpha
+    * (`(z_{0.975}+z_{0.80})·se`, the [[flagWinsor]] constants), and
+    * the MDE as a fraction of the current mean (the number product
+    * teams actually negotiate against).
+    *
+    * Determinism: variance comes from exact decimal sums (the usual
+    * `(Σy²·n − (Σy)²)/(n(n−1))` pinned-order tree), the grid is a
+    * literal, `sqrt` is IEEE-correctly-rounded, and the z constants
+    * are identical literal strings in both engines. Degenerate
+    * cohorts pin `var = 0` (< 2 users) and `mde_rel = 0` (zero mean)
+    * rather than IEEE NaN.
+    *
+    * Shape at 100 TB: one map-side-combined moment rollup over the
+    * spend cohort (1 row), fanned out to a |grid|-row literal — the
+    * cheapest possible planning query.
+    */
+  def flagPower(s: SparkSession, d: String): DataFrame = {
+    GraftExtensions.register(s)
+    import org.apache.spark.sql.types.DoubleType
+    val assigned = assignedSpend(s, d)
+    val mom = assigned.agg(
+      count(lit(1)).as("n_obs"),
+      sum(col("y")).as("sy"),
+      sum(col("y") * col("y")).as("syy"))
+    val nD = col("n_obs").cast(DoubleType)
+    val meanY = col("sy").cast(DoubleType) / nD
+    val varY = when(col("n_obs") < 2L, lit(0.0)).otherwise(
+      (col("syy").cast(DoubleType) * nD -
+        col("sy").cast(DoubleType) * col("sy").cast(DoubleType)) /
+        (nD * (nD - lit(1.0))))
+    mom
+      .select(meanY.as("mean_y"), varY.as("var_y"),
+        explode(typedLit(PowerGrid)).as("n_per_arm"))
+      .select(col("n_per_arm"), col("mean_y"), col("var_y"),
+        sqrt(col("var_y") * lit(2.0) / col("n_per_arm").cast(DoubleType)).as("se"))
+      .select(col("n_per_arm"), col("mean_y"), col("var_y"), col("se"),
+        ((lit(Z975.toDouble) + lit(Z80.toDouble)) * col("se")).as("mde"),
+        when(col("mean_y") === 0.0, lit(0.0))
+          .otherwise((lit(Z975.toDouble) + lit(Z80.toDouble)) * col("se") / col("mean_y"))
+          .as("mde_rel"))
+  }
+
+  val flagPowerSql: String =
+    s"""WITH $spendCohortSql,
+       |mom AS (SELECT count(*)::BIGINT AS n_obs, sum(y) AS sy, sum(y * y) AS syy FROM a),
+       |st AS (
+       |  SELECT sy::DOUBLE / n_obs::DOUBLE AS mean_y,
+       |    CASE WHEN n_obs < 2 THEN 0.0 ELSE
+       |      (syy::DOUBLE * n_obs::DOUBLE - sy::DOUBLE * sy::DOUBLE) /
+       |        (n_obs::DOUBLE * (n_obs::DOUBLE - 1.0)) END AS var_y
+       |  FROM mom)
+       |SELECT n_per_arm, mean_y, var_y,
+       |  sqrt(var_y * 2.0 / n_per_arm::DOUBLE) AS se,
+       |  ($Z975 + $Z80) * sqrt(var_y * 2.0 / n_per_arm::DOUBLE) AS mde,
+       |  CASE WHEN mean_y = 0.0 THEN 0.0 ELSE
+       |    ($Z975 + $Z80) * sqrt(var_y * 2.0 / n_per_arm::DOUBLE) / mean_y END AS mde_rel
+       |FROM st, unnest([${PowerGrid.mkString(", ")}]::BIGINT[]) AS g(n_per_arm)""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_flag_filters", flagFilters, Some(flagFiltersSql)),
     Q("q_flag_rollout", flagRollout, Some(flagRolloutSql)),
@@ -945,5 +1010,6 @@ object FlagQueries {
     Q("q_flag_bootstrap", flagBootstrap, Some(flagBootstrapSql)),
     Q("q_flag_winsor", flagWinsor, Some(flagWinsorSql)),
     Q("q_flag_srm", flagSrm, Some(flagSrmSql)),
-    Q("q_flag_qte", flagQte, Some(flagQteSql)))
+    Q("q_flag_qte", flagQte, Some(flagQteSql)),
+    Q("q_flag_power", flagPower, Some(flagPowerSql)))
 }

@@ -394,6 +394,29 @@ object Relational {
       .withColumn("cume", cume_dist().over(w))
   }
 
+  /** Q-WIN-7: navigation window functions — `first_value` /
+    * `last_value` / `nth_value(2)` of the per-user event stream over
+    * the full-partition frame (the "what did this user do first /
+    * second / most recently" projection product analytics builds
+    * constantly). Values pass through unaggregated (no float folds);
+    * the (ts, event_id) order is tie-broken, so every navigated value
+    * is deterministic.
+    *
+    * Shape at 100 TB: one user-keyed exchange serves all three
+    * functions (same window spec); output is row-per-event with three
+    * attached columns — a map-side projection after the sort.
+    */
+  def winNth(s: SparkSession, d: String): DataFrame = {
+    val wf = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), tsUs(col("ts")).as("ts_us"), col("value"))
+      .select(col("event_id"), col("user_id"),
+        first(col("value")).over(wf).as("first_v"),
+        nth_value(col("value"), 2).over(wf).as("second_v"),
+        last(col("value")).over(wf).as("last_v"))
+  }
+
   /** Q-WIN-6: RANGE-frame window — trailing 7-day revenue per event
     * type over the daily rollup (`RANGE BETWEEN 6 PRECEDING AND
     * CURRENT ROW` on an integer day index). The range frame is the one
@@ -1254,6 +1277,14 @@ object Relational {
         |  cume_dist() OVER w AS cume
         |FROM events
         |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin)),
+    Q("q_win_nth", winNth, Some(
+      """SELECT event_id, user_id,
+        |  first_value(value) OVER w AS first_v,
+        |  nth_value(value, 2) OVER w AS second_v,
+        |  last_value(value) OVER w AS last_v
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin)),
     Q("q_win_frame", winFrame, Some(
       """WITH daily AS (
         |  SELECT event_type,
