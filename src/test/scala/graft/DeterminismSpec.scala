@@ -49,7 +49,7 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
         // identically regardless of parallelism (bucket offsets + within-
         // bucket ranks), and the rerank/frame floats are aggregate-fed
         "q_corpus_selection_curve", "q_text_pack", "q_win_frame",
-        "q_sim_rerank")) {
+        "q_sim_rerank", "q_flag_power", "q_win_nth")) {
       val a = runAt(2, q)
       val b = runAt(7, q)
       assert(a.nonEmpty, s"$q returned nothing")
