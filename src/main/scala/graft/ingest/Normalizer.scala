@@ -116,11 +116,21 @@ object Normalizer {
     *   - `unparseable`: body is not JSON an envelope can be read from
     */
   def deadLetters(df: DataFrame, body: Column, isForm: Column = lit(false)): DataFrame = {
-    val decoded = decodeEnvelope(body, isForm)
+    // `__dl_decoded` is referenced by TWO CaseWhen conditions below —
+    // conditionally-evaluated branches, so codegen subexpression
+    // elimination is not guaranteed to dedupe the decode UDF inside
+    // them. Materialize it behind a projection boundary instead (the
+    // same discipline as toCanonical's __m/__pm: the alias is non-cheap
+    // and multiply-referenced, so CollapseProject keeps the boundary
+    // and the decode runs once per row).
+    val decoded = col("__dl_decoded")
     val reason = when(body.isNull || length(trim(body)) === 0, "empty")
       .when(decoded.isNull, "undecodable")
       .when(itemsArray(decoded).isNull, "unparseable")
-    df.withColumn("reason", reason).filter(col("reason").isNotNull)
+    df.withColumn("__dl_decoded", decodeEnvelope(body, isForm))
+      .withColumn("reason", reason)
+      .filter(col("reason").isNotNull)
+      .drop("__dl_decoded")
   }
 
   // ------------------------------------------------ P7: item classification

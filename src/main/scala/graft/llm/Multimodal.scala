@@ -108,6 +108,12 @@ object Multimodal {
     */
   def mediaDedup(s: SparkSession, d: String): DataFrame =
     mediaTable(s, d)
+      // Zero-length guard: for an empty payload the chunk-count formula
+      // gives sequence(0, -1), which Spark renders as a DESCENDING
+      // [0, -1] (step defaults to -1 when stop < start) — two phantom
+      // chunks — while the oracle's generate_series(0, -1) is empty.
+      // Empty media carries no chunk digests; drop it before exploding.
+      .filter(length(col("payload")) > 0)
       .select(col("doc_id"), col("payload"),
         posexplode(sequence(lit(0L), expr("(length(payload) + 31) div 32 - 1"))))
       .select(col("doc_id"),

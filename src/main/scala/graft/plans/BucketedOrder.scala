@@ -91,7 +91,17 @@ object BucketedOrder {
       rankCol: String = "rk",
       buckets: Int = DefaultBuckets): DataFrame = {
     val keyD = rangeKey.cast("double")
-    val mm = df.agg(min(keyD).as("__lo"), max(keyD).as("__hi"))
+    // NaN keys are excluded from the range (Spark's min/max treat NaN as
+    // the LARGEST double, so one NaN key would poison __hi → every row's
+    // bucket arithmetic NaN → null → all rows silently dropped by the
+    // offsets equi-join) and mapped to a sentinel bucket `buckets` that
+    // sorts AFTER every real bucket — matching Spark's NaN-last
+    // ascending window order. A DESC caller (negated rangeKey) whose
+    // keys can be NaN must handle NaN itself (−NaN is still NaN, but
+    // `.desc` orders NaN first while the sentinel sorts last) — the same
+    // caveat class as the null/desc_nulls_first note below.
+    val keyFinite = when(isnan(keyD), lit(null)).otherwise(keyD)
+    val mm = df.agg(min(keyFinite).as("__lo"), max(keyFinite).as("__hi"))
     // weakly monotone in keyD; the hi==lo degenerate case (all keys
     // equal) puts everything in bucket 0 — still correct, the within-
     // bucket tie-breaks carry the whole order. NULL range keys go to
@@ -104,7 +114,8 @@ object BucketedOrder {
     val bucketed = df.crossJoin(broadcast(mm))
       .withColumn("__bucket",
         when(keyD.isNull, lit(-1L))
-          .when(col("__hi") <= col("__lo"), lit(0L))
+          .when(isnan(keyD), lit(buckets.toLong))
+          .when(col("__hi").isNull || col("__hi") <= col("__lo"), lit(0L))
           .otherwise(
             least(floor((keyD - col("__lo")) * lit(buckets.toDouble) /
               (col("__hi") - col("__lo"))).cast(LongType), lit(buckets - 1L))))

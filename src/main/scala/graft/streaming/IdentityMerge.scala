@@ -106,6 +106,11 @@ final class IdentityMergeState(
   /** Highest committed batch id (-1 = fresh state, nothing folded). */
   def committedEpoch: Long = synchronized(epoch)
 
+  /** (lastStateRows, statePartsHint) — the commit-width inputs, exposed
+    * for the restore-seeding regression spec only.
+    */
+  private[graft] def sizeHints: (Long, Int) = synchronized((lastStateRows, statePartsHint))
+
   /** Current records (canonical state, `person_seq_id` unassigned). */
   def records: Dataset[PersonRecord] = spark.createDataset(stateRdd)
 
@@ -343,7 +348,15 @@ object IdentityMergeState {
       val latest = epochs.max
       st.stateRdd = spark.read.parquet(s"$dir/epoch=$latest").as[PersonRecord]
         .rdd.persist(StorageLevel.MEMORY_AND_DISK)
-      st.stateRdd.count()
+      // Seed the commit-width inputs from the restored size: the first
+      // post-restore commit derives its width from (lastStateRows +
+      // batch ops), and leaving these at the fresh defaults (0 / 2)
+      // would coalesce the ENTIRE restored state into 2 partitions —
+      // exactly the oversized-shuffle-block failure StateRowsPerPartition
+      // exists to prevent.
+      st.lastStateRows = st.stateRdd.count()
+      st.statePartsHint = math.max(2,
+        math.ceil(st.lastStateRows.toDouble / st.StateRowsPerPartition).toInt)
       st.epoch = latest
     }
     st

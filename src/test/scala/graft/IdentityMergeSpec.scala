@@ -285,6 +285,27 @@ class IdentityMergeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(asComparable(streamed) == asComparable(batchPersons(all)))
   }
 
+  test("restore seeds the commit-width inputs from the restored size") {
+    import spark.implicits._
+    // Regression: restore() used to leave (lastStateRows=0, hint=2), so
+    // the first post-restore commit width evaluated to ~2 regardless of
+    // restored size — coalescing a multi-million-row state into 2
+    // partitions. The hints must reflect the restored row count.
+    val snap = java.nio.file.Files.createTempDirectory("graft_snap_seed").toFile
+    val st = new IdentityMergeState(spark)
+    val ops = (1 to 500).map(i =>
+      PersonOp(s"u$i", i.toLong, Map("k" -> s"v$i"), Map.empty, Nil, None))
+    st.processBatch(ops.toDS(), 0L)
+    st.save(snap.toString)
+    st.close()
+
+    val st2 = IdentityMergeState.restore(spark, snap.toString)
+    val (rows, hint) = st2.sizeHints
+    st2.close()
+    assert(rows == 500L, s"lastStateRows not seeded from restored count: $rows")
+    assert(hint >= 2, s"statePartsHint not seeded: $hint")
+  }
+
   test("committed state width follows size, not a one-off wide batch") {
     import spark.implicits._
     // 140k ops at 8 input partitions: the volume sizing gives the EPOCH

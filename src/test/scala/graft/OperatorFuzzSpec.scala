@@ -203,6 +203,34 @@ class OperatorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("BucketedOrder: NaN range keys rank last (not dropped, not range-poisoning)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // One NaN key used to poison __hi (min/max treat NaN as the largest
+    // double) → every bucket NaN → null → ALL rows dropped by the
+    // offsets equi-join. NaN must instead land in the sorts-last
+    // sentinel bucket, matching Spark's NaN-last ascending window order.
+    val rnd = new scala.util.Random(911)
+    val rows = (1L to 300L).map { id =>
+      val k = if (id % 7 == 0) Double.NaN else rnd.nextDouble() * 100 - 50
+      (id, k, rnd.nextInt(20).toLong)
+    }
+    val df = rows.toDF("id", "key", "v").repartition(5)
+    val got = graft.plans.BucketedOrder.withOrderStats(
+        df, rangeKey = col("key"), order = Seq(col("key"), col("id")),
+        cums = Seq("cum_v" -> "v"))
+      .select(col("id"), col("rk"), col("cum_v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // Scala 2.13 TotalOrdering sorts NaN after every real double — the
+    // same NaN-last order Spark's ascending window uses
+    val sorted = rows.sortBy(r => (r._2, r._1))
+    val exp = sorted.zipWithIndex.map { case ((id, _, _), i) =>
+      (id, (i + 1).toLong, sorted.take(i + 1).map(_._3).sum)
+    }.toSet
+    assert(got.size == rows.size, s"rows dropped: ${got.size} of ${rows.size}")
+    assert(got == exp, "NaN-mixed order stats diverged from the naive window")
+  }
+
   test("ipv6Hi == java.net.InetAddress on fuzzed compressed addresses") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
