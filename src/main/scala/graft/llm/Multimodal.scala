@@ -278,10 +278,96 @@ object Multimodal {
        |    (a, b) -> a + b)::BIGINT AS out_checksum
        |FROM sc""".stripMargin
 
+  /** Q-MEDIA-6: cross-modal retrieval with a metadata predicate — the
+    * "FAISS with a filter" shape a caption→image training pipeline
+    * runs: caption-side query vectors search ONLY the image-kind media
+    * embeddings, through the same IVF coarse quantizer the `q_sim_*`
+    * family serves from. The predicate arrives as a JOIN against the
+    * media metadata table (not an inline column hack) and restricts
+    * the index side BEFORE any cell assignment or scoring.
+    *
+    * Shape at 100 TB: the metadata predicate is an id-keyed equi-join
+    * (sort-merge on the shared id, prunable to the `kind` partition if
+    * the lake partitions by modality); the 8 centroids broadcast; the
+    * query set broadcasts; each query scores only its own cell's image
+    * vectors. Non-image modalities never leave their scan; nothing is
+    * all-pairs.
+    */
+  def mediaSearch(s: SparkSession, d: String): DataFrame = {
+    import Portable._
+    val meta = Tables.par(Tables.documents(s, d)).select(
+      col("doc_id"),
+      element_at(typedLit(Seq("image", "audio", "video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"))
+    val e = Tables.par(Tables.embeddings(s, d)).select(col("vec_id"), col("embedding"))
+    val c = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    // nearest-of-8 coarse cell, rank-1 per vector (broadcast centroids)
+    def nearestCell(df: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("d2"), col("centroid_id"))
+      df.crossJoin(broadcast(c))
+        .withColumn("d2", dist2(col("embedding"), col("c_emb")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("c_emb", "d2", "rn")
+    }
+    val images = nearestCell(
+        e.join(meta.filter(col("kind") === "image"), e("vec_id") === meta("doc_id"))
+          .select(col("vec_id"), col("embedding")))
+      .withColumn("nrm", l2norm(col("embedding")))
+    val qs = nearestCell(e.filter(col("vec_id") % 37 === 5))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("centroid_id").as("q_cell"))
+      .withColumn("q_nrm", l2norm(col("q_emb")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cosine").desc, col("doc_id"))
+    images.join(broadcast(qs),
+        col("centroid_id") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        (dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+  }
+
+  val mediaSearchSql: String = {
+    import Portable._
+    s"""WITH meta AS (
+       |  SELECT doc_id, ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS kind
+       |  FROM documents),
+       |e AS (SELECT vec_id, embedding FROM embeddings),
+       |c AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM e WHERE vec_id < 8),
+       |img AS (
+       |  SELECT e.vec_id, e.embedding FROM e
+       |  JOIN meta ON e.vec_id = meta.doc_id WHERE meta.kind = 'image'),
+       |imgcell AS (
+       |  SELECT vec_id, embedding, centroid_id FROM (
+       |    SELECT i.vec_id, i.embedding, c.centroid_id,
+       |      row_number() OVER (PARTITION BY i.vec_id
+       |        ORDER BY ${dist2Sql("i.embedding", "c_emb")}, c.centroid_id) AS rn
+       |    FROM img i, c) WHERE rn = 1),
+       |q AS (SELECT vec_id, embedding FROM e WHERE vec_id % 37 = 5),
+       |qcell AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, centroid_id AS q_cell FROM (
+       |    SELECT q.vec_id, q.embedding, c.centroid_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${dist2Sql("q.embedding", "c_emb")}, c.centroid_id) AS rn
+       |    FROM q, c) WHERE rn = 1),
+       |scored AS (
+       |  SELECT q_id, i.vec_id AS doc_id,
+       |    ${dotSql("i.embedding", "q_emb")}
+       |      / (${l2normSql("i.embedding")} * ${l2normSql("q_emb")}) AS cosine
+       |  FROM imgcell i JOIN qcell ON i.centroid_id = q_cell AND i.vec_id <> q_id)
+       |SELECT q_id, doc_id, cosine, CAST(rank AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, doc_id) AS rank
+       |  FROM scored) WHERE rank <= 3""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_media_meta", mediaMeta, Some(mediaMetaSql)),
     Q("q_media_dedup", mediaDedup, Some(mediaDedupSql)),
     Q("q_media_resize", resize, Some(resizeSql)),
     Q("q_media_frames", frameSample, Some(frameSampleSql)),
-    Q("q_media_embed", mediaEmbed, Some(mediaEmbedSql)))
+    Q("q_media_embed", mediaEmbed, Some(mediaEmbedSql)),
+    Q("q_media_search", mediaSearch, Some(mediaSearchSql)))
 }

@@ -62,6 +62,17 @@ class JsonFusionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fused.toSeq == unfused.toSeq)
   }
 
+  test("fusion is ON BY DEFAULT in a registered session (no conf set)") {
+    import spark.implicits._
+    // The default install path every query session takes: Tables.t →
+    // GraftExtensions.register → JsonFusionInstall.register, with
+    // spark.graft.jsonFusion.enabled never set. The conf is an OFF
+    // switch, not an opt-in.
+    assert(spark.conf.getOption(graft.plans.JsonFusion.ConfKey).isEmpty)
+    val p = optimized(probes2(Seq("""{"a":"x","b":"y"}""").toDF("j").repartition(1)))
+    assert(p.contains("from_json"), s"fusion did not fire by default:\n$p")
+  }
+
   test("two probes of one column fuse to a single from_json; nested path keeps its matcher") {
     import spark.implicits._
     val df = Seq("""{"a":"1","b":"2","c":{"d":"3"}}""").toDF("j").repartition(1)

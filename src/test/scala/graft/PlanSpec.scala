@@ -447,6 +447,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "rerank's query side should broadcast:\n" + r.take(1500))
   }
 
+  test("round-11: cross-modal media search is predicate-filtered, broadcast, no cartesian") {
+    val p = plan(SparkEntry.queries("q_media_search")(spark, sf))
+    assert(!p.toLowerCase.contains("scalaudf"), "media search grew a UDF")
+    assert(!p.contains("CartesianProduct"),
+      s"media search degenerated to all-pairs:\n${p.take(1500)}")
+    // the metadata predicate restricts the index side with an equi-join;
+    // query set + centroids ride broadcasts
+    assert(p.contains("BroadcastHashJoin"),
+      "media search lost its broadcast query join:\n" + p.take(1500))
+  }
+
   /** Queries whose partition-less window is PROVABLY bounded — input
     * is a preceding `limit`, a fixed grid, or a V-row dimension
     * aggregate, never the raw input — with the justification inline so
