@@ -88,6 +88,70 @@ object FlagQueries {
       |  false AS f_inactive
       |FROM customer""".stripMargin
 
+  /** Q-FLAG-13: the `/decide` read path as a measured operator — a
+    * BATCH of point lookups through the SCALAR serving evaluator
+    * (T9 snapshot → F2 eval loop → F7 response fields), not the
+    * vectorized backfill columns. Every other q_flag_* row gates the
+    * vectorized path; this row gates [[FlagEval]] itself against the
+    * oracle, closing the triangle the FlagAgreementSpec fuzz opens
+    * (scalar == vectorized == SQL).
+    *
+    * Shape: the id batch filters at the scan; the flag store rides the
+    * closure (serving replicas hold it in memory the same way); eval is
+    * a bounded per-row loop over 12 flags inside one mapPartitions —
+    * map-only, no shuffle, N·|flags| output rows. The per-row scalar
+    * loop is the point: this IS the serving hot path, measured.
+    */
+  def flagDecide(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val flags = config // parsed once per executor-partition via the closure
+    persons(s, d).filter(col("c_custkey") % 101 === 7)
+      .select(col("c_custkey"), col("distinct_id"), col("props"))
+      .as[(Long, String, Map[String, String])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (ck, id, props) =>
+          val ctx = FlagContext(id, props.view.mapValues(JStr(_)).toMap)
+          flags.map { f =>
+            val r = FlagEval.evaluateFlag(f, ctx)
+            val (enabled, variant) = r.value match {
+              case JBool(b) => (b, None)
+              case JStr(v) => (true, Some(v))
+              case _ => (false, None)
+            }
+            (ck, f.key, enabled, variant, r.reason)
+          }
+        }
+      }
+      .toDF("c_custkey", "flag_key", "enabled", "variant", "reason")
+  }
+
+  val flagDecideSql: String =
+    """WITH b AS (SELECT * FROM customer WHERE c_custkey % 101 = 7),
+      |fl AS (SELECT * FROM (VALUES ('f_eq'), ('f_in'), ('f_not_in'), ('f_gt'),
+      |  ('f_lte'), ('f_contains'), ('f_regex'), ('f_is_set'), ('f_is_not'),
+      |  ('f_and'), ('f_multi_cond'), ('f_inactive')) AS t(flag_key)),
+      |m AS (
+      |  SELECT c_custkey, flag_key,
+      |    CASE flag_key
+      |      WHEN 'f_eq' THEN c_mktsegment = 'BUILDING'
+      |      WHEN 'f_in' THEN c_mktsegment IN ('AUTOMOBILE', 'MACHINERY')
+      |      WHEN 'f_not_in' THEN c_mktsegment NOT IN ('HOUSEHOLD')
+      |      WHEN 'f_gt' THEN c_acctbal > 5000
+      |      WHEN 'f_lte' THEN c_nationkey <= 11
+      |      WHEN 'f_contains' THEN contains(c_name, '00001')
+      |      WHEN 'f_regex' THEN regexp_matches(c_name, '[02468]$')
+      |      WHEN 'f_is_set' THEN false
+      |      WHEN 'f_is_not' THEN c_mktsegment <> 'FURNITURE'
+      |      WHEN 'f_and' THEN (c_mktsegment = 'BUILDING' AND c_acctbal >= 0)
+      |      WHEN 'f_multi_cond' THEN (c_mktsegment = 'MACHINERY' OR c_acctbal < 0)
+      |      WHEN 'f_inactive' THEN false
+      |    END AS enabled
+      |  FROM b, fl)
+      |SELECT c_custkey, flag_key, enabled, CAST(NULL AS VARCHAR) AS variant,
+      |  CASE WHEN flag_key = 'f_inactive' THEN 'disabled'
+      |       WHEN enabled THEN 'match' ELSE 'no_match' END AS reason
+      |FROM m""".stripMargin
+
   /** Q-FLAG-2: rollout bucketing distribution — the per-bucket
     * histogram a cohort analysis would read, over the fixture id space
     * (salt "exp", user-0..N-1). Spark computes SHA1 buckets LIVE
@@ -1001,6 +1065,7 @@ object FlagQueries {
 
   val all: Seq[Q] = Seq(
     Q("q_flag_filters", flagFilters, Some(flagFiltersSql)),
+    Q("q_flag_decide", flagDecide, Some(flagDecideSql)),
     Q("q_flag_rollout", flagRollout, Some(flagRolloutSql)),
     Q("q_flag_variants", flagVariants, Some(flagVariantsSql)),
     Q("q_flag_groups", flagGroups, Some(flagGroupsSql)),

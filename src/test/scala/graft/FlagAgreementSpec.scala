@@ -71,6 +71,33 @@ class FlagAgreementSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_flag_decide registry row (scalar serving path) == vectorized backfill, row-for-row") {
+    // The registry's /decide point-lookup batch runs the SCALAR
+    // evaluator executor-side; the backfill runs the SAME store through
+    // FlagColumns. Every (id, flag) cell must agree — this is the
+    // agreement fuzz above, but over the real registry query and the
+    // real person dimension instead of synthetic contexts.
+    val sf = "/root/testdata/sf0.001"
+    val decided = FlagQueries.flagDecide(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getBoolean(2), Option(r.getString(3))))
+      .toMap
+    assert(decided.nonEmpty, "decide batch selected no ids")
+    GraftExtensions.register(spark)
+    val vec = FlagQueries.flagFilters(spark, sf)
+      .filter(col("c_custkey") % 101 === 7)
+      .collect()
+      .flatMap { r =>
+        FlagQueries.config.map(f =>
+          (r.getLong(0), f.key) -> (r.getBoolean(r.fieldIndex(f.key)), None: Option[String]))
+      }.toMap
+    assert(decided.keySet == vec.keySet,
+      s"cell sets diverge: ${decided.keySet.diff(vec.keySet).take(5)} / ${vec.keySet.diff(decided.keySet).take(5)}")
+    decided.foreach { case (cell, r) =>
+      assert(r == vec(cell), s"scalar/vectorized disagreement at $cell: $r vs ${vec(cell)}")
+    }
+  }
+
   test("group-typed flag: vectorized group hashing/filters match the scalar context") {
     import spark.implicits._
     GraftExtensions.register(spark)
