@@ -575,7 +575,61 @@ object Product {
        |WHERE rk = rk_med OR rk = rk_p90
        |GROUP BY step""".stripMargin
 
+  // ----------------------------------------------------------------- trends
+
+  /** Q-PROD-12: trends with a formula — PostHog's "insight with
+    * formula" shape: two event series rolled up per day (series A =
+    * purchase count, series B = unique viewers), zero-filled onto the
+    * observed day grid, then per-bucket series arithmetic (A/B ratio
+    * and A−B net — the conversion-per-audience readout).
+    *
+    * Shape at 100 TB: ONE pass over events with conditional aggregates
+    * (a single distinct column, so Spark's two-phase distinct planning
+    * applies — no Expand; the multi-distinct trap is PlanSpec-banned),
+    * producing a V-row (per-day) table; the zero-fill grid derives from
+    * a 1-row min/max aggregate exploded to days and broadcasts onto
+    * the rollup. The formula is plain column arithmetic on the
+    * dimension-sized result — never a second scan, never a self-join
+    * of series (k series = k conditional aggregates in the same pass).
+    */
+  def trends(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        count(when(col("event_type") === "purchase", 1)).as("purchases"),
+        countDistinct(when(col("event_type") === "view", col("user_id"))).as("viewers"))
+    val grid = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    grid.join(daily, Seq("day"), "left")
+      .select(
+        col("day"),
+        coalesce(col("purchases"), lit(0L)).as("purchases"),
+        coalesce(col("viewers"), lit(0L)).as("viewers"))
+      // formula columns: guarded division (ANSI mode throws on /0)
+      .withColumn("ratio",
+        when(col("viewers") === 0, lit(null).cast("double"))
+          .otherwise(col("purchases").cast("double") / col("viewers")))
+      .withColumn("net", col("purchases") - col("viewers"))
+  }
+
+  val trendsSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS purchases,
+      |    count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END)::BIGINT AS viewers
+      |  FROM events GROUP BY 1),
+      |grid AS (
+      |  SELECT unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))::DATE AS day
+      |  FROM daily)
+      |SELECT g.day, coalesce(purchases, 0)::BIGINT AS purchases,
+      |  coalesce(viewers, 0)::BIGINT AS viewers,
+      |  CASE WHEN coalesce(viewers, 0) = 0 THEN NULL
+      |       ELSE coalesce(purchases, 0)::DOUBLE / viewers END AS ratio,
+      |  coalesce(purchases, 0) - coalesce(viewers, 0) AS net
+      |FROM grid g LEFT JOIN daily USING (day)""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_prod_trends", trends, Some(trendsSql)),
     Q("q_prod_funnel", funnel, Some(funnelSql)),
     Q("q_prod_funnel_time", funnelTime, Some(funnelTimeSql)),
     Q("q_prod_wau", wau, Some(wauSql)),

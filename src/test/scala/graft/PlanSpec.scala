@@ -458,6 +458,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "media search lost its broadcast query join:\n" + p.take(1500))
   }
 
+  test("round-11: trends formula is one conditional-agg pass, no Expand, no series self-join") {
+    val p = plan(SparkEntry.queries("q_prod_trends")(spark, sf))
+    // a SINGLE distinct column keeps two-phase distinct planning; a
+    // second distinct series would bring back the Expand+SortAggregate
+    // trap (the 75x q_agg_approx lesson) — add series as conditional
+    // aggregates, not new distincts
+    assert(!p.contains("Expand"), s"trends grew an Expand:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), s"trends plans a cartesian:\n${p.take(1500)}")
+    // the zero-fill grid is a 1-row aggregate exploded to days; it must
+    // broadcast onto the daily rollup, not shuffle it
+    assert(p.contains("BroadcastHashJoin"), s"grid join lost its broadcast:\n${p.take(1500)}")
+  }
+
   /** Queries whose partition-less window is PROVABLY bounded — input
     * is a preceding `limit`, a fixed grid, or a V-row dimension
     * aggregate, never the raw input — with the justification inline so
