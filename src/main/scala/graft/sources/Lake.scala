@@ -103,7 +103,11 @@ object Lake {
     * would stream these to its metrics sink from the listener itself).
     */
   def writeEventsObserved(events: DataFrame, path: String,
-      timeoutMs: Long = 30000): Row = {
+      timeoutMs: Long = 30000): Row =
+    observedWrite(events, path, mode = "append", timeoutMs)
+
+  private def observedWrite(events: DataFrame, path: String, mode: String,
+      timeoutMs: Long): Row = {
     val spark = events.sparkSession
     // the observation name is per-call unique: the listener is
     // session-global, so two concurrent ingests on one SparkSession
@@ -128,7 +132,7 @@ object Lake {
           approx_count_distinct(col("distinct_id")).as("n_approx_users"))
         .write
         .partitionBy(PartitionCol)
-        .mode("append")
+        .mode(mode)
         .parquet(path)
       val deadline = System.nanoTime() + timeoutMs * 1000000L
       while (metrics.isEmpty && System.nanoTime() < deadline) Thread.sleep(20)
@@ -187,5 +191,31 @@ object Lake {
           .partitionBy(PartitionCol)
           .mode("overwrite")
           .parquet(s"$path/epoch_id=$batchId")
+      }
+
+  /** [[streamWriter]] with per-epoch data-quality metrics — the
+    * streaming face of [[writeEventsObserved]]: every micro-batch's
+    * idempotent epoch write carries the same CollectMetrics
+    * observation (row count, missing distinct_id/timestamp, HLL user
+    * estimate) IN its sink pass, and the metrics row is handed to
+    * `onMetrics(batchId, row)` as each epoch commits. No second pass
+    * over the batch; at 100 TB monitoring stays free.
+    *
+    * The callback fires from the micro-batch thread AFTER the epoch's
+    * files are written but before the epoch commits to the checkpoint
+    * — so a crash between write and commit replays the epoch and the
+    * callback may observe the same batchId twice (at-least-once
+    * delivery, same as the sink's own overwrite-idempotency contract;
+    * keyed metric sinks dedupe on batchId).
+    */
+  def streamWriterObserved(events: DataFrame, path: String, checkpoint: String,
+      onMetrics: (Long, Row) => Unit): DataStreamWriter[Row] =
+    events.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val m = observedWrite(batch, s"$path/epoch_id=$batchId",
+          mode = "overwrite", timeoutMs = 30000)
+        onMetrics(batchId, m)
       }
 }

@@ -165,6 +165,34 @@ class LakeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Lake.readEvents(spark, dir).count() == 3)
   }
 
+  test("streaming epochs carry observed metrics: per-epoch counts delivered at commit") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("lake_obs_s").toString
+    val ckpt = Files.createTempDirectory("lake_obs_ck").toString
+    val events = canonical(
+      """{"event":"a","distinct_id":"d1","timestamp":"2024-03-01T00:00:00Z"}""",
+      """{"event":"b","distinct_id":"d2","timestamp":"2024-03-02T00:00:00Z"}""",
+      """{"event":"c","distinct_id":"d2"}""").collect()
+    val ms = MemoryStream[String]
+    ms.addData("tick")
+    val stream = ms.toDF().select(lit(1).as("tick"))
+      .crossJoin(spark.createDataFrame(spark.sparkContext.parallelize(events.toSeq),
+        canonical("""{"event":"x","distinct_id":"d"}""").schema))
+      .drop("tick")
+    val seen = scala.collection.concurrent.TrieMap.empty[Long, org.apache.spark.sql.Row]
+    Lake.streamWriterObserved(stream, dir, ckpt,
+      (id, m) => seen.put(id, m)).start().awaitTermination()
+    assert(seen.contains(0L), s"no metrics delivered for epoch 0: $seen")
+    val m = seen(0L)
+    assert(m.getAs[Long]("n_rows") == 3L)
+    assert(m.getAs[Long]("n_missing_ts") == 1L)
+    assert(m.getAs[Long]("n_approx_users") == 2L)
+    // and the epoch itself landed idempotently, like plain streamWriter
+    assert(Lake.readEvents(spark, dir).count() == 3)
+  }
+
   test("z-order rewrite clusters BOTH dimensions into tight per-file ranges") {
     import spark.implicits._
     // full 16x16 grid, one row per cell, shuffled arrival order
