@@ -147,6 +147,38 @@ object Streaming {
     * timers/TTL available). Shares [[Replay.applyUpdate]] with batch
     * replay and the fMGWS twin; StreamingSpec pins all three to agree.
     */
+  /** Fresh (never-folded) record for a key — the fold's identity. */
+  private[streaming] def emptyPerson(key: String): PersonRecord =
+    PersonRecord(key, -1L, 0L, Seq(key), Map.empty, Map.empty, Long.MaxValue)
+
+  /** ONE keyed-fold step: previous record + this micro-batch's ops
+    * (sorted by `ord` inside) → next record. The single definition
+    * shared by the fMGWS twin and both transformWithState processors
+    * (and, through [[Replay.applyUpdate]], batch replay), so the fold
+    * cannot drift between execution strategies.
+    */
+  private[streaming] def foldPersonOps(
+      prev: PersonRecord, rows: Iterator[PersonOp]): PersonRecord = {
+    val sorted = rows.toArray.sortBy(_.ord)
+    var props = prev.properties
+    var setOnce = prev.properties_set_once
+    var dids = prev.distinct_ids.toVector
+    var version = prev.version
+    var firstOrd = prev.first_ord
+    sorted.foreach { op =>
+      if (!dids.contains(op.raw_id)) dids :+= op.raw_id
+      // empty op = ensure_person: registration without a version bump
+      if (op.set.nonEmpty || op.set_once.nonEmpty || op.unset.nonEmpty) {
+        val r = Replay.applyUpdate(props, setOnce, op)
+        props = r._1; setOnce = r._2
+        version += 1
+      }
+      firstOrd = math.min(firstOrd, op.ord)
+    }
+    prev.copy(version = version, distinct_ids = dids.sorted,
+      properties = props, properties_set_once = setOnce, first_ord = firstOrd)
+  }
+
   class PersonStateProcessor extends StatefulProcessor[String, PersonOp, PersonRecord] {
     @transient private var state: ValueState[PersonRecord] = _
 
@@ -157,29 +189,57 @@ object Streaming {
     override def handleInputRows(
         key: String, rows: Iterator[PersonOp],
         timerValues: TimerValues): Iterator[PersonRecord] = {
-      val prev = Option(state.get()).getOrElse(
-        PersonRecord(key, -1L, 0L, Seq(key), Map.empty, Map.empty, Long.MaxValue))
-      val sorted = rows.toArray.sortBy(_.ord)
-      var props = prev.properties
-      var setOnce = prev.properties_set_once
-      var dids = prev.distinct_ids.toVector
-      var version = prev.version
-      var firstOrd = prev.first_ord
-      sorted.foreach { op =>
-        if (!dids.contains(op.raw_id)) dids :+= op.raw_id
-        // empty op = ensure_person: registration without a version bump
-        if (op.set.nonEmpty || op.set_once.nonEmpty || op.unset.nonEmpty) {
-          val r = Replay.applyUpdate(props, setOnce, op)
-          props = r._1; setOnce = r._2
-          version += 1
-        }
-        firstOrd = math.min(firstOrd, op.ord)
-      }
-      val next = prev.copy(version = version, distinct_ids = dids.sorted,
-        properties = props, properties_set_once = setOnce, first_ord = firstOrd)
+      val next = foldPersonOps(Option(state.get()).getOrElse(emptyPerson(key)), rows)
       state.update(next)
       Iterator.single(next)
     }
+  }
+
+  /** TTL-evicting person state with lake rehydration — the 100 TB
+    * keyed-state story made executable: RocksDB state is a CACHE over
+    * the authoritative person table checkpointed to the lake each
+    * epoch (the foreachBatch sink pattern), not the system of record.
+    * Keys idle past `ttl` age out of the store; when an evicted key is
+    * touched again the processor rehydrates its record through
+    * `rehydrate` (a lake point lookup — the spec binds it to the
+    * epoch-checkpointed table) and folds on top. State size therefore
+    * tracks the ACTIVE key set, not the all-time person count.
+    *
+    * Correctness is TTL-timing-independent: the lake holds exactly the
+    * fold prefix the state held when the key was last emitted, so
+    * rehydrate-then-fold equals the unbounded NONE-TTL fold whether or
+    * not eviction fired — StreamingSpec pins this equality and proves
+    * (via a rehydration counter) that eviction really did occur.
+    */
+  class PersonStateTtlProcessor(ttl: java.time.Duration,
+      rehydrate: String => Option[PersonRecord])
+      extends StatefulProcessor[String, PersonOp, PersonRecord] {
+    @transient private var state: ValueState[PersonRecord] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[PersonRecord](
+        "person", Encoders.product[PersonRecord],
+        org.apache.spark.sql.streaming.TTLConfig(ttl))
+
+    override def handleInputRows(
+        key: String, rows: Iterator[PersonOp],
+        timerValues: TimerValues): Iterator[PersonRecord] = {
+      val prev = Option(state.get()).orElse(rehydrate(key)).getOrElse(emptyPerson(key))
+      val next = foldPersonOps(prev, rows)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** [[PersonStateTtlProcessor]] wiring (TTL state requires
+    * processing-time mode).
+    */
+  def personStateTtl(ops: Dataset[PersonOp], ttl: java.time.Duration,
+      rehydrate: String => Option[PersonRecord]): Dataset[PersonRecord] = {
+    import ops.sparkSession.implicits._
+    ops.groupByKey(_.raw_id)
+      .transformWithState(new PersonStateTtlProcessor(ttl, rehydrate),
+        TimeMode.ProcessingTime(), OutputMode.Update())
   }
 
   /** Streaming flag decisions: the `/decide` read path over LIVE
@@ -432,26 +492,7 @@ object Streaming {
       .flatMapGroupsWithState[PersonRecord, PersonRecord](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (id: String, it: Iterator[PersonOp], state: GroupState[PersonRecord]) =>
-          val prev = state.getOption.getOrElse(
-            PersonRecord(id, -1L, 0L, Seq(id), Map.empty, Map.empty, Long.MaxValue))
-          val sorted = it.toArray.sortBy(_.ord)
-          var props = prev.properties
-          var setOnce = prev.properties_set_once
-          var dids = prev.distinct_ids.toVector
-          var version = prev.version
-          var firstOrd = prev.first_ord
-          sorted.foreach { op =>
-            if (!dids.contains(op.raw_id)) dids :+= op.raw_id
-            // empty op = ensure_person: registration without a version bump
-            if (op.set.nonEmpty || op.set_once.nonEmpty || op.unset.nonEmpty) {
-              val r = Replay.applyUpdate(props, setOnce, op)
-              props = r._1; setOnce = r._2
-              version += 1
-            }
-            firstOrd = math.min(firstOrd, op.ord)
-          }
-          val next = prev.copy(version = version, distinct_ids = dids.sorted,
-            properties = props, properties_set_once = setOnce, first_ord = firstOrd)
+          val next = foldPersonOps(state.getOption.getOrElse(emptyPerson(id)), it)
           state.update(next)
           Iterator.single(next)
       }

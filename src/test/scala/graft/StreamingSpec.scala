@@ -205,6 +205,72 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("TTL-evicted person state rehydrates from the lake and equals the unbounded fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the "lake": the authoritative person table, checkpointed from the
+    // sink each epoch; the rehydrate hook is a point lookup into it
+    val lake = scala.collection.concurrent.TrieMap.empty[String, graft.state.PersonRecord]
+    val rehydrations = spark.sparkContext.longAccumulator("rehydrations")
+    val ttl = java.time.Duration.ofMillis(300)
+    val ckpt = java.nio.file.Files.createTempDirectory("ttl_ckpt").toString
+    // One AvailableNow run per phase over a SHARED checkpoint — the
+    // restart shape. (A continuously-running processing-time TTL query
+    // schedules endless timer micro-batches, so processAllAvailable
+    // never settles; expiry is evaluated on state READ, so the restart
+    // form exercises exactly the same eviction path.)
+    val mem = MemoryStream[PersonOp] // shared: checkpoint offsets line up across runs
+    def runPhase(ops: Seq[PersonOp], committed: () => Boolean): Unit = {
+      mem.addData(ops: _*)
+      val q = Streaming.personStateTtl(mem.toDS(), ttl,
+          key => { val r = lake.get(key); if (r.isDefined) rehydrations.add(1); r })
+        .writeStream
+        .outputMode(OutputMode.Update())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.state.PersonRecord], _: Long) =>
+          b.collect().foreach(r => lake.put(r.canonical_id, r))
+        }
+        .start()
+      // processing-time timers keep the query alive past its data (TTL
+      // cleanup batches), so neither AvailableNow termination nor
+      // processAllAvailable settles — poll the lake for the commit
+      try {
+        val deadline = System.nanoTime() + 60L * 1000000000L
+        while (!committed() && System.nanoTime() < deadline) Thread.sleep(50)
+      } finally q.stop()
+      assert(committed(), "phase did not commit to the lake within 60s")
+    }
+    val phase1 = Seq(
+      PersonOp("u1", 1, Map("plan" -> "free"), Map("first" -> "a"), Nil, None),
+      PersonOp("u2", 2, Map("tier" -> "gold"), Map.empty, Nil, None))
+    val phase2 = Seq(
+      PersonOp("u1", 3, Map("plan" -> "pro"), Map("first" -> "b"), Nil, None),
+      PersonOp("u2", 4, Map.empty, Map.empty, Seq("tier"), None))
+    try {
+      runPhase(phase1, () => lake.size == 2)
+      // idle past the TTL so both keys' state values expire, then touch
+      // them again — the fold MUST go through the lake
+      Thread.sleep(ttl.toMillis * 4)
+      runPhase(phase2, () => lake.valuesIterator.forall(_.version == 2) && lake.size == 2)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert(rehydrations.value >= 2,
+      s"TTL never evicted (rehydrations=${rehydrations.value}) — the test proved nothing")
+    // final lake records == the unbounded batch fold over all ops
+    val expected = graft.state.Replay.persons(spark, (phase1 ++ phase2).toDS())
+      .collect().map(r => r.canonical_id -> r).toMap
+    assert(lake.keySet == expected.keySet)
+    lake.foreach { case (k, r) =>
+      val e = expected(k)
+      assert(r.version == e.version && r.properties == e.properties &&
+        r.properties_set_once == e.properties_set_once &&
+        r.distinct_ids == e.distinct_ids,
+        s"TTL+rehydrate fold diverged for $k: $r vs $e")
+    }
+  }
+
   test("stream-static dimension join: broadcast enrichment == batch join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
