@@ -628,8 +628,60 @@ object Product {
       |  coalesce(purchases, 0) - coalesce(viewers, 0) AS net
       |FROM grid g LEFT JOIN daily USING (day)""".stripMargin
 
+  /** Q-PROD-13: trends BREAKDOWN with top-N election — PostHog's
+    * "breakdown by property" insight, which never returns the raw
+    * breakdown cardinality: the top [[BreakdownTopK]] values by total
+    * volume keep their own series, everything else lumps into
+    * `$$_other`. The lump is the scale guard — a breakdown over a
+    * high-cardinality property (URL, UTM term) would otherwise emit
+    * millions of series.
+    *
+    * Shape at 100 TB: ONE events shuffle to the (day × value) rollup
+    * (map-side combined); the election runs over the value DIMENSION
+    * (`TakeOrderedAndProject`, k rows cross the network) and
+    * broadcasts back onto the rollup; the lump re-aggregate is
+    * dimension-sized. Raw events are touched exactly once.
+    */
+  val BreakdownTopK = 8
+
+  def breakdown(s: SparkSession, d: String): DataFrame = {
+    // the (day × value) rollup feeds BOTH the election and the final
+    // series — persist the dimension-sized table so the events scan
+    // happens once (static planning does not reuse the exchange here;
+    // Tables.releaseCaches reclaims the blocks after execution)
+    val rolled = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"),
+        get_json_object(col("props"), "$.k").as("bval"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top = rolled.groupBy(col("bval")).agg(sum(col("n")).as("total"))
+      .orderBy(col("total").desc, col("bval"))
+      .limit(BreakdownTopK)
+      .select(col("bval"), lit(true).as("kept"))
+    rolled.join(broadcast(top), Seq("bval"), "left")
+      .withColumn("series",
+        when(col("kept").isNotNull, col("bval")).otherwise(lit("$$_other")))
+      .groupBy(col("day"), col("series"))
+      .agg(sum(col("n")).as("n"))
+  }
+
+  val breakdownSql: String =
+    s"""WITH rolled AS (
+       |  SELECT CAST(ts AS DATE) AS day, json_extract_string(props, '$$.k') AS bval,
+       |    count(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |top AS (
+       |  SELECT bval FROM (
+       |    SELECT bval, sum(n) AS total FROM rolled GROUP BY 1
+       |    ORDER BY total DESC, bval LIMIT $BreakdownTopK))
+       |SELECT day,
+       |  CASE WHEN bval IN (SELECT bval FROM top) THEN bval ELSE '$$$$_other' END AS series,
+       |  sum(n)::BIGINT AS n
+       |FROM rolled GROUP BY 1, 2""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_prod_trends", trends, Some(trendsSql)),
+    Q("q_prod_breakdown", breakdown, Some(breakdownSql)),
     Q("q_prod_funnel", funnel, Some(funnelSql)),
     Q("q_prod_funnel_time", funnelTime, Some(funnelTimeSql)),
     Q("q_prod_wau", wau, Some(wauSql)),

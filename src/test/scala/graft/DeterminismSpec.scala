@@ -49,7 +49,10 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
         // identically regardless of parallelism (bucket offsets + within-
         // bucket ranks), and the rerank/frame floats are aggregate-fed
         "q_corpus_selection_curve", "q_text_pack", "q_win_frame",
-        "q_sim_rerank", "q_flag_power", "q_win_nth")) {
+        "q_sim_rerank", "q_flag_power", "q_win_nth",
+        // round-11: cross-modal cosine scores (dot/norm folds) and the
+        // trends ratio (count-fed division) are aggregate-fed floats
+        "q_media_search", "q_prod_trends")) {
       val a = runAt(2, q)
       val b = runAt(7, q)
       assert(a.nonEmpty, s"$q returned nothing")

@@ -471,6 +471,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), s"grid join lost its broadcast:\n${p.take(1500)}")
   }
 
+  test("round-11: breakdown election is bounded top-k, broadcast back, raw events scanned once") {
+    val p = plan(SparkEntry.queries("q_prod_breakdown")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N election lost its bounded form:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"elected set must broadcast onto the rollup:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), s"breakdown plans a cartesian:\n${p.take(1500)}")
+    // the raw events table feeds exactly one scan: the persisted
+    // dimension-sized rollup serves both the election and the series
+    assert(p.contains("InMemoryTableScan") || "Scan parquet".r.findAllIn(p).size <= 1,
+      s"breakdown rescans events:\n${p.take(2000)}")
+  }
+
   /** Queries whose partition-less window is PROVABLY bounded — input
     * is a preceding `limit`, a fixed grid, or a V-row dimension
     * aggregate, never the raw input — with the justification inline so
