@@ -74,6 +74,46 @@ object Product {
       |     + CASE WHEN s3.purchase_eid IS NOT NULL THEN 1 ELSE 0 END)::INT AS steps_reached
       |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin
 
+  /** Q-PROD-14: funnel TRENDS — PostHog's "conversion over time"
+    * insight: users cohorted by their funnel ENTRY day (the day of the
+    * first view that anchors their funnel), with per-cohort entry/step
+    * counts and the end-to-end conversion rate. The same per-user
+    * funnel table as [[funnel]] (one definition, cannot drift), joined
+    * to the user's entry day and rolled up to the day dimension.
+    *
+    * Shape at 100 TB: every stage is user-keyed (the funnel joins and
+    * the entry-day aggregate share the user hash partitioning); the
+    * final rollup is dimension-sized. `entered` ≥ 1 by construction
+    * (the cohort is defined by entry), so the rate division is safe
+    * under ANSI.
+    */
+  def funnelDaily(s: SparkSession, d: String): DataFrame = {
+    val entry = Tables.events(s, d)
+      .filter(col("event_type") === "view")
+      .groupBy(col("user_id"))
+      .agg(min_by(to_date(col("ts")), col("event_id")).as("day"))
+    funnel(s, d).join(entry, Seq("user_id"))
+      .groupBy(col("day"))
+      .agg(
+        count(lit(1)).as("entered"),
+        count(when(col("steps_reached") >= 2, 1)).as("clicked"),
+        count(when(col("steps_reached") === 3, 1)).as("converted"))
+      .withColumn("conversion",
+        col("converted").cast("double") / col("entered"))
+  }
+
+  val funnelDailySql: String =
+    s"""WITH f AS ($funnelSql),
+       |entry AS (
+       |  SELECT user_id, min_by(CAST(ts AS DATE), event_id) AS day
+       |  FROM events WHERE event_type = 'view' GROUP BY user_id)
+       |SELECT day, count(*)::BIGINT AS entered,
+       |  count(*) FILTER (WHERE steps_reached >= 2)::BIGINT AS clicked,
+       |  count(*) FILTER (WHERE steps_reached = 3)::BIGINT AS converted,
+       |  count(*) FILTER (WHERE steps_reached = 3)::DOUBLE / count(*) AS conversion
+       |FROM f JOIN entry USING (user_id)
+       |GROUP BY day""".stripMargin
+
   // ------------------------------------------------------------- retention
 
   private val WeekUs = 604800000000L // 7 days in microseconds
@@ -682,6 +722,7 @@ object Product {
   val all: Seq[Q] = Seq(
     Q("q_prod_trends", trends, Some(trendsSql)),
     Q("q_prod_breakdown", breakdown, Some(breakdownSql)),
+    Q("q_prod_funnel_daily", funnelDaily, Some(funnelDailySql)),
     Q("q_prod_funnel", funnel, Some(funnelSql)),
     Q("q_prod_funnel_time", funnelTime, Some(funnelTimeSql)),
     Q("q_prod_wau", wau, Some(wauSql)),

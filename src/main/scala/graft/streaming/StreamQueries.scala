@@ -13,6 +13,33 @@ import org.apache.spark.sql.functions._
   */
 object StreamQueries {
 
+  /** Q-STR-0: daily trends series, the incrementalizable form — see
+    * [[Streaming.trendsDaily]] (keyed dedup + one conditional rollup
+    * instead of a distinct aggregate; StreamingSpec pins MemoryStream
+    * parity). Unlike `q_prod_trends` there is no zero-fill grid: a
+    * live series emits only days with data.
+    */
+  def trends(s: SparkSession, d: String): DataFrame =
+    Streaming.trendsDaily(Tables.events(s, d))
+
+  val trendsSql: String =
+    """WITH u AS (
+      |  SELECT CAST(ts AS DATE) AS day, 'p' AS tag FROM events WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT day, 'v' AS tag FROM (
+      |    SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+      |    WHERE event_type = 'view')),
+      |r AS (
+      |  SELECT day,
+      |    count(*) FILTER (WHERE tag = 'p')::BIGINT AS purchases,
+      |    count(*) FILTER (WHERE tag = 'v')::BIGINT AS viewers
+      |  FROM u GROUP BY day)
+      |SELECT day, purchases, viewers,
+      |  CASE WHEN viewers = 0 THEN NULL
+      |       ELSE purchases::DOUBLE / viewers END AS ratio,
+      |  purchases - viewers AS net
+      |FROM r""".stripMargin
+
   /** Q-STR-1: tumbling 6h windows (epoch-aligned). */
   def tumbling(s: SparkSession, d: String): DataFrame =
     Streaming.tumblingCounts(Tables.events(s, d))
@@ -175,6 +202,7 @@ object StreamQueries {
   }
 
   val all: Seq[Q] = Seq(
+    Q("q_stream_trends", trends, Some(trendsSql)),
     Q("q_stream_tumbling", tumbling, Some(tumblingSql)),
     Q("q_stream_sliding", sliding, Some(slidingSql)),
     Q("q_stream_sessions", sessions, Some(sessionsSql)),

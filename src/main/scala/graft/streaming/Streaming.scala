@@ -60,6 +60,38 @@ object Streaming {
         unix_micros(col("session_window.end")).as("session_end_us"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Daily trends-with-formula, streaming form — the incremental twin
+    * of `q_prod_trends`' series: purchase count and DISTINCT viewer
+    * count per day, then formula arithmetic (A/B ratio, A−B net). A
+    * distinct AGGREGATE is not incrementalizable, so the distinct
+    * series is expressed as keyed dedup state + a plain count: raw
+    * purchase rows union the deduped (day, user) view rows, and ONE
+    * conditional rollup per day serves both series (the same
+    * no-multi-distinct shape as the batch query). The formula is
+    * stateless post-agg arithmetic.
+    *
+    * At scale the dedup runs `dropDuplicatesWithinWatermark` so key
+    * state evicts with the horizon (the [[dedupStream]] contract);
+    * parity tests run Complete mode over the unbounded form.
+    */
+  def trendsDaily(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(to_date(col("ts")).as("day"), lit("p").as("tag"))
+    val viewers = events.filter(col("event_type") === "view")
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .dropDuplicates("day", "user_id")
+      .select(col("day"), lit("v").as("tag"))
+    purchases.union(viewers)
+      .groupBy(col("day"))
+      .agg(
+        count(when(col("tag") === "p", 1)).as("purchases"),
+        count(when(col("tag") === "v", 1)).as("viewers"))
+      .withColumn("ratio",
+        when(col("viewers") === 0, lit(null).cast("double"))
+          .otherwise(col("purchases").cast("double") / col("viewers")))
+      .withColumn("net", col("purchases") - col("viewers"))
+  }
+
   /** Streaming exact dedup with watermark-bounded state: at-least-once
     * transports redeliver, and the reference's sink dedupes on event
     * `uuid` at the lake (K1's idempotence, `README.md` pipeline sink);

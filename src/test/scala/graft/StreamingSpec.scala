@@ -69,6 +69,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canon(streamed) == canon(batch))
   }
 
+  test("daily trends series (dedup + conditional rollup): stream == batch") {
+    import spark.implicits._
+    // the distinct-viewers series crosses batches: user 1 views in both
+    // micro-batches on the same day and must count ONCE
+    val streamed = runStream(Streaming.trendsDaily(_), OutputMode.Complete())
+    val batch = Streaming.trendsDaily((batch1 ++ batch2).toDF()).collect()
+    assert(canon(streamed) == canon(batch))
+    assert(batch.nonEmpty)
+    val d0 = batch.head // single fixture day
+    assert(d0.getLong(1) == 1L, s"purchases: $d0")  // one purchase event
+    assert(d0.getLong(2) == 2L, s"viewers: $d0")    // users 1,2 — dedup across batches
+  }
+
   test("session windows merge across micro-batches: stream == batch") {
     import spark.implicits._
     // complete mode re-emits the full session table each micro-batch;
