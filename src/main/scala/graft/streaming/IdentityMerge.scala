@@ -103,6 +103,14 @@ final class IdentityMergeState(
     */
   private var lastStateRows: Long = 0L
 
+  /** (ccMap, touchedSet) of the LAST committed epoch — the dimension
+    * that identifies which committed records that epoch changed, kept
+    * for [[saveDelta]]'s touched-records filter. Driver-resident and
+    * batch-dimension-bounded (the same collects processBatch already
+    * budget-gates).
+    */
+  private var lastDims: Option[(Map[String, String], Set[String])] = None
+
   /** Highest committed batch id (-1 = fresh state, nothing folded). */
   def committedEpoch: Long = synchronized(epoch)
 
@@ -288,6 +296,7 @@ final class IdentityMergeState(
       stateRdd.unpersist()
       stateRdd = next
       epoch = batchId
+      lastDims = Some((ccMap, touchedSet))
     } finally opsRdd.unpersist()
   }
 
@@ -328,6 +337,39 @@ final class IdentityMergeState(
     if (epoch >= 0)
       records.write.mode("overwrite").parquet(s"$dir/epoch=$epoch")
   }
+
+  /** Per-epoch DELTA snapshot — the lake-scale form of [[save]]: write
+    * only the records the last committed epoch TOUCHED (its folded
+    * components) to `dir/delta=N`, so the per-epoch write is bounded by
+    * the micro-batch's component set instead of the accumulated state.
+    * The first call into an empty `dir` (or a handle with no per-epoch
+    * dimension, e.g. straight after a restore) writes a full [[save]]
+    * base instead.
+    *
+    * Merged-AWAY records need no tombstones: the fold carries every
+    * absorbed id in the survivor's `distinct_ids`, so
+    * [[IdentityMergeState.restoreDeltas]] derives deletions — a record
+    * is dead iff a STRICTLY-LATER record of a different canonical id
+    * lists its canonical id among its `distinct_ids`. (A dead record's
+    * id can never become canonical again: ops on it resolve through the
+    * survivor's redirect from then on.) Periodic compaction = [[save]]
+    * (a fresh full base; later [[IdentityMergeState.restoreDeltas]]
+    * reads only deltas newer than the newest base), mirroring
+    * [[graft.sources.Lake.compact]].
+    */
+  def saveDelta(dir: String): Unit = synchronized {
+    if (epoch < 0) return
+    val hasBase = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .exists(f => f.getName.startsWith("epoch=") &&
+        new java.io.File(f, "_SUCCESS").exists())
+    lastDims match {
+      case Some((cm, ts)) if hasBase =>
+        records
+          .filter(r => ts.contains(cm.getOrElse(r.canonical_id, r.canonical_id)))
+          .write.mode("overwrite").parquet(s"$dir/delta=$epoch")
+      case _ => save(dir)
+    }
+  }
 }
 
 object IdentityMergeState {
@@ -359,6 +401,55 @@ object IdentityMergeState {
         math.ceil(st.lastStateRows.toDouble / st.StateRowsPerPartition).toInt)
       st.epoch = latest
     }
+    st
+  }
+
+  /** Rebuild a state handle from a BASE snapshot plus the per-epoch
+    * deltas [[IdentityMergeState.saveDelta]] wrote after it. Resolution
+    * is two set-level rules, both deterministic:
+    *
+    *   1. latest-writer-wins per canonical id (a touched record's newest
+    *      delta version supersedes older ones and the base);
+    *   2. merged-away deletion: drop a record iff a strictly-later
+    *      record of a DIFFERENT canonical id carries this record's
+    *      canonical id in `distinct_ids` (see [[IdentityMergeState.saveDelta]]'s
+    *      no-tombstone contract).
+    *
+    * Runs as a dimension-sized shuffle (persons, not events) once per
+    * recovery. Seeds the commit-width hints like [[restore]].
+    */
+  def restoreDeltas(spark: SparkSession, dir: String): IdentityMergeState = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val st = new IdentityMergeState(spark)
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    def committed(prefix: String): Seq[Long] = files.toSeq
+      .filter(f => f.getName.startsWith(prefix) && new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getName.stripPrefix(prefix).toLong)
+    val bases = committed("epoch=")
+    if (bases.isEmpty) return st // nothing committed → fresh handle
+    val base = bases.max
+    val deltas = committed("delta=").filter(_ > base).sorted
+    val all = (Seq(base -> s"$dir/epoch=$base") ++ deltas.map(n => n -> s"$dir/delta=$n"))
+      .map { case (n, p) => spark.read.parquet(p).withColumn("__e", lit(n)) }
+      .reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("canonical_id").orderBy(col("__e").desc)
+    val latest = all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val absorbed = latest.select(
+      explode(col("distinct_ids")).as("__id"),
+      col("canonical_id").as("__other"), col("__e").as("__oe"))
+      .filter(col("__id") =!= col("__other"))
+    val alive = latest.join(absorbed,
+      latest("canonical_id") === absorbed("__id") && absorbed("__oe") > latest("__e"),
+      "left_anti")
+    st.stateRdd = alive.drop("__e").as[PersonRecord]
+      .rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    st.lastStateRows = st.stateRdd.count()
+    st.statePartsHint = math.max(2,
+      math.ceil(st.lastStateRows.toDouble / st.StateRowsPerPartition).toInt)
+    st.epoch = (base +: deltas).max
     st
   }
 }

@@ -285,6 +285,40 @@ class IdentityMergeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(asComparable(streamed) == asComparable(batchPersons(all)))
   }
 
+  test("delta snapshots: base + per-epoch deltas restore the exact state; merged-away records die") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta").toString
+    val st = new IdentityMergeState(spark)
+    val b0 = Seq(
+      PersonOp("a", 1, Map("pa" -> "1"), Map.empty, Nil, None),
+      PersonOp("b", 2, Map("pb" -> "1"), Map.empty, Nil, None))
+    st.processBatch(b0.toDS(), 0L); st.saveDelta(dir) // empty dir → full base
+    val b1 = Seq(
+      PersonOp("b", 3, Map.empty, Map.empty, Nil, Some("a")), // merge b into a
+      PersonOp("c", 4, Map("pc" -> "1"), Map.empty, Nil, None))
+    st.processBatch(b1.toDS(), 1L); st.saveDelta(dir) // delta=1: survivor + c
+    val b2 = Seq(PersonOp("c", 5, Map("pc" -> "2"), Map.empty, Nil, None))
+    st.processBatch(b2.toDS(), 2L); st.saveDelta(dir) // delta=2: c only
+
+    // delta writes are TOUCHED-only, not full-state rewrites
+    assert(spark.read.parquet(s"$dir/delta=1").count() == 2)
+    assert(spark.read.parquet(s"$dir/delta=2").count() == 1)
+
+    val live = st.persons().collect().toSeq
+    st.close()
+    val st2 = IdentityMergeState.restoreDeltas(spark, dir)
+    assert(st2.committedEpoch == 2L)
+    val (rows, hint) = st2.sizeHints
+    assert(rows == 2L && hint >= 2, s"width hints not seeded: ($rows, $hint)")
+    val restored = st2.persons().collect().toSeq
+    st2.close()
+    // exact state: the merged pair survives as ONE record (b's base
+    // version superseded by rule 2), c carries its delta-2 update
+    assert(restored.size == 2, s"merged-away record resurrected: $restored")
+    assert(asComparable(restored) == asComparable(live))
+    assert(asComparable(restored) == asComparable(batchPersons(b0 ++ b1 ++ b2)))
+  }
+
   test("restore seeds the commit-width inputs from the restored size") {
     import spark.implicits._
     // Regression: restore() used to leave (lastStateRows=0, hint=2), so
