@@ -913,7 +913,78 @@ object TextOps {
        |FROM per, chi""".stripMargin
   }
 
+  // --------------------------------------------------- boilerplate removal
+
+  /** Sentence unit (tokens) and the doc-frequency threshold above which
+    * a sentence is corpus-boilerplate. 3-token units at ≥4 docs give a
+    * live hot set on the synthetic corpus; production tunes both (CCNet
+    * uses real line breaks; RefinedWeb drops lines in >k docs).
+    */
+  val BoilerplateUnit = 3
+  val BoilerplateMinDocs = 4
+
+  /** Q-TEXT-15: corpus-wide boilerplate removal WITH the rewrite — the
+    * RefinedWeb/CCNet line-dedup stage: chunk every document into
+    * fixed-size token "sentences", count each sentence's distinct-doc
+    * frequency corpus-wide, flag sentences above the threshold as
+    * boilerplate (nav bars, cookie banners — here, hot token runs),
+    * and emit the per-doc audit: sentence/removed counts, kept token
+    * count, and the fingerprint of the RECONSTRUCTED kept text (the
+    * rewrite output itself, order-preserved).
+    *
+    * Shape at 100 TB: the sentence rollup is map-side combined on the
+    * sentence key (one distinct column → two-phase planning, no
+    * Expand); the hot set is the boilerplate DIMENSION (tiny —
+    * broadcast-able, AQE decides); reconstruction shuffles each doc's
+    * compact (idx, sentence) rows once, keyed by doc. Raw text never
+    * shuffles twice.
+    */
+  def boilerplate(s: SparkSession, d: String): DataFrame = {
+    val u = BoilerplateUnit
+    val sents = Tables.par(Tables.documents(s, d))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0) // sequence(0,-1) guard; corpus has no empty docs
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), expr(s"(size(toks) + ${u - 1}) div $u - 1")),
+          f => concat_ws(" ", slice(col("toks"), f * u + 1, lit(u)))))
+          .as(Seq("idx", "sent")))
+    val hot = sents.groupBy(col("sent"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= BoilerplateMinDocs)
+      .select(col("sent"), lit(true).as("hot"))
+    sents.join(hot, Seq("sent"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_sentences"),
+        count(when(col("hot"), 1)).as("n_removed"),
+        coalesce(sum(when(col("hot").isNull, size(split(col("sent"), " ")))), lit(0))
+          .cast(LongType).as("n_tokens_kept"),
+        h60(concat_ws(" ", transform(
+          array_sort(collect_list(when(col("hot").isNull,
+            struct(col("idx"), col("sent"))))),
+          e => e.getField("sent")))).as("kept_fp"))
+  }
+
+  val boilerplateSql: String =
+    s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+       |s AS (
+       |  SELECT doc_id, f AS idx,
+       |    array_to_string(toks[f*$BoilerplateUnit+1:f*$BoilerplateUnit+$BoilerplateUnit], ' ') AS sent
+       |  FROM t, unnest(generate_series(0, (len(toks) + ${BoilerplateUnit - 1}) // $BoilerplateUnit - 1)) AS g(f)
+       |  WHERE len(toks) > 0),
+       |hot AS (
+       |  SELECT sent FROM (SELECT sent, count(DISTINCT doc_id) AS nd FROM s GROUP BY 1)
+       |  WHERE nd >= $BoilerplateMinDocs),
+       |m AS (SELECT s.*, s.sent IN (SELECT sent FROM hot) AS hot FROM s)
+       |SELECT doc_id, count(*)::BIGINT AS n_sentences,
+       |  count(*) FILTER (WHERE hot)::BIGINT AS n_removed,
+       |  coalesce(sum(CASE WHEN NOT hot THEN len(string_split(sent, ' ')) END), 0)::BIGINT AS n_tokens_kept,
+       |  ${h60Sql("coalesce(string_agg(sent, ' ' ORDER BY idx) FILTER (WHERE NOT hot), '')")} AS kept_fp
+       |FROM m GROUP BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_text_boilerplate", boilerplate, Some(boilerplateSql)),
     Q("q_text_stats", textStats, Some(textStatsSql)),
     Q("q_text_shuffle", shuffleShard, Some(shuffleShardSql)),
     Q("q_text_shard_audit", shardAudit, Some(shardAuditSql)),

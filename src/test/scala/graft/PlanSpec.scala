@@ -471,6 +471,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), s"grid join lost its broadcast:\n${p.take(1500)}")
   }
 
+  test("round-11: boilerplate removal — no Expand, no cartesian, partial aggregation") {
+    val p = plan(SparkEntry.queries("q_text_boilerplate")(spark, sf))
+    // one distinct column (doc per sentence) must keep two-phase
+    // distinct planning; the hot-set probe is an equi-join
+    assert(!p.contains("Expand"), s"boilerplate grew an Expand:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), s"boilerplate plans a cartesian:\n${p.take(1500)}")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"sentence rollup lost map-side partials:\n${p.take(1500)}")
+  }
+
   test("round-11: breakdown election is bounded top-k, broadcast back, raw events scanned once") {
     val p = plan(SparkEntry.queries("q_prod_breakdown")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),
