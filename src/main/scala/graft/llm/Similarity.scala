@@ -65,6 +65,61 @@ object Similarity {
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
        |  FROM scored) WHERE rank <= 10""".stripMargin
 
+  /** Q-SIM-16: max-inner-product search (MIPS) with the norm-
+    * augmentation reduction gate. Recommendation/retrieval scoring
+    * ranks by RAW inner product, which no metric index serves
+    * directly; the standard reduction (Bachrach et al., RecSys'14)
+    * augments each corpus vector to [x; √(M²−|x|²)] (M = max corpus
+    * norm) and each query to [q; 0], making augmented COSINE rank
+    * exactly like inner product — so every cosine index in this module
+    * (LSH, IVF, PQ) serves MIPS unchanged. The augmented cosine is
+    * ip/(M·|q|) (the query's extra coordinate is 0), a per-query
+    * monotone transform; the in-row `agree` gate pins rank-by-ip ==
+    * rank-by-augmented-cosine on every emitted row, which is the whole
+    * correctness content of the reduction.
+    *
+    * Shape at 100 TB: M is a 1-row aggregate broadcast onto the scan;
+    * queries broadcast; scoring is the same map-only vec_dot fold as
+    * [[topK]]; per-query top-k ranks keyed windows. The scale path —
+    * augmented vectors through LSH/IVF — reuses those serving plans.
+    */
+  def mips(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.par(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+    val m = e.agg(max(col("nrm")).as("m_nrm"))
+    val q = e.filter(col("vec_id") % 53 === 2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val wIp = Window.partitionBy("q_id").orderBy(col("ip").desc, col("vec_id"))
+    val wAug = Window.partitionBy("q_id").orderBy(col("aug_cos").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .crossJoin(broadcast(m))
+      .select(col("q_id"), col("vec_id"),
+        dot(col("embedding"), col("q_emb")).as("ip"),
+        (dot(col("embedding"), col("q_emb")) / (col("m_nrm") * col("q_nrm"))).as("aug_cos"))
+      .withColumn("rank", row_number().over(wIp))
+      .withColumn("rank_aug", row_number().over(wAug))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"), col("ip"), col("aug_cos"),
+        col("rank"), (col("rank") === col("rank_aug")).as("agree"))
+  }
+
+  val mipsSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, ${l2normSql("embedding")} AS nrm FROM embeddings),
+       |m AS (SELECT max(nrm) AS m_nrm FROM e),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id % 53 = 2),
+       |scored AS (
+       |  SELECT q_id, e.vec_id, ${dotSql("e.embedding", "q_emb")} AS ip,
+       |    ${dotSql("e.embedding", "q_emb")} / (m_nrm * q_nrm) AS aug_cos
+       |  FROM e JOIN q ON e.vec_id <> q_id, m),
+       |ranked AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY ip DESC, vec_id) AS rank,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY aug_cos DESC, vec_id) AS rank_aug
+       |  FROM scored)
+       |SELECT q_id, vec_id, ip, aug_cos, CAST(rank AS INT) AS rank,
+       |  rank = rank_aug AS agree
+       |FROM ranked WHERE rank <= 5""".stripMargin
+
   /** The 16-bit hyperplane code of an embedding column — shared by the
     * bucket query and the blocked-cosine dedup path ([[Dedup]]).
     */
@@ -782,6 +837,7 @@ object Similarity {
 
   val all: Seq[Q] = Seq(
     Q("q_sim_topk", topK, Some(topKSql)),
+    Q("q_sim_mips", mips, Some(mipsSql)),
     Q("q_sim_lsh", lshBuckets, Some(lshBucketsSql)),
     Q("q_sim_ivf", ivfAssign, Some(ivfAssignSql)),
     Q("q_sim_ivf_search", ivfSearch, Some(ivfSearchSql)),
