@@ -363,8 +363,87 @@ object Multimodal {
        |  FROM scored) WHERE rank <= 3""".stripMargin
   }
 
+  /** Per-frame signature row (stub codec output: the byte sum of the
+    * frame's slice — a real pipeline emits a perceptual hash or frame
+    * embedding from the same per-partition slot).
+    */
+  final case class FrameSig(doc_id: Long, frame_idx: Long, sig: Long)
+
+  /** Q-MEDIA-7: shot-boundary detection — the video segmentation pass a
+    * training pipeline runs before frame sampling: per-frame signatures
+    * from the (stub) codec, frame-to-frame jumps, and a boundary
+    * wherever a jump exceeds 2× the clip's mean jump. The verdict is
+    * ALL-INTEGER (`jump · n_jumps > 2 · Σjumps` — no division), so both
+    * engines agree bit-exactly.
+    *
+    * Shape at 100 TB: signature extraction is the map-only
+    * `mapPartitions` codec slot (payloads never shuffle — only the
+    * compact (doc, frame, sig) rows do); the lag window, the mean-jump
+    * window, and the final rollup ALL key on `doc_id`, so one
+    * doc-keyed exchange serves the whole query.
+    */
+  def mediaShots(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sigs = mediaTable(s, d).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val m = StubCodec.decode(r)
+          val stride = (m.n_bytes / m.n_frames).toInt
+          (0L until m.n_frames).map { f =>
+            val off = (f * stride).toInt
+            val end = math.min(off + stride, r.payload.length)
+            var sum = 0L
+            var i = off
+            while (i < end) { sum += (r.payload(i) & 0xffL); i += 1 }
+            FrameSig(r.doc_id, f, sum)
+          }
+        }
+      }.toDF()
+    val wLag = Window.partitionBy("doc_id").orderBy("frame_idx")
+    val wDoc = Window.partitionBy("doc_id")
+    sigs
+      .withColumn("jump", abs(col("sig") - lag(col("sig"), 1).over(wLag)))
+      .withColumn("n_jumps", count(col("jump")).over(wDoc))
+      .withColumn("sum_jumps", sum(col("jump")).over(wDoc))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        (lit(1L) + coalesce(
+          count(when(col("jump") * col("n_jumps") > lit(2) * col("sum_jumps"), 1)),
+          lit(0L))).as("n_shots"),
+        coalesce(max(col("jump")), lit(0L)).as("max_jump"))
+  }
+
+  val mediaShotsSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, text, len(text) AS nb, least(len(text) // 32 + 1, 16) AS nf
+      |  FROM documents),
+      |fr AS (
+      |  SELECT doc_id, f,
+      |    list_reduce(list_prepend(0, list_transform(
+      |      generate_series(f * (nb // nf) + 1, least(f * (nb // nf) + (nb // nf), nb)),
+      |      i -> ascii(substr(text, i, 1)))), (a, b) -> a + b) AS sig
+      |  FROM m, unnest(generate_series(0, nf - 1)) AS g(f)),
+      |d AS (
+      |  SELECT doc_id, f,
+      |    abs(sig - lag(sig) OVER (PARTITION BY doc_id ORDER BY f)) AS jump
+      |  FROM fr),
+      |t AS (
+      |  SELECT doc_id,
+      |    count(*)::BIGINT AS n_frames,
+      |    count(jump) AS n_jumps, sum(jump) AS sum_jumps,
+      |    coalesce(max(jump), 0)::BIGINT AS max_jump
+      |  FROM d GROUP BY 1),
+      |b AS (
+      |  SELECT d.doc_id, count(*) FILTER (WHERE d.jump * t.n_jumps > 2 * t.sum_jumps) AS nb
+      |  FROM d JOIN t USING (doc_id) WHERE d.jump IS NOT NULL GROUP BY 1)
+      |SELECT t.doc_id, t.n_frames, (1 + coalesce(b.nb, 0))::BIGINT AS n_shots, t.max_jump
+      |FROM t LEFT JOIN b USING (doc_id)""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_media_meta", mediaMeta, Some(mediaMetaSql)),
+    Q("q_media_shots", mediaShots, Some(mediaShotsSql)),
     Q("q_media_dedup", mediaDedup, Some(mediaDedupSql)),
     Q("q_media_resize", resize, Some(resizeSql)),
     Q("q_media_frames", frameSample, Some(frameSampleSql)),

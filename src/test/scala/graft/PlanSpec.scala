@@ -471,6 +471,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), s"grid join lost its broadcast:\n${p.take(1500)}")
   }
 
+  test("round-11: shot detection reuses ONE doc-keyed exchange for lag, mean-jump, and rollup") {
+    val p = plan(SparkEntry.queries("q_media_shots")(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"shots plan a cartesian:\n${p.take(1500)}")
+    // the lag window, the per-doc jump stats window, and the final
+    // aggregate all key on doc_id — a correct plan shuffles the compact
+    // signature rows exactly once
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"shots shuffle $exchanges times (want 1):\n${p.take(2000)}")
+  }
+
   test("round-11: boilerplate removal — no Expand, no cartesian, partial aggregation") {
     val p = plan(SparkEntry.queries("q_text_boilerplate")(spark, sf))
     // one distinct column (doc per sentence) must keep two-phase
