@@ -115,19 +115,34 @@ object Normalizer {
     *     unsupported compression label, broken stream, missing data=)
     *   - `unparseable`: body is not JSON an envelope can be read from
     */
+  /** The decode UDF marked NON-deterministic — semantics are identical
+    * (the function is pure); the marker is a Catalyst optimizer fence.
+    * [[deadLetters]]'s `reason` references the decoded envelope inside
+    * multiple CaseWhen branches AND a filter: a plain projection alias
+    * gets re-inlined by PushDownPredicates (the filter runs below the
+    * project, with the decode expression duplicated per branch — where
+    * codegen subexpression elimination does NOT hoist), so the
+    * once-per-row guarantee needs a boundary predicate pushdown cannot
+    * cross. IngestSpec pins one-UDF-in-the-optimized-plan.
+    */
+  private val decodeEnvelopeNdUdf =
+    udf((body: String, isForm: Boolean) => Codecs.normalizeEnvelope(body, isForm))
+      .asNondeterministic()
+
   def deadLetters(df: DataFrame, body: Column, isForm: Column = lit(false)): DataFrame = {
-    // `__dl_decoded` is referenced by TWO CaseWhen conditions below —
-    // conditionally-evaluated branches, so codegen subexpression
-    // elimination is not guaranteed to dedupe the decode UDF inside
-    // them. Materialize it behind a projection boundary instead (the
-    // same discipline as toCanonical's __m/__pm: the alias is non-cheap
-    // and multiply-referenced, so CollapseProject keeps the boundary
-    // and the decode runs once per row).
+    // `__dl_decoded` is referenced by two CaseWhen conditions and the
+    // reason filter. It materializes once per row behind a projection
+    // boundary the optimizer cannot collapse or push a predicate past
+    // (see [[decodeEnvelopeNdUdf]] — a deterministic alias gets
+    // re-inlined into the pushed-down filter).
+    val needs = isForm || body.startsWith("data=") ||
+      body.contains("\"data\"") || body.contains("\"compression")
     val decoded = col("__dl_decoded")
     val reason = when(body.isNull || length(trim(body)) === 0, "empty")
       .when(decoded.isNull, "undecodable")
       .when(itemsArray(decoded).isNull, "unparseable")
-    df.withColumn("__dl_decoded", decodeEnvelope(body, isForm))
+    df.withColumn("__dl_decoded",
+        when(needs, decodeEnvelopeNdUdf(body, isForm)).otherwise(body))
       .withColumn("reason", reason)
       .filter(col("reason").isNotNull)
       .drop("__dl_decoded")

@@ -694,7 +694,13 @@ object Product {
         get_json_object(col("props"), "$.k").as("bval"))
       .agg(count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val top = rolled.groupBy(col("bval")).agg(sum(col("n")).as("total"))
+    // NULL breakdown values never win a series: they can't match the
+    // election join anyway (null never equi-joins), and Spark's
+    // tie-break sorts nulls FIRST while DuckDB's ORDER BY sorts them
+    // LAST — leaving NULL in the election would waste a top-K slot and
+    // diverge from the oracle on an exact tie at the boundary.
+    val top = rolled.filter(col("bval").isNotNull)
+      .groupBy(col("bval")).agg(sum(col("n")).as("total"))
       .orderBy(col("total").desc, col("bval"))
       .limit(BreakdownTopK)
       .select(col("bval"), lit(true).as("kept"))
@@ -712,7 +718,7 @@ object Product {
        |  FROM events GROUP BY 1, 2),
        |top AS (
        |  SELECT bval FROM (
-       |    SELECT bval, sum(n) AS total FROM rolled GROUP BY 1
+       |    SELECT bval, sum(n) AS total FROM rolled WHERE bval IS NOT NULL GROUP BY 1
        |    ORDER BY total DESC, bval LIMIT $BreakdownTopK))
        |SELECT day,
        |  CASE WHEN bval IN (SELECT bval FROM top) THEN bval ELSE '$$$$_other' END AS series,

@@ -359,11 +359,22 @@ final class IdentityMergeState(
     */
   def saveDelta(dir: String): Unit = synchronized {
     if (epoch < 0) return
-    val hasBase = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .exists(f => f.getName.startsWith("epoch=") &&
-        new java.io.File(f, "_SUCCESS").exists())
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    def committed(prefix: String): Seq[Long] = files.toSeq
+      .filter(f => f.getName.startsWith(prefix) && new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getName.stripPrefix(prefix).toLong)
+    val bases = committed("epoch=")
+    // CONTIGUITY GUARD: `lastDims` describes ONLY the last committed
+    // epoch's touched set, so a delta write is valid solely when the
+    // dir already holds every epoch before this one (newest committed
+    // snapshot == epoch−1; == epoch for an idempotent re-save). Any
+    // gap — saveDelta skipped for an epoch, a restored handle, a dir
+    // this handle never wrote — would silently LOSE the unsaved
+    // epochs' changes on restore, so it falls back to a full [[save]]
+    // base instead (which is also how periodic compaction happens).
+    val newest = (bases ++ committed("delta=")).foldLeft(-1L)(math.max)
     lastDims match {
-      case Some((cm, ts)) if hasBase =>
+      case Some((cm, ts)) if bases.nonEmpty && (newest == epoch - 1 || newest == epoch) =>
         records
           .filter(r => ts.contains(cm.getOrElse(r.canonical_id, r.canonical_id)))
           .write.mode("overwrite").parquet(s"$dir/delta=$epoch")

@@ -237,11 +237,20 @@ object Streaming {
     * epoch-checkpointed table) and folds on top. State size therefore
     * tracks the ACTIVE key set, not the all-time person count.
     *
-    * Correctness is TTL-timing-independent: the lake holds exactly the
-    * fold prefix the state held when the key was last emitted, so
-    * rehydrate-then-fold equals the unbounded NONE-TTL fold whether or
-    * not eviction fired — StreamingSpec pins this equality and proves
-    * (via a rehydration counter) that eviction really did occur.
+    * Correctness is TTL-timing-independent — PROVIDED `rehydrate`
+    * reads the snapshot as of the last COMMITTED checkpoint epoch, not
+    * merely "the latest write": a foreachBatch sink is at-least-once,
+    * so after a crash between the lake write and the checkpoint commit
+    * the replayed epoch would otherwise fold its ops a second time on
+    * top of a lake record that already contains them (double-counted
+    * `version`). Epoch-keyed snapshots ([[IdentityMergeState.save]]'s
+    * `epoch=N` layout, restored to the checkpoint's epoch) satisfy the
+    * precondition; the spec's in-memory table stands in for that
+    * epoch-consistent read. Under that precondition the lake holds
+    * exactly the fold prefix the state held, so rehydrate-then-fold
+    * equals the unbounded NONE-TTL fold whether or not eviction fired —
+    * StreamingSpec pins the equality and proves (via a rehydration
+    * counter) that eviction really did occur.
     */
   class PersonStateTtlProcessor(ttl: java.time.Duration,
       rehydrate: String => Option[PersonRecord])

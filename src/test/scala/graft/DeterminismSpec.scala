@@ -52,7 +52,8 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
         "q_sim_rerank", "q_flag_power", "q_win_nth",
         // round-11: cross-modal cosine scores (dot/norm folds) and the
         // trends ratio (count-fed division) are aggregate-fed floats
-        "q_media_search", "q_prod_trends", "q_prod_funnel_daily", "q_sim_mips")) {
+        "q_media_search", "q_prod_trends", "q_prod_funnel_daily", "q_sim_mips",
+        "q_stream_trends")) {
       val a = runAt(2, q)
       val b = runAt(7, q)
       assert(a.nonEmpty, s"$q returned nothing")

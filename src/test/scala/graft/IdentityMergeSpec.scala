@@ -319,6 +319,34 @@ class IdentityMergeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(asComparable(restored) == asComparable(batchPersons(b0 ++ b1 ++ b2)))
   }
 
+  test("delta snapshots: a skipped epoch forces a full base, never a silent gap") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_gap").toString
+    val st = new IdentityMergeState(spark)
+    st.processBatch(Seq(
+      PersonOp("a", 1, Map("pa" -> "1"), Map.empty, Nil, None)).toDS(), 0L)
+    st.saveDelta(dir) // base epoch=0
+    // epoch 1 committed but NOT saved — its change must not be lost
+    st.processBatch(Seq(
+      PersonOp("b", 2, Map("pb" -> "1"), Map.empty, Nil, None)).toDS(), 1L)
+    st.processBatch(Seq(
+      PersonOp("a", 3, Map("pa" -> "2"), Map.empty, Nil, None)).toDS(), 2L)
+    st.saveDelta(dir) // newest committed snapshot is 0, epoch is 2 → gap
+    // the guard must have written a FULL base, not delta=2 (which would
+    // silently drop b — epoch 1's only record — on restore)
+    assert(new java.io.File(s"$dir/epoch=2/_SUCCESS").exists(),
+      "gap did not force a full base")
+    assert(!new java.io.File(s"$dir/delta=2").exists(),
+      "delta written across a snapshot gap")
+    val live = st.persons().collect().toSeq
+    st.close()
+    val st2 = IdentityMergeState.restoreDeltas(spark, dir)
+    val restored = st2.persons().collect().toSeq
+    st2.close()
+    assert(asComparable(restored) == asComparable(live))
+    assert(restored.exists(_.canonical_id == "b"), "epoch-1 record lost across the gap")
+  }
+
   test("restore seeds the commit-width inputs from the restored size") {
     import spark.implicits._
     // Regression: restore() used to leave (lastStateRows=0, hint=2), so

@@ -348,6 +348,32 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
       "d399ee7220448ae3e41d547804291b39302cedc7")
   }
 
+  test("dead letters: the decode UDF appears ONCE in the optimized plan (pushdown-proof)") {
+    import spark.implicits._
+    // A deterministic decode alias gets re-inlined by PushDownPredicates
+    // into the reason filter — one decode PER CaseWhen branch per row
+    // (the q_ingest_dead r10 slow-mode suspect). The nondeterministic
+    // fence must keep exactly one UDF call site in the whole plan.
+    // repartition blocks ConvertToLocalRelation from evaluating the
+    // whole tiny plan at optimization time
+    val df = Seq(
+      """{"event":"ok","distinct_id":"d"}""",
+      "data=!!!bad~base64&compression=br", "   ", "@@not-json").toDF("body")
+      .repartition(2)
+    val plan = Normalizer.deadLetters(df, col("body"))
+      .queryExecution.optimizedPlan.toString
+    val udfSites = "UDF".r.findAllIn(plan).size
+    assert(udfSites == 1, s"decode UDF inlined $udfSites times:\n$plan")
+    // semantics unchanged: reasons classify as before
+    val got = Normalizer.deadLetters(df, col("body"))
+      .select(col("body"), col("reason")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("   ") == "empty")
+    assert(got("data=!!!bad~base64&compression=br") == "undecodable")
+    assert(got("@@not-json") == "unparseable")
+    assert(!got.contains("""{"event":"ok","distinct_id":"d"}"""))
+  }
+
   test("deterministic uuid shape + stability") {
     import spark.implicits._
     val df = Seq("x").toDF("s")
