@@ -347,6 +347,40 @@ class IdentityMergeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(restored.exists(_.canonical_id == "b"), "epoch-1 record lost across the gap")
   }
 
+  test("delta snapshots fuzz: randomized merge streams, saveDelta every epoch, restore == live (3 seeds)") {
+    import spark.implicits._
+    // the tombstone-free deletion rule under adversarial merge orders:
+    // chained aliases, merges of already-merged records, re-touches of
+    // absorbed ids — after every epoch's delta the restored state must
+    // equal the live state exactly
+    for (seed <- Seq(13, 29, 61)) {
+      val rnd = new scala.util.Random(seed)
+      val ids = (1 to 4).map("u" + _) ++ (1 to 4).map("anon-" + _)
+      val keys = Seq("a", "b", "c")
+      val ops = (1 to 60).map { ord =>
+        val raw = ids(rnd.nextInt(ids.size))
+        val set = if (rnd.nextBoolean()) Map(keys(rnd.nextInt(3)) -> ord.toString) else Map.empty[String, String]
+        val alias = if (rnd.nextInt(4) == 0) {
+          val a = ids(rnd.nextInt(ids.size)); if (a == raw) None else Some(a)
+        } else None
+        PersonOp(raw, ord.toLong, set, Map.empty, Nil, alias)
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_delta_fz$seed").toString
+      val st = new IdentityMergeState(spark)
+      ops.grouped(15).zipWithIndex.foreach { case (chunk, i) =>
+        st.processBatch(chunk.toSeq.toDS(), i.toLong)
+        st.saveDelta(dir)
+      }
+      val live = st.persons().collect().toSeq
+      st.close()
+      val st2 = IdentityMergeState.restoreDeltas(spark, dir)
+      val restored = st2.persons().collect().toSeq
+      st2.close()
+      assert(asComparable(restored) == asComparable(live), s"delta restore diverged at seed $seed")
+      assert(asComparable(restored) == asComparable(batchPersons(ops)), s"vs batch at seed $seed")
+    }
+  }
+
   test("restore seeds the commit-width inputs from the restored size") {
     import spark.implicits._
     // Regression: restore() used to leave (lastStateRows=0, hint=2), so
