@@ -67,11 +67,19 @@ object Normalizer {
     * substring gates, no JSON parse); the JSON hot path passes through
     * untouched inside whole-stage codegen.
     */
-  def decodeEnvelope(body: Column, isForm: Column = lit(false)): Column = {
-    val needs = isForm || body.startsWith("data=") ||
+  /** THE envelope-marker gate — the one definition of "this body may
+    * need the decode UDF", shared by [[decodeEnvelope]] and
+    * [[deadLetters]] so the ingest path and the reject-stream
+    * classifier cannot drift (a marker added to one but not the other
+    * would ingest a payload while also quarantining it).
+    */
+  private def needsEnvelopeDecode(body: Column, isForm: Column): Column =
+    isForm || body.startsWith("data=") ||
       body.contains("\"data\"") || body.contains("\"compression")
-    when(needs, Codecs.normalizeEnvelopeUdf(body, isForm)).otherwise(body)
-  }
+
+  def decodeEnvelope(body: Column, isForm: Column = lit(false)): Column =
+    when(needsEnvelopeDecode(body, isForm), Codecs.normalizeEnvelopeUdf(body, isForm))
+      .otherwise(body)
 
   // ------------------------------------------------- S4/S5: item explode
 
@@ -125,9 +133,7 @@ object Normalizer {
     * once-per-row guarantee needs a boundary predicate pushdown cannot
     * cross. IngestSpec pins one-UDF-in-the-optimized-plan.
     */
-  private val decodeEnvelopeNdUdf =
-    udf((body: String, isForm: Boolean) => Codecs.normalizeEnvelope(body, isForm))
-      .asNondeterministic()
+  private val decodeEnvelopeNdUdf = Codecs.normalizeEnvelopeUdf.asNondeterministic()
 
   def deadLetters(df: DataFrame, body: Column, isForm: Column = lit(false)): DataFrame = {
     // `__dl_decoded` is referenced by two CaseWhen conditions and the
@@ -135,8 +141,7 @@ object Normalizer {
     // boundary the optimizer cannot collapse or push a predicate past
     // (see [[decodeEnvelopeNdUdf]] — a deterministic alias gets
     // re-inlined into the pushed-down filter).
-    val needs = isForm || body.startsWith("data=") ||
-      body.contains("\"data\"") || body.contains("\"compression")
+    val needs = needsEnvelopeDecode(body, isForm)
     val decoded = col("__dl_decoded")
     val reason = when(body.isNull || length(trim(body)) === 0, "empty")
       .when(decoded.isNull, "undecodable")

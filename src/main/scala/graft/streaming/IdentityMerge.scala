@@ -111,6 +111,16 @@ final class IdentityMergeState(
     */
   private var lastDims: Option[(Map[String, String], Set[String])] = None
 
+  /** (dir, epoch) of this handle's last snapshot write (or the restore
+    * point, which validated the dir's lineage) — the handle-local
+    * authority [[saveDelta]]'s contiguity guard requires IN ADDITION to
+    * the dir scan: epoch numbers alone cannot distinguish "I wrote
+    * epoch N−1 here" from a FOREIGN run's dir whose numbering happens
+    * to collide, and chaining a delta onto another run's base would
+    * merge two unrelated states on restore.
+    */
+  private var lastSaved: Option[(String, Long)] = None
+
   /** Highest committed batch id (-1 = fresh state, nothing folded). */
   def committedEpoch: Long = synchronized(epoch)
 
@@ -334,8 +344,10 @@ final class IdentityMergeState(
     * compaction then mirrors [[graft.sources.Lake]]).
     */
   def save(dir: String): Unit = synchronized {
-    if (epoch >= 0)
+    if (epoch >= 0) {
       records.write.mode("overwrite").parquet(s"$dir/epoch=$epoch")
+      lastSaved = Some((dir, epoch))
+    }
   }
 
   /** Per-epoch DELTA snapshot — the lake-scale form of [[save]]: write
@@ -359,31 +371,47 @@ final class IdentityMergeState(
     */
   def saveDelta(dir: String): Unit = synchronized {
     if (epoch < 0) return
-    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-    def committed(prefix: String): Seq[Long] = files.toSeq
-      .filter(f => f.getName.startsWith(prefix) && new java.io.File(f, "_SUCCESS").exists())
-      .map(_.getName.stripPrefix(prefix).toLong)
-    val bases = committed("epoch=")
     // CONTIGUITY GUARD: `lastDims` describes ONLY the last committed
-    // epoch's touched set, so a delta write is valid solely when the
-    // dir already holds every epoch before this one (newest committed
-    // snapshot == epoch−1; == epoch for an idempotent re-save). Any
-    // gap — saveDelta skipped for an epoch, a restored handle, a dir
-    // this handle never wrote — would silently LOSE the unsaved
-    // epochs' changes on restore, so it falls back to a full [[save]]
+    // epoch's touched set, so a delta write is valid solely when (a)
+    // THIS handle's last write (or validated restore point) is this
+    // dir at epoch−1 (== epoch for an idempotent re-save) — epoch
+    // numbers in a foreign run's dir can collide, and chaining a delta
+    // onto another run's base would merge unrelated states — and (b)
+    // the dir scan agrees (a base exists, newest committed snapshot is
+    // epoch−1/epoch). Any gap — saveDelta skipped for an epoch, an
+    // unvalidated dir, a lost write — falls back to a full [[save]]
     // base instead (which is also how periodic compaction happens).
-    val newest = (bases ++ committed("delta=")).foldLeft(-1L)(math.max)
+    val bases = IdentityMergeState.committedSnapshots(dir, "epoch=")
+    val newest = (bases ++ IdentityMergeState.committedSnapshots(dir, "delta="))
+      .foldLeft(-1L)(math.max)
+    val ownLineage = lastSaved.exists { case (d, e) =>
+      d == dir && (e == epoch - 1 || e == epoch)
+    }
     lastDims match {
-      case Some((cm, ts)) if bases.nonEmpty && (newest == epoch - 1 || newest == epoch) =>
+      case Some((cm, ts)) if ownLineage && bases.nonEmpty &&
+          (newest == epoch - 1 || newest == epoch) =>
         records
           .filter(r => ts.contains(cm.getOrElse(r.canonical_id, r.canonical_id)))
           .write.mode("overwrite").parquet(s"$dir/delta=$epoch")
+        lastSaved = Some((dir, epoch))
       case _ => save(dir)
     }
   }
 }
 
 object IdentityMergeState {
+
+  /** The one parser of the snapshot layout (`epoch=N` / `delta=N` dirs
+    * committed by a `_SUCCESS` marker) — shared by the writer's
+    * contiguity guard and both recovery paths so the layout convention
+    * cannot desynchronize between them. Non-numeric suffixes (stray
+    * entries) are ignored rather than thrown on.
+    */
+  private[streaming] def committedSnapshots(dir: String, prefix: String): Seq[Long] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.getName.startsWith(prefix) &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .flatMap(f => f.getName.stripPrefix(prefix).toLongOption)
 
   /** Rebuild a state handle from the newest committed snapshot under
     * `dir` (empty/missing dir → a fresh handle at epoch -1). This is
@@ -393,10 +421,7 @@ object IdentityMergeState {
   def restore(spark: SparkSession, dir: String): IdentityMergeState = {
     import spark.implicits._
     val st = new IdentityMergeState(spark)
-    val epochs = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("epoch=") &&
-        new java.io.File(f, "_SUCCESS").exists())
-      .map(_.getName.stripPrefix("epoch=").toLong)
+    val epochs = committedSnapshots(dir, "epoch=")
     if (epochs.nonEmpty) {
       val latest = epochs.max
       st.stateRdd = spark.read.parquet(s"$dir/epoch=$latest").as[PersonRecord]
@@ -411,6 +436,9 @@ object IdentityMergeState {
       st.statePartsHint = math.max(2,
         math.ceil(st.lastStateRows.toDouble / st.StateRowsPerPartition).toInt)
       st.epoch = latest
+      // the restore validated this dir's lineage up to `latest`, so
+      // subsequent saveDelta calls may chain deltas onto it
+      st.lastSaved = Some((dir, latest))
     }
     st
   }
@@ -433,14 +461,10 @@ object IdentityMergeState {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val st = new IdentityMergeState(spark)
-    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-    def committed(prefix: String): Seq[Long] = files.toSeq
-      .filter(f => f.getName.startsWith(prefix) && new java.io.File(f, "_SUCCESS").exists())
-      .map(_.getName.stripPrefix(prefix).toLong)
-    val bases = committed("epoch=")
+    val bases = committedSnapshots(dir, "epoch=")
     if (bases.isEmpty) return st // nothing committed → fresh handle
     val base = bases.max
-    val deltas = committed("delta=").filter(_ > base).sorted
+    val deltas = committedSnapshots(dir, "delta=").filter(_ > base).sorted
     val all = (Seq(base -> s"$dir/epoch=$base") ++ deltas.map(n => n -> s"$dir/delta=$n"))
       .map { case (n, p) => spark.read.parquet(p).withColumn("__e", lit(n)) }
       .reduce(_ unionByName _)
@@ -461,6 +485,7 @@ object IdentityMergeState {
     st.statePartsHint = math.max(2,
       math.ceil(st.lastStateRows.toDouble / st.StateRowsPerPartition).toInt)
     st.epoch = (base +: deltas).max
+    st.lastSaved = Some((dir, st.epoch)) // validated lineage: deltas may chain
     st
   }
 }

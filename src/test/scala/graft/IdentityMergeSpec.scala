@@ -347,6 +347,39 @@ class IdentityMergeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(restored.exists(_.canonical_id == "b"), "epoch-1 record lost across the gap")
   }
 
+  test("delta snapshots: a foreign dir with colliding epoch numbers gets a full base, never a chained delta") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_foreign").toString
+    // a PREVIOUS run left a base at epoch=0 holding person "old"
+    val prev = new IdentityMergeState(spark)
+    prev.processBatch(Seq(
+      PersonOp("old", 1, Map("po" -> "1"), Map.empty, Nil, None)).toDS(), 0L)
+    prev.save(dir)
+    prev.close()
+    // a NEW run (batch ids restarting at 0) reuses the dir: its epoch
+    // numbering collides with the foreign base, but the handle never
+    // wrote/validated this dir — chaining delta=1 onto the foreign
+    // epoch=0 would merge two unrelated states on restore
+    val st = new IdentityMergeState(spark)
+    st.processBatch(Seq(
+      PersonOp("new0", 1, Map("pn" -> "0"), Map.empty, Nil, None)).toDS(), 0L)
+    st.processBatch(Seq(
+      PersonOp("new1", 2, Map("pn" -> "1"), Map.empty, Nil, None)).toDS(), 1L)
+    st.saveDelta(dir) // newest committed (0) == epoch-1 — but FOREIGN
+    assert(!new java.io.File(s"$dir/delta=1").exists(),
+      "delta chained onto a foreign run's base")
+    assert(new java.io.File(s"$dir/epoch=1/_SUCCESS").exists(),
+      "foreign dir did not force a full base")
+    val live = st.persons().collect().toSeq
+    st.close()
+    val st2 = IdentityMergeState.restoreDeltas(spark, dir)
+    val restored = st2.persons().collect().toSeq
+    st2.close()
+    // the new base shadows the foreign one: no "old" resurrected
+    assert(asComparable(restored) == asComparable(live))
+    assert(!restored.exists(_.canonical_id == "old"), s"foreign state leaked: $restored")
+  }
+
   test("delta snapshots fuzz: randomized merge streams, saveDelta every epoch, restore == live (3 seeds)") {
     import spark.implicits._
     // the tombstone-free deletion rule under adversarial merge orders:
