@@ -217,6 +217,39 @@ object Relational {
         tsUs(col("next_ts")).as("next_error_us"))
   }
 
+  /** Max staleness for the tolerance as-of join: 24 hours in micros. */
+  val AsOfToleranceUs: Long = 86400000000L
+
+  /** Q-JOIN-5c: as-of join WITH a staleness tolerance — the
+    * feature-store / pandas `merge_asof(tolerance=...)` variant: each
+    * purchase takes the most recent signup at-or-before it, but a match
+    * older than [[AsOfToleranceUs]] is DISCARDED (a feature that stale
+    * is worse than no feature — the label-leakage-safe point-in-time
+    * join's freshness guard). Emits both the raw staleness (`lag_us`,
+    * null when the user never signed up before) and the
+    * tolerance-gated match, so no-match and stale-match stay
+    * distinguishable.
+    *
+    * Same single-shuffle discipline as [[joinAsOf]]: one user-keyed
+    * window, the tolerance applied as a post-window column — never a
+    * range join.
+    */
+  def joinAsOfTol(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.select(
+        col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "signup", col("ts")).as("sig_ts"))
+      .withColumn("asof_ts", last("sig_ts", ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("lag_us", tsUs(col("ts")) - tsUs(col("asof_ts")))
+      .select(col("event_id"), col("user_id"), tsUs(col("ts")).as("ts_us"),
+        col("lag_us"),
+        when(col("lag_us") <= AsOfToleranceUs, tsUs(col("asof_ts")))
+          .as("asof_signup_in_tol_us"))
+  }
+
   // ----------------------------------------------------------- aggregation
 
   /** Q-AGG-1: events per type per day — count/sum/avg/min/max. Exact
@@ -1200,6 +1233,16 @@ object Relational {
         |    WHERE x.user_id = e.user_id AND x.event_type = 'error'
         |      AND (x.ts > e.ts OR (x.ts = e.ts AND x.event_id > e.event_id))) AS next_error_us
         |FROM events e WHERE e.event_type = 'purchase'""".stripMargin)),
+    Q("q_join_asof_tol", joinAsOfTol, Some(
+      s"""WITH base AS (
+         |  SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+         |    (SELECT epoch_us(max(s.ts)) FROM events s
+         |      WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+         |        AND (s.ts < e.ts OR (s.ts = e.ts AND s.event_id <= e.event_id))) AS asof_us
+         |  FROM events e WHERE e.event_type = 'purchase')
+         |SELECT event_id, user_id, ts_us, ts_us - asof_us AS lag_us,
+         |  CASE WHEN ts_us - asof_us <= $AsOfToleranceUs THEN asof_us END AS asof_signup_in_tol_us
+         |FROM base""".stripMargin)),
     Q("q_agg_daily", aggDaily, Some(
       """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
