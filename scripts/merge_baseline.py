@@ -57,6 +57,18 @@ def main(out, sources):
     base["queries_max"] = {q: round(t, 3) for q, t in sorted(observed_max.items())}
     base["value"] = round(sum(base["queries"].values()), 3)
     base["merged_from_runs"] = len(runs)
+    # carry each folded run's contention forensics (loadavg spans, pass
+    # wall timestamps, run total) so a drifted round total is
+    # attributable to the box at a glance; inputs that were themselves
+    # merged baselines contribute their accumulated log
+    runs_env = []
+    for s, r in zip(sources, runs):
+        runs_env.extend(r.get("runs_env", []))
+        if "env" in r:
+            runs_env.append({"source": s, "total": r.get("value"), "env": r["env"]})
+    if runs_env:
+        base.pop("env", None)  # the merge is not one run; per-run only
+        base["runs_env"] = runs_env
     with open(out, "w") as f:
         json.dump(base, f, indent=1, sort_keys=True)
     print(f"wrote {out}: {len(merged)} queries, total {base['value']}s "

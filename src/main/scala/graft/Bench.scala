@@ -65,9 +65,25 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.contains)))
+    // 1-PASS TIER: the labeled brute/exact baselines. Their blocked
+    // twins (LSH/IVF/banded) are the scale path and keep the 3-pass
+    // fastest-gate; a brute baseline exists to audit its twin in-row,
+    // so one timing observation suffices — the suite is 191 queries ×
+    // 3 passes of real wall-clock and grows ~10/round. Tiered queries
+    // run in the FINAL pass only (warmest JVM: their single run is
+    // still their own codegen-cold run, but Spark-internal JIT is
+    // done), and their single observation feeds median/fastest alike.
+    val onePass = Set(
+      "q_dedup_cosine", "q_sim_quant", "q_sim_binary", "q_sim_mips", "q_sim_topk")
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      catch { case _: Throwable => "" }
+    val passLog = scala.collection.mutable.ArrayBuffer.empty[String]
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val byPass: Seq[Seq[(String, Double)]] = (1 to passes).map { pass =>
-      names.map { name =>
+      val started = System.currentTimeMillis()
+      val la0 = loadavg()
+      val timed = names.filter(n => pass == passes || !onePass(n)).map { name =>
         val t0 = System.nanoTime()
         try run(SparkEntry.queries(name)(spark, sfDir)) catch {
           case e: Throwable =>
@@ -81,13 +97,18 @@ object Bench {
         Tables.releaseCaches(spark)
         name -> dt
       }
+      // contention forensics: a drifted total should be attributable to
+      // the box at a glance (loadavg spans, wall timestamps per pass),
+      // not inferred from per-query minima archaeology across rounds
+      passLog += s"""{"pass":$pass,"start_ms":$started,"end_ms":${System.currentTimeMillis()},"loadavg_start":"$la0","loadavg_end":"${loadavg()}"}"""
+      timed
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     val best: Seq[(String, Double)] =
-      names.map(n => n -> median(byPass.map(_.toMap.apply(n))))
+      names.map(n => n -> median(byPass.flatMap(_.toMap.get(n))))
     // per-query FASTEST pass: the budget gate's statistic. Rounds 9-10
     // both exited rc=1 on JIT bimodality (q_ingest_dead 2.24/2.28/0.32 s
     // — the fast pass equal to its committed baseline, the slow mode a
@@ -98,7 +119,7 @@ object Bench {
     // statistic — bimodal observations reach budgets through the
     // queries_max contention history (merge_baseline.py), not the gate.
     val fastest: Map[String, Double] =
-      names.map(n => n -> byPass.map(_.toMap.apply(n)).min).toMap
+      names.map(n => n -> byPass.flatMap(_.toMap.get(n)).min).toMap
     val total = best.map(_._2).sum
 
     // full precision, all passes, for inspection
@@ -119,7 +140,8 @@ object Bench {
       val fs = failures
         .map { case (k, v) => "\"" + k + "\":\"" + jstr(v) + "\"" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${m(best)},$ps,"failures":$fs,"sf":"$sfDir"}"""
+      val env = s""""env":{"cpus":"$cpus","available_processors":${Runtime.getRuntime.availableProcessors()},"passes":${passLog.mkString("[", ",", "]")}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${m(best)},$ps,"failures":$fs,$env,"sf":"$sfDir"}"""
     }
     // the committed baseline artifact records FULL runs only — a
     // SPARK_GRAFT_ONLY dev subset writes to bench_dev.json so it can
@@ -183,6 +205,16 @@ object Bench {
           val b = budgets.path(n)
           if (!b.isMissingNode && t > b.asDouble()) Some(s""""$n":{"sec":${fmt(t)},"budget":${b.asDouble()}}""")
           else None
+        }
+        // a regression that leaves ONE pass fast (cold-pass-only, or
+        // masked by caching) can never trip the min-based hard gate —
+        // surface it as a non-fatal MEDIAN warning so slow-mode and
+        // partial regressions stay visible in the run log without
+        // reintroducing the bimodality flakes the min gate fixed
+        best.foreach { case (n, med) =>
+          val b = budgets.path(n)
+          if (!b.isMissingNode && med > b.asDouble() && fastest(n) <= b.asDouble())
+            System.err.println(s"""[bench-warn] median over budget (fastest pass ok): {"$n":{"median":${fmt(med)},"fastest":${fmt(fastest(n))},"budget":${b.asDouble()}}}""")
         }
         val unguarded = best.collect { case (n, _) if budgets.path(n).isMissingNode => n }
         if (unguarded.nonEmpty)

@@ -417,31 +417,16 @@ object IdentityMergeState {
     * `dir` (empty/missing dir → a fresh handle at epoch -1). This is
     * the recovery path [[IdentityMerge.run]]'s resume guard points at:
     * restore to the checkpoint's epoch, then resume the stream.
+    *
+    * Delegates to [[restoreDeltas]]: a base-only dir reduces to reading
+    * the newest base (the window/anti-join are no-ops over one epoch),
+    * and a delta-maintained dir MUST replay the deltas — restoring the
+    * bare base would rebuild a stale state whose epoch still satisfies
+    * the resume guard, so the checkpoint would skip the delta epochs'
+    * already-committed batches and silently drop those persons.
     */
-  def restore(spark: SparkSession, dir: String): IdentityMergeState = {
-    import spark.implicits._
-    val st = new IdentityMergeState(spark)
-    val epochs = committedSnapshots(dir, "epoch=")
-    if (epochs.nonEmpty) {
-      val latest = epochs.max
-      st.stateRdd = spark.read.parquet(s"$dir/epoch=$latest").as[PersonRecord]
-        .rdd.persist(StorageLevel.MEMORY_AND_DISK)
-      // Seed the commit-width inputs from the restored size: the first
-      // post-restore commit derives its width from (lastStateRows +
-      // batch ops), and leaving these at the fresh defaults (0 / 2)
-      // would coalesce the ENTIRE restored state into 2 partitions —
-      // exactly the oversized-shuffle-block failure StateRowsPerPartition
-      // exists to prevent.
-      st.lastStateRows = st.stateRdd.count()
-      st.statePartsHint = math.max(2,
-        math.ceil(st.lastStateRows.toDouble / st.StateRowsPerPartition).toInt)
-      st.epoch = latest
-      // the restore validated this dir's lineage up to `latest`, so
-      // subsequent saveDelta calls may chain deltas onto it
-      st.lastSaved = Some((dir, latest))
-    }
-    st
-  }
+  def restore(spark: SparkSession, dir: String): IdentityMergeState =
+    restoreDeltas(spark, dir)
 
   /** Rebuild a state handle from a BASE snapshot plus the per-epoch
     * deltas [[IdentityMergeState.saveDelta]] wrote after it. Resolution

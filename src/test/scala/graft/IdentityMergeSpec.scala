@@ -319,6 +319,27 @@ class IdentityMergeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(asComparable(restored) == asComparable(batchPersons(b0 ++ b1 ++ b2)))
   }
 
+  test("restore() on a delta-maintained dir folds the deltas (never the stale base alone)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_restore").toString
+    val st = new IdentityMergeState(spark)
+    val b0 = Seq(PersonOp("a", 1, Map("pa" -> "1"), Map.empty, Nil, None))
+    st.processBatch(b0.toDS(), 0L); st.saveDelta(dir) // base epoch=0
+    val b1 = Seq(PersonOp("b", 2, Map("pb" -> "1"), Map.empty, Nil, None))
+    st.processBatch(b1.toDS(), 1L); st.saveDelta(dir) // delta=1
+    val live = st.persons().collect().toSeq
+    st.close()
+    // the generic recovery entrypoint must see delta=1: a bare-base
+    // restore would report committedEpoch=0 < 1 — but still satisfy
+    // run()'s resume guard (epoch >= 0) and silently drop person b
+    val st2 = IdentityMergeState.restore(spark, dir)
+    assert(st2.committedEpoch == 1L, "restore() ignored committed deltas")
+    val restored = st2.persons().collect().toSeq
+    st2.close()
+    assert(asComparable(restored) == asComparable(live))
+    assert(restored.exists(_.canonical_id == "b"), "delta epoch's person lost on restore()")
+  }
+
   test("delta snapshots: a skipped epoch forces a full base, never a silent gap") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_delta_gap").toString
