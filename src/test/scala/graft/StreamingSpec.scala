@@ -235,8 +235,12 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // never settles; expiry is evaluated on state READ, so the restart
     // form exercises exactly the same eviction path.)
     val mem = MemoryStream[PersonOp] // shared: checkpoint offsets line up across runs
+    def commitCount(): Int =
+      Option(new java.io.File(ckpt, "commits").list())
+        .map(_.count(!_.startsWith("."))).getOrElse(0)
     def runPhase(ops: Seq[PersonOp], committed: () => Boolean): Unit = {
       mem.addData(ops: _*)
+      val commitsBefore = commitCount()
       val q = Streaming.personStateTtl(mem.toDS(), ttl,
           key => { val r = lake.get(key); if (r.isDefined) rehydrations.add(1); r })
         .writeStream
@@ -249,12 +253,21 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .start()
       // processing-time timers keep the query alive past its data (TTL
       // cleanup batches), so neither AvailableNow termination nor
-      // processAllAvailable settles — poll the lake for the commit
+      // processAllAvailable settles — poll the lake for the fold AND
+      // the checkpoint for the batch's commit file. The commit wait
+      // matters: stop() right after the lake condition can interrupt
+      // the offset commit (foreachBatch already ran), and the next
+      // phase then REPLAYS this phase's batch onto rehydrated state —
+      // a double-fold the final parity assert catches as flake.
+      // (Micro-batches execute serially and each phase's data arrives
+      // before start, so the phase's data is exactly the run's first
+      // batch: one new commit file == the data batch committed.)
+      def done(): Boolean = committed() && commitCount() > commitsBefore
       try {
         val deadline = System.nanoTime() + 60L * 1000000000L
-        while (!committed() && System.nanoTime() < deadline) Thread.sleep(50)
+        while (!done() && System.nanoTime() < deadline) Thread.sleep(50)
       } finally q.stop()
-      assert(committed(), "phase did not commit to the lake within 60s")
+      assert(done(), "phase did not commit to the lake within 60s")
     }
     val phase1 = Seq(
       PersonOp("u1", 1, Map("plan" -> "free"), Map("first" -> "a"), Nil, None),
@@ -736,5 +749,119 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(fin == batchRow(b1 ++ b2), "final verdict != batch over all data")
       assert(fin._5, "accumulated skew must trip SRM")
     } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS srm_out") }
+  }
+
+  test("end-to-end composition: wire stream → normalize → identity merge (delta ckpt) → flags over live state → observed lake write == batch replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.DataFrame
+    // mixed payload kinds, engineered so merges land LATER than the
+    // records they absorb (cross-batch resolve), an engage unset flips
+    // a flag decision mid-stream, and one in-phase duplicate body
+    // exercises the epoch uuid dedup on the lake path
+    val phase1 = Seq(
+      """{"event":"pv","distinct_id":"anon-1","properties":{"$set":{"plan":"free"}},"eid":1}""",
+      """{"event":"pv","distinct_id":"anon-2","properties":{"$set":{"plan":"pro"}},"eid":2}""",
+      """{"event":"click","distinct_id":"u3","properties":{"$set_once":{"first":"c"}},"eid":3}""",
+      """{"event":"click","distinct_id":"u3","properties":{"$set_once":{"first":"c"}},"eid":3}""") // dup
+    val phase2 = Seq(
+      """{"type":"identify","distinct_id":"u1","$anon_distinct_id":"anon-1","properties":{"email":"u1@x.com"},"eid":4}""",
+      """{"event":"buy","distinct_id":"u1","properties":{"$set":{"plan":"pro"}},"eid":5}""",
+      """{"distinct_id":"u2","$set":{"tier":"gold"},"eid":6}""") // engage
+    val phase3 = Seq(
+      """{"type":"identify","distinct_id":"u2","$anon_distinct_id":"anon-2","properties":{},"eid":7}""",
+      """{"distinct_id":"u1","$unset":["plan"],"eid":8}""", // engage unset → flag flip
+      """{"batch":[{"event":"pv","distinct_id":"u3","eid":9},{"distinct_id":"u3","alias":"a3","eid":9}],"api_key":"bk"}""")
+    val phases = Seq(phase1, phase2, phase3)
+    val ctx = graft.ingest.Normalizer.IngestContext(
+      now = to_timestamp(lit("2024-06-01 12:00:00")))
+    def canonical(df: DataFrame): DataFrame =
+      graft.ingest.Normalizer.ingest(df.withColumnRenamed("value", "body"), col("body"), ctx)
+    def toOps(df: DataFrame): org.apache.spark.sql.Dataset[PersonOp] =
+      graft.state.PersonOpExtract.fromCanonical(canonical(df),
+        // total order: envelope eid, batch items disambiguated by index
+        // (item_idx is null for single-item payloads)
+        element_at(col("extra"), "eid").cast("long") * 10 +
+          coalesce(col("item_idx"), lit(0))).as[PersonOp]
+    val flags = graft.flags.FlagStore.fromJson(
+      """{"flags":[
+        |  {"key":"has_plan","conditions":[{"properties":[{"key":"plan","operator":"is_set","value":null}]}]},
+        |  {"key":"pro","conditions":[{"properties":[{"key":"plan","value":"pro"}]}]}
+        |]}""".stripMargin)
+    def decisions(persons: DataFrame): Seq[String] = {
+      graft.functions.GraftExtensions.register(spark)
+      val merged = map_zip_with(col("properties"), col("properties_set_once"),
+        (_, v, vo) => coalesce(v, vo))
+      val frame = graft.flags.FlagColumns.FlagFrame(col("canonical_id"), col("props"))
+      persons.withColumn("props", merged)
+        .select(col("canonical_id") +:
+          graft.flags.FlagColumns.resultCols(frame, flags): _*)
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    }
+
+    val dir = java.nio.file.Files.createTempDirectory("e2e").toString
+    val (lakePath, stateDir) = (s"$dir/lake", s"$dir/state")
+    val metrics = scala.collection.mutable.ArrayBuffer.empty[(Long, org.apache.spark.sql.Row)]
+
+    // sink 1: canonical events land in the lake, per-epoch observed
+    // metrics, one AvailableNow run per phase over a shared checkpoint
+    val memLake = MemoryStream[String]
+    // sink 2: person ops fold into the identity-merge state, delta
+    // snapshot per epoch — the serving state the flag reads hit
+    val memState = MemoryStream[String]
+    val st = new graft.streaming.IdentityMergeState(spark)
+    val stQ = graft.streaming.IdentityMerge.run(
+      toOps(memState.toDF()), st, s"$dir/ckpt_state")
+    val liveDecisions = try {
+      phases.foreach { bodies =>
+        memLake.addData(bodies: _*)
+        val q = graft.sources.Lake.streamWriterObserved(
+          canonical(memLake.toDF()), lakePath, s"$dir/ckpt_lake",
+          (id, row) => metrics.synchronized { metrics += ((id, row)) }).start()
+        q.awaitTermination()
+        memState.addData(bodies: _*); stQ.processAllAvailable()
+        st.saveDelta(stateDir)
+      }
+      decisions(st.persons().toDF()) // the /decide view over LIVE state
+    } finally stQ.stop()
+
+    // batch replay of the identical bodies: the composition's oracle
+    val allBodies = phases.flatten
+    val batchPersons = graft.state.Replay.persons(spark, toOps(allBodies.toDF("value")))
+    def canonPersons(df: DataFrame): Seq[String] =
+      df.select(col("canonical_id"), col("version"), col("properties"),
+        col("properties_set_once"), array_sort(col("distinct_ids")))
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    // 1. live streamed state == batch fold
+    assert(canonPersons(st.persons().toDF()) == canonPersons(batchPersons.toDF()),
+      "streamed person state diverged from batch replay")
+    // 2. the delta-checkpointed recovery path rebuilds the same state
+    val restored = graft.streaming.IdentityMergeState.restore(spark, stateDir)
+    assert(restored.committedEpoch == 2L, "delta chain incomplete")
+    assert(canonPersons(restored.persons().toDF()) == canonPersons(batchPersons.toDF()),
+      "restored (base+delta) state diverged from batch replay")
+    restored.close(); st.close()
+    // 3. flag decisions over live state == over batch state, and the
+    // unset actually flipped u1's decisions to false mid-composition
+    assert(liveDecisions == decisions(batchPersons.toDF()),
+      "flag decisions over streamed state diverged from batch state")
+    assert(liveDecisions.exists(d => d.startsWith("u1|") && d.contains("false")),
+      "u1's unset plan did not surface in the decisions")
+    assert(liveDecisions.exists(d => d.startsWith("anon-2|") || d.startsWith("u2|")),
+      "merged persons missing from decisions")
+    // 4. the lake landed every canonical event exactly once (the
+    // in-phase duplicate collapsed), with per-epoch observed metrics
+    val lake = graft.sources.Lake.readEvents(spark, lakePath)
+    val batchCanon = canonical(allBodies.toDF("value")).dropDuplicates("uuid")
+    val lakeUuids = lake.select("uuid").collect().map(_.getString(0)).sorted.toSeq
+    assert(lakeUuids == batchCanon.select("uuid").collect().map(_.getString(0)).sorted.toSeq,
+      "lake rows != deduped batch canonical events")
+    assert(lakeUuids.distinct.size == lakeUuids.size, "duplicate uuid landed in the lake")
+    assert(metrics.map(_._1).distinct.size == 3, s"expected 3 observed epochs: $metrics")
+    val observedRows = metrics.map { case (_, r) => r.getLong(r.fieldIndex("n_rows")) }.sum
+    // the observation rides the sink pass AFTER the epoch uuid dedup,
+    // so summed epoch counts equal the landed rows exactly
+    assert(observedRows == lakeUuids.size,
+      s"observed epoch rows $observedRows != landed rows ${lakeUuids.size}")
   }
 }
