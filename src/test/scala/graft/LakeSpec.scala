@@ -151,6 +151,42 @@ class LakeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("person serving layout: point lookup on the bucketed person table scans ONE bucket") {
+    import spark.implicits._
+    // the T9 debug endpoint / /decide state read at 100 TB: the
+    // replayed person table lands bucketed on canonical_id, so a
+    // point lookup prunes to a single bucket's files instead of a
+    // full-table filter scan
+    val dir = Files.createTempDirectory("persons_b").toString
+    val ops = (1 to 500).map(i => graft.state.PersonOp(
+      s"u${i % 120}", i.toLong, Map("plan" -> s"p${i % 3}"), Map.empty, Nil, None))
+    val persons = graft.state.Replay.persons(spark, ops.toDS()).toDF()
+    Lake.writeBucketed(persons, "persons_serve", "canonical_id",
+      buckets = 8, path = Some(s"$dir/persons"))
+    try {
+      // DisableUnnecessaryBucketedScan sees no JOIN/AGG needing the
+      // distribution and can turn the bucketed read off — but the
+      // point-lookup benefit here is bucket PRUNING, so pin it on for
+      // the serving path (a serving deployment sets this once)
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val lookup = spark.table("persons_serve")
+        .filter(col("canonical_id") === "u42")
+      val scan = lookup.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .getOrElse(fail("no file scan in the point-lookup plan"))
+      assert(scan.bucketedScan, "scan did not use the bucket layout")
+      val selected = scan.optionalBucketSet
+        .map(_.cardinality()).getOrElse(8)
+      assert(selected == 1, s"point lookup scanned $selected of 8 buckets")
+      // and the lookup actually serves the right record
+      val got = lookup.collect()
+      assert(got.length == 1 && got.head.getAs[String]("canonical_id") == "u42")
+    } finally {
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.sql("DROP TABLE IF EXISTS persons_serve")
+    }
+  }
+
   test("observed ingest metrics ride the sink write: counts + missing-field totals") {
     val dir = Files.createTempDirectory("lakeobs").toString
     val events = canonical(
