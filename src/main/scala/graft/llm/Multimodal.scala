@@ -478,14 +478,21 @@ object Multimodal {
           (r.doc_id, h.toSeq)
         }
       }.toDF("img_id", "img_hist")
-    // text tower: the same histogram over caption characters, codegen'd
+    // text tower: the caption side of the stub encoder pair — the same
+    // per-partition encoder slot as the image tower (a column-expr
+    // histogram would be O(64·len) per caption: 64 filter passes over
+    // the code array; the encoder slot is one O(len) pass)
     val capHist = graft.Tables.par(graft.Tables.documents(s, d))
-      .select(col("doc_id").as("cap_id"), col("source"),
-        expr("transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)) % 64)")
-          .as("codes"))
-      .select(col("cap_id"), col("source"),
-        expr("transform(sequence(0, 63), j -> CAST(size(filter(codes, c -> c = j)) AS BIGINT))")
-          .as("cap_hist"))
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, src, t) =>
+          val h = new Array[Long](64)
+          var i = 0
+          while (i < t.length) { h(t.charAt(i) % 64) += 1L; i += 1 }
+          (id, src, h.toSeq)
+        }
+      }.toDF("cap_id", "source", "cap_hist")
     val dot = aggregate(
       zip_with(col("img_hist"), col("cap_hist"), (x, y) => x * y),
       lit(0L), (a, x) => a + x)

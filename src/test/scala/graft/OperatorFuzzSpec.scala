@@ -511,4 +511,60 @@ class OperatorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(got.keySet == expected.keySet)
   }
+
+  test("media-align integer gate == floating cosine >= 0.97 on random histograms") {
+    // the cross-multiplied form (10000·dot² >= 9409·‖a‖²‖b‖², dot >= 0)
+    // must agree with the float cosine threshold on every pair where
+    // the float compare is not razor-edge; integer arithmetic is exact,
+    // so disagreement can only appear within float rounding of the
+    // boundary — assert none occurs outside a 1e-9 band
+    val rnd = new scala.util.Random(42)
+    val hists = (0 until 60).map(_ => Array.fill(64)(rnd.nextInt(40).toLong))
+    for (a <- hists; b <- hists) {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na2 = a.map(x => x * x).sum
+      val nb2 = b.map(x => x * x).sum
+      if (na2 > 0 && nb2 > 0) {
+        val intKeep = dot * dot * 10000 >= na2 * nb2 * 9409
+        val cos = dot / (math.sqrt(na2.toDouble) * math.sqrt(nb2.toDouble))
+        if (math.abs(cos - 0.97) > 1e-9)
+          assert(intKeep == (cos >= 0.97),
+            s"gate disagreed at cos=$cos: int=$intKeep")
+      }
+    }
+  }
+
+  test("trends breakdown lump never double-counts distinct viewers (vs naive recompute)") {
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.queries.Product.trendsBreakdown(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // naive reference: full event list in memory, same election rule
+    val ev = graft.Tables.events(spark, sf)
+      .select("ts", "user_id", "event_type", "props").collect()
+      .map(r => (java.time.Instant.ofEpochMilli(r.getTimestamp(0).getTime)
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString,
+        r.getLong(1), r.getString(2),
+        Option(r.getString(3)).flatMap(p =>
+          "\"k\":\\s*(\\d+)".r.findFirstMatchIn(p).map(_.group(1)))))
+    val totals = ev.flatMap(e => e._4.map(_ -> 1L))
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val top = totals.toSeq.sortBy { case (v, n) => (-n, v) }
+      .take(graft.queries.Product.BreakdownTopK).map(_._1).toSet
+    val bySeries = ev.groupBy(e =>
+      (e._1, e._4.filter(top.contains).getOrElse("$$_other")))
+    bySeries.foreach { case ((day, series), rows) =>
+      val purchases = rows.count(_._3 == "purchase").toLong
+      val viewers = rows.filter(_._3 == "view").map(_._2).distinct.size.toLong
+      val (gp, gv) = got.getOrElse((day, series),
+        fail(s"missing series ($day, $series) in the operator output"))
+      assert(gp == purchases && gv == viewers,
+        s"($day, $series): got ($gp, $gv), naive ($purchases, $viewers)")
+    }
+    // zero-filled grid rows exist for every (day, series) combination
+    val days = got.keys.map(_._1).toSet
+    val seriesNames = got.keys.map(_._2).toSet
+    for (d <- days; s <- seriesNames)
+      assert(got.contains((d, s)), s"grid hole at ($d, $s)")
+  }
 }
