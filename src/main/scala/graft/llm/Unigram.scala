@@ -58,8 +58,13 @@ object Unigram {
   /** Candidate-vocab cap after seeding (driver-bounded). */
   val SeedCap = 4000
 
-  /** Final piece-vocab size the prune rounds converge to. */
-  val TargetVocab = 800
+  /** Final piece-vocab size the prune rounds converge to. Tuned BELOW
+    * the fixture corpus's seeded candidate count (~500 substrings of
+    * its ~31-token dict) so the registered query actually EXECUTES the
+    * EM/prune rounds, not just the seeding — a production run pins its
+    * own size (32k-ish); same trainer.
+    */
+  val TargetVocab = 120
 
   /** Fraction of prunable (multi-char) pieces dropped per round. */
   val PruneFrac = 0.25
