@@ -812,7 +812,98 @@ object Corpus {
        |FROM t WHERE rk <= $StratSampleK""".stripMargin
   }
 
+  /** Q-CORPUS-DELTA: snapshot-to-snapshot dataset diff — the re-crawl
+    * accounting a training pipeline publishes between releases (what
+    * was added, what disappeared, what changed in place, per source —
+    * C4/FineWeb release notes quote exactly this table, and a dedup/
+    * decontam run over the new snapshot starts from the `added ∪
+    * changed` slice instead of re-processing 100 TB).
+    *
+    * The "previous crawl" is derived deterministically from the
+    * fixture corpus (the [[Multimodal.mediaTable]] convention): docs
+    * with `doc_id % 17 == 3` are absent from it (added since), docs
+    * with `doc_id % 11 == 5` carry a different payload (changed in
+    * place), and phantom rows at `doc_id + 10⁷` for `doc_id % 23 ==
+    * 11` exist only in the previous snapshot (removed since). A real
+    * deployment reads two lake snapshots; the diff below is unchanged.
+    *
+    * Shape at 100 TB: both sides project to compact (doc_id, source,
+    * 60-bit content hash) rows BEFORE the id-keyed full-outer join —
+    * document payloads never shuffle; the rollup is |sources| rows.
+    * Counts are exact int64; the one churn-rate division happens last.
+    */
+  def delta(s: SparkSession, d: String): DataFrame = {
+    import Portable._
+    val base = Tables.par(Tables.documents(s, d))
+    val cur = base.select(col("doc_id"), col("source"), h60(col("text")).as("h"))
+      .filter(col("doc_id") < 10000000L) // phantom range is reserved
+    val prev = base.filter(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 11 === 5, h60(concat(col("text"), lit(" rev"))))
+          .otherwise(h60(col("text"))).as("h"))
+      .unionByName(
+        base.filter(col("doc_id") % 23 === 11)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("source"),
+            h60(col("text")).as("h")))
+    cur.as("c")
+      .join(prev.as("p"), col("c.doc_id") === col("p.doc_id"), "full_outer")
+      .select(
+        coalesce(col("c.source"), col("p.source")).as("source"),
+        when(col("p.doc_id").isNull, "added")
+          .when(col("c.doc_id").isNull, "removed")
+          .when(col("c.h") =!= col("p.h"), "changed")
+          .otherwise("unchanged").as("verdict"),
+        when(col("p.doc_id").isNotNull, 1L).otherwise(0L).as("in_prev"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("verdict") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("verdict") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("verdict") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("verdict") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"),
+        sum(col("in_prev")).as("n_prev"))
+      .select(col("source"), col("n_added"), col("n_removed"), col("n_changed"),
+        col("n_unchanged"), col("n_prev"),
+        when(col("n_prev") === 0, lit(null).cast("double"))
+          .otherwise((col("n_added") + col("n_removed") + col("n_changed")).cast("double")
+            / col("n_prev").cast("double")).as("churn_rate"))
+  }
+
+  val deltaSql: String = {
+    import Portable._
+    s"""WITH cur AS (
+       |  SELECT doc_id, source, ${h60Sql("text")} AS h FROM documents
+       |  WHERE doc_id < 10000000),
+       |prev AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id % 11 = 5 THEN ${h60Sql("(text || ' rev')")}
+       |         ELSE ${h60Sql("text")} END AS h
+       |  FROM documents WHERE doc_id % 17 <> 3
+       |  UNION ALL
+       |  SELECT doc_id + 10000000, source, ${h60Sql("text")}
+       |  FROM documents WHERE doc_id % 23 = 11),
+       |v AS (
+       |  SELECT coalesce(c.source, p.source) AS source,
+       |    CASE WHEN p.doc_id IS NULL THEN 'added'
+       |         WHEN c.doc_id IS NULL THEN 'removed'
+       |         WHEN c.h <> p.h THEN 'changed'
+       |         ELSE 'unchanged' END AS verdict,
+       |    CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END AS in_prev
+       |  FROM cur c FULL OUTER JOIN prev p USING (doc_id))
+       |SELECT source,
+       |  sum(CASE WHEN verdict = 'added' THEN 1 ELSE 0 END)::BIGINT AS n_added,
+       |  sum(CASE WHEN verdict = 'removed' THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+       |  sum(CASE WHEN verdict = 'changed' THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+       |  sum(CASE WHEN verdict = 'unchanged' THEN 1 ELSE 0 END)::BIGINT AS n_unchanged,
+       |  sum(in_prev)::BIGINT AS n_prev,
+       |  CASE WHEN sum(in_prev) = 0 THEN NULL
+       |       ELSE (sum(CASE WHEN verdict IN ('added', 'removed', 'changed')
+       |                      THEN 1 ELSE 0 END))::DOUBLE / sum(in_prev)::DOUBLE
+       |  END AS churn_rate
+       |FROM v GROUP BY source""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q_corpus_delta", delta, Some(deltaSql)),
     Q("q_corpus_funnel", funnel, Some(funnelSql)),
     Q("q_corpus_decontam", decontam, Some(decontamSql)),
     Q("q_corpus_decontam_bloom", decontamBloom, Some(decontamBloomSql)),

@@ -218,5 +218,65 @@ object Unigram {
        |FROM w""".stripMargin
   }
 
-  val all: Seq[Q] = Seq(Q("q_text_unigram", unigram, Some(unigramSql)))
+  /** Q-TEXT-UNIGRAM-ENCODE: tokenize the CORPUS under the trained
+    * unigram LM — the stage a training pipeline actually runs at scale
+    * (the dict-row encode above gates the trainer; this measures the
+    * fan-out). Per document: word count, word-char total (both
+    * oracle-exact), and the encode correctness gates folded across
+    * every word in the document.
+    *
+    * Shape at 100 TB: piece scores broadcast once; encoding is a
+    * map-only `mapPartitions` pass with a PER-PARTITION word→pieces
+    * memo — Zipf makes the hit rate high (the fixture corpus's ~31
+    * distinct words mean each partition Viterbis each word once, then
+    * serves from the memo), so the cost per row is a hash probe, not a
+    * lattice DP. No shuffle, no driver collect beyond the dict the
+    * trainer already holds.
+    */
+  def unigramEncode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dict = Bpe.electDict(s, d).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val probs = train(dict)
+    val probsBc = s.sparkContext.broadcast(probs)
+    graft.Tables.par(graft.Tables.documents(s, d))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        val p = probsBc.value
+        val memo = scala.collection.mutable.HashMap.empty[String, Seq[String]]
+        rows.map { case (id, text) =>
+          // whitespace tokenization, matched to Portable.tokens / the
+          // oracle's string_split_regex('\s+') rendering
+          val words = text.split("\\s+").filter(_.nonEmpty)
+          var pieces = 0L
+          var chars = 0L
+          var ok = true
+          var inVocab = true
+          words.foreach { w =>
+            val ps = memo.getOrElseUpdate(w, segment(w, p))
+            pieces += ps.length
+            chars += w.length
+            ok &&= ps.mkString("") == w
+            inVocab &&= ps.forall(p.contains)
+          }
+          (id, words.length.toLong, chars, ok,
+            words.isEmpty || (pieces >= words.length && pieces <= chars), inVocab)
+        }
+      }
+      .toDF("doc_id", "n_words", "n_word_chars",
+        "reconstructs_all", "pieces_bounded", "pieces_in_vocab_all")
+  }
+
+  val unigramEncodeSql: String = {
+    import Portable._
+    s"""SELECT doc_id,
+       |  len(${tokensSql("text")})::BIGINT AS n_words,
+       |  list_reduce(list_prepend(0, list_transform(${tokensSql("text")},
+       |    t -> len(t)::BIGINT)), (a, b) -> a + b)::BIGINT AS n_word_chars,
+       |  TRUE AS reconstructs_all, TRUE AS pieces_bounded, TRUE AS pieces_in_vocab_all
+       |FROM documents""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q_text_unigram", unigram, Some(unigramSql)),
+    Q("q_text_unigram_encode", unigramEncode, Some(unigramEncodeSql)))
 }
