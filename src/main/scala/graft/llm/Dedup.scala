@@ -233,6 +233,125 @@ object Dedup {
        |FROM bh, unnest(generate_series(1, ${Bands})) AS g(i)""".stripMargin
   }
 
+  /** (doc_id, band, band_hash) over an arbitrary (doc_id, text) frame —
+    * [[minhashBands]] generalized to derived snapshots (the incremental
+    * query indexes the PREVIOUS snapshot, not the live table).
+    */
+  private def textBands(docs: DataFrame): DataFrame = {
+    val sig = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), hashedShingles.as("hp"))
+      .select(col("doc_id"), signature(col("hp")).as("sig"))
+    sig.select(col("doc_id"),
+        posexplode(array((0 until Bands).map(b => bandHash(col("sig"), b)): _*)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_hash"))
+  }
+
+  private def textShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shingles3(col("toks")).as("sh"))
+
+  /** Q-DEDUP-INCREMENTAL: dedup the NEW slice against the previous
+    * snapshot's band index — the form a 100 TB re-crawl actually runs:
+    * [[Corpus.delta]]'s `added ∪ changed` docs (a few percent of the
+    * corpus) query the standing MinHash-LSH index of the prior
+    * snapshot, plus dedup among themselves; the unchanged 95+% is
+    * never re-shingled. Candidates are verified with exact Jaccard
+    * (≥ 0.8, [[minhashPairs]]' gate); a changed doc is never matched
+    * to its own prior version (same doc_id — that's an update, not a
+    * duplicate), but CAN match another doc's prior version.
+    *
+    * Shape at 100 TB: the prior index is a persisted lake table of
+    * (doc_id, band, band_hash) — here rebuilt from the derived prev
+    * snapshot, same plan either way; the new slice's bands equi-join
+    * it on compact keys (payloads never shuffle), verification joins
+    * shingle arrays by id. Cost scales with |new slice| × collision
+    * rate, not corpus size.
+    */
+  def incremental(s: SparkSession, d: String): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val base = Tables.par(Tables.documents(s, d))
+    // the q_corpus_delta snapshot construction: changed docs carried a
+    // different payload in prev; added docs were absent
+    val prevDocs = base.filter(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 5, concat(col("text"), lit(" rev")))
+          .otherwise(col("text")).as("text"))
+    val newDocs = base.filter(col("doc_id") % 17 === 3 || col("doc_id") % 11 === 5)
+      .select(col("doc_id"), col("text"))
+    val prevBands = textBands(prevDocs).persist(mem)
+    val newBands = textBands(newDocs).persist(mem)
+    val candPrev = newBands.as("a")
+      .join(prevBands.as("p"),
+        col("a.band") === col("p.band") && col("a.band_hash") === col("p.band_hash") &&
+          col("a.doc_id") =!= col("p.doc_id"))
+      .groupBy(col("a.doc_id").as("new_id"), col("p.doc_id").as("matched_id"))
+      .agg(count(lit(1)).as("n_bands"))
+      .withColumn("vs_prev", lit(true))
+    val candNew = newBands.as("a")
+      .join(newBands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("new_id"), col("b.doc_id").as("matched_id"))
+      .agg(count(lit(1)).as("n_bands"))
+      .withColumn("vs_prev", lit(false))
+    val newSh = textShingles(newDocs).persist(mem)
+    val verifySh = newSh.withColumn("side", lit(false))
+      .unionByName(textShingles(prevDocs).withColumn("side", lit(true)))
+    candPrev.unionByName(candNew)
+      .join(newSh.as("na"), col("new_id") === col("na.doc_id"))
+      .join(verifySh.as("m"),
+        col("matched_id") === col("m.doc_id") && col("m.side") === col("vs_prev"))
+      .select(col("new_id"), col("matched_id"), col("vs_prev"), col("n_bands"),
+        (size(array_intersect(col("na.sh"), col("m.sh"))).cast(DoubleType) /
+          size(array_union(col("na.sh"), col("m.sh")))).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  val incrementalSql: String = {
+    val sh = shingles3Sql(tokensSql("text"))
+    val sig = signatureSql(hashedShinglesSql)
+    val bands = (0 until Bands).map(b => bandHashSql("sig", b)).mkString(", ")
+    def bandCte(src: String) =
+      s"""SELECT doc_id, i - 1 AS band, bands[i] AS band_hash
+         |  FROM (SELECT doc_id, [$bands] AS bands
+         |        FROM (SELECT doc_id, $sig AS sig FROM $src)),
+         |    unnest(generate_series(1, $Bands)) AS g(i)""".stripMargin
+    s"""WITH prevd AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 11 = 5 THEN text || ' rev' ELSE text END AS text
+       |  FROM documents WHERE doc_id % 17 <> 3),
+       |newd AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id % 17 = 3 OR doc_id % 11 = 5),
+       |pb AS (${bandCte("prevd")}),
+       |nb AS (${bandCte("newd")}),
+       |cand AS (
+       |  SELECT new_id, matched_id, TRUE AS vs_prev, n_bands FROM (
+       |    SELECT a.doc_id AS new_id, p.doc_id AS matched_id, count(*) AS n_bands
+       |    FROM nb a JOIN pb p
+       |      ON a.band = p.band AND a.band_hash = p.band_hash AND a.doc_id <> p.doc_id
+       |    GROUP BY 1, 2)
+       |  UNION ALL
+       |  SELECT new_id, matched_id, FALSE, n_bands FROM (
+       |    SELECT a.doc_id AS new_id, b.doc_id AS matched_id, count(*) AS n_bands
+       |    FROM nb a JOIN nb b
+       |      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2)),
+       |nsh AS (SELECT doc_id, $sh AS sh FROM newd),
+       |allsh AS (
+       |  SELECT doc_id, sh, FALSE AS side FROM nsh
+       |  UNION ALL
+       |  SELECT doc_id, $sh AS sh, TRUE FROM prevd)
+       |SELECT new_id, matched_id, vs_prev, n_bands, jaccard FROM (
+       |  SELECT c.new_id, c.matched_id, c.vs_prev, c.n_bands,
+       |    len(list_intersect(a.sh, m.sh))::DOUBLE
+       |      / len(list_distinct(list_concat(a.sh, m.sh))) AS jaccard
+       |  FROM cand c
+       |  JOIN nsh a ON c.new_id = a.doc_id
+       |  JOIN allsh m ON c.matched_id = m.doc_id AND m.side = c.vs_prev)
+       |WHERE jaccard >= 0.8""".stripMargin
+  }
+
   /** Q-DEDUP-4: full MinHash-LSH dedup — candidates from the band-hash
     * equi-join, then **verified** with exact Jaccard (so LSH recall
     * gaps can't produce false positives). Output = confirmed near-dup
@@ -953,6 +1072,7 @@ object Dedup {
     Q("q_dedup_containment", containment, Some(containmentSql)),
     Q("q_dedup_minhash", minhashBands, Some(minhashBandsSql)),
     Q("q_dedup_minhash_pairs", minhashPairs, Some(minhashPairsSql)),
+    Q("q_dedup_incremental", incremental, Some(incrementalSql)),
     Q("q_dedup_edit", editPairs, Some(editPairsSql)),
     Q("q_dedup_lsh_audit", lshAudit, Some(lshAuditSql)),
     Q("q_dedup_lsh_gate", lshGate, Some(lshGateSql)),
