@@ -812,6 +812,466 @@ object Product {
        |  sum(n)::BIGINT AS n
        |FROM rolled GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------- funnel ordering modes
+
+  /** Q-PROD-16: STRICT-ORDER funnel — PostHog's "strict" funnel mode:
+    * a step counts only when its event is the user's IMMEDIATELY next
+    * event after the previous step's event (any intervening event of
+    * any type breaks the sequence). The per-user depth is the maximum
+    * over all candidate sequences, which for strict mode reduces to
+    * "does any consecutive (view), (view,click), (view,click,purchase)
+    * run exist in the user's event-id order" — two `lead`s over the
+    * user window and three conditional minima. One row per user who
+    * ever viewed; `sN_eid` anchors the EARLIEST run of depth ≥ N.
+    *
+    * Shape at 100 TB: a single user-partitioned window (the
+    * per-user event sequence is the partition — no global sort), then
+    * a map-side-combined aggregate on the same user hash partitioning;
+    * events shuffle exactly once. Integer-only output.
+    */
+  def funnelStrict(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("t1", lead(col("event_type"), 1).over(w))
+      .withColumn("t2", lead(col("event_type"), 2).over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("event_id"))).as("s1_eid"),
+        min(when(col("event_type") === "view" && col("t1") === "click",
+          col("event_id"))).as("s2_eid"),
+        min(when(col("event_type") === "view" && col("t1") === "click" &&
+          col("t2") === "purchase", col("event_id"))).as("s3_eid"))
+      .filter(col("s1_eid").isNotNull)
+      .withColumn("steps_reached",
+        (lit(1) + when(col("s2_eid").isNotNull, 1).otherwise(0) +
+          when(col("s3_eid").isNotNull, 1).otherwise(0)).cast(IntegerType))
+  }
+
+  val funnelStrictSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_id, event_type,
+      |    lead(event_type, 1) OVER w AS t1,
+      |    lead(event_type, 2) OVER w AS t2
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+      |SELECT user_id,
+      |  min(CASE WHEN event_type = 'view' THEN event_id END) AS s1_eid,
+      |  min(CASE WHEN event_type = 'view' AND t1 = 'click'
+      |           THEN event_id END) AS s2_eid,
+      |  min(CASE WHEN event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+      |           THEN event_id END) AS s3_eid,
+      |  (1 + CASE WHEN min(CASE WHEN event_type = 'view' AND t1 = 'click'
+      |                 THEN event_id END) IS NOT NULL THEN 1 ELSE 0 END
+      |     + CASE WHEN min(CASE WHEN event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+      |                 THEN event_id END) IS NOT NULL THEN 1 ELSE 0 END)::INT AS steps_reached
+      |FROM seq GROUP BY user_id
+      |HAVING min(CASE WHEN event_type = 'view' THEN event_id END) IS NOT NULL""".stripMargin
+
+  /** Q-PROD-17: UNORDERED funnel — PostHog's "any order" mode: the
+    * user completes step N when N distinct funnel step types have been
+    * seen, in any order. Per user: the first event of each step type,
+    * how many types are present, and the completion anchor (the event
+    * at which the LAST missing type arrived — `greatest` of the three
+    * first-occurrence ids) when all three are present.
+    *
+    * Shape at 100 TB: one conditional-min aggregate over the user key —
+    * no window, no join; a single shuffle with map-side partials.
+    */
+  def funnelUnordered(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("event_id"))).as("view_eid"),
+        min(when(col("event_type") === "click", col("event_id"))).as("click_eid"),
+        min(when(col("event_type") === "purchase", col("event_id"))).as("purchase_eid"))
+      .filter(
+        col("view_eid").isNotNull || col("click_eid").isNotNull ||
+          col("purchase_eid").isNotNull)
+      .withColumn("steps_present",
+        (when(col("view_eid").isNotNull, 1).otherwise(0) +
+          when(col("click_eid").isNotNull, 1).otherwise(0) +
+          when(col("purchase_eid").isNotNull, 1).otherwise(0)).cast(IntegerType))
+      .withColumn("completed_eid",
+        when(col("steps_present") === 3,
+          greatest(col("view_eid"), col("click_eid"), col("purchase_eid"))))
+
+  val funnelUnorderedSql: String =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN event_id END) AS view_eid,
+      |    min(CASE WHEN event_type = 'click' THEN event_id END) AS click_eid,
+      |    min(CASE WHEN event_type = 'purchase' THEN event_id END) AS purchase_eid
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, view_eid, click_eid, purchase_eid,
+      |  (CASE WHEN view_eid IS NOT NULL THEN 1 ELSE 0 END
+      |   + CASE WHEN click_eid IS NOT NULL THEN 1 ELSE 0 END
+      |   + CASE WHEN purchase_eid IS NOT NULL THEN 1 ELSE 0 END)::INT AS steps_present,
+      |  CASE WHEN view_eid IS NOT NULL AND click_eid IS NOT NULL
+      |            AND purchase_eid IS NOT NULL
+      |       THEN greatest(view_eid, click_eid, purchase_eid) END AS completed_eid
+      |FROM f
+      |WHERE view_eid IS NOT NULL OR click_eid IS NOT NULL
+      |   OR purchase_eid IS NOT NULL""".stripMargin
+
+  /** Q-PROD-18: first-time-for-user trends — PostHog's "first time for
+    * user" series math: per day, how many users performed a `click`
+    * for the FIRST time ever that day, beside the day's total distinct
+    * clicking users (the plain "unique users" series for contrast).
+    *
+    * Shape at 100 TB: the (user, day) pairs deduplicate map-side
+    * before any shuffle; the first-day dimension is a per-user min on
+    * the same user partitioning; the final day rollup is
+    * dimension-sized. No window, no self-join over raw events.
+    */
+  def firstTime(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val firstDay = days.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    days.join(firstDay, Seq("user_id"))
+      .groupBy(col("day"))
+      .agg(
+        count(when(col("day") === col("first_day"), 1)).as("first_time_users"),
+        count(lit(1)).as("active_users"))
+  }
+
+  val firstTimeSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      |  FROM events WHERE event_type = 'click'),
+      |fd AS (SELECT user_id, min(day) AS first_day FROM days GROUP BY user_id)
+      |SELECT day,
+      |  count(*) FILTER (WHERE day = first_day)::BIGINT AS first_time_users,
+      |  count(*)::BIGINT AS active_users
+      |FROM days JOIN fd USING (user_id)
+      |GROUP BY day""".stripMargin
+
+  /** Q-PROD-19: funnel with an EXCLUSION event — PostHog's funnel
+    * exclusions: a user who fires the exclusion event (`error`)
+    * strictly between two completed funnel steps is disqualified.
+    * Users who never entered a step PAIR (depth 1) have no
+    * between-steps range and cannot be excluded. The row set is
+    * [[funnel]]'s with an `excluded` verdict per user — dashboards
+    * report both the cleaned counts and how many were excluded.
+    *
+    * Shape at 100 TB: [[funnel]]'s single reused user-hash
+    * partitioning plus ONE more user-keyed stage: the error events
+    * join the (dimension-sized, one-row-per-user) anchor table, the
+    * in-range test is a filter, and the exclusion set semi-joins
+    * back. Raw events still shuffle exactly once per step type.
+    */
+  def funnelExcl(s: SparkSession, d: String): DataFrame = {
+    val f = funnel(s, d)
+    val anchors = f.filter(col("click_eid").isNotNull)
+      .select(col("user_id"), col("view_eid"),
+        coalesce(col("purchase_eid"), col("click_eid")).as("last_eid"))
+    val excluded = Tables.events(s, d)
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"))
+      .join(anchors, Seq("user_id"))
+      .filter(col("event_id") > col("view_eid") && col("event_id") < col("last_eid"))
+      .select(col("user_id")).distinct()
+      .withColumn("hit", lit(true))
+    f.join(excluded, Seq("user_id"), "left")
+      .select(col("user_id"), col("view_eid"), col("click_eid"),
+        col("purchase_eid"), col("steps_reached"),
+        coalesce(col("hit"), lit(false)).as("excluded"))
+  }
+
+  val funnelExclSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, min(event_id) AS view_eid
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.event_id) AS click_eid
+      |  FROM events e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.event_id > s1.view_eid
+      |  GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.event_id) AS purchase_eid
+      |  FROM events e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.event_id > s2.click_eid
+      |  GROUP BY e.user_id),
+      |f AS (
+      |  SELECT s1.user_id, s1.view_eid, s2.click_eid, s3.purchase_eid,
+      |    (1 + CASE WHEN s2.click_eid IS NOT NULL THEN 1 ELSE 0 END
+      |       + CASE WHEN s3.purchase_eid IS NOT NULL THEN 1 ELSE 0 END)::INT AS steps_reached
+      |  FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)),
+      |ex AS (
+      |  SELECT DISTINCT e.user_id
+      |  FROM events e JOIN f USING (user_id)
+      |  WHERE e.event_type = 'error' AND f.click_eid IS NOT NULL
+      |    AND e.event_id > f.view_eid
+      |    AND e.event_id < coalesce(f.purchase_eid, f.click_eid))
+      |SELECT f.user_id, f.view_eid, f.click_eid, f.purchase_eid, f.steps_reached,
+      |  (ex.user_id IS NOT NULL) AS excluded
+      |FROM f LEFT JOIN ex USING (user_id)""".stripMargin
+
+  /** Conversion window for [[funnelWindow]]: the whole funnel must
+    * complete within 2 days of the anchoring view. */
+  val ConvWindowUs: Long = 2 * DayUs
+
+  /** Q-PROD-20: funnel with a CONVERSION WINDOW — PostHog funnels
+    * count a step only when it lands within the conversion window of
+    * the user's anchoring first step (default 14 days; 2 days here so
+    * the 30-day fixture actually censors some conversions). Anchors
+    * are ts-bounded AND id-ordered: the first click after the view
+    * and within the window, then the first purchase after that click
+    * and within the same view-anchored window.
+    *
+    * Shape at 100 TB: identical to [[funnel]] — three conditional-min
+    * aggregations joined on the one reused user-hash partitioning;
+    * the window bound is a filter beside the order bound, costing
+    * nothing extra. Integer micros only.
+    */
+  def funnelWindow(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("us"))
+    // the anchor's OWN timestamp rides along in the same aggregate
+    // (min_by on the unique event_id — no second scan for the anchor row)
+    val s1t = base.filter(col("event_type") === "view")
+      .groupBy(col("user_id"))
+      .agg(min(col("event_id")).as("view_eid"),
+        expr("min_by(us, event_id)").as("view_us"))
+    val s2 = base.filter(col("event_type") === "click")
+      .join(s1t, Seq("user_id"))
+      .filter(col("event_id") > col("view_eid") &&
+        col("us") <= col("view_us") + ConvWindowUs)
+      .groupBy(col("user_id")).agg(min(col("event_id")).as("click_eid"))
+    val s3 = base.filter(col("event_type") === "purchase")
+      .join(s1t.join(s2, Seq("user_id")), Seq("user_id"))
+      .filter(col("event_id") > col("click_eid") &&
+        col("us") <= col("view_us") + ConvWindowUs)
+      .groupBy(col("user_id")).agg(min(col("event_id")).as("purchase_eid"))
+    s1t.join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("view_eid"), col("click_eid"), col("purchase_eid"),
+        (lit(1) + when(col("click_eid").isNotNull, 1).otherwise(0) +
+          when(col("purchase_eid").isNotNull, 1).otherwise(0))
+          .cast(IntegerType).as("steps_reached"))
+  }
+
+  val funnelWindowSql: String =
+    s"""WITH s1 AS (
+       |  SELECT user_id, min(event_id) AS view_eid
+       |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+       |s1t AS (
+       |  SELECT s1.user_id, s1.view_eid, epoch_us(e.ts) AS view_us
+       |  FROM s1 JOIN events e ON e.user_id = s1.user_id AND e.event_id = s1.view_eid),
+       |s2 AS (
+       |  SELECT e.user_id, min(e.event_id) AS click_eid
+       |  FROM events e JOIN s1t USING (user_id)
+       |  WHERE e.event_type = 'click' AND e.event_id > s1t.view_eid
+       |    AND epoch_us(e.ts) <= s1t.view_us + $ConvWindowUs
+       |  GROUP BY e.user_id),
+       |s3 AS (
+       |  SELECT e.user_id, min(e.event_id) AS purchase_eid
+       |  FROM events e JOIN s1t USING (user_id) JOIN s2 USING (user_id)
+       |  WHERE e.event_type = 'purchase' AND e.event_id > s2.click_eid
+       |    AND epoch_us(e.ts) <= s1t.view_us + $ConvWindowUs
+       |  GROUP BY e.user_id)
+       |SELECT s1t.user_id, s1t.view_eid, s2.click_eid, s3.purchase_eid,
+       |  (1 + CASE WHEN s2.click_eid IS NOT NULL THEN 1 ELSE 0 END
+       |     + CASE WHEN s3.purchase_eid IS NOT NULL THEN 1 ELSE 0 END)::INT AS steps_reached
+       |FROM s1t LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin
+
+  /** Q-PROD-22: ANCHORED paths with dropoff — PostHog's paths insight
+    * with a start point: from each user's FIRST `signup`, the types of
+    * the next three events form the user's path; paths aggregate to
+    * (path, depth, n_users) and the 30 heaviest are kept
+    * (deterministic tie-break on the path string). Users whose anchor
+    * is their last event show as the bare "signup" path — that row IS
+    * the dropoff-at-start count.
+    *
+    * Shape at 100 TB: both windows (the 3-step lookahead and the
+    * first-anchor row_number) partition by `user_id`, so the compact
+    * (user, id, type) projection shuffles ONCE and the two sorts run
+    * on the same exchange; path strings aggregate map-side (the
+    * alphabet is tiny) and the top-k is TakeOrderedAndProject.
+    */
+  def pathsAnchored(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("t1", lead(col("event_type"), 1).over(w))
+      .withColumn("t2", lead(col("event_type"), 2).over(w))
+      .withColumn("t3", lead(col("event_type"), 3).over(w))
+      .filter(col("event_type") === "signup")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        concat_ws(">", lit("signup"), col("t1"), col("t2"), col("t3")).as("path"),
+        (lit(1) + when(col("t1").isNotNull, 1).otherwise(0) +
+          when(col("t2").isNotNull, 1).otherwise(0) +
+          when(col("t3").isNotNull, 1).otherwise(0)).cast(IntegerType).as("depth"))
+      .groupBy(col("path"), col("depth"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(30)
+  }
+
+  val pathsAnchoredSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_id, event_type,
+      |    lead(event_type, 1) OVER w AS t1,
+      |    lead(event_type, 2) OVER w AS t2,
+      |    lead(event_type, 3) OVER w AS t3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+      |anch AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      |  FROM seq WHERE event_type = 'signup')
+      |SELECT concat_ws('>', 'signup', t1, t2, t3) AS path,
+      |  (1 + CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+      |     + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+      |     + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)::INT AS depth,
+      |  count(*) AS n_users
+      |FROM anch WHERE rn = 1
+      |GROUP BY 1, 2
+      |ORDER BY n_users DESC, path
+      |LIMIT 30""".stripMargin
+
+  /** Q-PROD-23: rolling WAU from MERGEABLE SKETCHES — the 100 TB form
+    * of [[wau]]: per-day HLL sketches (built once; in production
+    * persisted to the lake as binary columns) roll up to any trailing
+    * window by UNION — no rescan of raw events, no per-window distinct
+    * over (user, day) pairs. The estimate can't hash-match an exact
+    * oracle, so each day's estimate is gated IN-ROW against the exact
+    * [[wau]] twin (default lgConfigK=12 → ~1.6 % rse; union of ≤7
+    * sketches stays well inside the 5 % gate) and the driver checks
+    * exact columns plus the boolean verdict.
+    *
+    * Shape at 100 TB: one pass over events builds the day-keyed
+    * sketch table (map-side partial HLL merge); the 7-way explode
+    * multiplies only the ~KB day-dimension sketch rows; the union agg
+    * shuffles day-keyed sketches. The exact twin joins day-on-day
+    * (dimension-sized).
+    */
+  def wauSketch(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(expr(s"unix_micros(ts) DIV $DayUs").as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val rolled = daily
+      .select(explode(sequence(col("day"), col("day") + (WauWindow - 1))).as("day"),
+        col("sk"))
+      .groupBy(col("day"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_active"))
+    wau(s, d).join(rolled, Seq("day"))
+      .select(col("day"), col("n_active"),
+        (abs(col("est_active") - col("n_active")) <=
+          col("n_active") * lit(0.05)).as("est_within_5pct"))
+  }
+
+  val wauSketchSql: String =
+    s"""WITH days AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day FROM events),
+       |win AS (
+       |  SELECT DISTINCT user_id, day + off AS wday
+       |  FROM days, unnest(generate_series(0, ${WauWindow - 1})) AS o(off))
+       |SELECT wday AS day, count(*) AS n_active, TRUE AS est_within_5pct
+       |FROM win GROUP BY 1""".stripMargin
+
+  /** Q-PROD-24: retention with SEPARATE target and returning events —
+    * PostHog's full retention config: the cohort is the week of a
+    * user's FIRST `signup` (the target event), and a cell counts users
+    * with a `purchase` (the returning event) in the offset week.
+    * Offset 0 rows count same-week purchasers, not the cohort size —
+    * the cohort size is its own column so the triangle normalizes.
+    *
+    * Shape at 100 TB: same as [[retention]] — both event streams
+    * reduce to distinct (user, week) pairs map-side before any join;
+    * the cohort dimension joins user-keyed; negative offsets
+    * (purchases before first signup) are dropped like PostHog does.
+    */
+  def retentionTarget(s: SparkSession, d: String): DataFrame = {
+    val cohort = Tables.events(s, d)
+      .filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(expr(s"min(unix_micros(ts) DIV $WeekUs)").as("cohort_week"))
+    val returning = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr(s"unix_micros(ts) DIV $WeekUs").as("week"))
+      .distinct()
+    val sizes = cohort.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_users"))
+    returning.join(cohort, Seq("user_id"))
+      .filter(col("week") >= col("cohort_week"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_returned"))
+      .join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("cohort_users"),
+        col("n_returned"))
+  }
+
+  val retentionTargetSql: String =
+    s"""WITH cohort AS (
+       |  SELECT user_id, min(epoch_us(ts) // $WeekUs) AS cohort_week
+       |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+       |ret AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // $WeekUs AS week
+       |  FROM events WHERE event_type = 'purchase'),
+       |sizes AS (
+       |  SELECT cohort_week, count(*) AS cohort_users FROM cohort GROUP BY 1),
+       |cells AS (
+       |  SELECT c.cohort_week, r.week - c.cohort_week AS week_offset,
+       |    count(*) AS n_returned
+       |  FROM ret r JOIN cohort c USING (user_id)
+       |  WHERE r.week >= c.cohort_week
+       |  GROUP BY 1, 2)
+       |SELECT cohort_week, week_offset, cohort_users, n_returned
+       |FROM cells JOIN sizes USING (cohort_week)""".stripMargin
+
+  /** Membership bar for [[cohortTrends]]'s behavioral cohort. */
+  val CohortMinPurchases = 3
+
+  /** Q-PROD-25: insight FILTERED BY A BEHAVIORAL COHORT — PostHog's
+    * "filter by cohort" on any insight: the cohort is computed from
+    * behavior (users with ≥ [[CohortMinPurchases]] purchases ever),
+    * then the daily `view` trend runs over cohort members only, with
+    * the cohort size and the day's member-distinct count beside the
+    * raw volume.
+    *
+    * Shape at 100 TB: the cohort materializes as a user-keyed
+    * DIMENSION (one aggregate over the compact (user, type)
+    * projection); the trend side semi-joins events to it on the same
+    * user-hash partitioning before the day rollup — events shuffle
+    * once, and the filter cuts them before any day-level state.
+    */
+  def cohortTrends(s: SparkSession, d: String): DataFrame = {
+    val members = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("np"))
+      .filter(col("np") >= CohortMinPurchases)
+      .select(col("user_id"))
+    val size = members.agg(count(lit(1)).as("cohort_users"))
+    Tables.events(s, d)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .join(members, Seq("user_id"), "left_semi")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_views"),
+        countDistinct(col("user_id")).as("n_members_active"))
+      .crossJoin(size)
+  }
+
+  val cohortTrendsSql: String =
+    s"""WITH members AS (
+       |  SELECT user_id FROM events WHERE event_type = 'purchase'
+       |  GROUP BY user_id HAVING count(*) >= $CohortMinPurchases),
+       |sz AS (SELECT count(*) AS cohort_users FROM members)
+       |SELECT CAST(e.ts AS DATE) AS day, count(*) AS n_views,
+       |  count(DISTINCT e.user_id) AS n_members_active, sz.cohort_users
+       |FROM events e JOIN members USING (user_id) CROSS JOIN sz
+       |WHERE e.event_type = 'view'
+       |GROUP BY 1, sz.cohort_users""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_prod_trends", trends, Some(trendsSql)),
     Q("q_prod_trends_breakdown", trendsBreakdown, Some(trendsBreakdownSql)),
@@ -827,5 +1287,14 @@ object Product {
     Q("q_prod_stickiness", stickiness, Some(stickinessSql)),
     Q("q_prod_sessions", sessions, Some(sessionsSql)),
     Q("q_prod_correlation", correlation, Some(correlationSql)),
-    Q("q_prod_session_funnel", sessionFunnel, Some(sessionFunnelSql)))
+    Q("q_prod_session_funnel", sessionFunnel, Some(sessionFunnelSql)),
+    Q("q_prod_funnel_strict", funnelStrict, Some(funnelStrictSql)),
+    Q("q_prod_funnel_unordered", funnelUnordered, Some(funnelUnorderedSql)),
+    Q("q_prod_first_time", firstTime, Some(firstTimeSql)),
+    Q("q_prod_funnel_excl", funnelExcl, Some(funnelExclSql)),
+    Q("q_prod_funnel_window", funnelWindow, Some(funnelWindowSql)),
+    Q("q_prod_paths_anchored", pathsAnchored, Some(pathsAnchoredSql)),
+    Q("q_prod_wau_sketch", wauSketch, Some(wauSketchSql)),
+    Q("q_prod_retention_target", retentionTarget, Some(retentionTargetSql)),
+    Q("q_prod_cohort_trends", cohortTrends, Some(cohortTrendsSql)))
 }

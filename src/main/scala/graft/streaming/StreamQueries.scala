@@ -201,6 +201,74 @@ object StreamQueries {
       .select(col("doc_id"), col("w"), col("priority"), col("tau"), col("est_w"))
   }
 
+  /** Q-STR-7 (streaming exactly-once dedup, driver-checked): the
+    * watermarked dedup [[Streaming.dedupStream]] run through REAL
+    * micro-batches with client-retry REDELIVERIES injected — events
+    * arrive in 3 time-ordered chunks, every `event_id % 7 == 0` event
+    * is re-sent in the NEXT chunk (cross-batch retry) and every
+    * `% 11 == 0` twice within its own chunk (in-batch retry). The
+    * emitted stream must be exactly the original event set (ids are
+    * unique), so the per-type rollup of the emissions hash-matches the
+    * oracle computed over the CLEAN batch table — duplicate leakage
+    * shows as an inflated count.
+    *
+    * The 45-day horizon is a HARNESS artifact: three chunks compress
+    * a month of event time into seconds, so the redelivery horizon
+    * must cover a chunk span (~10 days of event time). In production
+    * the same operator runs with a minutes-scale horizon (the real
+    * retry window) and state is bounded by redelivery lag × ingest
+    * rate, not stream length — the 100 TB/day shape.
+    */
+  def dedup(s: SparkSession, d: String, chunks: Int = 3): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // collectBudgeted discipline: ~64 B/row, count probe first
+    val evDf = Tables.events(s, d)
+      .select(col("ts"), col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val nRows = evDf.count()
+    require(nRows * 64L <= graft.state.IdentityResolver.LocalHeapBudget,
+      s"streaming dedup harness: $nRows event rows exceed the MemoryStream driver " +
+        s"budget (${graft.state.IdentityResolver.LocalHeapBudget >> 20} MiB); at this scale " +
+        "feed the dedup from readStream against the wire log instead of the harness transport.")
+    val rows = evDf.collect().map(r =>
+      (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .sortBy(_._2) // event ids are time-monotone: chunks arrive in event-time order
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Long, String, Double)]
+    val name = "dedup_sink_" + java.lang.Long.toHexString(System.nanoTime())
+    val q = Streaming.dedupStream(
+        mem.toDF().toDF("ts", "event_id", "user_id", "event_type", "value"),
+        key = "event_id", horizon = "45 days")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    val emitted = try {
+      val chunked = rows.grouped(math.max(1, rows.length / chunks + 1)).toSeq
+      chunked.zipWithIndex.foreach { case (ch, i) =>
+        val inBatchDups = ch.filter(_._2 % 11 == 0)
+        val retries = if (i == 0) Array.empty[(java.sql.Timestamp, Long, Long, String, Double)]
+          else chunked(i - 1).filter(_._2 % 7 == 0)
+        mem.addData((ch ++ inBatchDups ++ retries).toSeq: _*)
+        q.processAllAvailable()
+      }
+      s.table(name)
+    } finally { q.stop() }
+    val out = emitted.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        count_distinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"))
+      .localCheckpoint(true)
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    out
+  }
+
+  val dedupSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  count(DISTINCT user_id) AS n_users,
+      |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_stream_trends", trends, Some(trendsSql)),
     Q("q_stream_tumbling", tumbling, Some(tumblingSql)),
@@ -208,5 +276,6 @@ object StreamQueries {
     Q("q_stream_sessions", sessions, Some(sessionsSql)),
     Q("q_stream_join", joined, Some(joinedSql)),
     Q("q_stream_lsh_gate", (s, d) => lshGate(s, d), Some(graft.llm.Dedup.lshGateSql)),
-    Q("q_stream_sample", (s, d) => sample(s, d), Some(graft.llm.Corpus.weightedSampleSql)))
+    Q("q_stream_sample", (s, d) => sample(s, d), Some(graft.llm.Corpus.weightedSampleSql)),
+    Q("q_stream_dedup", (s, d) => dedup(s, d), Some(dedupSql)))
 }

@@ -567,4 +567,128 @@ class OperatorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (d <- days; s <- seriesNames)
       assert(got.contains((d, s)), s"grid hole at ($d, $s)")
   }
+
+  test("strict + unordered funnel == brute-force scans over random sequences") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(8642)
+    val types = Vector("view", "click", "purchase", "signup", "error")
+    // short sequences biased toward the funnel types so consecutive
+    // (view,click,purchase) runs actually occur — and users with NO
+    // funnel event at all exercise the exclusion filters
+    val events = (1L to 800L).map { eid =>
+      (eid, new Timestamp(1704067200000L + eid * 1000),
+        rnd.nextInt(40).toLong, types(rnd.nextInt(if (eid % 3 == 0) 5 else 3)),
+        1.0, "{}")
+    }
+    val dir = Files.createTempDirectory("funnelfuzz").toString
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val byUser = events.groupBy(_._3).view
+      .mapValues(_.sortBy(_._1).map(e => (e._1, e._4)).toVector).toMap
+
+    // strict: earliest consecutive run of depth >= n
+    val gotStrict = Product.funnelStrict(spark, dir).collect().map(r =>
+      r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+        r.getInt(4))).toMap
+    byUser.foreach { case (u, seq) =>
+      val s1 = seq.collectFirst { case (id, "view") => id }
+      val s2 = seq.indices.dropRight(1).collectFirst {
+        case i if seq(i)._2 == "view" && seq(i + 1)._2 == "click" => seq(i)._1 }
+      val s3 = seq.indices.dropRight(2).collectFirst {
+        case i if seq(i)._2 == "view" && seq(i + 1)._2 == "click" &&
+          seq(i + 2)._2 == "purchase" => seq(i)._1 }
+      s1 match {
+        case None => assert(!gotStrict.contains(u), s"user $u has no view but a row")
+        case Some(v) =>
+          val (gv, gc, gp, steps) = gotStrict(u)
+          assert(gv.contains(v) && gc == s2 && gp == s3,
+            s"user $u strict anchors: got ($gv,$gc,$gp), brute ($v,$s2,$s3)")
+          assert(steps == 1 + s2.size + s3.size, s"user $u strict depth")
+      }
+    }
+
+    // unordered: first occurrence per type, any order
+    val gotUn = Product.funnelUnordered(spark, dir).collect().map(r =>
+      r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+        r.getInt(4), Option(r.get(5)))).toMap
+    byUser.foreach { case (u, seq) =>
+      def first(t: String) = seq.collectFirst { case (id, `t`) => id }
+      val (v, c, p) = (first("view"), first("click"), first("purchase"))
+      if (v.isEmpty && c.isEmpty && p.isEmpty)
+        assert(!gotUn.contains(u), s"user $u has no funnel event but a row")
+      else {
+        val (gv, gc, gp, steps, done) = gotUn(u)
+        assert(gv == v && gc == c && gp == p, s"user $u unordered firsts")
+        assert(steps == v.size + c.size + p.size, s"user $u steps_present")
+        val expectDone = for (a <- v; b <- c; d <- p) yield Seq(a, b, d).max
+        assert(done == expectDone, s"user $u completed_eid")
+      }
+    }
+  }
+
+  test("exclusion + conversion-window funnel == brute-force over random sequences") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7531)
+    val types = Vector("view", "click", "purchase", "error", "signup")
+    val base = 1704067200000000L
+    // monotone timestamps with ~15-min mean steps: 600 events span ~6
+    // days, so the 2-day conversion window censors real conversions
+    var us = base
+    val events = (1L to 600L).map { eid =>
+      us += 100000000L + rnd.nextLong(1700000000L)
+      (eid, new Timestamp(us / 1000), rnd.nextInt(25).toLong,
+        types(rnd.nextInt(if (eid % 4 == 0) 5 else 3)), 1.0, "{}", us)
+    }
+    val dir = Files.createTempDirectory("funnelexfuzz").toString
+    events.map(e => (e._1, e._2, e._3, e._4, e._5, e._6))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val byUser = events.groupBy(_._3).view
+      .mapValues(_.sortBy(_._1).map(e => (e._1, e._4, e._7)).toVector).toMap
+
+    // --- exclusion: error strictly between first view and last reached anchor
+    val gotEx = Product.funnelExcl(spark, dir).collect().map(r =>
+      r.getLong(0) -> (Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(5))).toMap
+    byUser.foreach { case (u, seq) =>
+      val v = seq.collectFirst { case (id, "view", _) => id }
+      v.foreach { ve =>
+        val c = seq.collectFirst { case (id, "click", _) if id > ve => id }
+        val p = c.flatMap(ce => seq.collectFirst {
+          case (id, "purchase", _) if id > ce => id })
+        val excl = c.exists { ce =>
+          val last = p.getOrElse(ce)
+          seq.exists { case (id, t, _) => t == "error" && id > ve && id < last }
+        }
+        val (gv, gc, gp, gex) = gotEx(u)
+        assert(gv.contains(ve) && gc == c && gp == p, s"user $u excl anchors")
+        assert(gex == excl, s"user $u excluded: got $gex, brute $excl")
+      }
+      if (v.isEmpty) assert(!gotEx.contains(u), s"user $u no view but excl row")
+    }
+
+    // --- conversion window: id-ordered anchors, ts-bounded by the first view
+    val gotW = Product.funnelWindow(spark, dir).collect().map(r =>
+      r.getLong(0) -> (r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getInt(4))).toMap
+    byUser.foreach { case (u, seq) =>
+      val v = seq.collectFirst { case (id, "view", t) => (id, t) }
+      v match {
+        case None => assert(!gotW.contains(u), s"user $u no view but window row")
+        case Some((ve, vt)) =>
+          val bound = vt + Product.ConvWindowUs
+          val c = seq.collectFirst {
+            case (id, "click", t) if id > ve && t <= bound => id }
+          val p = c.flatMap(ce => seq.collectFirst {
+            case (id, "purchase", t) if id > ce && t <= bound => id })
+          val (gve, gc, gp, steps) = gotW(u)
+          assert(gve == ve && gc == c && gp == p,
+            s"user $u window anchors: got ($gve,$gc,$gp), brute ($ve,$c,$p)")
+          assert(steps == 1 + c.size + p.size, s"user $u window depth")
+      }
+    }
+  }
 }
