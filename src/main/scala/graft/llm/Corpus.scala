@@ -3,6 +3,7 @@ package graft.llm
 import graft.Tables
 import graft.queries.Q
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The end-to-end corpus-curation funnel — the composition every
@@ -119,6 +120,78 @@ object Corpus {
        |        THEN coalesce(m.n_overlap, 0)::DOUBLE / t.n_shingles ELSE 0.0 END) >= 0.3
        |    AS is_contaminated
        |FROM tr t LEFT JOIN m ON t.doc_id = m.doc_id""".stripMargin
+  }
+
+  /** Per-BENCHMARK-DOC contamination attribution — the report
+    * [[decontam]] cannot give: decontam pools every eval shingle into
+    * one set, so it can say "this training doc overlaps the benchmark"
+    * but not WHICH benchmark item leaked (the report an eval-integrity
+    * audit actually files). Here train and eval shingle-hash sets join
+    * PER PAIR: shared distinct-shingle counts per (train doc, eval
+    * doc), containment = shared / |train shingles|, and the top
+    * attributed eval doc per train doc (ties broken by eval id).
+    *
+    * The all-pairs danger is a hot shingle joining every train doc to
+    * every eval doc. Bounded the way production decontam bounds it
+    * (stop-shingles): eval shingles appearing in more than
+    * [[AttrMaxEvalDf]] eval docs are dropped from the index — they
+    * carry no attribution signal (boilerplate), and the cap makes the
+    * join output ≤ AttrMaxEvalDf × train shingle instances, linear in
+    * the corpus. At 100 TB: one gh-keyed shuffle for the candidate
+    * join, doc-keyed aggregation, doc-keyed window for the top-1.
+    */
+  val AttrMaxEvalDf = 8
+
+  def decontamAttr(s: SparkSession, d: String): DataFrame = {
+    import Portable._
+    val docs = Dedup.shingleDocs(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val isEval = col("doc_id") % 50 === 0
+    val ev = docs.filter(isEval)
+      .select(col("doc_id").as("bench_id"), explode(col("sh")).as("g"))
+      .select(col("bench_id"), h60(col("g")).as("gh")).distinct()
+    val rare = ev.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= AttrMaxEvalDf).select(col("gh"))
+    val evIdx = ev.join(broadcast(rare), Seq("gh"), "left_semi")
+    val tr = docs.filter(!isEval)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), h60(col("g")).as("gh")).distinct()
+    val nSh = tr.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val pairs = tr.join(evIdx, Seq("gh"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("shared").desc, col("bench_id"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .join(nSh, Seq("doc_id"))
+      .select(col("doc_id"), col("bench_id"), col("shared"), col("n_shingles"),
+        (col("shared").cast("double") / col("n_shingles")).as("containment"))
+      .withColumn("is_contaminated", col("containment") >= 0.2)
+  }
+
+  val decontamAttrSql: String = {
+    import Portable._
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${shingles3Sql(tokensSql("text"))} AS sh FROM documents),
+       |ev AS (
+       |  SELECT DISTINCT doc_id AS bench_id, ${h60Sql("g")} AS gh
+       |  FROM (SELECT doc_id, unnest(sh) AS g FROM docs WHERE doc_id % 50 = 0)),
+       |rare AS (SELECT gh FROM ev GROUP BY gh HAVING count(*) <= $AttrMaxEvalDf),
+       |evi AS (SELECT * FROM ev WHERE gh IN (SELECT gh FROM rare)),
+       |tr AS (
+       |  SELECT DISTINCT doc_id, ${h60Sql("g")} AS gh
+       |  FROM (SELECT doc_id, unnest(sh) AS g FROM docs WHERE doc_id % 50 <> 0)),
+       |nsh AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT t.doc_id, e.bench_id, count(*) AS shared
+       |  FROM tr t JOIN evi e USING (gh) GROUP BY t.doc_id, e.bench_id),
+       |top1 AS (SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY shared DESC, bench_id) AS rk FROM pairs) WHERE rk = 1)
+       |SELECT p.doc_id, p.bench_id, p.shared, n.n_shingles,
+       |  p.shared::DOUBLE / n.n_shingles AS containment,
+       |  (p.shared::DOUBLE / n.n_shingles) >= 0.2 AS is_contaminated
+       |FROM top1 p JOIN nsh n USING (doc_id)""".stripMargin
   }
 
   /** Bloom-prefiltered decontamination — the shape [[decontam]] grows
@@ -907,6 +980,7 @@ object Corpus {
     Q("q_corpus_funnel", funnel, Some(funnelSql)),
     Q("q_corpus_decontam", decontam, Some(decontamSql)),
     Q("q_corpus_decontam_bloom", decontamBloom, Some(decontamBloomSql)),
+    Q("q_corpus_decontam_attr", decontamAttr, Some(decontamAttrSql)),
     Q("q_corpus_token_budget", tokenBudget, Some(tokenBudgetSql)),
     Q("q_corpus_epochs", epochs, Some(epochsSql)),
     Q("q_corpus_strat_shards", stratShards, Some(stratShardsSql)),

@@ -835,6 +835,89 @@ object Similarity {
        |FROM g""".stripMargin
   }
 
+  /** Q-SIM-22: matryoshka (MRL-style) two-stage retrieval — coarse
+    * ranking on the FIRST [[MrlPrefix]] dimensions (matryoshka
+    * representation learning trains nested prefixes to be usable
+    * embeddings on their own; Kusupati et al., NeurIPS'22), then exact
+    * full-dimension rerank of the per-query top-[[MrlCand]] survivors,
+    * with an in-row audit flag marking whether each served row is in
+    * the TRUE full-dim top-10 (the brute baseline joined on the side).
+    *
+    * Shape at 100 TB: stage 1 reads PrefixDim/Dim of the vector bytes
+    * (with a column layout that stores the prefix separately it is a
+    * narrower scan, the whole point of MRL serving) and is the same
+    * broadcast-queries map-only fold as [[topK]]; stage 2 touches only
+    * C·|Q| candidate rows — window ranks are q_id-keyed, nothing is
+    * globally sorted. The audit brute side is the labeled exact
+    * baseline (1-pass bench tier), not the serving path.
+    */
+  val MrlPrefix = 16
+  val MrlCand = 50
+
+  def matryoshka(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.par(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"),
+        l2norm(slice(col("embedding"), 1, MrlPrefix)).as("pnrm"))
+    val q = e.filter(col("vec_id") % 47 === 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("pnrm").as("q_pnrm"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("embedding"), col("q_emb"),
+        col("nrm"), col("q_nrm"),
+        (dot(slice(col("embedding"), 1, MrlPrefix), slice(col("q_emb"), 1, MrlPrefix)) /
+          (col("pnrm") * col("q_pnrm"))).as("pcos"))
+    val wc = Window.partitionBy("q_id").orderBy(col("pcos").desc, col("vec_id"))
+    val cand = scored.withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= MrlCand)
+    val wr = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    val rer = cand
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm"))).as("cosine"))
+      .withColumn("rank", row_number().over(wr)).filter(col("rank") <= 10)
+    val wb = Window.partitionBy("q_id").orderBy(col("bcos").desc, col("vec_id"))
+    val brute = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm"))).as("bcos"))
+      .withColumn("brank", row_number().over(wb)).filter(col("brank") <= 10)
+      .select(col("q_id"), col("vec_id"), lit(true).as("in_brute10"))
+    rer.join(brute, Seq("q_id", "vec_id"), "left")
+      .select(col("q_id"), col("vec_id"), col("cosine"), col("rank"),
+        coalesce(col("in_brute10"), lit(false)).as("in_brute10"))
+  }
+
+  val matryoshkaSql: String = {
+    def pdot(a: String, b: String) =
+      s"list_reduce(list_transform(generate_series(1, $MrlPrefix), i -> ($a)[i]::DOUBLE * ($b)[i]::DOUBLE), (x, y) -> x + y)"
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, ${l2normSql("embedding")} AS nrm,
+       |    sqrt(${pdot("embedding", "embedding")}) AS pnrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, pnrm AS q_pnrm
+       |      FROM e WHERE vec_id % 47 = 3),
+       |coarse AS (
+       |  SELECT q_id, vec_id, e.embedding, q_emb, nrm, q_nrm,
+       |    ${pdot("e.embedding", "q_emb")} / (pnrm * q_pnrm) AS pcos
+       |  FROM e JOIN q ON vec_id <> q_id),
+       |cand AS (SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY pcos DESC, vec_id) AS crank
+       |    FROM coarse) WHERE crank <= $MrlCand),
+       |rer AS (SELECT * FROM (
+       |    SELECT q_id, vec_id,
+       |      ${dotSql("embedding", "q_emb")} / (nrm * q_nrm) AS cosine,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY ${dotSql("embedding", "q_emb")} / (nrm * q_nrm) DESC, vec_id) AS rank
+       |    FROM cand) WHERE rank <= 10),
+       |brute AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY ${dotSql("e.embedding", "q_emb")} / (nrm * q_nrm) DESC, vec_id) AS brank
+       |    FROM e JOIN q ON vec_id <> q_id) WHERE brank <= 10)
+       |SELECT r.q_id, r.vec_id, r.cosine, CAST(r.rank AS INT) AS rank,
+       |  b.vec_id IS NOT NULL AS in_brute10
+       |FROM rer r LEFT JOIN brute b ON r.q_id = b.q_id AND r.vec_id = b.vec_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_sim_topk", topK, Some(topKSql)),
     Q("q_sim_mips", mips, Some(mipsSql)),
@@ -851,5 +934,6 @@ object Similarity {
     Q("q_sim_project_search", projectSearch, Some(projectSearchSql)),
     Q("q_sim_recall_matrix", recallMatrix, Some(recallMatrixSql)),
     Q("q_sim_prototypes", prototypes, Some(prototypesSql)),
-    Q("q_sim_index_stats", indexStats, Some(indexStatsSql)))
+    Q("q_sim_index_stats", indexStats, Some(indexStatsSql)),
+    Q("q_sim_matryoshka", matryoshka, Some(matryoshkaSql)))
 }

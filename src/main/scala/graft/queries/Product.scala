@@ -1272,6 +1272,106 @@ object Product {
        |WHERE e.event_type = 'view'
        |GROUP BY 1, sz.cohort_users""".stripMargin
 
+  // ------------------------------------------------- cumulative trends
+
+  /** Q-PROD-23: CUMULATIVE trends — PostHog's "cumulative" display
+    * mode: the daily series summed forward, per breakdown segment
+    * (`props.k % 10`), so each point answers "how many event-units so
+    * far". Emits both the daily value and the running total.
+    *
+    * Shape at 100 TB: the events scan collapses to a (day × 10)-row
+    * dimension aggregate FIRST (map-side combined), and the running
+    * sum is a window over that tiny rollup, partitioned by segment —
+    * never a window over raw events. The cumulation cost is
+    * O(days × segments) regardless of corpus size.
+    */
+  def trendsCumulative(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rolled = Tables.events(s, d)
+      .filter(col("event_type") === "view")
+      .groupBy(to_date(col("ts")).as("day"),
+        (get_json_object(col("props"), "$.k").cast("int") % 10).as("bval"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("bval")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rolled.withColumn("cum_n", sum(col("n")).over(w))
+  }
+
+  val trendsCumulativeSql: String =
+    """WITH rolled AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    json_extract_string(props, '$.k')::INT % 10 AS bval,
+      |    count(*) AS n
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+      |SELECT day, bval, n,
+      |  CAST(sum(n) OVER (PARTITION BY bval ORDER BY day) AS BIGINT) AS cum_n
+      |FROM rolled""".stripMargin
+
+  // ------------------------------------------------- funnel breakdown
+
+  /** Q-PROD-22: funnel with BREAKDOWN — PostHog's funnel split by a
+    * property: each user's whole funnel is attributed to ONE breakdown
+    * value (first-touch: the property on the view event that anchors
+    * the funnel — PostHog's `breakdown_attribution_type: first_touch`),
+    * then per-value entered/step/converted counts and the end-to-end
+    * conversion rate. The property here is `props.k` bucketed mod 10
+    * (a ~10-ary segment, the shape of a browser/plan/country split).
+    *
+    * Shape at 100 TB: the per-user funnel fold is [[funnel]] verbatim
+    * (three user-keyed min-aggregates, one user-hash shuffle reused
+    * across steps); the anchor's breakdown value rides the SAME s1
+    * aggregate as a `min_by` (no extra shuffle, no second scan), and
+    * the final rollup is a 10-row map-side-combined aggregate. The
+    * conversion divide is one double op on integer counts — exact.
+    */
+  def funnelBreakdown(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("props"))
+    val s1 = base.filter(col("event_type") === "view")
+      .groupBy(col("user_id"))
+      .agg(min(col("event_id")).as("view_eid"),
+        min_by(get_json_object(col("props"), "$.k").cast("int") % 10,
+          col("event_id")).as("bval"))
+    val s2 = base.filter(col("event_type") === "click")
+      .join(s1.select("user_id", "view_eid"), Seq("user_id"))
+      .filter(col("event_id") > col("view_eid"))
+      .groupBy(col("user_id")).agg(min(col("event_id")).as("click_eid"))
+    val s3 = base.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("event_id") > col("click_eid"))
+      .groupBy(col("user_id")).agg(min(col("event_id")).as("purchase_eid"))
+    s1.join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .groupBy(col("bval"))
+      .agg(count(lit(1)).as("entered"),
+        count(col("click_eid")).as("step2"),
+        count(col("purchase_eid")).as("converted"))
+      .withColumn("conversion",
+        col("converted").cast("double") / col("entered"))
+  }
+
+  val funnelBreakdownSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, min(event_id) AS view_eid,
+      |    min_by(json_extract_string(props, '$.k')::INT % 10, event_id) AS bval
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.event_id) AS click_eid
+      |  FROM events e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.event_id > s1.view_eid
+      |  GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.event_id) AS purchase_eid
+      |  FROM events e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.event_id > s2.click_eid
+      |  GROUP BY e.user_id)
+      |SELECT s1.bval, count(*) AS entered,
+      |  count(s2.click_eid) AS step2,
+      |  count(s3.purchase_eid) AS converted,
+      |  count(s3.purchase_eid)::DOUBLE / count(*) AS conversion
+      |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+      |GROUP BY s1.bval""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_prod_trends", trends, Some(trendsSql)),
     Q("q_prod_trends_breakdown", trendsBreakdown, Some(trendsBreakdownSql)),
@@ -1296,5 +1396,7 @@ object Product {
     Q("q_prod_paths_anchored", pathsAnchored, Some(pathsAnchoredSql)),
     Q("q_prod_wau_sketch", wauSketch, Some(wauSketchSql)),
     Q("q_prod_retention_target", retentionTarget, Some(retentionTargetSql)),
-    Q("q_prod_cohort_trends", cohortTrends, Some(cohortTrendsSql)))
+    Q("q_prod_cohort_trends", cohortTrends, Some(cohortTrendsSql)),
+    Q("q_prod_funnel_breakdown", funnelBreakdown, Some(funnelBreakdownSql)),
+    Q("q_prod_trends_cumulative", trendsCumulative, Some(trendsCumulativeSql)))
 }

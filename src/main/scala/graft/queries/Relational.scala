@@ -250,6 +250,63 @@ object Relational {
           .as("asof_signup_in_tol_us"))
   }
 
+  /** Q-JOIN-5d: NEAREST as-of join — each purchase matched to the
+    * temporally CLOSEST signup in either direction (pandas
+    * `merge_asof(direction='nearest')`): the backward at-or-before
+    * candidate and the forward strictly-after candidate race on
+    * absolute time distance, ties to backward (the pandas rule). Both
+    * candidates come from the SAME interleaved user-keyed pass —
+    * backward is a running `last(ignoreNulls)`, forward a mirrored
+    * `first(ignoreNulls)` — so the cost is one shuffle and two frames
+    * over one sort, not two joins. Emits the winner and its direction
+    * so downstream can audit the tie/one-sided cases.
+    */
+  def joinAsOfNearest(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = ord.rowsBetween(1, Window.unboundedFollowing)
+    val base = e.select(
+        col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "signup", col("ts")).as("sig_ts"))
+      .withColumn("back_ts", last("sig_ts", ignoreNulls = true).over(wb))
+      .withColumn("fwd_ts", first("sig_ts", ignoreNulls = true).over(wf))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), tsUs(col("ts")).as("ts_us"),
+        tsUs(col("back_ts")).as("back_us"), tsUs(col("fwd_ts")).as("fwd_us"))
+    val backWins = col("fwd_us").isNull ||
+      (col("back_us").isNotNull &&
+        (col("ts_us") - col("back_us")) <= (col("fwd_us") - col("ts_us")))
+    base.select(col("event_id"), col("user_id"), col("ts_us"),
+      when(col("back_us").isNull && col("fwd_us").isNull, lit(null))
+        .when(backWins, col("back_us")).otherwise(col("fwd_us"))
+        .as("nearest_signup_us"),
+      when(col("back_us").isNull && col("fwd_us").isNull, lit(null))
+        .when(backWins, lit("backward")).otherwise(lit("forward"))
+        .as("direction"))
+  }
+
+  val joinAsOfNearestSql: String =
+    """WITH base AS (
+      |  SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+      |    (SELECT epoch_us(max(s.ts)) FROM events s
+      |      WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+      |        AND (s.ts < e.ts OR (s.ts = e.ts AND s.event_id <= e.event_id))) AS back_us,
+      |    (SELECT epoch_us(min(s.ts)) FROM events s
+      |      WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+      |        AND (s.ts > e.ts OR (s.ts = e.ts AND s.event_id > e.event_id))) AS fwd_us
+      |  FROM events e WHERE e.event_type = 'purchase')
+      |SELECT event_id, user_id, ts_us,
+      |  CASE WHEN back_us IS NULL AND fwd_us IS NULL THEN NULL
+      |       WHEN fwd_us IS NULL OR (back_us IS NOT NULL
+      |            AND (ts_us - back_us) <= (fwd_us - ts_us)) THEN back_us
+      |       ELSE fwd_us END AS nearest_signup_us,
+      |  CASE WHEN back_us IS NULL AND fwd_us IS NULL THEN NULL
+      |       WHEN fwd_us IS NULL OR (back_us IS NOT NULL
+      |            AND (ts_us - back_us) <= (fwd_us - ts_us)) THEN 'backward'
+      |       ELSE 'forward' END AS direction
+      |FROM base""".stripMargin
+
   // ----------------------------------------------------------- aggregation
 
   /** Q-AGG-1: events per type per day — count/sum/avg/min/max. Exact
@@ -1243,6 +1300,7 @@ object Relational {
          |SELECT event_id, user_id, ts_us, ts_us - asof_us AS lag_us,
          |  CASE WHEN ts_us - asof_us <= $AsOfToleranceUs THEN asof_us END AS asof_signup_in_tol_us
          |FROM base""".stripMargin)),
+    Q("q_join_asof_nearest", joinAsOfNearest, Some(joinAsOfNearestSql)),
     Q("q_agg_daily", aggDaily, Some(
       """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
