@@ -918,6 +918,60 @@ object Similarity {
        |FROM rer r LEFT JOIN brute b ON r.q_id = b.q_id AND r.vec_id = b.vec_id""".stripMargin
   }
 
+  /** Q-SIM-23: embedding OUTLIER / OOD detection — the curation gate
+    * that drops mis-embedded or off-distribution vectors before they
+    * poison retrieval or training mixes: each vector's squared
+    * distance to its NEAREST IVF centroid (the quantization residual),
+    * flagged when the residual ranks in the top 5% corpus-wide. The
+    * threshold is an EXACT order statistic (rank > ceil(0.95·n)), not
+    * an approximate quantile — computed via the shared
+    * [[graft.plans.BucketedOrder]] range-bucketed decomposition, so no
+    * partition-less window ever plans.
+    *
+    * Shape at 100 TB: centroids broadcast (k-bounded), the residual is
+    * a map-only codegen'd fold + per-vector rank-1 window (vec-keyed),
+    * and the global rank is two bucketed passes — every stage hash-
+    * partitioned. The count rides the same bucket table (no second
+    * scan of the corpus for `n`).
+    */
+  def outliers(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.par(Tables.embeddings(s, d)).select(col("vec_id"), col("embedding"))
+    val c = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist2"), col("centroid_id"))
+    val assigned = e.crossJoin(broadcast(c))
+      .select(col("vec_id"), col("centroid_id"), dist2(col("embedding"), col("c_emb")).as("dist2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id").as("cell"), col("dist2"))
+    val ranked = graft.plans.BucketedOrder.withOrderStats(
+      assigned, rangeKey = col("dist2"),
+      order = Seq(col("dist2").asc, col("vec_id").asc), rankCol = "rk")
+    val n = assigned.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .select(col("vec_id"), col("cell"), col("dist2"),
+        col("rk").cast("int").as("residual_rank"),
+        (col("rk") > ceil(col("__n") * 0.95)).as("is_outlier"))
+  }
+
+  val outliersSql: String = {
+    val d2 =
+      """list_reduce(list_transform(generate_series(1, len(embedding)), i ->
+        |  (embedding[i]::DOUBLE - c_emb[i]::DOUBLE) * (embedding[i]::DOUBLE - c_emb[i]::DOUBLE)),
+        |  (x, y) -> x + y)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM e WHERE vec_id < 8),
+       |assigned AS (SELECT vec_id, centroid_id AS cell, dist2 FROM (
+       |  SELECT vec_id, centroid_id, $d2 AS dist2,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY $d2, centroid_id) AS rn
+       |  FROM e, c) WHERE rn = 1),
+       |n AS (SELECT count(*) AS nn FROM assigned)
+       |SELECT vec_id, cell, dist2,
+       |  CAST(row_number() OVER (ORDER BY dist2, vec_id) AS INT) AS residual_rank,
+       |  row_number() OVER (ORDER BY dist2, vec_id) > ceil(nn * 0.95) AS is_outlier
+       |FROM assigned, n""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_sim_topk", topK, Some(topKSql)),
     Q("q_sim_mips", mips, Some(mipsSql)),
@@ -935,5 +989,6 @@ object Similarity {
     Q("q_sim_recall_matrix", recallMatrix, Some(recallMatrixSql)),
     Q("q_sim_prototypes", prototypes, Some(prototypesSql)),
     Q("q_sim_index_stats", indexStats, Some(indexStatsSql)),
-    Q("q_sim_matryoshka", matryoshka, Some(matryoshkaSql)))
+    Q("q_sim_matryoshka", matryoshka, Some(matryoshkaSql)),
+    Q("q_sim_outliers", outliers, Some(outliersSql)))
 }
