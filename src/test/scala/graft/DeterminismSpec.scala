@@ -53,7 +53,11 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
         // round-11: cross-modal cosine scores (dot/norm folds) and the
         // trends ratio (count-fed division) are aggregate-fed floats
         "q_media_search", "q_prod_trends", "q_prod_funnel_daily", "q_sim_mips",
-        "q_stream_trends")) {
+        "q_stream_trends",
+        // round-12: breakdown-conversion / containment divides, MRL
+        // two-stage cosine folds, and the outlier BucketedOrder ranks
+        "q_prod_funnel_breakdown", "q_sim_matryoshka", "q_sim_outliers",
+        "q_corpus_decontam_attr")) {
       val a = runAt(2, q)
       val b = runAt(7, q)
       assert(a.nonEmpty, s"$q returned nothing")
