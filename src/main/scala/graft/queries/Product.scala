@@ -293,6 +293,50 @@ object Product {
       |ORDER BY n DESC, prev_type, curr_type
       |LIMIT 20""".stripMargin
 
+  /** Q-PROD-24: first-order Markov transition matrix over the event
+    * stream — the quantitative twin of [[paths]]: every (from → to)
+    * consecutive-event edge with its count, the conditional
+    * probability P(to | from) (the edge-weight percentage a paths UI
+    * renders), and the edge's rank among `from`'s outgoing edges.
+    *
+    * Shape at 100 TB: one user-keyed window pass produces the edges,
+    * which collapse to a V²-row matrix (V = event-type vocabulary,
+    * single digits here) map-side; the row-normalizing totals join and
+    * the outgoing-edge rank window both run on that V²-row table —
+    * dimension-sized, never the event stream.
+    */
+  def pathsMarkov(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val edges = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = edges.groupBy(col("from_type")).agg(sum(col("n")).as("out_n"))
+    val wr = Window.partitionBy(col("from_type"))
+      .orderBy(col("n").desc, col("to_type"))
+    edges.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("out_n")).as("p"),
+        row_number().over(wr).as("out_rank"))
+  }
+
+  val pathsMarkovSql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+      |  FROM events),
+      |edges AS (
+      |  SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+      |  FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT from_type, sum(n)::BIGINT AS out_n FROM edges GROUP BY 1)
+      |SELECT e.from_type, e.to_type, e.n, e.n::DOUBLE / t.out_n AS p,
+      |  CAST(row_number() OVER (PARTITION BY e.from_type
+      |    ORDER BY e.n DESC, e.to_type) AS INT) AS out_rank
+      |FROM edges e JOIN tot t USING (from_type)""".stripMargin
+
   // ------------------------------------------------------------ stickiness
 
   private val DayUs = 86400000000L
@@ -1398,5 +1442,6 @@ object Product {
     Q("q_prod_retention_target", retentionTarget, Some(retentionTargetSql)),
     Q("q_prod_cohort_trends", cohortTrends, Some(cohortTrendsSql)),
     Q("q_prod_funnel_breakdown", funnelBreakdown, Some(funnelBreakdownSql)),
-    Q("q_prod_trends_cumulative", trendsCumulative, Some(trendsCumulativeSql)))
+    Q("q_prod_trends_cumulative", trendsCumulative, Some(trendsCumulativeSql)),
+    Q("q_prod_paths_markov", pathsMarkov, Some(pathsMarkovSql)))
 }

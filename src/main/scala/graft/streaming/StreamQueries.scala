@@ -263,6 +263,98 @@ object StreamQueries {
     out
   }
 
+  /** Q-STR-8 (streaming late-data audit, driver-checked): watermarked
+    * daily counts [[Streaming.watermarkedCounts]] run through REAL
+    * micro-batches with STRAGGLERS injected — events arrive in 3
+    * time-ordered chunks, but every `event_id % 13 == 0` event is
+    * withheld from its own chunk and delivered one batch late (a
+    * ~10-day straggle against a 2-day watermark). Spark drops a late
+    * row iff its window END has passed the watermark (`end <= wm`, ms
+    * truncation — pinned by StreamingSpec's boundary probe); the
+    * result reconciles the stream against the lake: per (day, type),
+    * rows fed, rows the watermarked agg kept, rows dropped. The oracle
+    * recomputes the drop rule closed-form from the deterministic chunk
+    * assignment — a drift in watermark semantics hash-mismatches.
+    *
+    * This is the observability HALF of the watermark trade: the delay
+    * bounds state (2 days × ingest rate, not stream length — the
+    * 100 TB/day shape), and this audit makes what the bound DISCARDS a
+    * first-class, queryable number instead of silent data loss.
+    */
+  def late(s: SparkSession, d: String, chunks: Int = 3): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val DayUs = 86400000000L
+    val evDf = Tables.events(s, d)
+      .select(col("ts"), col("event_id"), col("event_type"))
+    val nRows = evDf.count()
+    require(nRows * 48L <= graft.state.IdentityResolver.LocalHeapBudget,
+      s"late-audit harness: $nRows event rows exceed the MemoryStream driver budget; " +
+        "at this scale feed the audit from readStream against the wire log instead.")
+    val rows = evDf.collect().map(r =>
+      (r.getTimestamp(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._2) // event ids are time-monotone: chunks arrive in event-time order
+    val maxTs = rows.last._1
+    val sentinel = (new java.sql.Timestamp(maxTs.getTime + 365L * 86400000L), -1L, "flush")
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val name = "late_sink_" + java.lang.Long.toHexString(System.nanoTime())
+    val q = Streaming.watermarkedCounts(
+        mem.toDF().toDF("ts", "event_id", "event_type"),
+        windowLen = "1 day", delay = "2 days")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    val kept = try {
+      val chunked = rows.grouped(math.max(1, rows.length / chunks + 1)).toSeq
+      (0 to chunked.length).foreach { i =>
+        val onTime = if (i < chunked.length) chunked(i).filter(_._2 % 13 != 0)
+          else Array(sentinel)
+        val stragglers = if (i == 0) Array.empty[(java.sql.Timestamp, Long, String)]
+          else chunked(i - 1).filter(_._2 % 13 == 0)
+        mem.addData((onTime ++ stragglers).toSeq: _*)
+        q.processAllAvailable()
+      }
+      s.table(name).filter(col("event_type") =!= "flush").localCheckpoint(true)
+    } finally { q.stop() }
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val fed = evDf
+      .groupBy(
+        (expr(s"unix_micros(ts) div $DayUs") * DayUs).as("window_start_us"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_fed"))
+    fed.join(kept, Seq("window_start_us", "event_type"), "left")
+      .select(col("window_start_us"), col("event_type"), col("n_fed"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_fed") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
+  val lateSql: String =
+    """WITH o AS (
+      |  SELECT epoch_us(ts) AS ts_us, event_id, event_type,
+      |    row_number() OVER (ORDER BY event_id) - 1 AS rk,
+      |    count(*) OVER () AS nn
+      |  FROM events),
+      |c AS (SELECT *, rk // (nn // 3 + 1) AS ch FROM o),
+      |wm AS (
+      |  SELECT ch, max(ts_us) AS mx FROM c
+      |  WHERE event_id % 13 <> 0 GROUP BY ch),
+      |a AS (
+      |  SELECT c.ts_us, c.event_type,
+      |    (c.ts_us // 86400000000 + 1) * 86400000000 AS wend,
+      |    w.mx
+      |  FROM c LEFT JOIN wm w
+      |    ON w.ch = CASE WHEN c.event_id % 13 = 0 THEN c.ch ELSE c.ch - 1 END),
+      |v AS (
+      |  SELECT *, (mx IS NOT NULL
+      |    AND wend <= (mx // 1000 - 172800000) * 1000) AS dropped
+      |  FROM a)
+      |SELECT (ts_us // 86400000000) * 86400000000 AS window_start_us, event_type,
+      |  count(*)::BIGINT AS n_fed,
+      |  (count(*) FILTER (WHERE NOT dropped))::BIGINT AS n_kept,
+      |  (count(*) FILTER (WHERE dropped))::BIGINT AS n_dropped
+      |FROM v GROUP BY 1, 2""".stripMargin
+
   val dedupSql: String =
     """SELECT event_type, count(*) AS n,
       |  count(DISTINCT user_id) AS n_users,
@@ -277,5 +369,6 @@ object StreamQueries {
     Q("q_stream_join", joined, Some(joinedSql)),
     Q("q_stream_lsh_gate", (s, d) => lshGate(s, d), Some(graft.llm.Dedup.lshGateSql)),
     Q("q_stream_sample", (s, d) => sample(s, d), Some(graft.llm.Corpus.weightedSampleSql)),
-    Q("q_stream_dedup", (s, d) => dedup(s, d), Some(dedupSql)))
+    Q("q_stream_dedup", (s, d) => dedup(s, d), Some(dedupSql)),
+    Q("q_stream_late", (s, d) => late(s, d), Some(lateSql)))
 }

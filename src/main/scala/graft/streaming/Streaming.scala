@@ -40,6 +40,22 @@ object Streaming {
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Tumbling counts with the watermark delay a PARAMETER — the form
+    * the late-data audit drives, since the drop horizon is exactly the
+    * semantics under test: an arriving row is dropped iff its window
+    * END has already passed the watermark (`window.end <= wm`, wm =
+    * max event-time seen in PRIOR batches, ms-truncated, minus the
+    * delay — pinned empirically in StreamingSpec). State is bounded by
+    * `delay + windowLen` of event time regardless of stream length.
+    */
+  def watermarkedCounts(events: DataFrame, windowLen: String, delay: String): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_kept"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n_kept"))
+
   /** Sliding windows (6h length, 3h slide → 2 windows per event). */
   def slidingCounts(events: DataFrame): DataFrame =
     events

@@ -123,6 +123,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS late_out") }
   }
 
+  test("late-drop boundary: dropped iff window END <= ms-truncated watermark") {
+    // Pins the exact rule q_stream_late's oracle recomputes closed-form:
+    // wm = floor(maxPriorTs/1ms)*1ms - delay, and the drop comparator is
+    // on window.end (a row older than the watermark itself is still KEPT
+    // when its window end lies beyond the watermark).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val DayUs = 86400000000L
+    def tUs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000000L * 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt); t
+    }
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = Streaming.watermarkedCounts(
+        mem.toDF().toDF("ts", "event_id", "event_type"),
+        windowLen = "1 day", delay = "2 days")
+      .writeStream.format("memory").queryName("late_edge")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // anchor at 12d + 999us: the 999us must TRUNCATE (wm is ms-grained)
+      // → wm = 12d - 2d = 10d exactly
+      mem.addData((tUs(12 * DayUs + 999L), 1L, "anchor"))
+      q.processAllAvailable()
+      mem.addData(
+        (tUs(9 * DayUs + 1000L), 2L, "end_eq_wm"),   // window end 10d == wm → dropped
+        (tUs(10 * DayUs + 3600000000L), 3L, "ts_lt_wm_end_gt"), // ts < wm, end 11d > wm → kept
+        (tUs(8 * DayUs), 4L, "end_lt_wm"),           // window end 9d < wm → dropped
+        (tUs(50 * DayUs), 5L, "flush"))              // advance wm → emit everything real
+      q.processAllAvailable()
+      mem.addData((tUs(99 * DayUs), 6L, "flush2"))
+      q.processAllAvailable()
+      val kept = spark.table("late_edge").collect()
+        .map(_.getAs[String]("event_type")).toSet
+      assert(kept.contains("ts_lt_wm_end_gt"),
+        "drop rule must compare window END, not the raw event time")
+      assert(kept.contains("anchor") && kept.contains("flush"))
+      assert(!kept.contains("end_eq_wm"), "end == wm is already closed (<= comparator)")
+      assert(!kept.contains("end_lt_wm"))
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS late_edge") }
+  }
+
   test("gap sessionization: q_prod_sessions window form == native session_window") {
     // two independent algorithms for the same 30-min-gap definition:
     // the batch lag/cumsum windows vs Spark's session_window merge.
