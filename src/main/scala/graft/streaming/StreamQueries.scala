@@ -329,6 +329,58 @@ object StreamQueries {
         (col("n_fed") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
+  /** Q-STR-9 (streaming funnel, driver-checked): the keyed-state funnel
+    * [[Streaming.funnelStream]] run through REAL micro-batches with the
+    * same straggler injection as [[late]] (`event_id % 13` delivered one
+    * chunk late) — an out-of-order EARLIER step must re-anchor the
+    * greedy chain, which is exactly what the buffer-until-settled state
+    * design exists for. Oracle: the batch funnel's own SQL
+    * ([[graft.queries.Product.funnelSql]]) — streaming == batch is the
+    * operator's contract, hash-checked by the driver per user row.
+    */
+  def funnel(s: SparkSession, d: String, chunks: Int = 3): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evDf = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("ts"), col("event_id"), col("user_id"), col("event_type"))
+    val nRows = evDf.count()
+    require(nRows * 56L <= graft.state.IdentityResolver.LocalHeapBudget,
+      s"streaming funnel harness: $nRows event rows exceed the MemoryStream driver " +
+        "budget; at this scale feed the funnel from readStream against the wire log.")
+    val rows = evDf.collect().map(r =>
+      (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._2) // event ids are time-monotone: chunks arrive in event-time order
+    val maxTs = rows.map(_._1.getTime).max
+    // the sentinel view (user -1) advances the watermark a year past the
+    // corpus so every settle timer fires; its own timer never does
+    val sentinel = (new java.sql.Timestamp(maxTs + 365L * 86400000L),
+      Long.MaxValue, -1L, "view")
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Long, String)]
+    val name = "funnel_sink_" + java.lang.Long.toHexString(System.nanoTime())
+    val q = Streaming.funnelStream(
+        mem.toDF().toDF("ts", "event_id", "user_id", "event_type"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    val verdicts = try {
+      val chunked = rows.grouped(math.max(1, rows.length / chunks + 1)).toSeq
+      (0 to chunked.length).foreach { i =>
+        val onTime = if (i < chunked.length) chunked(i).filter(_._2 % 13 != 0)
+          else Array(sentinel)
+        val stragglers = if (i == 0) Array.empty[(java.sql.Timestamp, Long, Long, String)]
+          else chunked(i - 1).filter(_._2 % 13 == 0)
+        mem.addData((onTime ++ stragglers).toSeq: _*)
+        q.processAllAvailable()
+      }
+      s.table(name).filter(col("user_id") =!= -1L).localCheckpoint(true)
+    } finally { q.stop() }
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    verdicts.select(col("user_id"), col("view_eid"), col("click_eid"),
+      col("purchase_eid"), col("steps_reached"))
+  }
+
   val lateSql: String =
     """WITH o AS (
       |  SELECT epoch_us(ts) AS ts_us, event_id, event_type,
@@ -370,5 +422,6 @@ object StreamQueries {
     Q("q_stream_lsh_gate", (s, d) => lshGate(s, d), Some(graft.llm.Dedup.lshGateSql)),
     Q("q_stream_sample", (s, d) => sample(s, d), Some(graft.llm.Corpus.weightedSampleSql)),
     Q("q_stream_dedup", (s, d) => dedup(s, d), Some(dedupSql)),
-    Q("q_stream_late", (s, d) => late(s, d), Some(lateSql)))
+    Q("q_stream_late", (s, d) => late(s, d), Some(lateSql)),
+    Q("q_stream_funnel", (s, d) => funnel(s, d), Some(graft.queries.Product.funnelSql)))
 }

@@ -150,6 +150,96 @@ object Streaming {
         col("r.value").cast("decimal(14,2)").cast("double").as("right_value"))
   }
 
+  // ------------------------------------------------- streaming funnel
+
+  /** One typed funnel event: `step` = position in the step sequence.
+    * `ts` stays a Timestamp — the watermark-bearing column must survive
+    * into the fMGWS input for event-time timeout to be allowed.
+    */
+  case class FunnelEvent(user_id: Long, event_id: Long, step: Int, ts: java.sql.Timestamp)
+
+  /** Keyed funnel state: the user's funnel-type events buffered until
+    * the watermark settles their order (out-of-order arrivals re-enter
+    * the chain), plus the max event time for the settle timer.
+    */
+  case class FunnelBuffer(events: Seq[(Long, Int)], last_ts_us: Long)
+
+  /** Per-user verdict — the exact row shape of the batch funnel. */
+  case class FunnelVerdict(user_id: Long, view_eid: Long,
+      click_eid: Option[Long], purchase_eid: Option[Long], steps_reached: Int)
+
+  /** The greedy first-match chain — ONE definition shared by the
+    * streaming fold and the spec's driver-side recompute: first step-0
+    * event, first step-1 event after it, first step-2 event after
+    * that, on event-id order (ids are time-monotone). Identical to the
+    * batch funnel's conditional-min joins (`Product.funnel`).
+    */
+  private[streaming] def funnelChain(
+      evs: Seq[(Long, Int)]): (Option[Long], Option[Long], Option[Long]) = {
+    def firstAfter(step: Int, after: Long): Option[Long] = {
+      var best = Long.MaxValue
+      evs.foreach { case (eid, s) => if (s == step && eid > after && eid < best) best = eid }
+      if (best == Long.MaxValue) None else Some(best)
+    }
+    val v = firstAfter(0, Long.MinValue)
+    val c = v.flatMap(firstAfter(1, _))
+    val p = c.flatMap(firstAfter(2, _))
+    (v, c, p)
+  }
+
+  /** Streaming ordered funnel — the incremental twin of
+    * `Product.funnel`'s greedy chain, exact under OUT-OF-ORDER arrival:
+    * keyed state buffers a user's funnel-type events (a late-arriving
+    * earlier step must be able to re-anchor the chain, so a running
+    * chain fold would be wrong); an event-time timer fires once the
+    * watermark proves the user's stream is settled, computes the chain
+    * once, emits the verdict row, and DROPS the state.
+    *
+    * State bound: one user's funnel-type events within `settleDays` of
+    * event time — watermark-evicted, never stream-length. The 12-day
+    * horizon / 20-day settle are HARNESS artifacts (3 chunks compress a
+    * month of event time, so a one-chunk straggle is ~10 days); a
+    * production deployment runs the same operator with its conversion
+    * window (hours/days) as both bounds.
+    */
+  def funnelStream(events: DataFrame, horizon: String = "12 days",
+      settleDays: Int = 20): Dataset[FunnelVerdict] = {
+    import events.sparkSession.implicits._
+    val settleMs = settleDays * 86400000L
+    val typed = events
+      .withWatermark("ts", horizon)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        when(col("event_type") === "view", 0)
+          .when(col("event_type") === "click", 1)
+          .otherwise(2).as("step"),
+        col("ts"))
+      .as[FunnelEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelBuffer, FunnelVerdict](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelBuffer]) =>
+          if (state.hasTimedOut) {
+            val buf = state.get
+            state.remove()
+            val (v, c, p) = funnelChain(buf.events)
+            v match {
+              case Some(ve) => Iterator.single(FunnelVerdict(uid, ve, c, p,
+                1 + c.size + p.size))
+              case None => Iterator.empty
+            }
+          } else {
+            val rows = it.toArray
+            val prev = state.getOption.getOrElse(FunnelBuffer(Vector.empty, 0L))
+            val next = FunnelBuffer(prev.events ++ rows.map(e => (e.event_id, e.step)),
+              math.max(prev.last_ts_us, rows.map(_.ts.getTime * 1000L).max))
+            state.update(next)
+            state.setTimeoutTimestamp(next.last_ts_us / 1000L + settleMs)
+            Iterator.empty
+          }
+      }
+  }
+
   // ------------------------------------------------------- keyed state
 
   /** Incremental group-state fold — the streaming twin of

@@ -164,6 +164,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS late_edge") }
   }
 
+  test("streaming funnel: a late-arriving EARLIER step re-anchors the greedy chain") {
+    // The case a running chain fold gets wrong: user 1's click (id 5)
+    // arrives BEFORE the view (id 3) that anchors it. The buffered
+    // design must still produce view=3, click=5, purchase=7. User 2's
+    // purchase precedes their view in EVENT order (not just arrival) —
+    // chain stops at the view. User 3 never views — no verdict row.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val DayMs = 86400000L
+    def dts(day: Int): Timestamp = new Timestamp(1704067200000L + day * DayMs)
+    val mem = MemoryStream[Ev]
+    val q = Streaming.funnelStream(mem.toDF())
+      .writeStream.format("memory").queryName("funnel_parity")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        Ev(5, dts(2), 1, "click", 0.0), Ev(7, dts(3), 1, "purchase", 0.0),
+        Ev(2, dts(1), 2, "purchase", 0.0), Ev(9, dts(4), 3, "click", 0.0))
+      q.processAllAvailable()
+      mem.addData( // the stragglers: earlier event ids, later arrival
+        Ev(3, dts(1), 1, "view", 0.0), Ev(4, dts(2), 2, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(Ev(999, dts(400), -1, "view", 0.0)) // sentinel: fire timers
+      q.processAllAvailable()
+      val rows = spark.table("funnel_parity")
+        .filter(col("user_id") =!= -1L).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]), r.getInt(4))).sortBy(_._1)
+      assert(rows.toSeq == Seq(
+        (1L, 3L, Some(5L), Some(7L), 3),
+        (2L, 4L, None, None, 1)))
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS funnel_parity") }
+  }
+
   test("gap sessionization: q_prod_sessions window form == native session_window") {
     // two independent algorithms for the same 30-min-gap definition:
     // the batch lag/cumsum windows vs Spark's session_window merge.
