@@ -441,6 +441,113 @@ object Multimodal {
       |SELECT t.doc_id, t.n_frames, (1 + coalesce(b.nb, 0))::BIGINT AS n_shots, t.max_jump
       |FROM t LEFT JOIN b USING (doc_id)""".stripMargin
 
+  /** Per-chunk energy row (stub codec output: byte sum of a 32-byte
+    * window — a real pipeline emits RMS frame energy from the same
+    * per-partition decoder slot).
+    */
+  final case class ChunkEnergy(doc_id: Long, chunk_idx: Long, energy: Long)
+
+  /** Q-MEDIA-9: voice-activity segmentation — the audio twin of
+    * [[mediaShots]], completing the image/audio/video triad: per-chunk
+    * energies from the (stub) codec, a chunk is SILENT when its energy
+    * falls below half the clip mean (`energy · n_chunks · 2 <
+    * Σenergy` — integer-only, no division), and contiguous voiced runs
+    * become the VAD segments a speech pipeline feeds to ASR. Output
+    * per clip: chunk/voiced counts, segment count, longest segment,
+    * voiced share.
+    *
+    * Shape at 100 TB: energy extraction is the map-only
+    * `mapPartitions` codec slot (payloads never shuffle — only the
+    * compact (doc, chunk, energy) rows do); the mean, the run
+    * boundaries (lag + running sum), and both rollups ALL key on
+    * `doc_id`, so one doc-keyed exchange serves the whole query.
+    */
+  def mediaVad(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val chunks = mediaTable(s, d)
+      .filter(col("kind") === "audio" && length(col("payload")) > 0)
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val n = (r.payload.length + 31) / 32
+          (0L until n.toLong).map { f =>
+            val off = (f * 32).toInt
+            val end = math.min(off + 32, r.payload.length)
+            var sum = 0L
+            var i = off
+            while (i < end) { sum += (r.payload(i) & 0xffL); i += 1 }
+            ChunkEnergy(r.doc_id, f, sum)
+          }
+        }
+      }.toDF()
+    val wDoc = Window.partitionBy("doc_id")
+    val wLag = Window.partitionBy("doc_id").orderBy("chunk_idx")
+    val flagged = chunks
+      .withColumn("n_chunks", count(lit(1)).over(wDoc))
+      .withColumn("sum_energy", sum(col("energy")).over(wDoc))
+      .withColumn("voiced",
+        col("energy") * col("n_chunks") * 2 >= col("sum_energy"))
+    val runs = flagged
+      .withColumn("strt", (col("voiced") &&
+        !coalesce(lag(col("voiced"), 1).over(wLag), lit(false))).cast("int"))
+      .withColumn("run_id", sum(col("strt")).over(wLag))
+    val segs = runs.filter(col("voiced"))
+      .groupBy(col("doc_id"), col("run_id"))
+      .agg(count(lit(1)).as("seg_len"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        max(col("seg_len")).as("max_segment_chunks"))
+    flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("voiced"), 1)).as("n_voiced"))
+      .join(segs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"), col("n_voiced"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("max_segment_chunks"), lit(0L)).as("max_segment_chunks"),
+        (col("n_voiced").cast("double") / col("n_chunks")).as("voiced_share"))
+  }
+
+  val mediaVadSql: String =
+    """WITH a AS (
+      |  SELECT doc_id, text, len(text) AS nb FROM documents
+      |  WHERE doc_id % 3 = 1 AND len(text) > 0),
+      |ch AS (
+      |  SELECT doc_id, f AS chunk_idx,
+      |    list_reduce(list_prepend(0, list_transform(
+      |      generate_series(f * 32 + 1, least(f * 32 + 32, nb)),
+      |      i -> ascii(substr(text, i, 1)))), (x, y) -> x + y) AS energy
+      |  FROM a, unnest(generate_series(0, (nb + 31) // 32 - 1)) AS g(f)),
+      |v AS (
+      |  SELECT doc_id, chunk_idx, energy,
+      |    count(*) OVER (PARTITION BY doc_id) AS n_chunks,
+      |    sum(energy) OVER (PARTITION BY doc_id) AS sum_energy,
+      |    energy * count(*) OVER (PARTITION BY doc_id) * 2
+      |      >= sum(energy) OVER (PARTITION BY doc_id) AS voiced
+      |  FROM ch),
+      |r AS (
+      |  SELECT *, CASE WHEN voiced AND NOT coalesce(lag(voiced) OVER w, FALSE)
+      |    THEN 1 ELSE 0 END AS strt
+      |  FROM v WINDOW w AS (PARTITION BY doc_id ORDER BY chunk_idx)),
+      |ri AS (
+      |  SELECT *, sum(strt) OVER (PARTITION BY doc_id ORDER BY chunk_idx) AS run_id
+      |  FROM r),
+      |segs AS (
+      |  SELECT doc_id, run_id, count(*) AS seg_len FROM ri WHERE voiced GROUP BY 1, 2),
+      |sa AS (
+      |  SELECT doc_id, count(*)::BIGINT AS n_segments,
+      |    max(seg_len)::BIGINT AS max_segment_chunks
+      |  FROM segs GROUP BY 1),
+      |per AS (
+      |  SELECT doc_id, count(*)::BIGINT AS n_chunks,
+      |    (count(*) FILTER (WHERE voiced))::BIGINT AS n_voiced
+      |  FROM v GROUP BY 1)
+      |SELECT p.doc_id, p.n_chunks, p.n_voiced,
+      |  coalesce(sa.n_segments, 0)::BIGINT AS n_segments,
+      |  coalesce(sa.max_segment_chunks, 0)::BIGINT AS max_segment_chunks,
+      |  p.n_voiced::DOUBLE / p.n_chunks AS voiced_share
+      |FROM per p LEFT JOIN sa USING (doc_id)""".stripMargin
+
   /** Q-MEDIA-8: image–text alignment gate — the LAION/DataComp-style
     * CLIP-score curation filter: every candidate (caption, image) pair
     * scores caption-encoder × image-encoder cosine against a
@@ -549,6 +656,7 @@ object Multimodal {
     Q("q_media_meta", mediaMeta, Some(mediaMetaSql)),
     Q("q_media_align", mediaAlign, Some(mediaAlignSql)),
     Q("q_media_shots", mediaShots, Some(mediaShotsSql)),
+    Q("q_media_vad", mediaVad, Some(mediaVadSql)),
     Q("q_media_dedup", mediaDedup, Some(mediaDedupSql)),
     Q("q_media_resize", resize, Some(resizeSql)),
     Q("q_media_frames", frameSample, Some(frameSampleSql)),

@@ -835,6 +835,77 @@ object Similarity {
        |FROM g""".stripMargin
   }
 
+  /** Q-SIM-24: incremental IVF maintenance — the index-UPDATE half of
+    * the ANN story: a serving index is trained once and then ingests
+    * arrival deltas, so the operational questions are (a) where do the
+    * new vectors land against the FROZEN quantizer, and (b) has the
+    * data drifted past what the index was built for. Vectors with
+    * `vec_id % 10 == 9` play the arrival delta; the rest are the
+    * indexed base. Per cell: base/new populations, the new-arrival
+    * share, and the drift signal — arrivals landing BEYOND the base
+    * cell's max radius (dist2 > the stored per-cell max), i.e. points
+    * the trained cell never covered. A rising `n_beyond` is the
+    * retrain trigger.
+    *
+    * Shape at 100 TB: the delta pass touches ONLY the arrival
+    * partition (map-only against 8 broadcast centroids + one K-row
+    * aggregate); the base per-cell stats (population, max radius) are
+    * the index's stored metadata — recomputed here only because the
+    * oracle must derive them from the same parquet.
+    */
+  def ivfIncremental(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.par(Tables.embeddings(s, d)).select(col("vec_id"), col("embedding"))
+    val c = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist2"), col("centroid_id"))
+    def assignTo(part: DataFrame): DataFrame = part
+      .crossJoin(broadcast(c))
+      .select(col("vec_id"), col("centroid_id"),
+        dist2(col("embedding"), col("c_emb")).as("dist2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("dist2"))
+    val base = assignTo(e.filter(col("vec_id") % 10 =!= 9))
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_base"), max(col("dist2")).as("max_d2_base"))
+    val delta = assignTo(e.filter(col("vec_id") % 10 === 9))
+    base.join(delta, Seq("centroid_id"), "left")
+      .groupBy(col("centroid_id"))
+      .agg(first(col("n_base")).as("n_base"),
+        first(col("max_d2_base")).as("max_d2_base"),
+        count(col("vec_id")).as("n_new"),
+        count(when(col("dist2") > col("max_d2_base"), 1)).as("n_beyond"))
+      .select(col("centroid_id"), col("n_base"), col("n_new"), col("n_beyond"),
+        (col("n_new").cast(DoubleType) / col("n_base").cast(DoubleType))
+          .as("new_share"),
+        col("max_d2_base"))
+  }
+
+  val ivfIncrementalSql: String = {
+    val d2 =
+      """list_reduce(list_transform(generate_series(1, len(embedding)), i ->
+        |  (embedding[i]::DOUBLE - c_emb[i]::DOUBLE) * (embedding[i]::DOUBLE - c_emb[i]::DOUBLE)),
+        |  (x, y) -> x + y)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM e WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT vec_id, centroid_id, dist2 FROM (
+       |    SELECT e.vec_id, centroid_id, $d2 AS dist2,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY $d2, centroid_id) AS rn
+       |    FROM e, c) WHERE rn = 1),
+       |base AS (
+       |  SELECT centroid_id, count(*)::BIGINT AS n_base, max(dist2) AS max_d2_base
+       |  FROM assign WHERE vec_id % 10 <> 9 GROUP BY centroid_id),
+       |delta AS (SELECT * FROM assign WHERE vec_id % 10 = 9)
+       |SELECT b.centroid_id, b.n_base,
+       |  count(d.vec_id)::BIGINT AS n_new,
+       |  count(CASE WHEN d.dist2 > b.max_d2_base THEN 1 END)::BIGINT AS n_beyond,
+       |  count(d.vec_id)::DOUBLE / b.n_base::DOUBLE AS new_share,
+       |  b.max_d2_base
+       |FROM base b LEFT JOIN delta d USING (centroid_id)
+       |GROUP BY b.centroid_id, b.n_base, b.max_d2_base""".stripMargin
+  }
+
   /** Q-SIM-22: matryoshka (MRL-style) two-stage retrieval — coarse
     * ranking on the FIRST [[MrlPrefix]] dimensions (matryoshka
     * representation learning trains nested prefixes to be usable
@@ -990,5 +1061,6 @@ object Similarity {
     Q("q_sim_prototypes", prototypes, Some(prototypesSql)),
     Q("q_sim_index_stats", indexStats, Some(indexStatsSql)),
     Q("q_sim_matryoshka", matryoshka, Some(matryoshkaSql)),
-    Q("q_sim_outliers", outliers, Some(outliersSql)))
+    Q("q_sim_outliers", outliers, Some(outliersSql)),
+    Q("q_sim_ivf_incremental", ivfIncremental, Some(ivfIncrementalSql)))
 }

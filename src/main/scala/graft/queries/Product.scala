@@ -1351,6 +1351,77 @@ object Product {
       |  CAST(sum(n) OVER (PARTITION BY bval ORDER BY day) AS BIGINT) AS cum_n
       |FROM rolled""".stripMargin
 
+  /** Q-PROD-25: trends COMPARED to the previous period — PostHog's
+    * `compare: true` insight: the observed day grid splits into the
+    * current period (its last ⌊n/2⌋ days) and the equal-length period
+    * immediately before it; each current-period day pairs with the
+    * previous-period day at the same offset, with the absolute delta
+    * and the guarded percent change.
+    *
+    * Shape at 100 TB: one map-side-combined daily rollup of the event
+    * stream; the grid/period arithmetic and the offset pivot all run on
+    * the V-row (per-day) table — a 1-row bounds aggregate broadcast
+    * onto it, no window, no series self-join, raw events scanned once.
+    */
+  def trendsCompare(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val grid = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"), col("lo"), col("hi"))
+    val tagged = grid.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n"), lit(0L)).as("n"),
+        datediff(col("day"), col("lo")).as("idx"),
+        (datediff(col("hi"), col("lo")) + 1).as("ndays"))
+      .withColumn("half", expr("ndays div 2"))
+      .withColumn("cur", col("idx") >= col("ndays") - col("half"))
+      .withColumn("slot",
+        when(col("cur"), col("idx") - (col("ndays") - col("half")))
+          .when(col("idx") >= col("ndays") - col("half") * 2,
+            col("idx") - (col("ndays") - col("half") * 2)))
+      .filter(col("slot").isNotNull)
+    tagged.groupBy(col("slot"))
+      .agg(
+        max(when(col("cur"), col("day"))).as("day"),
+        max(when(col("cur"), col("n"))).as("n_cur"),
+        max(when(!col("cur"), col("n"))).as("n_prev"))
+      .withColumn("delta", col("n_cur") - col("n_prev"))
+      .withColumn("pct_change",
+        when(col("n_prev") === 0, lit(null).cast("double"))
+          .otherwise(col("n_cur").cast("double") / col("n_prev") - 1))
+  }
+
+  val trendsCompareSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
+      |  FROM events GROUP BY 1),
+      |b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+      |grid AS (
+      |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day, lo, hi
+      |  FROM b),
+      |f AS (
+      |  SELECT g.day, coalesce(d.n, 0)::BIGINT AS n,
+      |    datediff('day', g.lo, g.day) AS idx,
+      |    datediff('day', g.lo, g.hi) + 1 AS ndays
+      |  FROM grid g LEFT JOIN daily d USING (day)),
+      |t AS (SELECT *, ndays // 2 AS half FROM f),
+      |o AS (
+      |  SELECT day, n, idx >= ndays - half AS cur,
+      |    CASE WHEN idx >= ndays - half THEN idx - (ndays - half)
+      |         WHEN idx >= ndays - 2 * half THEN idx - (ndays - 2 * half)
+      |    END AS slot
+      |  FROM t),
+      |p AS (
+      |  SELECT slot::INT AS slot,
+      |    max(CASE WHEN cur THEN day END) AS day,
+      |    max(CASE WHEN cur THEN n END)::BIGINT AS n_cur,
+      |    max(CASE WHEN NOT cur THEN n END)::BIGINT AS n_prev
+      |  FROM o WHERE slot IS NOT NULL GROUP BY 1)
+      |SELECT slot, day, n_cur, n_prev, n_cur - n_prev AS delta,
+      |  CASE WHEN n_prev = 0 THEN NULL
+      |       ELSE n_cur::DOUBLE / n_prev - 1 END AS pct_change
+      |FROM p""".stripMargin
+
   // ------------------------------------------------- funnel breakdown
 
   /** Q-PROD-22: funnel with BREAKDOWN — PostHog's funnel split by a
@@ -1443,5 +1514,6 @@ object Product {
     Q("q_prod_cohort_trends", cohortTrends, Some(cohortTrendsSql)),
     Q("q_prod_funnel_breakdown", funnelBreakdown, Some(funnelBreakdownSql)),
     Q("q_prod_trends_cumulative", trendsCumulative, Some(trendsCumulativeSql)),
-    Q("q_prod_paths_markov", pathsMarkov, Some(pathsMarkovSql)))
+    Q("q_prod_paths_markov", pathsMarkov, Some(pathsMarkovSql)),
+    Q("q_prod_trends_compare", trendsCompare, Some(trendsCompareSql)))
 }

@@ -504,6 +504,35 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"breakdown rescans events:\n${p.take(2000)}")
   }
 
+  test("round-12 additions: dimension-sized windows, broadcast assigns, no cartesian") {
+    // markov: the edge window partitions by from_type on the V²-row
+    // edge aggregate; totals broadcast back
+    val markov = plan(SparkEntry.queries("q_prod_paths_markov")(spark, sf))
+    assert(!markov.contains("CartesianProduct"), markov.take(1500))
+    assert(markov.contains("BroadcastHashJoin"), s"markov totals join lost its broadcast:\n${markov.take(1500)}")
+    // trends compare: no window, no self-join of the series — the 1-row
+    // bounds aggregate broadcasts onto the daily rollup
+    val cmp = SparkEntry.queries("q_prod_trends_compare")(spark, sf)
+    assert(cmp.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isEmpty, "trends_compare must not plan a window")
+    assert(!plan(cmp).contains("CartesianProduct"))
+    // incremental IVF: the only nested-loop is the 8-row broadcast
+    // centroid table; no unbounded cartesian
+    val inc = plan(SparkEntry.queries("q_sim_ivf_incremental")(spark, sf))
+    assert(!inc.contains("CartesianProduct"), inc.take(1500))
+    assert(inc.contains("BroadcastNestedLoopJoin") || inc.contains("BroadcastHashJoin"),
+      s"centroid assign lost its broadcast:\n${inc.take(1500)}")
+    // VAD: every window keys on doc_id (the registry-wide gate also
+    // covers this; asserted here against the executed plan)
+    val vad = SparkEntry.queries("q_media_vad")(spark, sf)
+    val partless = vad.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(partless.isEmpty, "VAD planned a partition-less window")
+  }
+
   /** Queries whose partition-less window is PROVABLY bounded — input
     * is a preceding `limit`, a fixed grid, or a V-row dimension
     * aggregate, never the raw input — with the justification inline so
