@@ -835,6 +835,55 @@ object Similarity {
        |FROM g""".stripMargin
   }
 
+  /** Q-SIM-25: hard-negative mining — the contrastive-training data op:
+    * for each anchor, the top-3 most-similar vectors carrying a
+    * DIFFERENT label (the "looks like X, isn't X" pairs a retrieval /
+    * embedding trainer mines between epochs; in-batch negatives are too
+    * easy, brute all-pairs too expensive). Candidates are restricted to
+    * the anchor's IVF cell under the frozen `vec_id < 8` quantizer —
+    * the same single-probe blocking as [[ivfSearch]], so each anchor
+    * scores ~N/K vectors, and the label filter rides the join.
+    *
+    * Shape at 100 TB: cell assignment is the broadcast-K map pass;
+    * anchors broadcast onto the cell-partitioned index side; ranks are
+    * anchor-keyed windows — nothing global.
+    */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val assign = ivfAssign(s, d).select(col("vec_id"), col("centroid_id"))
+    val e = Tables.par(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+      .join(assign, Seq("vec_id"))
+    val q = e.filter(col("vec_id") % 53 === 7)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
+        col("centroid_id").as("q_cell"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    e.join(broadcast(q),
+        col("centroid_id") === col("q_cell") && col("label") =!= col("q_label"))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        (dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH assign AS ($ivfAssignSql),
+       |e AS (
+       |  SELECT emb.vec_id, emb.label, emb.embedding,
+       |    ${l2normSql("emb.embedding")} AS nrm, a.centroid_id
+       |  FROM embeddings emb JOIN assign a ON emb.vec_id = a.vec_id),
+       |q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb,
+       |        nrm AS q_nrm, centroid_id AS q_cell
+       |      FROM e WHERE vec_id % 53 = 7),
+       |scored AS (
+       |  SELECT q_id, q_label, e.vec_id, e.label,
+       |    ${dotSql("e.embedding", "q_emb")} / (e.nrm * q_nrm) AS cosine
+       |  FROM e JOIN q ON e.centroid_id = q_cell AND e.label <> q_label)
+       |SELECT q_id, q_label, vec_id, label, cosine, CAST(rank AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored) WHERE rank <= 3""".stripMargin
+
   /** Q-SIM-24: incremental IVF maintenance — the index-UPDATE half of
     * the ANN story: a serving index is trained once and then ingests
     * arrival deltas, so the operational questions are (a) where do the
@@ -1062,5 +1111,6 @@ object Similarity {
     Q("q_sim_index_stats", indexStats, Some(indexStatsSql)),
     Q("q_sim_matryoshka", matryoshka, Some(matryoshkaSql)),
     Q("q_sim_outliers", outliers, Some(outliersSql)),
-    Q("q_sim_ivf_incremental", ivfIncremental, Some(ivfIncrementalSql)))
+    Q("q_sim_ivf_incremental", ivfIncremental, Some(ivfIncrementalSql)),
+    Q("q_sim_hard_negatives", hardNegatives, Some(hardNegativesSql)))
 }
