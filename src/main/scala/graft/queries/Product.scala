@@ -308,12 +308,18 @@ object Product {
   def pathsMarkov(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    // persisted: the V²-row edge table feeds BOTH the totals aggregate
+    // and the final join — without it the static plan re-executes the
+    // event-stream window pass (no exchange reuse for a reused
+    // intermediate; the q_prod_breakdown precedent). Harness reclaims
+    // via Tables.releaseCaches.
     val edges = Tables.events(s, d)
       .select(col("user_id"), col("event_id"), col("event_type"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
       .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = edges.groupBy(col("from_type")).agg(sum(col("n")).as("out_n"))
     val wr = Window.partitionBy(col("from_type"))
       .orderBy(col("n").desc, col("to_type"))
@@ -677,11 +683,15 @@ object Product {
     * of series (k series = k conditional aggregates in the same pass).
     */
   def trends(s: SparkSession, d: String): DataFrame = {
+    // persisted: the V-row daily rollup feeds BOTH the grid bounds and
+    // the final join — without it the events scan runs twice (no
+    // exchange reuse for a reused intermediate in the static plan)
     val daily = Tables.events(s, d)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(
         count(when(col("event_type") === "purchase", 1)).as("purchases"),
         countDistinct(when(col("event_type") === "view", col("user_id"))).as("viewers"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grid = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("day"))
     grid.join(daily, Seq("day"), "left")
@@ -1364,9 +1374,13 @@ object Product {
     * onto it, no window, no series self-join, raw events scanned once.
     */
   def trendsCompare(s: SparkSession, d: String): DataFrame = {
+    // persisted: the V-row daily rollup feeds BOTH the bounds aggregate
+    // and the grid join — without it the events scan runs twice (no
+    // exchange reuse for a reused intermediate in the static plan)
     val daily = Tables.events(s, d)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grid = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("day"), col("lo"), col("hi"))
     val tagged = grid.join(daily, Seq("day"), "left")

@@ -13,6 +13,47 @@ import org.apache.spark.sql.functions._
   */
 object StreamQueries {
 
+  /** Delivery-batch count for the driver-checked streaming harnesses.
+    * The late/funnel ORACLES model this exact split closed-form
+    * (`rk // (nn // 3 + 1)`), so it is a constant, not a parameter.
+    */
+  private val Chunks = 3
+
+  /** The one chunk-split formula the oracles mirror: `Chunks`
+    * event-time-ordered slices of `ceil`-ish size n/Chunks + 1.
+    */
+  private def chunk3[A](rows: Array[A]): Seq[Array[A]] =
+    rows.grouped(math.max(1, rows.length / Chunks + 1)).toSeq
+
+  /** Shared MemoryStream harness loop: feed `batches` through `build`'s
+    * streaming query one micro-batch at a time (processing all
+    * available between), return the Append-mode sink contents
+    * (localCheckpointed so the memory table can be dropped). The
+    * callers own chunking/straggler/sentinel policy — this owns the
+    * delicate sink/loop/cleanup plumbing.
+    */
+  private def driveBatches[A: org.apache.spark.sql.Encoder](
+      s: SparkSession, batches: Seq[Seq[A]], cols: Seq[String],
+      build: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[A]
+    val name = "sink_" + java.lang.Long.toHexString(System.nanoTime())
+    val q = build(mem.toDF().toDF(cols: _*))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    val out = try {
+      batches.foreach { b =>
+        mem.addData(b: _*)
+        q.processAllAvailable()
+      }
+      s.table(name).localCheckpoint(true)
+    } finally { q.stop() }
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    out
+  }
+
   /** Q-STR-0: daily trends series, the incrementalizable form — see
     * [[Streaming.trendsDaily]] (keyed dedup + one conditional rollup
     * instead of a distinct aggregate; StreamingSpec pins MemoryStream
@@ -219,11 +260,8 @@ object StreamQueries {
     * retry window) and state is bounded by redelivery lag × ingest
     * rate, not stream length — the 100 TB/day shape.
     */
-  def dedup(s: SparkSession, d: String, chunks: Int = 3): DataFrame = {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    import org.apache.spark.sql.streaming.OutputMode
+  def dedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     // collectBudgeted discipline: ~64 B/row, count probe first
     val evDf = Tables.events(s, d)
       .select(col("ts"), col("event_id"), col("user_id"), col("event_type"), col("value"))
@@ -235,32 +273,20 @@ object StreamQueries {
     val rows = evDf.collect().map(r =>
       (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
       .sortBy(_._2) // event ids are time-monotone: chunks arrive in event-time order
-    val mem = MemoryStream[(java.sql.Timestamp, Long, Long, String, Double)]
-    val name = "dedup_sink_" + java.lang.Long.toHexString(System.nanoTime())
-    val q = Streaming.dedupStream(
-        mem.toDF().toDF("ts", "event_id", "user_id", "event_type", "value"),
-        key = "event_id", horizon = "45 days")
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).start()
-    val emitted = try {
-      val chunked = rows.grouped(math.max(1, rows.length / chunks + 1)).toSeq
-      chunked.zipWithIndex.foreach { case (ch, i) =>
-        val inBatchDups = ch.filter(_._2 % 11 == 0)
-        val retries = if (i == 0) Array.empty[(java.sql.Timestamp, Long, Long, String, Double)]
-          else chunked(i - 1).filter(_._2 % 7 == 0)
-        mem.addData((ch ++ inBatchDups ++ retries).toSeq: _*)
-        q.processAllAvailable()
-      }
-      s.table(name)
-    } finally { q.stop() }
-    val out = emitted.groupBy(col("event_type"))
+    val chunked = chunk3(rows)
+    val batches = chunked.zipWithIndex.map { case (ch, i) =>
+      val inBatchDups = ch.filter(_._2 % 11 == 0)
+      val retries = if (i == 0) Array.empty[(java.sql.Timestamp, Long, Long, String, Double)]
+        else chunked(i - 1).filter(_._2 % 7 == 0)
+      (ch ++ inBatchDups ++ retries).toSeq
+    }
+    driveBatches(s, batches, Seq("ts", "event_id", "user_id", "event_type", "value"),
+        Streaming.dedupStream(_, key = "event_id", horizon = "45 days"))
+      .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
         count_distinct(col("user_id")).as("n_users"),
         sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"))
-      .localCheckpoint(true)
-    s.sql(s"DROP TABLE IF EXISTS $name")
-    out
   }
 
   /** Q-STR-8 (streaming late-data audit, driver-checked): watermarked
@@ -281,11 +307,8 @@ object StreamQueries {
     * 100 TB/day shape), and this audit makes what the bound DISCARDS a
     * first-class, queryable number instead of silent data loss.
     */
-  def late(s: SparkSession, d: String, chunks: Int = 3): DataFrame = {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    import org.apache.spark.sql.streaming.OutputMode
+  def late(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val DayUs = 86400000000L
     val evDf = Tables.events(s, d)
       .select(col("ts"), col("event_id"), col("event_type"))
@@ -298,26 +321,17 @@ object StreamQueries {
       .sortBy(_._2) // event ids are time-monotone: chunks arrive in event-time order
     val maxTs = rows.last._1
     val sentinel = (new java.sql.Timestamp(maxTs.getTime + 365L * 86400000L), -1L, "flush")
-    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
-    val name = "late_sink_" + java.lang.Long.toHexString(System.nanoTime())
-    val q = Streaming.watermarkedCounts(
-        mem.toDF().toDF("ts", "event_id", "event_type"),
-        windowLen = "1 day", delay = "2 days")
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).start()
-    val kept = try {
-      val chunked = rows.grouped(math.max(1, rows.length / chunks + 1)).toSeq
-      (0 to chunked.length).foreach { i =>
-        val onTime = if (i < chunked.length) chunked(i).filter(_._2 % 13 != 0)
-          else Array(sentinel)
-        val stragglers = if (i == 0) Array.empty[(java.sql.Timestamp, Long, String)]
-          else chunked(i - 1).filter(_._2 % 13 == 0)
-        mem.addData((onTime ++ stragglers).toSeq: _*)
-        q.processAllAvailable()
-      }
-      s.table(name).filter(col("event_type") =!= "flush").localCheckpoint(true)
-    } finally { q.stop() }
-    s.sql(s"DROP TABLE IF EXISTS $name")
+    val chunked = chunk3(rows)
+    val batches = (0 to chunked.length).map { i =>
+      val onTime = if (i < chunked.length) chunked(i).filter(_._2 % 13 != 0)
+        else Array(sentinel)
+      val stragglers = if (i == 0) Array.empty[(java.sql.Timestamp, Long, String)]
+        else chunked(i - 1).filter(_._2 % 13 == 0)
+      (onTime ++ stragglers).toSeq
+    }
+    val kept = driveBatches(s, batches, Seq("ts", "event_id", "event_type"),
+        Streaming.watermarkedCounts(_, windowLen = "1 day", delay = "2 days"))
+      .filter(col("event_type") =!= "flush")
     val fed = evDf
       .groupBy(
         (expr(s"unix_micros(ts) div $DayUs") * DayUs).as("window_start_us"),
@@ -338,11 +352,8 @@ object StreamQueries {
     * ([[graft.queries.Product.funnelSql]]) — streaming == batch is the
     * operator's contract, hash-checked by the driver per user row.
     */
-  def funnel(s: SparkSession, d: String, chunks: Int = 3): DataFrame = {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    import org.apache.spark.sql.streaming.OutputMode
+  def funnel(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val evDf = Tables.events(s, d)
       .filter(col("event_type").isin("view", "click", "purchase"))
       .select(col("ts"), col("event_id"), col("user_id"), col("event_type"))
@@ -358,27 +369,19 @@ object StreamQueries {
     // corpus so every settle timer fires; its own timer never does
     val sentinel = (new java.sql.Timestamp(maxTs + 365L * 86400000L),
       Long.MaxValue, -1L, "view")
-    val mem = MemoryStream[(java.sql.Timestamp, Long, Long, String)]
-    val name = "funnel_sink_" + java.lang.Long.toHexString(System.nanoTime())
-    val q = Streaming.funnelStream(
-        mem.toDF().toDF("ts", "event_id", "user_id", "event_type"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).start()
-    val verdicts = try {
-      val chunked = rows.grouped(math.max(1, rows.length / chunks + 1)).toSeq
-      (0 to chunked.length).foreach { i =>
-        val onTime = if (i < chunked.length) chunked(i).filter(_._2 % 13 != 0)
-          else Array(sentinel)
-        val stragglers = if (i == 0) Array.empty[(java.sql.Timestamp, Long, Long, String)]
-          else chunked(i - 1).filter(_._2 % 13 == 0)
-        mem.addData((onTime ++ stragglers).toSeq: _*)
-        q.processAllAvailable()
-      }
-      s.table(name).filter(col("user_id") =!= -1L).localCheckpoint(true)
-    } finally { q.stop() }
-    s.sql(s"DROP TABLE IF EXISTS $name")
-    verdicts.select(col("user_id"), col("view_eid"), col("click_eid"),
-      col("purchase_eid"), col("steps_reached"))
+    val chunked = chunk3(rows)
+    val batches = (0 to chunked.length).map { i =>
+      val onTime = if (i < chunked.length) chunked(i).filter(_._2 % 13 != 0)
+        else Array(sentinel)
+      val stragglers = if (i == 0) Array.empty[(java.sql.Timestamp, Long, Long, String)]
+        else chunked(i - 1).filter(_._2 % 13 == 0)
+      (onTime ++ stragglers).toSeq
+    }
+    driveBatches(s, batches, Seq("ts", "event_id", "user_id", "event_type"),
+        Streaming.funnelStream(_).toDF())
+      .filter(col("user_id") =!= -1L)
+      .select(col("user_id"), col("view_eid"), col("click_eid"),
+        col("purchase_eid"), col("steps_reached"))
   }
 
   val lateSql: String =
@@ -421,7 +424,7 @@ object StreamQueries {
     Q("q_stream_join", joined, Some(joinedSql)),
     Q("q_stream_lsh_gate", (s, d) => lshGate(s, d), Some(graft.llm.Dedup.lshGateSql)),
     Q("q_stream_sample", (s, d) => sample(s, d), Some(graft.llm.Corpus.weightedSampleSql)),
-    Q("q_stream_dedup", (s, d) => dedup(s, d), Some(dedupSql)),
-    Q("q_stream_late", (s, d) => late(s, d), Some(lateSql)),
-    Q("q_stream_funnel", (s, d) => funnel(s, d), Some(graft.queries.Product.funnelSql)))
+    Q("q_stream_dedup", dedup, Some(dedupSql)),
+    Q("q_stream_late", late, Some(lateSql)),
+    Q("q_stream_funnel", funnel, Some(graft.queries.Product.funnelSql)))
 }
