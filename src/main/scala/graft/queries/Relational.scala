@@ -417,6 +417,71 @@ object Relational {
       |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Q-AGG-14: shuffle-skew audit — the measurement that tells you WHEN
+    * to reach for [[aggSalted]]'s pattern (or a broadcast): per grouping
+    * key, the group-size distribution as EXACT order statistics
+    * (max / p99 / p50 via ceil-rank), the hot key's row share, and an
+    * integer-exact salting verdict (`max_size · 20 > n_rows` — the hot
+    * key above 5% of the table). Audited keys: `user_id` (the genuine
+    * partitioning question) and `event_type` (a V=5 key, skewed by
+    * construction — the broadcast-not-salt case).
+    *
+    * Shape at 100 TB: the key-size rollup is one map-side-combined
+    * aggregate; the order stats run through [[graft.plans.BucketedOrder]]
+    * (key count grows with the data — a partition-less window here would
+    * be exactly the single-task sort this audit exists to prevent); the
+    * pivot touches 2 rank-selected rows per key.
+    */
+  def skewAudit(s: SparkSession, d: String): DataFrame = {
+    def audit(keyName: String, key: org.apache.spark.sql.Column): DataFrame = {
+      // persisted: the key-size dimension feeds the range probe, the
+      // rank pass, and the totals aggregate (no static exchange reuse)
+      val sizes = Tables.events(s, d)
+        .groupBy(key.as("k")).agg(count(lit(1)).as("sz"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ranked = graft.plans.BucketedOrder.withOrderStats(
+        sizes, col("sz"), Seq(col("sz"), col("k")), rankCol = "rk")
+      val tot = sizes.agg(count(lit(1)).as("nk"),
+        sum(col("sz")).as("nr"), max(col("sz")).as("mx"))
+      ranked.crossJoin(broadcast(tot))
+        .filter(col("rk") === expr("(nk * 50 + 99) div 100") ||
+          col("rk") === expr("(nk * 99 + 99) div 100"))
+        .groupBy()
+        .agg(
+          first(col("nk")).as("n_keys"),
+          first(col("nr")).as("n_rows"),
+          first(col("mx")).as("max_size"),
+          min(when(col("rk") === expr("(nk * 50 + 99) div 100"), col("sz")))
+            .as("p50_size"),
+          min(when(col("rk") === expr("(nk * 99 + 99) div 100"), col("sz")))
+            .as("p99_size"))
+        .select(lit(keyName).as("key"), col("n_keys"), col("n_rows"),
+          col("max_size"), col("p50_size"), col("p99_size"),
+          (col("max_size").cast(DoubleType) / col("n_rows")).as("top_share"),
+          (col("max_size") * 20 > col("n_rows")).as("needs_salt"))
+    }
+    audit("user_id", col("user_id"))
+      .unionByName(audit("event_type", col("event_type")))
+  }
+
+  private def skewAuditKeySql(keyName: String): String =
+    s"""SELECT '$keyName' AS key, t.nk AS n_keys, t.nr AS n_rows,
+       |  t.mx AS max_size, p.p50_size, p.p99_size,
+       |  t.mx::DOUBLE / t.nr AS top_share,
+       |  t.mx * 20 > t.nr AS needs_salt
+       |FROM (
+       |  SELECT count(*)::BIGINT AS nk, sum(sz)::BIGINT AS nr, max(sz)::BIGINT AS mx
+       |  FROM (SELECT count(*)::BIGINT AS sz FROM events GROUP BY $keyName)) t, (
+       |  SELECT
+       |    min(CASE WHEN rk = (nk * 50 + 99) // 100 THEN sz END)::BIGINT AS p50_size,
+       |    min(CASE WHEN rk = (nk * 99 + 99) // 100 THEN sz END)::BIGINT AS p99_size
+       |  FROM (
+       |    SELECT sz, row_number() OVER (ORDER BY sz, k) AS rk, count(*) OVER () AS nk
+       |    FROM (SELECT $keyName AS k, count(*)::BIGINT AS sz FROM events GROUP BY 1))) p""".stripMargin
+
+  val skewAuditSql: String =
+    skewAuditKeySql("user_id") + "\nUNION ALL\n" + skewAuditKeySql("event_type")
+
   // ---------------------------------------------------------------- window
 
   /** Q-WIN-1: top-3 events per user by value (row_number, unique
@@ -1331,6 +1396,7 @@ object Relational {
         |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())""".stripMargin)),
     Q("q_agg_salted", aggSalted, Some(aggSaltedSql)),
+    Q("q_agg_skew_audit", skewAudit, Some(skewAuditSql)),
     Q("q_agg_rollup", aggRollup, Some(
       """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
