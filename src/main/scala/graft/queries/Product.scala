@@ -74,6 +74,75 @@ object Product {
       |     + CASE WHEN s3.purchase_eid IS NOT NULL THEN 1 ELSE 0 END)::INT AS steps_reached
       |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin
 
+  /** General N-step ordered funnel — [[funnel]]'s greedy
+    * conditional-min chain for an ARBITRARY step list (PostHog funnels
+    * take up to 20 steps): step k's match is the first event of its
+    * type strictly after the step k−1 match. Output: one row per
+    * entered user with `eid_1..eid_N` (nullable past the reached
+    * depth) and `steps_reached`.
+    *
+    * Shape at 100 TB: N user-keyed conditional-min aggregates + N
+    * left joins, all sharing ONE user-hash partitioning (no re-shuffle
+    * between stages); never a per-user event array.
+    */
+  def funnelSteps(s: SparkSession, d: String, steps: Seq[String]): DataFrame = {
+    val base = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"))
+    var tables = Vector(
+      base.filter(col("event_type") === steps.head)
+        .groupBy(col("user_id")).agg(min(col("event_id")).as("eid_1")))
+    for (i <- 1 until steps.length) {
+      tables :+= base.filter(col("event_type") === steps(i))
+        .join(tables(i - 1).select(col("user_id"), col(s"eid_$i")), Seq("user_id"))
+        .filter(col("event_id") > col(s"eid_$i"))
+        .groupBy(col("user_id")).agg(min(col("event_id")).as(s"eid_${i + 1}"))
+    }
+    val joined = tables.tail.foldLeft(tables.head)(
+      (acc, t) => acc.join(t, Seq("user_id"), "left"))
+    val depth = (2 to steps.length)
+      .map(i => when(col(s"eid_$i").isNotNull, 1).otherwise(0))
+      .foldLeft(lit(1): org.apache.spark.sql.Column)(_ + _)
+    joined.select(col("user_id") +:
+      steps.indices.map(i => col(s"eid_${i + 1}")) :+
+      depth.cast(IntegerType).as("steps_reached"): _*)
+  }
+
+  /** The generated-oracle twin of [[funnelSteps]]. */
+  def funnelStepsSql(steps: Seq[String]): String = {
+    val ctes = steps.zipWithIndex.map { case (st, i) =>
+      if (i == 0)
+        s"""s1 AS (
+           |  SELECT user_id, min(event_id) AS eid_1
+           |  FROM events WHERE event_type = '$st' GROUP BY user_id)"""
+      else
+        s"""s${i + 1} AS (
+           |  SELECT e.user_id, min(e.event_id) AS eid_${i + 1}
+           |  FROM events e JOIN s$i USING (user_id)
+           |  WHERE e.event_type = '$st' AND e.event_id > s$i.eid_$i
+           |  GROUP BY e.user_id)"""
+    }.mkString(",\n")
+    val eids = steps.indices.map(i => s"eid_${i + 1}").mkString(", ")
+    val depth = (2 to steps.length)
+      .map(i => s"CASE WHEN eid_$i IS NOT NULL THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val joins = (2 to steps.length)
+      .map(i => s"LEFT JOIN s$i USING (user_id)").mkString(" ")
+    s"""WITH $ctes
+       |SELECT s1.user_id, $eids, (1 + $depth)::INT AS steps_reached
+       |FROM s1 $joins""".stripMargin
+  }
+
+  /** Q-PROD-26: the 4-step instance (signup → view → click →
+    * purchase) registered for the driver — the depth-generalization
+    * proof of the funnel family.
+    */
+  private val DeepSteps = Seq("signup", "view", "click", "purchase")
+
+  def funnelDeep(s: SparkSession, d: String): DataFrame =
+    funnelSteps(s, d, DeepSteps)
+
+  val funnelDeepSql: String = funnelStepsSql(DeepSteps)
+
   /** Q-PROD-14: funnel TRENDS — PostHog's "conversion over time"
     * insight: users cohorted by their funnel ENTRY day (the day of the
     * first view that anchors their funnel), with per-cohort entry/step
@@ -1529,5 +1598,6 @@ object Product {
     Q("q_prod_funnel_breakdown", funnelBreakdown, Some(funnelBreakdownSql)),
     Q("q_prod_trends_cumulative", trendsCumulative, Some(trendsCumulativeSql)),
     Q("q_prod_paths_markov", pathsMarkov, Some(pathsMarkovSql)),
-    Q("q_prod_trends_compare", trendsCompare, Some(trendsCompareSql)))
+    Q("q_prod_trends_compare", trendsCompare, Some(trendsCompareSql)),
+    Q("q_prod_funnel_deep", funnelDeep, Some(funnelDeepSql)))
 }
