@@ -68,6 +68,63 @@ object Lake {
       .parquet(outPath)
   }
 
+  /** GDPR deletion sweep — the right-to-be-forgotten rewrite every
+    * lake must support (Iceberg expresses it as `DELETE FROM` +
+    * `rewrite_data_files`; this is the partitioned-parquet form). Given
+    * a deletion-subject table (one `key` column — at 100 TB the
+    * deletion queue is a table, not a literal list), the sweep:
+    *
+    *   1. finds the AFFECTED date partitions with one pruned, pushed
+    *      semi-join scan (the subject table broadcasts),
+    *   2. rewrites ONLY those partitions through a broadcast anti-join
+    *      into the output tree,
+    *   3. moves untouched partitions across as FILESYSTEM copies —
+    *      metadata work, no decode, no shuffle (a catalog lake retains
+    *      them untouched; the copy is the no-catalog analogue),
+    *
+    * and returns the per-partition audit (rows before/after/deleted) a
+    * compliance job must file. Cost scales with the SUBJECTS' data
+    * footprint, never the lake size.
+    */
+  def deleteSweep(spark: SparkSession, path: String, outPath: String,
+      subjects: DataFrame, key: String = "distinct_id"): DataFrame = {
+    import org.apache.hadoop.fs.{FileUtil, Path => HPath}
+    val lake = spark.read.parquet(path)
+    val subj = subjects.select(col(key)).distinct()
+    val affected = lake.join(broadcast(subj), Seq(key), "left_semi")
+      .select(col(PartitionCol)).distinct()
+      .collect().map(_.get(0).toString).sorted
+    val affectedSet = affected.toSet
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new HPath(outPath))
+    // untouched partitions: file copies, no decode
+    fs.listStatus(new HPath(path))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$PartitionCol="))
+      .filterNot(st => affectedSet.contains(
+        st.getPath.getName.stripPrefix(s"$PartitionCol=")))
+      .foreach { st =>
+        FileUtil.copy(fs, st.getPath, fs,
+          new HPath(outPath, st.getPath.getName), false, false,
+          spark.sparkContext.hadoopConfiguration)
+      }
+    if (affected.nonEmpty) {
+      // rewrite ONLY the affected partitions (partition-pruned scan)
+      lake.filter(col(PartitionCol).isin(affected.toSeq: _*))
+        .join(broadcast(subj), Seq(key), "left_anti")
+        .write.partitionBy(PartitionCol).mode("append").parquet(outPath)
+    }
+    val before = lake.filter(col(PartitionCol).isin(affected.toSeq: _*))
+      .groupBy(col(PartitionCol)).agg(count(lit(1)).as("rows_before"))
+    val after = spark.read.parquet(outPath)
+      .filter(col(PartitionCol).isin(affected.toSeq: _*))
+      .groupBy(col(PartitionCol)).agg(count(lit(1)).as("rows_after"))
+    before.join(after, Seq(PartitionCol), "left")
+      .select(col(PartitionCol), col("rows_before"),
+        coalesce(col("rows_after"), lit(0L)).as("rows_after"),
+        (col("rows_before") - coalesce(col("rows_after"), lit(0L))).as("rows_deleted"))
+  }
+
   /** Bucketed lake layout — the co-located-join strategy for the
     * tables that are perpetually joined on the same key (events ⋈
     * persons on the person key, events ⋈ events self-joins): hash

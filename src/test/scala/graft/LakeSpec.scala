@@ -54,6 +54,38 @@ class LakeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Lake.readEvents(spark, dir).count() == 1)
   }
 
+  test("GDPR deletion sweep: subjects' rows gone, untouched partitions copied not rewritten, audit exact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("lake").toString
+    val out = Files.createTempDirectory("lake_d").toString
+    // d1 on two days, d2 on one of them, d3 alone on a third day
+    Lake.writeEvents(canonical(
+      """{"event":"a","distinct_id":"d1","timestamp":"2024-03-01T00:00:00Z"}""",
+      """{"event":"b","distinct_id":"d2","timestamp":"2024-03-01T01:00:00Z"}""",
+      """{"event":"c","distinct_id":"d1","timestamp":"2024-03-02T00:00:00Z"}""",
+      """{"event":"d","distinct_id":"d3","timestamp":"2024-03-03T00:00:00Z"}"""), dir)
+    def files(base: String, part: String) =
+      new java.io.File(s"$base/event_date=$part").listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).sorted.toSeq
+    val untouchedBefore = files(dir, "2024-03-03")
+    val audit = Lake.deleteSweep(spark, dir, out, Seq("d1").toDF("distinct_id"))
+      .collect().map(r => (r.get(0).toString, r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // audit: both affected days, exact deleted counts
+    assert(audit.toSeq == Seq(
+      ("2024-03-01", 2L, 1L, 1L), ("2024-03-02", 1L, 0L, 1L)))
+    val back = Lake.readEvents(spark, out)
+    assert(back.filter(col("distinct_id") === "d1").count() == 0)
+    assert(back.count() == 2) // d2 + d3 survive
+    // the untouched partition was COPIED (same file names), not rewritten
+    assert(files(out, "2024-03-03") == untouchedBefore)
+    // the affected-partition rewrite scan prunes on event_date
+    val plan = spark.read.parquet(dir)
+      .filter(col("event_date").isin("2024-03-01", "2024-03-02"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(800))
+  }
+
   test("compaction: many small appends → one file per date partition") {
     val dir = Files.createTempDirectory("lake").toString
     val out = Files.createTempDirectory("lake_c").toString
