@@ -143,6 +143,46 @@ object Product {
 
   val funnelDeepSql: String = funnelStepsSql(DeepSteps)
 
+  /** Q-PROD-27: funnel BY PERSON PROPERTY — the state × product
+    * composition PostHog calls "funnel broken down by person property":
+    * each user's funnel verdict attributed to their REPLAYED person
+    * state's `plan` property (the full T1–T7 pipeline feeds the read
+    * side — not an event property; the person property reflects
+    * $set/$unset folds and identity merges). Per plan value:
+    * entered/step/converted counts and the conversion rate.
+    *
+    * Shape at 100 TB: the person table is user-dimension-sized and
+    * joins the funnel table user-keyed (the same hash partitioning the
+    * funnel stages already share); the rollup is |plans|-row.
+    */
+  def funnelCohort(s: SparkSession, d: String): DataFrame = {
+    val persons = graft.state.StateQueries.pipePersons(s, d)
+      .select(
+        regexp_extract(col("canonical_id"), "([0-9]+)$", 1)
+          .cast(LongType).as("user_id"),
+        coalesce(col("plan"), lit("none")).as("plan"))
+    funnel(s, d).join(persons, Seq("user_id"))
+      .groupBy(col("plan"))
+      .agg(count(lit(1)).as("entered"),
+        count(col("click_eid")).as("step2"),
+        count(col("purchase_eid")).as("converted"))
+      .withColumn("conv_rate",
+        col("converted").cast("double") / col("entered"))
+  }
+
+  val funnelCohortSql: String =
+    s"""WITH p AS (${graft.state.StateQueries.pipePersonsSql}),
+       |f AS ($funnelSql),
+       |pu AS (
+       |  SELECT regexp_extract(canonical_id, '([0-9]+)$$', 1)::BIGINT AS user_id,
+       |    coalesce(plan, 'none') AS plan
+       |  FROM p)
+       |SELECT plan, count(*)::BIGINT AS entered,
+       |  count(click_eid)::BIGINT AS step2,
+       |  count(purchase_eid)::BIGINT AS converted,
+       |  count(purchase_eid)::DOUBLE / count(*) AS conv_rate
+       |FROM f JOIN pu USING (user_id) GROUP BY plan""".stripMargin
+
   /** Q-PROD-14: funnel TRENDS — PostHog's "conversion over time"
     * insight: users cohorted by their funnel ENTRY day (the day of the
     * first view that anchors their funnel), with per-cohort entry/step
@@ -1599,5 +1639,6 @@ object Product {
     Q("q_prod_trends_cumulative", trendsCumulative, Some(trendsCumulativeSql)),
     Q("q_prod_paths_markov", pathsMarkov, Some(pathsMarkovSql)),
     Q("q_prod_trends_compare", trendsCompare, Some(trendsCompareSql)),
-    Q("q_prod_funnel_deep", funnelDeep, Some(funnelDeepSql)))
+    Q("q_prod_funnel_deep", funnelDeep, Some(funnelDeepSql)),
+    Q("q_prod_funnel_cohort", funnelCohort, Some(funnelCohortSql)))
 }
