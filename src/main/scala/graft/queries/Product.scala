@@ -257,6 +257,63 @@ object Product {
        |FROM weeks w JOIN fw USING (user_id)
        |GROUP BY 1, 2""".stripMargin
 
+  /** Q-PROD-28: retention BY PERSON PROPERTY — [[retention]]'s weekly
+    * triangle split by the user's replayed person-state `plan` (the
+    * same state × product composition as [[funnelCohort]]; PostHog
+    * offers person-property breakdowns on every insight). Per
+    * (plan, cohort_week, week_offset): distinct active users, plus the
+    * cohort's week-0 size and the retention rate.
+    *
+    * Shape at 100 TB: identical to [[retention]] (compact (user, week)
+    * pairs, one user-keyed partitioning reused) with the user-dimension
+    * person join riding the same hash; the week-0 sizes broadcast back
+    * onto the plan × triangle-sized rollup.
+    */
+  def retentionCohort(s: SparkSession, d: String): DataFrame = {
+    val persons = graft.state.StateQueries.pipePersons(s, d)
+      .select(
+        regexp_extract(col("canonical_id"), "([0-9]+)$", 1)
+          .cast(LongType).as("user_id"),
+        coalesce(col("plan"), lit("none")).as("plan"))
+    val weeks = Tables.events(s, d)
+      .select(col("user_id"), expr(s"unix_micros(ts) DIV $WeekUs").as("week"))
+      .distinct()
+    val firstWeek = weeks.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    val cells = weeks.join(firstWeek, Seq("user_id")).join(persons, Seq("user_id"))
+      .groupBy(col("plan"), col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = cells.filter(col("week_offset") === 0)
+      .select(col("plan"), col("cohort_week"), col("n_users").as("cohort_size"))
+    cells.join(broadcast(base), Seq("plan", "cohort_week"))
+      .select(col("plan"), col("cohort_week"), col("week_offset"),
+        col("n_users"), col("cohort_size"),
+        (col("n_users").cast("double") / col("cohort_size")).as("retained_rate"))
+  }
+
+  val retentionCohortSql: String =
+    s"""WITH p AS (${graft.state.StateQueries.pipePersonsSql}),
+       |pu AS (
+       |  SELECT regexp_extract(canonical_id, '([0-9]+)$$', 1)::BIGINT AS user_id,
+       |    coalesce(plan, 'none') AS plan
+       |  FROM p),
+       |weeks AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // $WeekUs AS week FROM events),
+       |fw AS (SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY user_id),
+       |cells AS (
+       |  SELECT pu.plan, fw.cohort_week, w.week - fw.cohort_week AS week_offset,
+       |    count(*)::BIGINT AS n_users
+       |  FROM weeks w JOIN fw USING (user_id) JOIN pu USING (user_id)
+       |  GROUP BY 1, 2, 3),
+       |base AS (
+       |  SELECT plan, cohort_week, n_users AS cohort_size FROM cells
+       |  WHERE week_offset = 0)
+       |SELECT c.plan, c.cohort_week, c.week_offset, c.n_users, b.cohort_size,
+       |  c.n_users::DOUBLE / b.cohort_size AS retained_rate
+       |FROM cells c JOIN base b USING (plan, cohort_week)""".stripMargin
+
   // ------------------------------------------------------------ range join
 
   private val IvLenUs = 7200000000L  // 2 h interval
@@ -1640,5 +1697,6 @@ object Product {
     Q("q_prod_paths_markov", pathsMarkov, Some(pathsMarkovSql)),
     Q("q_prod_trends_compare", trendsCompare, Some(trendsCompareSql)),
     Q("q_prod_funnel_deep", funnelDeep, Some(funnelDeepSql)),
-    Q("q_prod_funnel_cohort", funnelCohort, Some(funnelCohortSql)))
+    Q("q_prod_funnel_cohort", funnelCohort, Some(funnelCohortSql)),
+    Q("q_prod_retention_cohort", retentionCohort, Some(retentionCohortSql)))
 }

@@ -59,7 +59,8 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
         "q_prod_funnel_breakdown", "q_sim_matryoshka", "q_sim_outliers",
         "q_corpus_decontam_attr", "q_prod_paths_markov",
         "q_prod_trends_compare", "q_sim_ivf_incremental", "q_media_vad",
-        "q_sim_hard_negatives", "q_agg_skew_audit", "q_prod_funnel_cohort")) {
+        "q_sim_hard_negatives", "q_agg_skew_audit", "q_prod_funnel_cohort",
+        "q_prod_retention_cohort")) {
       val a = runAt(2, q)
       val b = runAt(7, q)
       assert(a.nonEmpty, s"$q returned nothing")
