@@ -88,14 +88,19 @@ object Product {
   def funnelSteps(s: SparkSession, d: String, steps: Seq[String]): DataFrame = {
     val base = Tables.events(s, d)
       .select(col("user_id"), col("event_type"), col("event_id"))
-    var tables = Vector(
+    // each stage table is consumed TWICE (the next stage's join and the
+    // final N-way join) — persist the user-dimension-sized stages or
+    // the static plan re-executes stage k's whole lineage N−k times
+    def p(df: DataFrame): DataFrame =
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var tables = Vector(p(
       base.filter(col("event_type") === steps.head)
-        .groupBy(col("user_id")).agg(min(col("event_id")).as("eid_1")))
+        .groupBy(col("user_id")).agg(min(col("event_id")).as("eid_1"))))
     for (i <- 1 until steps.length) {
-      tables :+= base.filter(col("event_type") === steps(i))
+      tables :+= p(base.filter(col("event_type") === steps(i))
         .join(tables(i - 1).select(col("user_id"), col(s"eid_$i")), Seq("user_id"))
         .filter(col("event_id") > col(s"eid_$i"))
-        .groupBy(col("user_id")).agg(min(col("event_id")).as(s"eid_${i + 1}"))
+        .groupBy(col("user_id")).agg(min(col("event_id")).as(s"eid_${i + 1}")))
     }
     val joined = tables.tail.foldLeft(tables.head)(
       (acc, t) => acc.join(t, Seq("user_id"), "left"))
@@ -122,9 +127,10 @@ object Product {
            |  GROUP BY e.user_id)"""
     }.mkString(",\n")
     val eids = steps.indices.map(i => s"eid_${i + 1}").mkString(", ")
+    // N=1 renders "(1 + 0)" — the Scala side's foldLeft-over-lit(1) twin
     val depth = (2 to steps.length)
       .map(i => s"CASE WHEN eid_$i IS NOT NULL THEN 1 ELSE 0 END")
-      .mkString(" + ")
+      .mkString(" + ") match { case "" => "0"; case t => t }
     val joins = (2 to steps.length)
       .map(i => s"LEFT JOIN s$i USING (user_id)").mkString(" ")
     s"""WITH $ctes

@@ -78,46 +78,62 @@ object Lake {
     *      semi-join scan (the subject table broadcasts),
     *   2. rewrites ONLY those partitions through a broadcast anti-join
     *      into the output tree,
-    *   3. moves untouched partitions across as FILESYSTEM copies —
-    *      metadata work, no decode, no shuffle (a catalog lake retains
-    *      them untouched; the copy is the no-catalog analogue),
+    *   3. carries untouched partitions across as parallel FILESYSTEM
+    *      copies — no decode, no shuffle. In a CATALOG lake (Iceberg)
+    *      this step is zero work: untouched data files are simply
+    *      retained by the new snapshot, which is the deployment shape
+    *      at 100 TB; the copy here is the no-catalog analogue, and is
+    *      byte-sized by the untouched data, not by the subjects,
     *
     * and returns the per-partition audit (rows before/after/deleted) a
-    * compliance job must file. Cost scales with the SUBJECTS' data
-    * footprint, never the lake size.
+    * compliance job must file. DECODE cost scales with the subjects'
+    * data footprint; with a catalog, total cost does too.
     */
   def deleteSweep(spark: SparkSession, path: String, outPath: String,
       subjects: DataFrame, key: String = "distinct_id"): DataFrame = {
     import org.apache.hadoop.fs.{FileUtil, Path => HPath}
+    val conf = spark.sparkContext.hadoopConfiguration
     val lake = spark.read.parquet(path)
     val subj = subjects.select(col(key)).distinct()
-    val affected = lake.join(broadcast(subj), Seq(key), "left_semi")
-      .select(col(PartitionCol)).distinct()
-      .collect().map(_.get(0).toString).sorted
-    val affectedSet = affected.toSet
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(new HPath(outPath))
-    // untouched partitions: file copies, no decode
-    fs.listStatus(new HPath(path))
+    val affectedRaw = lake.join(broadcast(subj), Seq(key), "left_semi")
+      .select(col(PartitionCol)).distinct().collect().map(r => Option(r.get(0)))
+    // a null partition (Hive default dir) cannot be expressed by the
+    // string filters below — if any subject row lives there, that
+    // partition joins the rewrite set too (copying it through would be
+    // a right-to-be-forgotten violation)
+    val hasNull = affectedRaw.exists(_.isEmpty)
+    val affected = affectedRaw.flatten.map(_.toString).sorted
+    val rewriteDirNames = affected.map(p => s"$PartitionCol=$p").toSet ++
+      (if (hasNull) Set(s"$PartitionCol=__HIVE_DEFAULT_PARTITION__") else Set.empty)
+    def affectedPred = {
+      val inSet = col(PartitionCol).isin(affected.toSeq: _*)
+      if (hasNull) inSet || col(PartitionCol).isNull else inSet
+    }
+    // the lake path's OWN filesystem — not the default FS
+    val srcFs = new HPath(path).getFileSystem(conf)
+    val dstFs = new HPath(outPath).getFileSystem(conf)
+    dstFs.mkdirs(new HPath(outPath))
+    val untouched = srcFs.listStatus(new HPath(path))
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$PartitionCol="))
-      .filterNot(st => affectedSet.contains(
-        st.getPath.getName.stripPrefix(s"$PartitionCol=")))
-      .foreach { st =>
-        FileUtil.copy(fs, st.getPath, fs,
-          new HPath(outPath, st.getPath.getName), false, false,
-          spark.sparkContext.hadoopConfiguration)
-      }
-    if (affected.nonEmpty) {
+      .filterNot(st => rewriteDirNames.contains(st.getPath.getName))
+    java.util.Arrays.stream(untouched).parallel().forEach { st =>
+      FileUtil.copy(srcFs, st.getPath, dstFs,
+        new HPath(outPath, st.getPath.getName), false, false, conf)
+    }
+    if (affected.nonEmpty || hasNull) {
       // rewrite ONLY the affected partitions (partition-pruned scan)
-      lake.filter(col(PartitionCol).isin(affected.toSeq: _*))
+      lake.filter(affectedPred)
         .join(broadcast(subj), Seq(key), "left_anti")
         .write.partitionBy(PartitionCol).mode("append").parquet(outPath)
     }
-    val before = lake.filter(col(PartitionCol).isin(affected.toSeq: _*))
+    val before = lake.filter(affectedPred)
       .groupBy(col(PartitionCol)).agg(count(lit(1)).as("rows_before"))
-    val after = spark.read.parquet(outPath)
-      .filter(col(PartitionCol).isin(affected.toSeq: _*))
+    // all-rows-deleted sweeps leave no parquet under outPath — the
+    // audit's "after" side is then the empty frame, not a read error
+    val after = scala.util.Try(spark.read.parquet(outPath))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], lake.schema))
+      .filter(affectedPred)
       .groupBy(col(PartitionCol)).agg(count(lit(1)).as("rows_after"))
     before.join(after, Seq(PartitionCol), "left")
       .select(col(PartitionCol), col("rows_before"),
