@@ -189,6 +189,53 @@ object Product {
        |  count(purchase_eid)::DOUBLE / count(*) AS conv_rate
        |FROM f JOIN pu USING (user_id) GROUP BY plan""".stripMargin
 
+  /** Q-PROD-29: trends BY PERSON PROPERTY — the third person-property
+    * composition (funnel ✓, retention ✓): the daily event series split
+    * by the replayed person state's `plan`, zero-filled onto the
+    * (day × plan) grid. Unlike [[trendsBreakdown]] (an EVENT property
+    * with top-K election) the plan dimension comes from the T1–T7
+    * replay and is bounded by construction — no election needed.
+    *
+    * Shape at 100 TB: one user-keyed enrichment join (events ⋈
+    * user-dimension persons — broadcast- or bucket-eligible), one
+    * map-side-combined rollup to the (day × plan) dimension, and the
+    * zero-fill grid from a 1-row bounds aggregate.
+    */
+  def trendsCohort(s: SparkSession, d: String): DataFrame = {
+    val persons = graft.state.StateQueries.pipePersons(s, d)
+      .select(
+        regexp_extract(col("canonical_id"), "([0-9]+)$", 1)
+          .cast(LongType).as("user_id"),
+        coalesce(col("plan"), lit("none")).as("plan"))
+    val daily = Tables.events(s, d)
+      .join(persons, Seq("user_id"))
+      .groupBy(to_date(col("ts")).as("day"), col("plan"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grid = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      .crossJoin(broadcast(daily.select(col("plan")).distinct()))
+    grid.join(daily, Seq("day", "plan"), "left")
+      .select(col("day"), col("plan"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  val trendsCohortSql: String =
+    s"""WITH p AS (${graft.state.StateQueries.pipePersonsSql}),
+       |pu AS (
+       |  SELECT regexp_extract(canonical_id, '([0-9]+)$$', 1)::BIGINT AS user_id,
+       |    coalesce(plan, 'none') AS plan
+       |  FROM p),
+       |daily AS (
+       |  SELECT CAST(e.ts AS DATE) AS day, pu.plan, count(*)::BIGINT AS n
+       |  FROM events e JOIN pu USING (user_id) GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT d.day, s.plan
+       |  FROM (SELECT unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))::DATE AS day
+       |        FROM daily) d
+       |  CROSS JOIN (SELECT DISTINCT plan FROM daily) s)
+       |SELECT g.day, g.plan, coalesce(daily.n, 0)::BIGINT AS n
+       |FROM grid g LEFT JOIN daily USING (day, plan)""".stripMargin
+
   /** Q-PROD-14: funnel TRENDS — PostHog's "conversion over time"
     * insight: users cohorted by their funnel ENTRY day (the day of the
     * first view that anchors their funnel), with per-cohort entry/step
@@ -1704,5 +1751,6 @@ object Product {
     Q("q_prod_trends_compare", trendsCompare, Some(trendsCompareSql)),
     Q("q_prod_funnel_deep", funnelDeep, Some(funnelDeepSql)),
     Q("q_prod_funnel_cohort", funnelCohort, Some(funnelCohortSql)),
-    Q("q_prod_retention_cohort", retentionCohort, Some(retentionCohortSql)))
+    Q("q_prod_retention_cohort", retentionCohort, Some(retentionCohortSql)),
+    Q("q_prod_trends_cohort", trendsCohort, Some(trendsCohortSql)))
 }
