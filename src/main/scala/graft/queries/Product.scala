@@ -85,9 +85,16 @@ object Product {
     * left joins, all sharing ONE user-hash partitioning (no re-shuffle
     * between stages); never a per-user event array.
     */
-  def funnelSteps(s: SparkSession, d: String, steps: Seq[String]): DataFrame = {
-    val base = Tables.events(s, d)
-      .select(col("user_id"), col("event_type"), col("event_id"))
+  def funnelSteps(s: SparkSession, d: String, steps: Seq[String]): DataFrame =
+    funnelStepsOver(
+      Tables.events(s, d).select(col("user_id"), col("event_type"), col("event_id")),
+      steps)
+
+  /** [[funnelSteps]] over an arbitrary (user_id, event_type, event_id)
+    * frame — the fuzzable core (OperatorFuzzSpec drives it on random
+    * event streams against a driver-side greedy-chain recompute).
+    */
+  def funnelStepsOver(base: DataFrame, steps: Seq[String]): DataFrame = {
     // each stage table is consumed TWICE (the next stage's join and the
     // final N-way join) — persist the user-dimension-sized stages or
     // the static plan re-executes stage k's whole lineage N−k times

@@ -62,6 +62,42 @@ class OperatorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
   }
 
+  test("funnelSteps == driver greedy chain on random streams, N in {1,2,3,5}") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815)
+    val types = Vector("a", "b", "c", "d", "e")
+    // 30 users × ~40 events each, random types — chains break and
+    // re-anchor constantly at this density
+    val events = (1L to 1200L).map { eid =>
+      (rnd.nextInt(30).toLong, types(rnd.nextInt(types.length)), eid)
+    }
+    val df = events.toDF("user_id", "event_type", "event_id")
+    for (steps <- Seq(Seq("a"), Seq("b", "d"), Seq("a", "b", "c"),
+        Seq("e", "a", "c", "b", "d"))) {
+      // driver recompute: per user, events in id order, greedy
+      // first-match chain over the step list
+      val expected = events.groupBy(_._1).flatMap { case (u, evs) =>
+        val sorted = evs.sortBy(_._3)
+        val eids = steps.foldLeft(Vector.empty[Option[Long]]) { (acc, st) =>
+          val after = acc.lastOption.flatten.orElse(
+            if (acc.isEmpty) Some(Long.MinValue) else None)
+          acc :+ after.flatMap(a =>
+            sorted.find(e => e._2 == st && e._3 > a).map(_._3))
+        }
+        if (eids.head.isEmpty) None
+        else Some((u, eids.map(_.map(Long.box).orNull).toList,
+          1 + eids.tail.count(_.isDefined)))
+      }.toSet
+      val got = Product.funnelStepsOver(df, steps).collect().map { r =>
+        (r.getLong(0),
+          (1 to steps.length).map(i =>
+            if (r.isNullAt(i)) null else Long.box(r.getLong(i))).toList,
+          r.getInt(steps.length + 1))
+      }.toSet
+      assert(got == expected, s"steps=$steps")
+    }
+  }
+
   test("novelty == brute-force first-seen scan on a collision-heavy corpus") {
     import spark.implicits._
     val rnd = new scala.util.Random(77)
