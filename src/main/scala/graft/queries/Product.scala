@@ -534,16 +534,26 @@ object Product {
   def pathsMarkov(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
-    // persisted: the V²-row edge table feeds BOTH the totals aggregate
-    // and the final join — without it the static plan re-executes the
-    // event-stream window pass (no exchange reuse for a reused
-    // intermediate; the q_prod_breakdown precedent). Harness reclaims
-    // via Tables.releaseCaches.
-    val edges = Tables.events(s, d)
+    markovOver(Tables.events(s, d)
       .select(col("user_id"), col("event_id"), col("event_type"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .filter(col("prev_type").isNotNull)
-      .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
+      .select(col("prev_type").as("from_type"), col("event_type").as("to_type")))
+  }
+
+  /** The matrix rollup over (from_type, to_type) PAIR rows — shared by
+    * the batch form above and the streaming edge emitter
+    * (`q_stream_paths`), so the two cannot drift.
+    */
+  def markovOver(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // persisted: the V²-row edge table feeds BOTH the totals aggregate
+    // and the final join — without it the static plan re-executes the
+    // pair derivation (no exchange reuse for a reused intermediate;
+    // the q_prod_breakdown precedent). Harness reclaims via
+    // Tables.releaseCaches.
+    val edges = pairs
+      .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = edges.groupBy(col("from_type")).agg(sum(col("n")).as("out_n"))

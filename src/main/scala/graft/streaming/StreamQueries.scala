@@ -384,6 +384,44 @@ object StreamQueries {
         col("purchase_eid"), col("steps_reached"))
   }
 
+  /** Q-STR-10 (streaming paths, driver-checked): consecutive-pair edges
+    * emitted from keyed state [[Streaming.pathEdgesStream]] under the
+    * usual straggler injection — a late event must INSERT into the
+    * middle of the user's sequence (splitting the edge that spanned the
+    * gap), which buffering handles and running-lag state cannot — then
+    * rolled up to the transition matrix with the batch query's own
+    * rollup. Oracle: `q_prod_paths_markov`'s SQL verbatim — streaming
+    * == batch is the contract.
+    */
+  def paths(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val evDf = Tables.events(s, d)
+      .select(col("ts"), col("event_id"), col("user_id"), col("event_type"))
+    val nRows = evDf.count()
+    require(nRows * 56L <= graft.state.IdentityResolver.LocalHeapBudget,
+      s"streaming paths harness: $nRows event rows exceed the MemoryStream driver " +
+        "budget; at this scale feed the edges from readStream against the wire log.")
+    val rows = evDf.collect().map(r =>
+      (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._2) // event ids are time-monotone: chunks arrive in event-time order
+    val maxTs = rows.map(_._1.getTime).max
+    val sentinel = (new java.sql.Timestamp(maxTs + 365L * 86400000L),
+      Long.MaxValue, -1L, "flush")
+    val chunked = chunk3(rows)
+    val batches = (0 to chunked.length).map { i =>
+      val onTime = if (i < chunked.length) chunked(i).filter(_._2 % 13 != 0)
+        else Array(sentinel)
+      val stragglers = if (i == 0) Array.empty[(java.sql.Timestamp, Long, Long, String)]
+        else chunked(i - 1).filter(_._2 % 13 == 0)
+      (onTime ++ stragglers).toSeq
+    }
+    val edges = driveBatches(s, batches, Seq("ts", "event_id", "user_id", "event_type"),
+        Streaming.pathEdgesStream(_).toDF())
+      .filter(col("user_id") =!= -1L)
+    graft.queries.Product.markovOver(
+      edges.select(col("from_type"), col("to_type")))
+  }
+
   val lateSql: String =
     """WITH o AS (
       |  SELECT epoch_us(ts) AS ts_us, event_id, event_type,
@@ -426,5 +464,6 @@ object StreamQueries {
     Q("q_stream_sample", (s, d) => sample(s, d), Some(graft.llm.Corpus.weightedSampleSql)),
     Q("q_stream_dedup", dedup, Some(dedupSql)),
     Q("q_stream_late", late, Some(lateSql)),
-    Q("q_stream_funnel", funnel, Some(graft.queries.Product.funnelSql)))
+    Q("q_stream_funnel", funnel, Some(graft.queries.Product.funnelSql)),
+    Q("q_stream_paths", paths, Some(graft.queries.Product.pathsMarkovSql)))
 }

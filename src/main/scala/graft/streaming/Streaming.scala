@@ -240,6 +240,56 @@ object Streaming {
       }
   }
 
+  /** One typed path event for the streaming edge emitter. */
+  case class PathEvent(user_id: Long, event_id: Long, event_type: String,
+      ts: java.sql.Timestamp)
+
+  /** Keyed path state: the user's events buffered until settled. */
+  case class PathBuffer(events: Seq[(Long, String)], last_ts_us: Long)
+
+  /** One consecutive-pair edge, the paths/Markov input unit. */
+  case class PathEdge(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming consecutive-pair edge emitter — the incremental front of
+    * the paths/Markov family: per user, buffer events until the
+    * watermark settles their order (the same buffer-until-settled
+    * contract as [[funnelStream]] — a late-arriving event INSERTS into
+    * the middle of the sequence, so running-lag state would emit wrong
+    * edges), then emit the (from → to) consecutive pairs in event-id
+    * order. Downstream the edges roll up to the transition matrix with
+    * the batch query's own rollup (`Product.markovOver` — one
+    * definition, cannot drift).
+    */
+  def pathEdgesStream(events: DataFrame, horizon: String = "12 days",
+      settleDays: Int = 20): Dataset[PathEdge] = {
+    import events.sparkSession.implicits._
+    val settleMs = settleDays * 86400000L
+    events.withWatermark("ts", horizon)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .as[PathEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PathBuffer, PathEdge](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[PathEvent], state: GroupState[PathBuffer]) =>
+          if (state.hasTimedOut) {
+            val sorted = state.get.events.sortBy(_._1)
+            state.remove()
+            sorted.iterator.zip(sorted.iterator.drop(1)).map {
+              case ((_, from), (_, to)) => PathEdge(uid, from, to)
+            }
+          } else {
+            val rows = it.toArray
+            val prev = state.getOption.getOrElse(PathBuffer(Vector.empty, 0L))
+            val next = PathBuffer(
+              prev.events ++ rows.map(e => (e.event_id, e.event_type)),
+              math.max(prev.last_ts_us, rows.map(_.ts.getTime * 1000L).max))
+            state.update(next)
+            state.setTimeoutTimestamp(next.last_ts_us / 1000L + settleMs)
+            Iterator.empty
+          }
+      }
+  }
+
   // ------------------------------------------------------- keyed state
 
   /** Incremental group-state fold — the streaming twin of
