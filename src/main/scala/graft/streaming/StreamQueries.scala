@@ -22,8 +22,25 @@ object StreamQueries {
   /** The one chunk-split formula the oracles mirror: `Chunks`
     * event-time-ordered slices of `ceil`-ish size n/Chunks + 1.
     */
-  private def chunk3[A](rows: Array[A]): Seq[Array[A]] =
+  private def chunk3[A](rows: Seq[A]): Seq[Seq[A]] =
     rows.grouped(math.max(1, rows.length / Chunks + 1)).toSeq
+
+  /** The one straggler-injection policy the late/funnel/paths oracles
+    * mirror closed-form: every `eid % 13 == 0` row is withheld from its
+    * own chunk and delivered one batch late; the final batch carries
+    * the last chunk's stragglers plus the watermark-advancing sentinel.
+    */
+  private def stragglerBatches[A](rows: Seq[A], eid: A => Long,
+      sentinel: A): Seq[Seq[A]] = {
+    val chunked = chunk3(rows)
+    (0 to chunked.length).map { i =>
+      val onTime = if (i < chunked.length) chunked(i).filter(e => eid(e) % 13 != 0)
+        else Seq(sentinel)
+      val stragglers = if (i == 0) Nil
+        else chunked(i - 1).filter(e => eid(e) % 13 == 0)
+      onTime ++ stragglers
+    }
+  }
 
   /** Shared MemoryStream harness loop: feed `batches` through `build`'s
     * streaming query one micro-batch at a time (processing all
@@ -276,9 +293,9 @@ object StreamQueries {
     val chunked = chunk3(rows)
     val batches = chunked.zipWithIndex.map { case (ch, i) =>
       val inBatchDups = ch.filter(_._2 % 11 == 0)
-      val retries = if (i == 0) Array.empty[(java.sql.Timestamp, Long, Long, String, Double)]
+      val retries = if (i == 0) Seq.empty[(java.sql.Timestamp, Long, Long, String, Double)]
         else chunked(i - 1).filter(_._2 % 7 == 0)
-      (ch ++ inBatchDups ++ retries).toSeq
+      ch ++ inBatchDups ++ retries
     }
     driveBatches(s, batches, Seq("ts", "event_id", "user_id", "event_type", "value"),
         Streaming.dedupStream(_, key = "event_id", horizon = "45 days"))
@@ -321,14 +338,7 @@ object StreamQueries {
       .sortBy(_._2) // event ids are time-monotone: chunks arrive in event-time order
     val maxTs = rows.last._1
     val sentinel = (new java.sql.Timestamp(maxTs.getTime + 365L * 86400000L), -1L, "flush")
-    val chunked = chunk3(rows)
-    val batches = (0 to chunked.length).map { i =>
-      val onTime = if (i < chunked.length) chunked(i).filter(_._2 % 13 != 0)
-        else Array(sentinel)
-      val stragglers = if (i == 0) Array.empty[(java.sql.Timestamp, Long, String)]
-        else chunked(i - 1).filter(_._2 % 13 == 0)
-      (onTime ++ stragglers).toSeq
-    }
+    val batches = stragglerBatches(rows.toSeq, (e: (java.sql.Timestamp, Long, String)) => e._2, sentinel)
     val kept = driveBatches(s, batches, Seq("ts", "event_id", "event_type"),
         Streaming.watermarkedCounts(_, windowLen = "1 day", delay = "2 days"))
       .filter(col("event_type") =!= "flush")
@@ -369,14 +379,8 @@ object StreamQueries {
     // corpus so every settle timer fires; its own timer never does
     val sentinel = (new java.sql.Timestamp(maxTs + 365L * 86400000L),
       Long.MaxValue, -1L, "view")
-    val chunked = chunk3(rows)
-    val batches = (0 to chunked.length).map { i =>
-      val onTime = if (i < chunked.length) chunked(i).filter(_._2 % 13 != 0)
-        else Array(sentinel)
-      val stragglers = if (i == 0) Array.empty[(java.sql.Timestamp, Long, Long, String)]
-        else chunked(i - 1).filter(_._2 % 13 == 0)
-      (onTime ++ stragglers).toSeq
-    }
+    val batches = stragglerBatches(rows.toSeq,
+      (e: (java.sql.Timestamp, Long, Long, String)) => e._2, sentinel)
     driveBatches(s, batches, Seq("ts", "event_id", "user_id", "event_type"),
         Streaming.funnelStream(_).toDF())
       .filter(col("user_id") =!= -1L)
@@ -407,14 +411,8 @@ object StreamQueries {
     val maxTs = rows.map(_._1.getTime).max
     val sentinel = (new java.sql.Timestamp(maxTs + 365L * 86400000L),
       Long.MaxValue, -1L, "flush")
-    val chunked = chunk3(rows)
-    val batches = (0 to chunked.length).map { i =>
-      val onTime = if (i < chunked.length) chunked(i).filter(_._2 % 13 != 0)
-        else Array(sentinel)
-      val stragglers = if (i == 0) Array.empty[(java.sql.Timestamp, Long, Long, String)]
-        else chunked(i - 1).filter(_._2 % 13 == 0)
-      (onTime ++ stragglers).toSeq
-    }
+    val batches = stragglerBatches(rows.toSeq,
+      (e: (java.sql.Timestamp, Long, Long, String)) => e._2, sentinel)
     val edges = driveBatches(s, batches, Seq("ts", "event_id", "user_id", "event_type"),
         Streaming.pathEdgesStream(_).toDF())
       .filter(col("user_id") =!= -1L)

@@ -244,26 +244,39 @@ object Streaming {
   case class PathEvent(user_id: Long, event_id: Long, event_type: String,
       ts: java.sql.Timestamp)
 
-  /** Keyed path state: the user's events buffered until settled. */
-  case class PathBuffer(events: Seq[(Long, String)], last_ts_us: Long)
+  /** Keyed path state: (ts_us, event_id, event_type) triples — the
+    * settled-prefix ANCHOR (last already-emitted element, the chain
+    * continuation point) plus the not-yet-settled tail.
+    */
+  case class PathBuffer(events: Seq[(Long, Long, String)], last_ts_us: Long)
 
   /** One consecutive-pair edge, the paths/Markov input unit. */
   case class PathEdge(user_id: Long, from_type: String, to_type: String)
 
-  /** Streaming consecutive-pair edge emitter — the incremental front of
-    * the paths/Markov family: per user, buffer events until the
-    * watermark settles their order (the same buffer-until-settled
-    * contract as [[funnelStream]] — a late-arriving event INSERTS into
-    * the middle of the sequence, so running-lag state would emit wrong
-    * edges), then emit the (from → to) consecutive pairs in event-id
-    * order. Downstream the edges roll up to the transition matrix with
-    * the batch query's own rollup (`Product.markovOver` — one
-    * definition, cannot drift).
+  /** Streaming consecutive-pair edge emitter — the INCREMENTAL front of
+    * the paths/Markov family. Order is (ts, event_id); the watermark
+    * bounds how far back an arrival can insert, so every element
+    * strictly below the watermark has its final position: each batch
+    * emits the settled prefix's consecutive edges immediately and trims
+    * state to the LAST settled element (the anchor the next edge chains
+    * from) plus the unsettled tail — state is bounded by the watermark
+    * horizon's worth of events plus one anchor, never user history, and
+    * a continuously-active user emits continuously. The settle timer
+    * only flushes the tail of a user who went quiet; the anchor is
+    * RETAINED so a user returning after any gap still chains exactly
+    * like batch `lag()` — streaming == batch with no session-cut caveat
+    * (a product deployment wanting session-scoped paths would drop the
+    * anchor on flush instead). Rollup downstream is the batch query's
+    * own `Product.markovOver` — one definition, cannot drift.
     */
   def pathEdgesStream(events: DataFrame, horizon: String = "12 days",
       settleDays: Int = 20): Dataset[PathEdge] = {
     import events.sparkSession.implicits._
     val settleMs = settleDays * 86400000L
+    def ordered(evs: Seq[(Long, Long, String)]) = evs.sortBy(e => (e._1, e._2))
+    def chain(uid: Long, evs: Seq[(Long, Long, String)]): Seq[PathEdge] =
+      if (evs.size < 2) Seq.empty
+      else evs.sliding(2).map(p => PathEdge(uid, p(0)._3, p(1)._3)).toSeq
     events.withWatermark("ts", horizon)
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
       .as[PathEvent]
@@ -272,20 +285,33 @@ object Streaming {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (uid: Long, it: Iterator[PathEvent], state: GroupState[PathBuffer]) =>
           if (state.hasTimedOut) {
-            val sorted = state.get.events.sortBy(_._1)
-            state.remove()
-            sorted.iterator.zip(sorted.iterator.drop(1)).map {
-              case ((_, from), (_, to)) => PathEdge(uid, from, to)
-            }
+            // quiet user: the whole buffer is settled (ts ≤ lastTs < wm).
+            // Flush its edges, retain the last element as the anchor —
+            // no timer until the user speaks again.
+            val buf = state.get
+            val sorted = ordered(buf.events)
+            state.update(PathBuffer(Seq(sorted.last), buf.last_ts_us))
+            chain(uid, sorted).iterator
           } else {
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
             val rows = it.toArray
             val prev = state.getOption.getOrElse(PathBuffer(Vector.empty, 0L))
-            val next = PathBuffer(
-              prev.events ++ rows.map(e => (e.event_id, e.event_type)),
-              math.max(prev.last_ts_us, rows.map(_.ts.getTime * 1000L).max))
-            state.update(next)
-            state.setTimeoutTimestamp(next.last_ts_us / 1000L + settleMs)
-            Iterator.empty
+            val all = ordered(prev.events ++
+              rows.map(e => (e.ts.getTime * 1000L, e.event_id, e.event_type)))
+            // settled prefix: strictly below the watermark — no future
+            // arrival (ts ≥ wm, the late filter's guarantee) can insert
+            // before or inside it
+            val nSettled = all.indexWhere(_._1 >= wmUs) match {
+              case -1 => all.size
+              case i  => i
+            }
+            val out = chain(uid, all.take(nSettled))
+            val kept = (if (nSettled > 0) Seq(all(nSettled - 1)) else Nil) ++
+              all.drop(nSettled)
+            val lastTs = math.max(prev.last_ts_us, rows.map(_.ts.getTime * 1000L).max)
+            state.update(PathBuffer(kept, lastTs))
+            state.setTimeoutTimestamp(lastTs / 1000L + settleMs)
+            out.iterator
           }
       }
   }
