@@ -367,6 +367,20 @@ object IngestQueries {
       |  NULL::VARCHAR AS group2
       |FROM events""".stripMargin
 
+  /** Per-event group attribution through the REAL slot-mapping pipe
+    * ([[groups]]'s output keyed by event_id) — the read side product
+    * analytics composes with for "aggregate by unique groups"
+    * (PostHog group analytics). The closed form the oracle uses is
+    * [[groupAttributionSql]]'s `ga` CTE (`'c' || (user_id % 3)`, the
+    * same derivation [[groupsSql]] pins against the pipe).
+    */
+  def groupAttribution(s: SparkSession, d: String): DataFrame =
+    groups(s, d).select(col("event_id"), col("group0"), col("group1"))
+
+  val groupAttributionSql: String =
+    """SELECT event_id, 'c' || (user_id % 3) AS group0, 't' || (user_id % 5) AS group1
+      |FROM events""".stripMargin
+
   // ---------------------------------------------------------- Q-ING-10
 
   /** Session-recording chunks at rest: a third carry the

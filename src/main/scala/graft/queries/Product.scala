@@ -1737,6 +1737,97 @@ object Product {
       |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
       |GROUP BY s1.bval""".stripMargin
 
+  /** Q-PROD-33: SAMPLED trends with Horvitz–Thompson correction —
+    * PostHog's "sampling factor" insight: run the daily series on a
+    * deterministic 1-in-[[SampleMod]] PERSON sample (sampling by
+    * person, not by event, keeps each kept user's event structure
+    * intact — distinct-user estimates stay unbiased) and inflate
+    * counts by the inverse inclusion probability. Exact full-table
+    * twin columns ride in-row as the accuracy audit (the established
+    * sketch-twin pattern) — at 100 TB only the sampled branch runs;
+    * the twin is the test-scale gate that the estimator is wired
+    * right, not part of the serving plan.
+    *
+    * Shape at 100 TB: the sample predicate is a cheap arithmetic
+    * filter evaluated at the scan, so only ~1/[[SampleMod]] of the
+    * events reach the rollup shuffle — the whole point of sampled
+    * insights. All arithmetic is integer-exact (counts × a literal).
+    */
+  val SampleMod = 10
+
+  def trendsSampled(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val sampled = e.filter(col("user_id") % SampleMod === 3)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_sampled"),
+        countDistinct(col("user_id")).as("u_sampled"))
+    val exact = e.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("exact_events"),
+        countDistinct(col("user_id")).as("exact_users"))
+    // both sides are day-dimension-sized; the join is trivial. Outer
+    // on the exact side: a day can lose every event to the sample.
+    exact.join(sampled, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        (coalesce(col("n_sampled"), lit(0L)) * SampleMod).as("est_events"),
+        (coalesce(col("u_sampled"), lit(0L)) * SampleMod).as("est_users"),
+        col("exact_events"), col("exact_users"))
+  }
+
+  val trendsSampledSql: String =
+    s"""WITH sampled AS (
+       |  SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n_sampled,
+       |    count(DISTINCT user_id)::BIGINT AS u_sampled
+       |  FROM events WHERE user_id % $SampleMod = 3 GROUP BY 1),
+       |exact AS (
+       |  SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS exact_events,
+       |    count(DISTINCT user_id)::BIGINT AS exact_users
+       |  FROM events GROUP BY 1)
+       |SELECT e.day, coalesce(n_sampled, 0)::BIGINT AS n_sampled,
+       |  (coalesce(n_sampled, 0) * $SampleMod)::BIGINT AS est_events,
+       |  (coalesce(u_sampled, 0) * $SampleMod)::BIGINT AS est_users,
+       |  exact_events, exact_users
+       |FROM exact e LEFT JOIN sampled USING (day)""".stripMargin
+
+  /** Q-PROD-34: trends aggregated by UNIQUE GROUPS — PostHog group
+    * analytics ("how many organizations did X this week"): the weekly
+    * series counts distinct group-slot values instead of distinct
+    * persons, with the event→group attribution coming through the
+    * REAL P10 slot-mapping pipe ([[graft.ingest.IngestQueries
+    * .groupAttribution]] — `$groups` pivoted into positional columns,
+    * itself oracle-pinned by `q_ingest_groups`). Emits both the
+    * company (slot 0) and team (slot 1) unique counts beside the
+    * person count the standard insight would report.
+    *
+    * Shape at 100 TB: the attribution join is event-keyed on the
+    * event-id primary key (co-partitioned, or bucket-eligible when
+    * the canonical table lands bucketed — `Lake.writeBucketed`); the
+    * rollup is one map-side-combined shuffle to the (week ×
+    * event_type) dimension.
+    */
+  def trendsGroups(s: SparkSession, d: String): DataFrame = {
+    val ga = graft.ingest.IngestQueries.groupAttribution(s, d)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        date_trunc("week", col("ts")).cast("date").as("week"))
+      .join(ga, Seq("event_id"))
+      .groupBy(col("week"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("group0")).as("u_companies"),
+        countDistinct(col("group1")).as("u_teams"),
+        countDistinct(col("user_id")).as("u_users"))
+  }
+
+  val trendsGroupsSql: String =
+    s"""WITH ga AS (${graft.ingest.IngestQueries.groupAttributionSql})
+       |SELECT date_trunc('week', e.ts)::DATE AS week, e.event_type,
+       |  count(*)::BIGINT AS n_events,
+       |  count(DISTINCT ga.group0)::BIGINT AS u_companies,
+       |  count(DISTINCT ga.group1)::BIGINT AS u_teams,
+       |  count(DISTINCT e.user_id)::BIGINT AS u_users
+       |FROM events e JOIN ga USING (event_id)
+       |GROUP BY 1, 2""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_prod_trends", trends, Some(trendsSql)),
     Q("q_prod_trends_breakdown", trendsBreakdown, Some(trendsBreakdownSql)),
@@ -1769,5 +1860,7 @@ object Product {
     Q("q_prod_funnel_deep", funnelDeep, Some(funnelDeepSql)),
     Q("q_prod_funnel_cohort", funnelCohort, Some(funnelCohortSql)),
     Q("q_prod_retention_cohort", retentionCohort, Some(retentionCohortSql)),
-    Q("q_prod_trends_cohort", trendsCohort, Some(trendsCohortSql)))
+    Q("q_prod_trends_cohort", trendsCohort, Some(trendsCohortSql)),
+    Q("q_prod_trends_sampled", trendsSampled, Some(trendsSampledSql)),
+    Q("q_prod_trends_groups", trendsGroups, Some(trendsGroupsSql)))
 }
