@@ -5,7 +5,7 @@ import graft.queries.Q
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 import Portable._
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
@@ -1092,6 +1092,73 @@ object Similarity {
        |FROM assigned, n""".stripMargin
   }
 
+  /** Q-SIM-24: embedding DISTRIBUTION DRIFT monitor — the production
+    * guard for encoder-version skew / arrival drift: split the corpus
+    * into two slices (here vec_id parity — the stand-in for "last
+    * index build" vs "new arrivals"; at 100 TB the slice key is the
+    * ingestion epoch partition column) and compare per-dimension
+    * means. A drifted encoder shifts dimensions systematically, which
+    * invalidates a frozen IVF/PQ quantizer long before recall decays
+    * visibly — this audit is the retrain trigger
+    * `q_sim_ivf_incremental`'s beyond-radius signal can't see (a
+    * uniform shift moves all cells together).
+    *
+    * Determinism: values are quantized to integer micros
+    * (`round(x·1e6)` — round() on identical doubles is pinned
+    * half-away-from-zero in both engines, the `q_sim_quant`
+    * discipline), so slice sums are exact integers; the mean shift is
+    * compared cross-multiplied in int64 (no division), and the
+    * reported double shift divides identical integers (correctly
+    * rounded → identical bits).
+    *
+    * Shape at 100 TB: one narrow (dim, slice, qx) projection off the
+    * vector scan, one map-side-combined rollup to the D-row dimension
+    * table. No join, no window, one shuffle of D×|slices| partials.
+    */
+  val DriftTauMicro = 2000L // flag |mean_new − mean_old| > 0.002
+
+  def drift(s: SparkSession, d: String): DataFrame = {
+    val ex = Tables.par(Tables.embeddings(s, d))
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast(IntegerType).as("dim"),
+        (col("vec_id") % 2 === 0).as("is_old"),
+        round(col("x").cast(DoubleType) * 1e6).cast(LongType).as("qx"))
+    ex.groupBy(col("dim"))
+      .agg(
+        count(when(col("is_old"), 1)).as("n_old"),
+        count(when(!col("is_old"), 1)).as("n_new"),
+        sum(when(col("is_old"), col("qx")).otherwise(0L)).as("qsum_old"),
+        sum(when(!col("is_old"), col("qx")).otherwise(0L)).as("qsum_new"))
+      .select(col("dim"), col("n_old"), col("n_new"),
+        col("qsum_old"), col("qsum_new"),
+        (col("qsum_new").cast(DoubleType) / col("n_new") -
+          col("qsum_old").cast(DoubleType) / col("n_old")).as("shift_micro"),
+        (abs(col("qsum_new") * col("n_old") - col("qsum_old") * col("n_new")) >
+          lit(DriftTauMicro) * col("n_old") * col("n_new")).as("drifted"))
+  }
+
+  val driftSql: String =
+    s"""WITH ex AS (
+       |  SELECT dd::INT AS dim, vec_id % 2 = 0 AS is_old,
+       |    round(embedding[dd]::DOUBLE * 1000000.0)::BIGINT AS qx
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(dd))
+       |SELECT dim,
+       |  count(*) FILTER (WHERE is_old)::BIGINT AS n_old,
+       |  count(*) FILTER (WHERE NOT is_old)::BIGINT AS n_new,
+       |  coalesce(sum(qx) FILTER (WHERE is_old), 0)::BIGINT AS qsum_old,
+       |  coalesce(sum(qx) FILTER (WHERE NOT is_old), 0)::BIGINT AS qsum_new,
+       |  (coalesce(sum(qx) FILTER (WHERE NOT is_old), 0)::DOUBLE
+       |     / count(*) FILTER (WHERE NOT is_old)
+       |   - coalesce(sum(qx) FILTER (WHERE is_old), 0)::DOUBLE
+       |     / count(*) FILTER (WHERE is_old)) AS shift_micro,
+       |  (abs(coalesce(sum(qx) FILTER (WHERE NOT is_old), 0)
+       |         * count(*) FILTER (WHERE is_old)
+       |       - coalesce(sum(qx) FILTER (WHERE is_old), 0)
+       |         * count(*) FILTER (WHERE NOT is_old))
+       |   > $DriftTauMicro * count(*) FILTER (WHERE is_old)
+       |       * count(*) FILTER (WHERE NOT is_old)) AS drifted
+       |FROM ex GROUP BY dim""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_sim_topk", topK, Some(topKSql)),
     Q("q_sim_mips", mips, Some(mipsSql)),
@@ -1112,5 +1179,6 @@ object Similarity {
     Q("q_sim_matryoshka", matryoshka, Some(matryoshkaSql)),
     Q("q_sim_outliers", outliers, Some(outliersSql)),
     Q("q_sim_ivf_incremental", ivfIncremental, Some(ivfIncrementalSql)),
-    Q("q_sim_hard_negatives", hardNegatives, Some(hardNegativesSql)))
+    Q("q_sim_hard_negatives", hardNegatives, Some(hardNegativesSql)),
+    Q("q_sim_drift", drift, Some(driftSql)))
 }

@@ -1301,10 +1301,94 @@ object Relational {
       |WHERE rn = (n + 1) // 2 OR rn = (9 * n + 9) // 10 OR rn = (99 * n + 99) // 100
       |GROUP BY event_type""".stripMargin
 
+  // ---------------------------------------------------------- Q-SCAN-drift
+
+  /** Q-SCAN-DRIFT: payload SCHEMA/VALUE drift audit — the ingestion
+    * health check a schemaless `properties` column needs at 100 TB:
+    * per JSON key, compare the two halves of the stream (split on the
+    * time-monotone event-id midpoint — at scale the split key is the
+    * ingestion-date partition column) on presence, distinct-value
+    * count, and the numeric mean (quantized to integer micros, the
+    * `q_sim_drift` discipline). A key that appears only in half B is
+    * a NEW field (SDK rollout); one only in A was dropped; a mean
+    * shift past the pinned threshold flags a semantic change behind a
+    * stable schema (unit change, enum remap).
+    *
+    * Shape at 100 TB: one pass over the props column (key explosion is
+    * per-row, bounded by payload width), one map-side-combined rollup
+    * to the |keys|-row dimension; the midpoint is a 1-row aggregate
+    * broadcast back. No window, no join on facts.
+    */
+  val ScanDriftTauMicro = 2000000L // |mean shift| > 2.0 flags
+
+  def scanDrift(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val mid = e.agg(floor(max(col("event_id")) / 2).cast(LongType).as("mid"))
+    val kv = e.crossJoin(broadcast(mid))
+      .select((col("event_id") <= col("mid")).as("is_a"),
+        explode(from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType))).as(Seq("key", "v")))
+      .select(col("is_a"), col("key"), col("v"),
+        // try_cast: ANSI mode is on; a non-numeric value must become
+        // NULL (counted in nonnum_*), not throw
+        round(expr("try_cast(v AS double)") * 1e6).cast(LongType).as("qx"))
+    kv.groupBy(col("key"))
+      .agg(
+        count(when(col("is_a"), 1)).as("n_a"),
+        count(when(!col("is_a"), 1)).as("n_b"),
+        countDistinct(when(col("is_a"), col("v"))).as("ndv_a"),
+        countDistinct(when(!col("is_a"), col("v"))).as("ndv_b"),
+        sum(when(col("is_a"), col("qx")).otherwise(0L)).as("qsum_a"),
+        sum(when(!col("is_a"), col("qx")).otherwise(0L)).as("qsum_b"),
+        count(when(col("is_a") && col("qx").isNull, 1)).as("nonnum_a"),
+        count(when(!col("is_a") && col("qx").isNull, 1)).as("nonnum_b"))
+      .select(col("key"), col("n_a"), col("n_b"), col("ndv_a"), col("ndv_b"),
+        col("qsum_a"), col("qsum_b"), col("nonnum_a"), col("nonnum_b"),
+        when(col("n_a") === 0, lit("new"))
+          .when(col("n_b") === 0, lit("dropped"))
+          .when(col("nonnum_a") === 0 && col("nonnum_b") === 0 &&
+            abs(col("qsum_b") * col("n_a") - col("qsum_a") * col("n_b")) >
+              lit(ScanDriftTauMicro) * col("n_a") * col("n_b"), lit("mean_shift"))
+          .otherwise(lit("stable")).as("verdict"))
+  }
+
+  val scanDriftSql: String =
+    s"""WITH mid AS (SELECT max(event_id) // 2 AS mid FROM events),
+       |kv AS (
+       |  SELECT e.event_id <= mid.mid AS is_a, u.key,
+       |    json_extract_string(e.props, '$$.' || u.key) AS v
+       |  FROM events e CROSS JOIN mid, unnest(json_keys(e.props)) AS u(key)),
+       |q AS (SELECT is_a, key, v,
+       |    round(TRY_CAST(v AS DOUBLE) * 1000000.0)::BIGINT AS qx FROM kv)
+       |SELECT key,
+       |  count(*) FILTER (WHERE is_a)::BIGINT AS n_a,
+       |  count(*) FILTER (WHERE NOT is_a)::BIGINT AS n_b,
+       |  count(DISTINCT v) FILTER (WHERE is_a)::BIGINT AS ndv_a,
+       |  count(DISTINCT v) FILTER (WHERE NOT is_a)::BIGINT AS ndv_b,
+       |  coalesce(sum(qx) FILTER (WHERE is_a), 0)::BIGINT AS qsum_a,
+       |  coalesce(sum(qx) FILTER (WHERE NOT is_a), 0)::BIGINT AS qsum_b,
+       |  count(*) FILTER (WHERE is_a AND qx IS NULL)::BIGINT AS nonnum_a,
+       |  count(*) FILTER (WHERE NOT is_a AND qx IS NULL)::BIGINT AS nonnum_b,
+       |  CASE WHEN count(*) FILTER (WHERE is_a) = 0 THEN 'new'
+       |       WHEN count(*) FILTER (WHERE NOT is_a) = 0 THEN 'dropped'
+       |       WHEN count(*) FILTER (WHERE is_a AND qx IS NULL) = 0
+       |        AND count(*) FILTER (WHERE NOT is_a AND qx IS NULL) = 0
+       |        AND abs(coalesce(sum(qx) FILTER (WHERE NOT is_a), 0)
+       |                  * count(*) FILTER (WHERE is_a)
+       |                - coalesce(sum(qx) FILTER (WHERE is_a), 0)
+       |                  * count(*) FILTER (WHERE NOT is_a))
+       |            > $ScanDriftTauMicro * count(*) FILTER (WHERE is_a)
+       |                * count(*) FILTER (WHERE NOT is_a)
+       |       THEN 'mean_shift' ELSE 'stable' END AS verdict
+       |FROM q GROUP BY key""".stripMargin
+
   // ---------------------------------------------------------------- oracle
 
   /** All relational queries with their DuckDB oracles. */
   val all: Seq[Q] = Seq(
+    Q("q_scan_drift", scanDrift, Some(scanDriftSql)),
     Q("q_fn_url", fnUrl, Some(fnUrlSql)),
     Q("q_fn_ip", fnIp, Some(fnIpSql)),
     Q("q_fn_ip6", fnIp6, Some(fnIp6Sql)),
