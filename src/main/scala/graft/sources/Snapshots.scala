@@ -1,0 +1,326 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+/** Snapshot/manifest table format over Parquet — the offline analogue
+  * of the Iceberg landing the reference targets
+  * (`/root/reference/README.md:5,237-258`): every mutation is an
+  * ATOMIC, versioned metadata commit over immutable data files, which
+  * is what buys a 100 TB lake its core guarantees:
+  *
+  *   - **readers never see a partial write** — a query plans against
+  *     one manifest's closed file list, concurrent appends land in
+  *     files no current manifest references;
+  *   - **time travel / reproducibility** — `readAt(v)` /
+  *     `readAsOf(ts)` replan any historical snapshot, so a training
+  *     run can pin the exact corpus version it saw;
+  *   - **O(metadata) mutation** — compaction, rollback and
+  *     copy-on-write delete commit a new FILE LIST; untouched data is
+  *     never copied (contrast [[Lake.deleteSweep]]'s no-catalog
+  *     filesystem copies — with a manifest, retention is free);
+  *   - **optimistic concurrency** — two writers racing to version N:
+  *     one wins the atomic claim, the loser gets
+  *     [[Snapshots.ConcurrentCommitException]] and retries on the new
+  *     current (the Iceberg catalog-swap contract, expressed with
+  *     filesystem primitives the offline container has).
+  *
+  * Layout under the table root:
+  * {{{
+  *   data/<commit-uuid>/part-*.parquet   immutable; one dir per commit
+  *   metadata/v<N>.manifest.json         snapshot N: file list + summary
+  *   metadata/v<N>.lock                  transient commit claim
+  * }}}
+  *
+  * Manifests hold table-root-relative paths, so the table moves/clones
+  * as a unit. Row counts come from parquet FOOTERS (no data pass).
+  * The real Iceberg format adds column stats per file and a catalog
+  * for the pointer swap; the jars aren't available offline (SURVEY
+  * §2.A K2) — this reproduces the semantics the engine depends on,
+  * and `format("iceberg")` replaces it in production unchanged.
+  */
+object Snapshots {
+
+  final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
+
+  /** One committed snapshot (metadata only — `files` are table-root
+    * -relative parquet paths).
+    */
+  final case class Snapshot(
+      version: Long,
+      parentVersion: Long,
+      timestampMs: Long,
+      operation: String,
+      rowCount: Long,
+      files: Seq[String])
+
+  private val M = new ObjectMapper()
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(dir: String, v: Long) =
+    new HPath(dir, s"metadata/v$v.manifest.json")
+
+  private def committedVersions(spark: SparkSession, dir: String): Seq[Long] = {
+    val meta = new HPath(dir, "metadata")
+    val f = fs(spark, dir)
+    if (!f.exists(meta)) Seq.empty
+    else f.listStatus(meta).toSeq.map(_.getPath.getName)
+      .flatMap { n =>
+        if (n.startsWith("v") && n.endsWith(".manifest.json"))
+          n.stripPrefix("v").stripSuffix(".manifest.json").toLongOption
+        else None
+      }.sorted
+  }
+
+  def currentVersion(spark: SparkSession, dir: String): Option[Long] =
+    committedVersions(spark, dir).lastOption
+
+  /** All committed snapshots, oldest first — the `table$snapshots`
+    * metadata view.
+    */
+  def snapshots(spark: SparkSession, dir: String): Seq[Snapshot] =
+    committedVersions(spark, dir).map(v => readManifest(spark, dir, v))
+
+  private def readManifest(spark: SparkSession, dir: String, v: Long): Snapshot = {
+    val p = manifestPath(dir, v)
+    val in = fs(spark, dir).open(p)
+    val bytes = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+      bos.toByteArray
+    } finally in.close()
+    val n = M.readTree(bytes)
+    Snapshot(
+      version = n.get("version").asLong(),
+      parentVersion = n.get("parent_version").asLong(),
+      timestampMs = n.get("timestamp_ms").asLong(),
+      operation = n.get("operation").asText(),
+      rowCount = n.get("row_count").asLong(),
+      files = n.get("files").elements().asScala.map(_.asText()).toSeq)
+  }
+
+  /** Parquet-footer row count — metadata-only, no data pass (the
+    * Iceberg manifest carries these per file; we read them from the
+    * footers the files already have).
+    */
+  private def footerRows(spark: SparkSession, dir: String, rel: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new HPath(dir, rel), conf))
+    try rd.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    finally rd.close()
+  }
+
+  /** Write `df` as a new immutable commit directory and atomically
+    * publish the next manifest. `replace = false` appends the new
+    * files to the parent's list; `replace = true` makes the new files
+    * the ENTIRE table (compaction / rewrite). The data write happens
+    * BEFORE the claim — on a lost race the files are orphans (never
+    * referenced; [[expire]]'s orphan sweep or a retry reuses nothing),
+    * exactly Iceberg's failed-commit story.
+    */
+  def commit(spark: SparkSession, dir: String, df: DataFrame,
+      operation: String = "append", replace: Boolean = false): Snapshot = {
+    val commitId = java.util.UUID.randomUUID().toString.take(12)
+    val dataRel = s"data/$commitId"
+    df.write.mode("overwrite").parquet(new HPath(dir, dataRel).toString)
+    val f = fs(spark, dir)
+    val newFiles = f.listStatus(new HPath(dir, dataRel)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => s"$dataRel/${st.getPath.getName}")
+      .sorted
+    commitFiles(spark, dir, newFiles, operation, replace)
+  }
+
+  /** Publish a manifest referencing `newFiles` (+ the parent's files
+    * unless `replace`). The claim is `createNewFile` on the lock —
+    * atomic on every Hadoop FS — and the manifest itself appears via
+    * an atomic rename, so readers only ever see complete manifests.
+    */
+  private[sources] def commitFiles(spark: SparkSession, dir: String,
+      newFiles: Seq[String], operation: String, replace: Boolean): Snapshot = {
+    val f = fs(spark, dir)
+    f.mkdirs(new HPath(dir, "metadata"))
+    val parent = currentVersion(spark, dir)
+    val v = parent.getOrElse(0L) + 1
+    val lock = new HPath(dir, s"metadata/v$v.lock")
+    if (!f.createNewFile(lock))
+      throw new ConcurrentCommitException(
+        s"version $v already claimed (concurrent writer) — reread current and retry")
+    try {
+      // the racing winner may have published v and released its lock
+      // between our currentVersion read and our claim — the manifest,
+      // not the lock, is the commit
+      if (f.exists(manifestPath(dir, v)))
+        throw new ConcurrentCommitException(
+          s"version $v was committed while claiming — reread current and retry")
+      val parentSnap = parent.map(p => readManifest(spark, dir, p))
+      val base: Seq[String] =
+        if (replace) Seq.empty else parentSnap.map(_.files).getOrElse(Seq.empty)
+      val files = base ++ newFiles
+      // appends reuse the parent's count: footers are read only for
+      // files NEW to this manifest (O(commit), not O(table))
+      val newRows = newFiles.map(footerRows(spark, dir, _)).sum
+      val rows =
+        if (replace) newRows else parentSnap.map(_.rowCount).getOrElse(0L) + newRows
+      val snap = Snapshot(v, parent.getOrElse(0L), System.currentTimeMillis(),
+        operation, rows, files)
+      val node: ObjectNode = M.createObjectNode()
+      node.put("version", snap.version)
+      node.put("parent_version", snap.parentVersion)
+      node.put("timestamp_ms", snap.timestampMs)
+      node.put("operation", snap.operation)
+      node.put("row_count", snap.rowCount)
+      val arr: ArrayNode = node.putArray("files")
+      snap.files.foreach(arr.add)
+      val tmp = new HPath(dir, s"metadata/.v$v.tmp-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, false)
+      try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
+      finally out.close()
+      if (!f.rename(tmp, manifestPath(dir, v)))
+        throw new IllegalStateException(s"manifest publish rename failed for v$v")
+      snap
+    } finally f.delete(lock, false)
+  }
+
+  /** Read the current snapshot (empty-schema error if none committed). */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    readAt(spark, dir, currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot under $dir")))
+
+  /** Time travel to an exact version. */
+  def readAt(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    require(committedVersions(spark, dir).contains(version),
+      s"version $version is not committed (expired or never existed) under $dir")
+    val snap = readManifest(spark, dir, version)
+    if (snap.files.isEmpty)
+      spark.emptyDataFrame
+    else
+      spark.read.parquet(snap.files.map(r => new HPath(dir, r).toString): _*)
+  }
+
+  /** Time travel to the newest snapshot committed at or before `tsMs`. */
+  def readAsOf(spark: SparkSession, dir: String, tsMs: Long): DataFrame = {
+    val snap = snapshots(spark, dir).filter(_.timestampMs <= tsMs).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot at or before $tsMs under $dir"))
+    readAt(spark, dir, snap.version)
+  }
+
+  /** Roll the table back to `toVersion` AS A NEW COMMIT (Iceberg
+    * semantics: rollback moves the table pointer forward to a snapshot
+    * with the old file list — history is never rewritten).
+    */
+  def rollback(spark: SparkSession, dir: String, toVersion: Long): Snapshot = {
+    val target = readManifest(spark, dir, toVersion)
+    commitFiles(spark, dir, target.files, s"rollback[$toVersion]", replace = true)
+  }
+
+  /** Compaction as a snapshot: rewrite the current file list into
+    * `files` output files and commit the REPLACEMENT manifest. Old
+    * files stay on disk referenced by old manifests — time travel
+    * across compaction keeps working until [[expire]] reclaims them
+    * (the `rewrite_data_files` contract).
+    */
+  def compactSnapshot(spark: SparkSession, dir: String, files: Int = 8): Snapshot =
+    commit(spark, dir, read(spark, dir).repartition(files),
+      operation = "compact", replace = true)
+
+  /** Copy-on-write DELETE: rewrite ONLY the data files that contain
+    * matching rows; every untouched file is carried into the new
+    * manifest BY REFERENCE (zero copy — the catalog-lake shape of
+    * [[Lake.deleteSweep]], where untouched partitions cost a
+    * filesystem copy). Affected files are found with one
+    * `input_file_name()` scan of the predicate columns; at 100 TB
+    * the predicate's pushed filters prune most row groups before the
+    * match ever evaluates.
+    */
+  def deleteWhere(spark: SparkSession, dir: String, pred: Column): Snapshot = {
+    val cur = readManifest(spark, dir, currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot under $dir")))
+    val df = read(spark, dir)
+    val affectedUris = df.filter(pred)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0)).toSet // bounded by file count
+    // suffix-match on the commit-relative path: input_file_name's URI
+    // rendering (file:/// vs file:/) varies by FS; the
+    // data/<commit-uuid>/<name> tail is unique by construction
+    val affectedRel = cur.files.filter(rel =>
+      affectedUris.exists(_.endsWith("/" + rel)))
+    if (affectedRel.isEmpty)
+      return commitFiles(spark, dir, cur.files, "delete[noop]", replace = true)
+    val keep = cur.files.diff(affectedRel)
+    // rewrite the surviving rows OF THE AFFECTED FILES only
+    val commitId = java.util.UUID.randomUUID().toString.take(12)
+    val dataRel = s"data/$commitId"
+    spark.read.parquet(affectedRel.map(r => new HPath(dir, r).toString): _*)
+      .filter(!pred)
+      .write.mode("overwrite").parquet(new HPath(dir, dataRel).toString)
+    val f = fs(spark, dir)
+    val rewritten = f.listStatus(new HPath(dir, dataRel)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => s"$dataRel/${st.getPath.getName}")
+      .sorted
+    commitFiles(spark, dir, keep ++ rewritten, "delete", replace = true)
+  }
+
+  /** Expire history: keep the newest `keepLast` manifests, delete the
+    * older ones, then delete every data file referenced ONLY by the
+    * expired manifests (plus orphaned commit dirs from lost commit
+    * races). Returns the deleted paths. After expiry, [[readAt]] on an
+    * expired version fails loudly — retention is an explicit contract,
+    * not silent data loss.
+    */
+  def expire(spark: SparkSession, dir: String, keepLast: Int): Seq[String] = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val versions = committedVersions(spark, dir)
+    val (old, kept) = versions.splitAt(math.max(0, versions.size - keepLast))
+    if (old.isEmpty) return Seq.empty
+    val f = fs(spark, dir)
+    val keptFiles = kept.flatMap(v => readManifest(spark, dir, v).files).toSet
+    val oldFiles = old.flatMap(v => readManifest(spark, dir, v).files).toSet
+    val doomedData = (oldFiles -- keptFiles).toSeq.sorted
+    val doomedManifests = old.map(v => s"metadata/v$v.manifest.json")
+    (doomedData ++ doomedManifests).foreach(rel =>
+      f.delete(new HPath(dir, rel), false))
+    // commit dirs whose every file is gone collapse to empty dirs
+    val dataRoot = new HPath(dir, "data")
+    if (f.exists(dataRoot))
+      f.listStatus(dataRoot).foreach { st =>
+        if (st.isDirectory && f.listStatus(st.getPath).isEmpty)
+          f.delete(st.getPath, false)
+      }
+    doomedData ++ doomedManifests
+  }
+
+  /** Delete commit directories no manifest references and whose files
+    * are older than `olderThanMs` — the lost-race data of failed
+    * commits. The age threshold is the safety contract (Iceberg's
+    * `remove_orphan_files` has the same one): a commit IN FLIGHT has
+    * written its dir but not yet published its manifest, and must not
+    * be swept. Returns the removed directories.
+    */
+  def removeOrphans(spark: SparkSession, dir: String,
+      olderThanMs: Long): Seq[String] = {
+    val f = fs(spark, dir)
+    val dataRoot = new HPath(dir, "data")
+    if (!f.exists(dataRoot)) return Seq.empty
+    val referencedDirs = committedVersions(spark, dir)
+      .flatMap(v => readManifest(spark, dir, v).files)
+      .map(_.split("/").take(2).mkString("/")).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    f.listStatus(dataRoot).toSeq
+      .filter(st => st.isDirectory &&
+        !referencedDirs.contains(s"data/${st.getPath.getName}") &&
+        f.listStatus(st.getPath).forall(_.getModificationTime < cutoff))
+      .map { st => f.delete(st.getPath, true); s"data/${st.getPath.getName}" }
+  }
+}

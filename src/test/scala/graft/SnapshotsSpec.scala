@@ -1,0 +1,137 @@
+package graft
+
+import graft.sources.Snapshots
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.Files
+
+class SnapshotsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def range(a: Int, b: Int) = {
+    import spark.implicits._
+    (a until b).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+  }
+
+  test("versioned appends: each commit is a snapshot; time travel replans any of them") {
+    val dir = Files.createTempDirectory("snap").toString
+    val v1 = Snapshots.commit(spark, dir, range(0, 10))
+    val v2 = Snapshots.commit(spark, dir, range(10, 30))
+    val v3 = Snapshots.commit(spark, dir, range(30, 35))
+    assert(Seq(v1.version, v2.version, v3.version) == Seq(1L, 2L, 3L))
+    assert(Snapshots.currentVersion(spark, dir).contains(3L))
+    assert(Snapshots.readAt(spark, dir, 1).count() == 10)
+    assert(Snapshots.readAt(spark, dir, 2).count() == 30)
+    assert(Snapshots.read(spark, dir).count() == 35)
+    // footer-derived row counts in the manifests match the data
+    assert(Snapshots.snapshots(spark, dir).map(_.rowCount) == Seq(10L, 30L, 35L))
+    // readAsOf: pinned to v2's commit timestamp → v2's content
+    assert(Snapshots.readAsOf(spark, dir, v2.timestampMs).count() == 30)
+    assert(Snapshots.readAsOf(spark, dir, Long.MaxValue).count() == 35)
+  }
+
+  test("compaction rewrites the file list, not history: old versions still read after compact") {
+    val dir = Files.createTempDirectory("snap").toString
+    Snapshots.commit(spark, dir, range(0, 10).repartition(4))
+    Snapshots.commit(spark, dir, range(10, 20).repartition(4))
+    val before = Snapshots.snapshots(spark, dir).last.files.size
+    val c = Snapshots.compactSnapshot(spark, dir, files = 1)
+    assert(c.operation == "compact" && c.files.size < before)
+    assert(Snapshots.read(spark, dir).count() == 20)
+    // time travel ACROSS the compaction — the old files are retained
+    assert(Snapshots.readAt(spark, dir, 1).count() == 10)
+    assert(Snapshots.readAt(spark, dir, 2).count() == 20)
+  }
+
+  test("rollback is a forward commit carrying the old file list") {
+    val dir = Files.createTempDirectory("snap").toString
+    Snapshots.commit(spark, dir, range(0, 10))
+    Snapshots.commit(spark, dir, range(10, 50))
+    val rb = Snapshots.rollback(spark, dir, toVersion = 1)
+    assert(rb.version == 3 && rb.operation == "rollback[1]")
+    assert(Snapshots.read(spark, dir).count() == 10)
+    // the "bad" v2 history is still inspectable
+    assert(Snapshots.readAt(spark, dir, 2).count() == 50)
+  }
+
+  test("copy-on-write delete: only files containing matches are rewritten; the rest carry by reference") {
+    val dir = Files.createTempDirectory("snap").toString
+    // two commits → two disjoint file sets; the subjects live only in the first
+    Snapshots.commit(spark, dir, range(0, 10))
+    Snapshots.commit(spark, dir, range(100, 120))
+    val beforeFiles = Snapshots.snapshots(spark, dir).last.files
+    val d = Snapshots.deleteWhere(spark, dir, col("id") < 3)
+    assert(Snapshots.read(spark, dir).count() == 27)
+    assert(Snapshots.read(spark, dir).filter(col("id") < 3).count() == 0)
+    // every file of the untouched commit survives VERBATIM in the new manifest
+    val secondCommitFiles = beforeFiles.filter(f =>
+      !Snapshots.readAt(spark, dir, 1).inputFiles.exists(_.endsWith(f)))
+    val survived = secondCommitFiles.forall(d.files.contains)
+    assert(survived, s"untouched files must carry by reference: $secondCommitFiles vs ${d.files}")
+    // deleting nothing is a no-op commit, content unchanged
+    val noop = Snapshots.deleteWhere(spark, dir, col("id") === -1)
+    assert(noop.operation == "delete[noop]" && Snapshots.read(spark, dir).count() == 27)
+  }
+
+  test("expire reclaims exactly the files only dead manifests reference; expired versions fail loudly") {
+    val dir = Files.createTempDirectory("snap").toString
+    Snapshots.commit(spark, dir, range(0, 10))
+    Snapshots.commit(spark, dir, range(10, 20))
+    Snapshots.compactSnapshot(spark, dir, files = 1) // v3 references only its own files
+    val deleted = Snapshots.expire(spark, dir, keepLast = 1)
+    assert(deleted.exists(_.endsWith("v1.manifest.json")))
+    assert(deleted.exists(_.endsWith("v2.manifest.json")))
+    assert(deleted.count(_.startsWith("data/")) > 0)
+    // current still reads fine; expired version is a loud error
+    assert(Snapshots.read(spark, dir).count() == 20)
+    intercept[IllegalArgumentException](Snapshots.readAt(spark, dir, 1))
+    // every file the current manifest references still exists
+    val cur = Snapshots.snapshots(spark, dir).last
+    cur.files.foreach(f =>
+      assert(new java.io.File(s"$dir/$f").exists(), s"kept file $f must survive expire"))
+  }
+
+  test("optimistic concurrency: a claimed version fails the second writer; orphan sweep respects age") {
+    val dir = Files.createTempDirectory("snap").toString
+    Snapshots.commit(spark, dir, range(0, 5))
+    // another writer claims v2
+    val lock = new java.io.File(s"$dir/metadata/v2.lock")
+    assert(lock.createNewFile())
+    intercept[Snapshots.ConcurrentCommitException](
+      Snapshots.commit(spark, dir, range(5, 10)))
+    lock.delete()
+    // the loser's data dir is an unreferenced orphan; a too-young sweep
+    // must NOT touch it, an aged sweep reclaims it
+    assert(Snapshots.removeOrphans(spark, dir, olderThanMs = 3600_000L).isEmpty)
+    val swept = Snapshots.removeOrphans(spark, dir, olderThanMs = -1L)
+    assert(swept.size == 1, s"expected exactly the orphan commit dir, got $swept")
+    // and the retry commits cleanly at v2
+    assert(Snapshots.commit(spark, dir, range(5, 10)).version == 2)
+    assert(Snapshots.read(spark, dir).count() == 10)
+  }
+
+  test("published manifest wins over a stale claim: commit re-checks after locking") {
+    val dir = Files.createTempDirectory("snap").toString
+    Snapshots.commit(spark, dir, range(0, 5))
+    // simulate the race: v2 manifest exists but its lock was released
+    val winner = Snapshots.commit(spark, dir, range(5, 8))
+    assert(winner.version == 2)
+    // a writer that read current=1 before the winner published would
+    // claim v2's lock successfully — the manifest existence check must
+    // still reject it (exercised via commitFiles' internal guard; here
+    // the external behavior: next commit lands at 3, never overwrites 2)
+    val next = Snapshots.commit(spark, dir, range(8, 9))
+    assert(next.version == 3)
+    assert(Snapshots.readAt(spark, dir, 2).count() == 8)
+  }
+}
