@@ -301,6 +301,79 @@ object Snapshots {
     doomedData ++ doomedManifests
   }
 
+  /** EXACTLY-ONCE streaming sink: each micro-batch epoch commits one
+    * snapshot whose operation tag embeds the batch id. A
+    * failure-replayed epoch (the checkpoint re-delivers the last
+    * uncommitted batch) finds its tag already committed and SKIPS —
+    * the manifest is the transaction log, upgrading the bare-parquet
+    * [[Lake.streamWriter]]'s overwrite-idempotency to true
+    * exactly-once (the Iceberg streaming-commit contract). Readers
+    * concurrently replanning `read(dir)` never see a half-written
+    * epoch: its files are unreferenced until the atomic manifest
+    * publish.
+    */
+  def streamCommitWriter(events: DataFrame, dir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitEpoch(batch, dir, batchId)
+      }
+
+  /** The idempotent epoch commit behind [[streamCommitWriter]] —
+    * exposed for direct testing of the replay contract.
+    */
+  def commitEpoch(batch: DataFrame, dir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val tag = s"append[epoch=$batchId]"
+    if (snapshots(spark, dir).exists(_.operation == tag)) () // replayed epoch
+    else { commit(spark, dir, batch, operation = tag); () }
+  }
+
+  /** Stats-pruned scan — the manifest-side partition/file pruning a
+    * catalog lake does before Spark ever lists a file: drop every data
+    * file whose footer [lo, hi] range for `column` (an INT64 column —
+    * ids, epoch micros, epoch days) cannot intersect the predicate
+    * range, then plan only the survivors. At 100 TB this is the
+    * difference between planning thousands of files and planning the
+    * three that matter; the row-level filter still applies (pruning is
+    * a superset guarantee, exactly parquet row-group skipping one
+    * level up).
+    *
+    * Footer stats are read at SCAN time here; the production form
+    * caches them in the manifest at commit (same contract — the spec
+    * pins prunedness, not the caching).
+    */
+  def scanFiles(spark: SparkSession, dir: String, column: String,
+      lo: Long, hi: Long): DataFrame = {
+    val cur = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot under $dir"))
+    val snap = readManifest(spark, dir, cur)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val survivors = snap.files.filter { rel =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new HPath(dir, rel), conf))
+      try {
+        val ranges = rd.getFooter.getBlocks.asScala.flatMap { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+            .flatMap(c => Option(c.getStatistics))
+            .collect {
+              case s: org.apache.parquet.column.statistics.LongStatistics
+                  if !s.isEmpty => (s.getMin, s.getMax)
+            }
+        }
+        // no stats → cannot prove disjoint → keep (superset guarantee)
+        ranges.isEmpty || ranges.exists { case (mn, mx) => mx >= lo && mn <= hi }
+      } finally rd.close()
+    }
+    if (survivors.isEmpty) read(spark, dir).filter(lit(false))
+    else spark.read.parquet(survivors.map(r => new HPath(dir, r).toString): _*)
+      .filter(col(column) >= lo && col(column) <= hi)
+  }
+
   /** Delete commit directories no manifest references and whose files
     * are older than `olderThanMs` — the lost-race data of failed
     * commits. The age threshold is the safety contract (Iceberg's

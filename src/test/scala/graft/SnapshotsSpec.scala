@@ -120,6 +120,46 @@ class SnapshotsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.read(spark, dir).count() == 10)
   }
 
+  test("exactly-once streaming epochs: a replayed epoch commits nothing; batch parity holds") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("snap").toString
+    val ckpt = Files.createTempDirectory("snap_ck").toString
+    val in = MemoryStream[Long]
+    in.addData(0L until 10L: _*)
+    Snapshots.streamCommitWriter(in.toDF().withColumnRenamed("value", "id"),
+      dir, ckpt).start().awaitTermination()
+    in.addData(10L until 25L: _*)
+    Snapshots.streamCommitWriter(in.toDF().withColumnRenamed("value", "id"),
+      dir, ckpt).start().awaitTermination()
+    assert(Snapshots.read(spark, dir).count() == 25)
+    val nSnaps = Snapshots.snapshots(spark, dir).size
+    // crash-replay of an already-committed epoch: same batchId → no-op
+    Snapshots.commitEpoch(range(90, 95), dir, batchId = 0)
+    assert(Snapshots.snapshots(spark, dir).size == nSnaps)
+    assert(Snapshots.read(spark, dir).count() == 25)
+    // a genuinely new epoch commits
+    Snapshots.commitEpoch(range(25, 30).withColumnRenamed("s", "x"), dir, batchId = 7)
+    assert(Snapshots.snapshots(spark, dir).size == nSnaps + 1)
+  }
+
+  test("stats-pruned scan: disjoint files never planned; results equal the full filter") {
+    val dir = Files.createTempDirectory("snap").toString
+    // three commits with disjoint id ranges → per-file footer ranges
+    Snapshots.commit(spark, dir, range(0, 100).coalesce(1))
+    Snapshots.commit(spark, dir, range(100, 200).coalesce(1))
+    Snapshots.commit(spark, dir, range(200, 300).coalesce(1))
+    val pruned = Snapshots.scanFiles(spark, dir, "id", 120, 180)
+    assert(pruned.inputFiles.length == 1,
+      s"expected 1 surviving file, planned ${pruned.inputFiles.length}")
+    val full = Snapshots.read(spark, dir)
+      .filter(col("id") >= 120 && col("id") <= 180)
+    assert(pruned.count() == full.count() && pruned.count() == 61)
+    // empty intersection plans nothing and returns empty, not an error
+    assert(Snapshots.scanFiles(spark, dir, "id", 1000, 2000).count() == 0)
+  }
+
   test("published manifest wins over a stale claim: commit re-checks after locking") {
     val dir = Files.createTempDirectory("snap").toString
     Snapshots.commit(spark, dir, range(0, 5))
