@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Product, Q, Relational}
 import graft.flags.FlagQueries
 import graft.ingest.IngestQueries
-import graft.llm.{Bpe, Corpus, Dedup, KMeans, Multimodal, PQ, Select, Similarity, TextOps, Unigram}
+import graft.llm.{Bpe, Corpus, Dedup, KMeans, Multimodal, PQ, Select, Similarity, TextOps, Unigram, WordPiece}
 import graft.state.StateQueries
 import graft.streaming.StreamQueries
 
@@ -19,7 +19,7 @@ object SparkEntry {
 
   /** All query registries (grows as modules land). */
   def registry: Seq[Q] =
-    Relational.all ++ Product.all ++ TextOps.all ++ Bpe.all ++ Unigram.all ++ Dedup.all ++ Similarity.all ++ KMeans.all ++ PQ.all ++ Corpus.all ++ Select.all ++
+    Relational.all ++ Product.all ++ TextOps.all ++ Bpe.all ++ Unigram.all ++ WordPiece.all ++ Dedup.all ++ Similarity.all ++ KMeans.all ++ PQ.all ++ Corpus.all ++ Select.all ++
       Multimodal.all ++ IngestQueries.all ++ StateQueries.all ++ FlagQueries.all ++
       StreamQueries.all
 
