@@ -1828,6 +1828,82 @@ object Product {
        |FROM events e JOIN ga USING (event_id)
        |GROUP BY 1, 2""".stripMargin
 
+  /** Q-PROD-35: INCREMENTAL trends maintenance (IVM) — the pattern a
+    * 100 TB daily-series dashboard actually runs: never rescan
+    * history; merge yesterday's materialized rollup with today's
+    * arrival delta. Plain counts merge by addition; DISTINCT USERS do
+    * not — the maintained state is the (day × user) FIRST-SEEN pairs
+    * table, and the delta's contribution is its pairs anti-joined
+    * against the state (new pairs only). Emits per day: history/delta
+    * rows, history distinct users, NEW users from the delta, the
+    * merged distinct count, and the in-row gate that the incremental
+    * merge equals the full recompute (the full-recompute columns are
+    * the test-scale audit twin — at 100 TB only the delta branch and
+    * the pairs-table upsert run).
+    *
+    * The history/delta split is the time-monotone event-id midpoint
+    * (at scale: the ingestion-date partition boundary).
+    *
+    * Shape at 100 TB: the delta is partition-pruned at the scan; the
+    * anti-join keys on (day, user) — the same key as the pairs
+    * table's distinct, so ONE hash partitioning serves dedup + join
+    * (bucket the pairs table on user and the exchange disappears);
+    * rollups are day-dimension-sized.
+    */
+  def trendsIncremental(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val mid = e.agg(floor(max(col("event_id")) / 2).cast(LongType).as("mid"))
+    val tagged = e.crossJoin(broadcast(mid))
+      .select(to_date(col("ts")).as("day"), col("user_id"),
+        (col("event_id") <= col("mid")).as("is_hist"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val histPairs = tagged.filter(col("is_hist"))
+      .select(col("day"), col("user_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newPairs = tagged.filter(!col("is_hist"))
+      .select(col("day"), col("user_id")).distinct()
+      .join(histPairs, Seq("day", "user_id"), "left_anti")
+    val rows = tagged.groupBy(col("day")).agg(
+      count(when(col("is_hist"), 1)).as("n_hist"),
+      count(when(!col("is_hist"), 1)).as("n_delta"),
+      countDistinct(col("user_id")).as("u_full")) // audit twin
+    val uHist = histPairs.groupBy(col("day")).agg(count(lit(1)).as("u_hist"))
+    val uNew = newPairs.groupBy(col("day")).agg(count(lit(1)).as("u_new"))
+    rows.join(uHist, Seq("day"), "left").join(uNew, Seq("day"), "left")
+      .select(col("day"), col("n_hist"), col("n_delta"),
+        coalesce(col("u_hist"), lit(0L)).as("u_hist"),
+        coalesce(col("u_new"), lit(0L)).as("u_new"),
+        (coalesce(col("u_hist"), lit(0L)) +
+          coalesce(col("u_new"), lit(0L))).as("u_merged"),
+        (coalesce(col("u_hist"), lit(0L)) + coalesce(col("u_new"), lit(0L)) ===
+          col("u_full")).as("consistent"))
+  }
+
+  val trendsIncrementalSql: String =
+    """WITH mid AS (SELECT max(event_id) // 2 AS mid FROM events),
+      |t AS (
+      |  SELECT CAST(ts AS DATE) AS day, user_id,
+      |    event_id <= mid.mid AS is_hist
+      |  FROM events CROSS JOIN mid),
+      |hp AS (SELECT DISTINCT day, user_id FROM t WHERE is_hist),
+      |np AS (
+      |  SELECT DISTINCT day, user_id FROM t WHERE NOT is_hist
+      |  EXCEPT SELECT day, user_id FROM hp),
+      |rows_ AS (
+      |  SELECT day,
+      |    count(*) FILTER (WHERE is_hist)::BIGINT AS n_hist,
+      |    count(*) FILTER (WHERE NOT is_hist)::BIGINT AS n_delta,
+      |    count(DISTINCT user_id)::BIGINT AS u_full
+      |  FROM t GROUP BY day),
+      |uh AS (SELECT day, count(*)::BIGINT AS u_hist FROM hp GROUP BY day),
+      |un AS (SELECT day, count(*)::BIGINT AS u_new FROM np GROUP BY day)
+      |SELECT r.day, r.n_hist, r.n_delta,
+      |  coalesce(uh.u_hist, 0)::BIGINT AS u_hist,
+      |  coalesce(un.u_new, 0)::BIGINT AS u_new,
+      |  (coalesce(uh.u_hist, 0) + coalesce(un.u_new, 0))::BIGINT AS u_merged,
+      |  coalesce(uh.u_hist, 0) + coalesce(un.u_new, 0) = r.u_full AS consistent
+      |FROM rows_ r LEFT JOIN uh USING (day) LEFT JOIN un USING (day)""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_prod_trends", trends, Some(trendsSql)),
     Q("q_prod_trends_breakdown", trendsBreakdown, Some(trendsBreakdownSql)),
@@ -1862,5 +1938,6 @@ object Product {
     Q("q_prod_retention_cohort", retentionCohort, Some(retentionCohortSql)),
     Q("q_prod_trends_cohort", trendsCohort, Some(trendsCohortSql)),
     Q("q_prod_trends_sampled", trendsSampled, Some(trendsSampledSql)),
-    Q("q_prod_trends_groups", trendsGroups, Some(trendsGroupsSql)))
+    Q("q_prod_trends_groups", trendsGroups, Some(trendsGroupsSql)),
+    Q("q_prod_trends_incremental", trendsIncremental, Some(trendsIncrementalSql)))
 }
