@@ -60,7 +60,11 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
         "q_corpus_decontam_attr", "q_prod_paths_markov",
         "q_prod_trends_compare", "q_sim_ivf_incremental", "q_media_vad",
         "q_sim_hard_negatives", "q_agg_skew_audit", "q_prod_funnel_cohort",
-        "q_prod_retention_cohort")) {
+        "q_prod_retention_cohort",
+        // round-13: the drift monitor's mean-shift divide (integer-fed)
+        // and the funnel-cohort-style conversion divide in trends_groups'
+        // sibling sampled form are aggregate-fed
+        "q_sim_drift", "q_prod_trends_sampled")) {
       val a = runAt(2, q)
       val b = runAt(7, q)
       assert(a.nonEmpty, s"$q returned nothing")
