@@ -1904,6 +1904,121 @@ object Product {
       |  coalesce(uh.u_hist, 0) + coalesce(un.u_new, 0) = r.u_full AS consistent
       |FROM rows_ r LEFT JOIN uh USING (day) LEFT JOIN un USING (day)""".stripMargin
 
+  /** Q-PROD-36: top JOURNEYS — PostHog's paths visualization ranks the
+    * most common consecutive event SEQUENCES; this is the 3-step form:
+    * every consecutive (e₁→e₂→e₃) triple per user (event-id order, the
+    * table's time-monotone key), counted and top-[[JourneysTopK]]
+    * elected with a full deterministic tie-break.
+    *
+    * Shape at 100 TB: one user-keyed window (the same partitioning
+    * every paths query shares) emits the triples map-side; the rollup
+    * is |event-types|³-bounded (a dimension), and the election is
+    * `TakeOrderedAndProject` — k rows cross the network.
+    */
+  val JourneysTopK = 20
+
+  def journeys(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(JourneysTopK)
+  }
+
+  val journeysSql: String =
+    s"""WITH t AS (
+       |  SELECT event_type AS e1,
+       |    lead(event_type, 1) OVER w AS e2,
+       |    lead(event_type, 2) OVER w AS e3
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+       |SELECT e1, e2, e3, count(*)::BIGINT AS n
+       |FROM t WHERE e3 IS NOT NULL
+       |GROUP BY e1, e2, e3
+       |ORDER BY n DESC, e1, e2, e3 LIMIT $JourneysTopK""".stripMargin
+
+  /** Q-PROD-37: marketing ATTRIBUTION — first-touch / last-touch per
+    * conversion: for each user's FIRST purchase, the channel (the
+    * `props.k % 5` stand-in for utm_source) of the first and of the
+    * last view BEFORE it, plus the touch count — the
+    * first/last/linear-attribution readout every growth team runs on
+    * the event lake.
+    *
+    * Shape at 100 TB: conversions and touches are both user-keyed
+    * conditional aggregates over one compact projection — the funnel
+    * family's one-partitioning-end-to-end shape; `min_by`/`max_by`
+    * keep it a single pass (no window, no self-join).
+    */
+  def attribution(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        (get_json_object(col("props"), "$.k").cast(LongType) % 5).as("channel"))
+    val conv = base.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("event_id")).as("conv_eid"))
+    base.filter(col("event_type") === "view")
+      .join(conv, Seq("user_id"))
+      .filter(col("event_id") < col("conv_eid"))
+      .groupBy(col("user_id"), col("conv_eid"))
+      .agg(
+        expr("min_by(channel, event_id)").as("first_touch"),
+        expr("max_by(channel, event_id)").as("last_touch"),
+        count(lit(1)).as("n_touches"))
+  }
+
+  val attributionSql: String =
+    """WITH base AS (
+      |  SELECT user_id, event_id, event_type,
+      |    json_extract_string(props, '$.k')::BIGINT % 5 AS channel
+      |  FROM events),
+      |conv AS (
+      |  SELECT user_id, min(event_id) AS conv_eid
+      |  FROM base WHERE event_type = 'purchase' GROUP BY user_id)
+      |SELECT b.user_id, c.conv_eid,
+      |  min_by(b.channel, b.event_id) AS first_touch,
+      |  max_by(b.channel, b.event_id) AS last_touch,
+      |  count(*)::BIGINT AS n_touches
+      |FROM base b JOIN conv c USING (user_id)
+      |WHERE b.event_type = 'view' AND b.event_id < c.conv_eid
+      |GROUP BY b.user_id, c.conv_eid""".stripMargin
+
+  /** Q-PROD-38: BOUNCE RATE per day — single-event sessions over total
+    * sessions, on the shared [[sessionized]] definition (the web
+    * analytics readout PostHog surfaces per pageview/session). A
+    * session's day is its first event's day (epoch-us floor — integer
+    * arithmetic, identical in both engines).
+    */
+  def bounce(s: SparkSession, d: String): DataFrame = {
+    val sess = sessionized(s, d)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("us")).as("start_us"))
+      .select(floor(col("start_us") / lit(86400000000L)).as("epoch_day"),
+        col("n_events"))
+    sess.groupBy(col("epoch_day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        count(when(col("n_events") === 1, 1)).as("n_bounced"))
+      .withColumn("bounce_rate",
+        col("n_bounced").cast("double") / col("n_sessions"))
+  }
+
+  val bounceSql: String =
+    s"""WITH $sessionizedCte,
+       |per AS (
+       |  SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+       |    min(us) AS start_us
+       |  FROM sess GROUP BY user_id, session_id),
+       |d AS (SELECT start_us // 86400000000 AS epoch_day, n_events FROM per)
+       |SELECT epoch_day,
+       |  count(*)::BIGINT AS n_sessions,
+       |  count(*) FILTER (WHERE n_events = 1)::BIGINT AS n_bounced,
+       |  count(*) FILTER (WHERE n_events = 1)::DOUBLE / count(*) AS bounce_rate
+       |FROM d GROUP BY epoch_day""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_prod_trends", trends, Some(trendsSql)),
     Q("q_prod_trends_breakdown", trendsBreakdown, Some(trendsBreakdownSql)),
@@ -1939,5 +2054,8 @@ object Product {
     Q("q_prod_trends_cohort", trendsCohort, Some(trendsCohortSql)),
     Q("q_prod_trends_sampled", trendsSampled, Some(trendsSampledSql)),
     Q("q_prod_trends_groups", trendsGroups, Some(trendsGroupsSql)),
-    Q("q_prod_trends_incremental", trendsIncremental, Some(trendsIncrementalSql)))
+    Q("q_prod_trends_incremental", trendsIncremental, Some(trendsIncrementalSql)),
+    Q("q_prod_journeys", journeys, Some(journeysSql)),
+    Q("q_prod_attribution", attribution, Some(attributionSql)),
+    Q("q_prod_bounce", bounce, Some(bounceSql)))
 }

@@ -64,7 +64,7 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
         // round-13: the drift monitor's mean-shift divide (integer-fed)
         // and the funnel-cohort-style conversion divide in trends_groups'
         // sibling sampled form are aggregate-fed
-        "q_sim_drift", "q_prod_trends_sampled")) {
+        "q_sim_drift", "q_prod_trends_sampled", "q_prod_bounce")) {
       val a = runAt(2, q)
       val b = runAt(7, q)
       assert(a.nonEmpty, s"$q returned nothing")
