@@ -464,7 +464,62 @@ object IngestQueries {
       |       WHEN 2 THEN 'undecodable' WHEN 3 THEN 'empty' END AS reason
       |FROM events WHERE event_id % 4 <> 0""".stripMargin
 
+  // ---------------------------------------------------------- quota audit
+
+  /** Q-INGEST-11: QUOTA enforcement audit — the reference's deployment
+    * story includes per-org billing limits (PostHog quota limiting
+    * drops events past the plan's allowance). Orgs are the
+    * deterministic `user_id % 20` stand-in; the per-(org, day) volume
+    * is compared against a RELATIVE quota — 2× the corpus-wide upper
+    * median org-day volume (an exact integer order statistic, so the
+    * audit is scale-free and bit-identical in both engines) — and the
+    * per-org rollup reports days over quota and the events an
+    * enforcing ingester would have dropped.
+    *
+    * Shape at 100 TB: one (org, day) rollup (map-side combined), a
+    * 1-row broadcast quota, and an org-keyed re-aggregation of the
+    * org-day dimension — the raw stream is touched once.
+    */
+  def quota(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDay = Tables.events(s, d)
+      .select((col("user_id") % 20).as("org"), to_date(col("ts")).as("day"))
+      .groupBy(col("org"), col("day")).agg(count(lit(1)).as("n"))
+    // upper-median org-day volume: rank (cnt DIV 2 + 1) in (n, org, day)
+    // order — integer-exact, deterministic total order
+    val w = Window.orderBy(col("n"), col("org"), col("day"))
+    val med = perDay
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over())
+      .filter(col("rn") === expr("cnt DIV 2 + 1"))
+      .select((col("n") * 2).as("quota"))
+    perDay.crossJoin(broadcast(med))
+      .groupBy(col("org"))
+      .agg(count(lit(1)).as("days_active"),
+        sum(col("n")).as("n_events"),
+        count(when(col("n") > col("quota"), 1)).as("days_over"),
+        coalesce(sum(when(col("n") > col("quota"), col("n") - col("quota"))), lit(0L))
+          .cast(LongType).as("n_dropped"),
+        first(col("quota")).as("quota"))
+  }
+
+  val quotaSql: String =
+    """WITH pd AS (
+      |  SELECT user_id % 20 AS org, CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT n, row_number() OVER (ORDER BY n, org, day) AS rn,
+      |    count(*) OVER () AS cnt
+      |  FROM pd),
+      |med AS (SELECT n * 2 AS quota FROM r WHERE rn = cnt // 2 + 1)
+      |SELECT org, count(*)::BIGINT AS days_active, sum(n)::BIGINT AS n_events,
+      |  count(*) FILTER (WHERE n > quota)::BIGINT AS days_over,
+      |  coalesce(sum(CASE WHEN n > quota THEN n - quota END), 0)::BIGINT AS n_dropped,
+      |  any_value(quota)::BIGINT AS quota
+      |FROM pd CROSS JOIN med GROUP BY org""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_ingest_quota", quota, Some(quotaSql)),
     Q("q_ingest_capture", capture, Some(captureSql)),
     Q("q_ingest_wire", wire, Some(wireSql)),
     Q("q_ingest_batch", batch, Some(batchSql)),

@@ -975,8 +975,74 @@ object Corpus {
        |FROM v GROUP BY source""".stripMargin
   }
 
+  // ------------------------------------------------- semantic decontam
+
+  /** Cosine threshold above which a training vector counts as a
+    * semantic hit on the eval set (the planted near-dup band of this
+    * corpus; production tunes per eval suite).
+    */
+  val SemDecontamTau = 0.35
+
+  /** Q-CORPUS-14: SEMANTIC decontamination — the embedding-space
+    * complement of the n-gram [[decontam]]: an eval item paraphrased
+    * into different surface tokens shares no shingles but stays close
+    * in embedding space. Eval set = the deterministic `vec_id % 10 = 0`
+    * slice; a training vector is contaminated when some eval vector in
+    * its 16-bit hyperplane LSH bucket ([[Similarity.bucketCol]] — the
+    * same blocking the cosine-dedup scale path uses) has cosine ≥
+    * [[SemDecontamTau]]. Emits every training vector with its
+    * candidate/hit counts and the verdict.
+    *
+    * Shape at 100 TB: the eval side is tiny (benchmarks are thousands
+    * of rows) — it broadcasts; candidates are bucket-equi-join bound,
+    * the all-pairs product never forms, and the raw training corpus
+    * never shuffles (only (vec_id, bucket, embedding) projections).
+    */
+  def decontamSem(s: SparkSession, d: String): DataFrame = {
+    import graft.llm.Portable.{dot, l2norm}
+    val e = Tables.par(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"),
+        Similarity.bucketCol(col("embedding")).as("bucket"))
+    val eval_ = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("e_id"), col("embedding").as("e_emb"),
+        col("nrm").as("e_nrm"), col("bucket"))
+    val train = e.filter(col("vec_id") % 10 =!= 0)
+    train.join(broadcast(eval_), Seq("bucket"), "left")
+      .select(col("vec_id"),
+        when(col("e_id").isNotNull, 1L).otherwise(0L).as("cand"),
+        when(col("e_id").isNotNull &&
+          dot(col("embedding"), col("e_emb")) / (col("nrm") * col("e_nrm"))
+            >= SemDecontamTau, 1L).otherwise(0L).as("hit"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("cand")).as("n_candidates"),
+        sum(col("hit")).as("n_hits"),
+        (sum(col("hit")) > 0).as("contaminated"))
+  }
+
+  val decontamSemSql: String = {
+    import graft.llm.Portable.{dotSql, l2normSql}
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, ${l2normSql("embedding")} AS nrm,
+       |    (${Similarity.bucketSqlExpr("embedding")}) AS bucket
+       |  FROM embeddings),
+       |ev AS (SELECT vec_id AS e_id, embedding AS e_emb, nrm AS e_nrm, bucket
+       |       FROM e WHERE vec_id % 10 = 0),
+       |tr AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+       |j AS (
+       |  SELECT tr.vec_id,
+       |    CASE WHEN ev.e_id IS NOT NULL THEN 1 ELSE 0 END AS cand,
+       |    CASE WHEN ev.e_id IS NOT NULL AND
+       |      ${dotSql("tr.embedding", "ev.e_emb")} / (tr.nrm * ev.e_nrm)
+       |        >= $SemDecontamTau THEN 1 ELSE 0 END AS hit
+       |  FROM tr LEFT JOIN ev USING (bucket))
+       |SELECT vec_id, sum(cand)::BIGINT AS n_candidates,
+       |  sum(hit)::BIGINT AS n_hits, sum(hit) > 0 AS contaminated
+       |FROM j GROUP BY vec_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_corpus_delta", delta, Some(deltaSql)),
+    Q("q_corpus_decontam_sem", decontamSem, Some(decontamSemSql)),
     Q("q_corpus_funnel", funnel, Some(funnelSql)),
     Q("q_corpus_decontam", decontam, Some(decontamSql)),
     Q("q_corpus_decontam_bloom", decontamBloom, Some(decontamBloomSql)),

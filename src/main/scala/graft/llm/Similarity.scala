@@ -1159,7 +1159,58 @@ object Similarity {
        |       * count(*) FILTER (WHERE NOT is_old)) AS drifted
        |FROM ex GROUP BY dim""".stripMargin
 
+  // ------------------------------------------------------- k-NN graph
+
+  /** Neighbors kept per node in [[knnGraph]]. */
+  val KnnGraphK = 3
+
+  /** Q-SIM-22: k-NN GRAPH construction — every vector's top-
+    * [[KnnGraphK]] nearest neighbors (exact cosine, deterministic
+    * tie-break) among its IVF-cell mates: the build step for
+    * graph-based ANN serving (NSW/HNSW layers), graph clustering, and
+    * label propagation. Candidates come from the shared coarse
+    * quantizer ([[ivfAssign]]), so the pair space is Σ|cell|² ≈ N²/c,
+    * never all-pairs; cross-cell edges are the recall trade the
+    * multiprobe queries quantify.
+    *
+    * Shape at 100 TB: one equi-join on `centroid_id` (AQE handles the
+    * cell-size skew), then a per-node top-k window over compact
+    * (src, dst, cosine) triples — embeddings never shuffle twice; the
+    * output is K·N edges, linear in the corpus.
+    */
+  def knnGraph(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.par(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+      .join(ivfAssign(s, d).select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
+    e.as("a").join(e.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        (dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KnnGraphK)
+  }
+
+  val knnGraphSql: String =
+    s"""WITH assign AS ($ivfAssignSql),
+       |e AS (
+       |  SELECT em.vec_id, em.embedding, ${l2normSql("em.embedding")} AS nrm, a.centroid_id
+       |  FROM embeddings em JOIN assign a ON em.vec_id = a.vec_id),
+       |pairs AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+       |  FROM e a JOIN e b
+       |    ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id),
+       |r AS (
+       |  SELECT src, dst, cosine,
+       |    row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rank
+       |  FROM pairs)
+       |SELECT src, dst, cosine, rank FROM r WHERE rank <= $KnnGraphK""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_sim_knn_graph", knnGraph, Some(knnGraphSql)),
     Q("q_sim_topk", topK, Some(topKSql)),
     Q("q_sim_mips", mips, Some(mipsSql)),
     Q("q_sim_lsh", lshBuckets, Some(lshBucketsSql)),

@@ -2019,6 +2019,226 @@ object Product {
        |  count(*) FILTER (WHERE n_events = 1)::DOUBLE / count(*) AS bounce_rate
        |FROM d GROUP BY epoch_day""".stripMargin
 
+  /** Q-PROD-39: INCREMENTAL funnel maintenance (IVM) — the funnel twin
+    * of [[trendsIncremental]]: never rescan history. The maintained
+    * state is the per-user greedy-chain anchor triple
+    * (view/click/purchase first-match event ids) over the history
+    * half; the delta's events extend each user's chain with three
+    * conditional mins. Because the delta arrives AFTER history
+    * (event-id order = time; at scale, the ingestion-partition
+    * boundary), a filled history stage is final and an unfilled one
+    * can only be filled from the delta — `coalesce(hist, min(delta
+    * WHERE after prior stage))` is exactly the full greedy chain
+    * (late-arriving EARLIER events are the streaming funnel's
+    * re-anchor case, spec-pinned in StreamingSpec, not this
+    * maintenance path). In-row gate: the merged triple equals the
+    * full-recompute twin.
+    *
+    * Shape at 100 TB: every stage keys on `user_id` — the funnel
+    * family's one-partitioning-end-to-end shape; the state table is
+    * users-sized, the delta scan is partition-pruned, and only the
+    * audit twin (test-scale) reads history.
+    */
+  def funnelIncremental(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val mid = e.agg(floor(max(col("event_id")) / 2).cast(LongType).as("mid"))
+    val base = e.crossJoin(broadcast(mid))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        (col("event_id") <= col("mid")).as("is_hist"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def chain(src: DataFrame): DataFrame = {
+      val s1 = src.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("event_id")).as("v"))
+      val s2 = src.filter(col("event_type") === "click")
+        .join(s1, Seq("user_id"))
+        .filter(col("event_id") > col("v"))
+        .groupBy(col("user_id")).agg(min(col("event_id")).as("c"))
+      val s3 = src.filter(col("event_type") === "purchase")
+        .join(s2, Seq("user_id"))
+        .filter(col("event_id") > col("c"))
+        .groupBy(col("user_id")).agg(min(col("event_id")).as("p"))
+      s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+    }
+    val hist = chain(base.filter(col("is_hist")))
+      .select(col("user_id"), col("v").as("v_h"), col("c").as("c_h"), col("p").as("p_h"))
+    val delta = base.filter(!col("is_hist"))
+    // stage 1: anchor = history's, else the delta's first view
+    val dv = delta.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("event_id")).as("v_d"))
+    val a1 = hist.join(dv, Seq("user_id"), "full")
+      .select(col("user_id"), coalesce(col("v_h"), col("v_d")).as("view_eid"),
+        col("c_h"), col("p_h"))
+      .filter(col("view_eid").isNotNull)
+    // stage 2: history's click, else the delta's first click after the anchor
+    val dc = delta.filter(col("event_type") === "click")
+      .join(a1.select(col("user_id"), col("view_eid")), Seq("user_id"))
+      .filter(col("event_id") > col("view_eid"))
+      .groupBy(col("user_id")).agg(min(col("event_id")).as("c_d"))
+    val a2 = a1.join(dc, Seq("user_id"), "left")
+      .select(col("user_id"), col("view_eid"),
+        coalesce(col("c_h"), col("c_d")).as("click_eid"), col("p_h"))
+    // stage 3: history's purchase, else the delta's first after the click
+    val dp = delta.filter(col("event_type") === "purchase")
+      .join(a2.filter(col("click_eid").isNotNull)
+        .select(col("user_id"), col("click_eid")), Seq("user_id"))
+      .filter(col("event_id") > col("click_eid"))
+      .groupBy(col("user_id")).agg(min(col("event_id")).as("p_d"))
+    val merged = a2.join(dp, Seq("user_id"), "left")
+      .select(col("user_id"), col("view_eid"), col("click_eid"),
+        coalesce(col("p_h"), col("p_d")).as("purchase_eid"))
+    // audit twin: the full recompute (test-scale only at 100 TB)
+    val full = chain(base)
+      .select(col("user_id"), col("v").as("v_f"), col("c").as("c_f"), col("p").as("p_f"))
+    merged.join(full, Seq("user_id"), "full")
+      .select(col("user_id"), col("view_eid"), col("click_eid"), col("purchase_eid"),
+        (lit(1) + when(col("click_eid").isNotNull, 1).otherwise(0) +
+          when(col("purchase_eid").isNotNull, 1).otherwise(0))
+          .cast(IntegerType).as("steps_reached"),
+        (col("view_eid") <=> col("v_f") && col("click_eid") <=> col("c_f") &&
+          col("purchase_eid") <=> col("p_f")).as("consistent"))
+  }
+
+  val funnelIncrementalSql: String =
+    """WITH mid AS (SELECT max(event_id) // 2 AS mid FROM events),
+      |b AS (
+      |  SELECT user_id, event_type, event_id, event_id <= mid.mid AS is_hist
+      |  FROM events CROSS JOIN mid),
+      |h1 AS (SELECT user_id, min(event_id) AS v_h FROM b
+      |       WHERE is_hist AND event_type = 'view' GROUP BY user_id),
+      |h2 AS (SELECT b.user_id, min(b.event_id) AS c_h FROM b JOIN h1 USING (user_id)
+      |       WHERE b.is_hist AND b.event_type = 'click' AND b.event_id > h1.v_h
+      |       GROUP BY b.user_id),
+      |h3 AS (SELECT b.user_id, min(b.event_id) AS p_h FROM b JOIN h2 USING (user_id)
+      |       WHERE b.is_hist AND b.event_type = 'purchase' AND b.event_id > h2.c_h
+      |       GROUP BY b.user_id),
+      |hist AS (SELECT h1.user_id, h1.v_h, h2.c_h, h3.p_h
+      |         FROM h1 LEFT JOIN h2 USING (user_id) LEFT JOIN h3 USING (user_id)),
+      |dv AS (SELECT user_id, min(event_id) AS v_d FROM b
+      |       WHERE NOT is_hist AND event_type = 'view' GROUP BY user_id),
+      |a1 AS (SELECT coalesce(hist.user_id, dv.user_id) AS user_id,
+      |         coalesce(hist.v_h, dv.v_d) AS view_eid, hist.c_h, hist.p_h
+      |       FROM hist FULL JOIN dv ON hist.user_id = dv.user_id
+      |       WHERE coalesce(hist.v_h, dv.v_d) IS NOT NULL),
+      |dc AS (SELECT b.user_id, min(b.event_id) AS c_d
+      |       FROM b JOIN a1 USING (user_id)
+      |       WHERE NOT b.is_hist AND b.event_type = 'click' AND b.event_id > a1.view_eid
+      |       GROUP BY b.user_id),
+      |a2 AS (SELECT a1.user_id, a1.view_eid, coalesce(a1.c_h, dc.c_d) AS click_eid, a1.p_h
+      |       FROM a1 LEFT JOIN dc USING (user_id)),
+      |dp AS (SELECT b.user_id, min(b.event_id) AS p_d
+      |       FROM b JOIN a2 USING (user_id)
+      |       WHERE NOT b.is_hist AND b.event_type = 'purchase'
+      |         AND a2.click_eid IS NOT NULL AND b.event_id > a2.click_eid
+      |       GROUP BY b.user_id),
+      |m AS (SELECT a2.user_id, a2.view_eid, a2.click_eid,
+      |        coalesce(a2.p_h, dp.p_d) AS purchase_eid
+      |      FROM a2 LEFT JOIN dp USING (user_id)),
+      |f1 AS (SELECT user_id, min(event_id) AS v_f FROM b
+      |       WHERE event_type = 'view' GROUP BY user_id),
+      |f2 AS (SELECT b.user_id, min(b.event_id) AS c_f FROM b JOIN f1 USING (user_id)
+      |       WHERE b.event_type = 'click' AND b.event_id > f1.v_f GROUP BY b.user_id),
+      |f3 AS (SELECT b.user_id, min(b.event_id) AS p_f FROM b JOIN f2 USING (user_id)
+      |       WHERE b.event_type = 'purchase' AND b.event_id > f2.c_f GROUP BY b.user_id),
+      |full_ AS (SELECT f1.user_id, f1.v_f, f2.c_f, f3.p_f
+      |          FROM f1 LEFT JOIN f2 USING (user_id) LEFT JOIN f3 USING (user_id))
+      |SELECT coalesce(m.user_id, full_.user_id) AS user_id,
+      |  m.view_eid, m.click_eid, m.purchase_eid,
+      |  (1 + CASE WHEN m.click_eid IS NOT NULL THEN 1 ELSE 0 END
+      |     + CASE WHEN m.purchase_eid IS NOT NULL THEN 1 ELSE 0 END)::INT AS steps_reached,
+      |  (m.view_eid IS NOT DISTINCT FROM full_.v_f
+      |   AND m.click_eid IS NOT DISTINCT FROM full_.c_f
+      |   AND m.purchase_eid IS NOT DISTINCT FROM full_.p_f) AS consistent
+      |FROM m FULL JOIN full_ ON m.user_id = full_.user_id""".stripMargin
+
+  /** Q-PROD-40: trends with a NUMERIC breakdown — PostHog bins a
+    * numeric property into 10 equal-width buckets between the observed
+    * min and max; per day × bin: events, distinct users, exact-decimal
+    * value sum. Two passes: a global (min, max) reduce (one broadcast
+    * row), then the binned rollup. The bin arithmetic is the same
+    * IEEE expression in both engines — subtract/multiply/divide are
+    * correctly rounded, `floor` is exact, so the bin index is
+    * bit-deterministic (and partition-count-invariant: min/max are
+    * exact).
+    */
+  def trendsBinned(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(to_date(col("ts")).as("day"), col("user_id"), col("value"))
+    val ext = e.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    e.crossJoin(broadcast(ext))
+      .withColumn("bin",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(lit(9.0),
+            floor((col("value") - col("lo")) * lit(10.0) / (col("hi") - col("lo"))))
+            .cast(LongType)))
+      .groupBy(col("day"), col("bin"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("u_users"),
+        sumd(col("value")).as("sum_value"))
+  }
+
+  val trendsBinnedSql: String =
+    """WITH e AS (
+      |  SELECT CAST(ts AS DATE) AS day, user_id, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |ext AS (SELECT min(value) AS lo, max(value) AS hi FROM e)
+      |SELECT day,
+      |  CASE WHEN hi = lo THEN 0
+      |       ELSE least(9.0, floor((value - lo) * 10.0 / (hi - lo)))::BIGINT
+      |  END AS bin,
+      |  count(*)::BIGINT AS n_events,
+      |  count(DISTINCT user_id)::BIGINT AS u_users,
+      |  sum(value::DECIMAL(14,2))::DOUBLE AS sum_value
+      |FROM e CROSS JOIN ext
+      |GROUP BY day, bin""".stripMargin
+
+  /** Q-PROD-41: paths with CLEANING RULES — PostHog's path cleaning
+    * applies regex aliasing rules to node names BEFORE edges form
+    * (wildcarding `/product/123` → `/product/:id`), drops excluded
+    * nodes, and collapses the consecutive repeats the aliasing
+    * creates. Here: `view|click` alias to `browse`, `error` is
+    * excluded, runs collapse to their first event, then edges count.
+    *
+    * Shape at 100 TB: the aliasing/exclusion is map-side; collapse and
+    * edge-emission are two window passes over ONE user-keyed
+    * partitioning; the rollup output is alias-vocabulary bounded.
+    */
+  def pathsCleaned(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val cleaned = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        regexp_replace(col("event_type"), "^(view|click)$", "browse").as("node"))
+      .filter(col("node") =!= "error")
+    val collapsed = cleaned
+      .withColumn("prev", lag(col("node"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("node"))
+    collapsed
+      .withColumn("next", lead(col("node"), 1).over(w))
+      .filter(col("next").isNotNull)
+      .groupBy(col("node").as("src"), col("next").as("dst"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val pathsCleanedSql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id,
+      |    regexp_replace(event_type, '^(view|click)$', 'browse') AS node
+      |  FROM events
+      |  WHERE regexp_replace(event_type, '^(view|click)$', 'browse') <> 'error'),
+      |k AS (
+      |  SELECT user_id, event_id, node,
+      |    lag(node) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+      |  FROM c),
+      |f AS (SELECT user_id, event_id, node FROM k
+      |      WHERE prev IS NULL OR prev <> node),
+      |e AS (
+      |  SELECT node AS src,
+      |    lead(node) OVER (PARTITION BY user_id ORDER BY event_id) AS dst
+      |  FROM f)
+      |SELECT src, dst, count(*)::BIGINT AS n
+      |FROM e WHERE dst IS NOT NULL GROUP BY src, dst""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_prod_trends", trends, Some(trendsSql)),
     Q("q_prod_trends_breakdown", trendsBreakdown, Some(trendsBreakdownSql)),
@@ -2057,5 +2277,8 @@ object Product {
     Q("q_prod_trends_incremental", trendsIncremental, Some(trendsIncrementalSql)),
     Q("q_prod_journeys", journeys, Some(journeysSql)),
     Q("q_prod_attribution", attribution, Some(attributionSql)),
-    Q("q_prod_bounce", bounce, Some(bounceSql)))
+    Q("q_prod_bounce", bounce, Some(bounceSql)),
+    Q("q_prod_funnel_incremental", funnelIncremental, Some(funnelIncrementalSql)),
+    Q("q_prod_trends_binned", trendsBinned, Some(trendsBinnedSql)),
+    Q("q_prod_paths_cleaned", pathsCleaned, Some(pathsCleanedSql)))
 }

@@ -204,7 +204,15 @@ object Snapshots {
     if (snap.files.isEmpty)
       spark.emptyDataFrame
     else
-      spark.read.parquet(snap.files.map(r => new HPath(dir, r).toString): _*)
+      // mergeSchema = additive schema evolution: a snapshot whose new
+      // files carry added columns still plans with older files (their
+      // rows read as null for the new columns), and time travel to a
+      // pre-evolution version sees the narrow schema — files, and
+      // therefore schemas, are pinned per manifest (the Iceberg
+      // add-column contract; drops/renames need column ids the bare
+      // parquet footer lacks, so they stay out of scope here)
+      spark.read.option("mergeSchema", "true")
+        .parquet(snap.files.map(r => new HPath(dir, r).toString): _*)
   }
 
   /** Time travel to the newest snapshot committed at or before `tsMs`. */
@@ -270,6 +278,142 @@ object Snapshots {
       .map(st => s"$dataRel/${st.getPath.getName}")
       .sorted
     commitFiles(spark, dir, keep ++ rewritten, "delete", replace = true)
+  }
+
+  /** MERGE INTO (copy-on-write upsert): rows of `source` REPLACE
+    * current rows with the same `keyCols` value; source rows with no
+    * match are inserts. Only data files that actually CONTAIN a
+    * matched key are rewritten — every untouched file carries into the
+    * new manifest by reference, so the commit cost is
+    * O(matched files + |source|), not O(table) (the Iceberg
+    * copy-on-write `MERGE INTO` contract; at 100 TB the matched-file
+    * probe is a key join whose source side is typically broadcast,
+    * and partition/row-group pruning on the key columns bounds the
+    * scan).
+    *
+    * `source` must carry the table's schema (checked by the union).
+    * Matched-row replacement is whole-row (UPDATE SET * semantics).
+    */
+  def mergeInto(spark: SparkSession, dir: String, source: DataFrame,
+      keyCols: Seq[String], operation: String = "merge"): Snapshot = {
+    require(keyCols.nonEmpty, "mergeInto needs at least one key column")
+    val cur = readManifest(spark, dir, currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot under $dir")))
+    val keys = keyCols.map(col)
+    // distinct source keys: the probe side of the matched-file scan.
+    // A duplicate-keyed source would make "replace" ambiguous — reject.
+    val srcKeys = source.select(keys: _*).distinct()
+    require(srcKeys.count() == source.count(),
+      s"mergeInto source has duplicate keys on (${keyCols.mkString(",")})")
+    val df = read(spark, dir)
+    val affectedUris = df.select(keys :+ input_file_name().as("f"): _*)
+      .join(srcKeys, keyCols)
+      .select(col("f")).distinct()
+      .collect().map(_.getString(0)).toSet // bounded by file count
+    val affectedRel = cur.files.filter(rel =>
+      affectedUris.exists(_.endsWith("/" + rel)))
+    val keep = cur.files.diff(affectedRel)
+    // rewrite = affected files' UNMATCHED rows + the whole source
+    // (matched rows re-enter as their source version; the rest insert)
+    val rewrite =
+      if (affectedRel.isEmpty) source.select(df.columns.map(col): _*)
+      else spark.read.parquet(affectedRel.map(r => new HPath(dir, r).toString): _*)
+        .join(srcKeys, keyCols, "left_anti")
+        .unionByName(source.select(df.columns.map(col): _*))
+    val commitId = java.util.UUID.randomUUID().toString.take(12)
+    val dataRel = s"data/$commitId"
+    rewrite.write.mode("overwrite").parquet(new HPath(dir, dataRel).toString)
+    val f = fs(spark, dir)
+    val rewritten = f.listStatus(new HPath(dir, dataRel)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => s"$dataRel/${st.getPath.getName}")
+      .sorted
+    commitFiles(spark, dir, keep ++ rewritten, operation, replace = true)
+  }
+
+  /** Exactly-once streaming MERGE — the keyed-upsert twin of
+    * [[commitEpoch]]: each micro-batch UPSERTS its rows by `keyCols`
+    * under an epoch-tagged commit; a failure-replayed epoch finds its
+    * tag already committed and SKIPS. This is how a streaming pipeline
+    * maintains a keyed SERVING table (persons, groups, feature state)
+    * in the snapshot lake: per epoch one COW merge, readers replan
+    * atomically, history stays time-travelable per epoch. The first
+    * epoch on an empty table is a plain create carrying the same tag.
+    * Duplicate keys within one batch must be resolved upstream (the
+    * micro-batch is the unit of last-write-wins).
+    */
+  def mergeEpoch(batch: DataFrame, dir: String, keyCols: Seq[String],
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val tag = s"merge[epoch=$batchId]"
+    if (snapshots(spark, dir).exists(_.operation == tag)) () // replayed epoch
+    else if (currentVersion(spark, dir).isEmpty) {
+      commit(spark, dir, batch, operation = tag); ()
+    } else { mergeInto(spark, dir, batch, keyCols, operation = tag); () }
+  }
+
+  /** Streaming sink driving [[mergeEpoch]] — upsert-by-key per epoch. */
+  def streamMergeWriter(updates: DataFrame, dir: String, checkpoint: String,
+      keyCols: Seq[String])
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeEpoch(batch, dir, keyCols, batchId)
+      }
+
+  /** Incremental APPEND scan — the rows added by the snapshots in
+    * (`fromVersion`, `toVersion`]: each append commit's new files are
+    * exactly `files(v) − files(parent)`, so the read plans only the
+    * delta (O(new data), never a table rescan — the Iceberg
+    * incremental-scan contract). Throws if the range contains a
+    * non-append snapshot (delete/merge/compact/rollback rewrite file
+    * lists; their row-level delta is [[changesBetween]]'s job — same
+    * split Iceberg makes).
+    */
+  def readIncremental(spark: SparkSession, dir: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion, s"from $fromVersion > to $toVersion")
+    val versions = committedVersions(spark, dir)
+      .filter(v => v > fromVersion && v <= toVersion)
+    val added = versions.flatMap { v =>
+      val snap = readManifest(spark, dir, v)
+      require(snap.operation.startsWith("append"),
+        s"v$v is '${snap.operation}', not an append — use changesBetween for row-level CDC")
+      val parentFiles =
+        if (snap.parentVersion == 0L) Set.empty[String]
+        else readManifest(spark, dir, snap.parentVersion).files.toSet
+      snap.files.filterNot(parentFiles)
+    }
+    if (added.isEmpty) read(spark, dir).filter(lit(false))
+    else spark.read.parquet(added.map(r => new HPath(dir, r).toString): _*)
+  }
+
+  /** Row-level CDC between two committed versions, computed from the
+    * MANIFEST diff: files carried by reference are unchanged by
+    * construction, so only files present in exactly one of the two
+    * snapshots are ever scanned — O(changed data), not O(table).
+    * Emits each changed row with `_change_type` `insert`/`delete`
+    * (an update appears as its delete+insert pair — the Iceberg
+    * `create_changelog_view` shape). Multiset semantics via
+    * `exceptAll`: a row moved untouched between files (compaction)
+    * cancels out and emits nothing.
+    */
+  def changesBetween(spark: SparkSession, dir: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    val from = readManifest(spark, dir, fromVersion)
+    val to = readManifest(spark, dir, toVersion)
+    val onlyFrom = from.files.diff(to.files)
+    val onlyTo = to.files.diff(from.files)
+    def rows(rels: Seq[String]): DataFrame =
+      if (rels.isEmpty) read(spark, dir).filter(lit(false))
+      else spark.read.parquet(rels.map(r => new HPath(dir, r).toString): _*)
+    val ins = rows(onlyTo).exceptAll(rows(onlyFrom))
+      .withColumn("_change_type", lit("insert"))
+    val del = rows(onlyFrom).exceptAll(rows(onlyTo))
+      .withColumn("_change_type", lit("delete"))
+    ins.unionByName(del)
   }
 
   /** Expire history: keep the newest `keepLast` manifests, delete the

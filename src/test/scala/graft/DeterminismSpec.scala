@@ -64,7 +64,10 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
         // round-13: the drift monitor's mean-shift divide (integer-fed)
         // and the funnel-cohort-style conversion divide in trends_groups'
         // sibling sampled form are aggregate-fed
-        "q_sim_drift", "q_prod_trends_sampled", "q_prod_bounce")) {
+        "q_sim_drift", "q_prod_trends_sampled", "q_prod_bounce",
+        // round-13b: the binned breakdown's global-extent bin arithmetic
+        // and decimal sums, and the k-NN graph's cosine-ranked windows
+        "q_prod_trends_binned", "q_sim_knn_graph")) {
       val a = runAt(2, q)
       val b = runAt(7, q)
       assert(a.nonEmpty, s"$q returned nothing")

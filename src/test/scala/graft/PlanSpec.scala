@@ -541,6 +541,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     */
   private val boundedWindowJustification: Map[String, String] = Map(
     "q_corpus_temperature" -> "2 windows over the per-SOURCE count aggregate (V rows)",
+    "q_ingest_quota" -> "median rank over the (org × day) rollup — 20 × days dimension rows",
     "q_corpus_weighted_sample" -> "tau window AFTER .limit(SampleK+1) — k+1 rows",
     "q_flag_bootstrap" -> "CI rank over the 200-replicate dimension (BootReplicates rows)",
     "q_sim_index_stats" -> "cell-balance window over the K-centroid aggregate (K rows)",

@@ -174,4 +174,125 @@ class SnapshotsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(next.version == 3)
     assert(Snapshots.readAt(spark, dir, 2).count() == 8)
   }
+
+  test("merge into (COW upsert): matched rows replaced, inserts appended, untouched files by reference") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("snap").toString
+    // two single-file commits so file-level COW is observable
+    Snapshots.commit(spark, dir, range(0, 10).repartition(1))
+    Snapshots.commit(spark, dir, range(10, 20).repartition(1))
+    val before = Snapshots.read(spark, dir)
+    // source: update id=3 (lives in commit 1's file), insert id=100
+    val source = Seq((3L, "UPDATED"), (100L, "NEW")).toDF("id", "s")
+    val snap = Snapshots.mergeInto(spark, dir, source, Seq("id"))
+    assert(snap.operation == "merge")
+    val after = Snapshots.read(spark, dir)
+    assert(after.count() == 21)
+    assert(after.filter($"id" === 3L).select("s").as[String].head() == "UPDATED")
+    assert(after.filter($"id" === 100L).count() == 1)
+    assert(after.filter($"id" === 15L).select("s").as[String].head() == "r15")
+    // COW: commit 2's file (ids 10-19, no match) carried by reference
+    val v2Files = Snapshots.snapshots(spark, dir).find(_.version == 2L).get.files
+    val unmatchedCarried = v2Files.filterNot(
+      Snapshots.snapshots(spark, dir).find(_.version == 1L).get.files.contains)
+    assert(unmatchedCarried.forall(snap.files.contains),
+      "the unmatched file must carry into the merge manifest by reference")
+    // pre-merge version still reads the old row (history untouched)
+    assert(Snapshots.readAt(spark, dir, 2).filter($"id" === 3L)
+      .select("s").as[String].head() == "r3")
+    assert(before.count() == 20)
+    // duplicate-keyed source is rejected
+    intercept[IllegalArgumentException] {
+      Snapshots.mergeInto(spark, dir,
+        Seq((1L, "a"), (1L, "b")).toDF("id", "s"), Seq("id"))
+    }
+  }
+
+  test("incremental read: (from, to] appends plan only the delta files; non-append ranges throw") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("snap").toString
+    Snapshots.commit(spark, dir, range(0, 10))
+    Snapshots.commit(spark, dir, range(10, 30))
+    Snapshots.commit(spark, dir, range(30, 35))
+    val inc = Snapshots.readIncremental(spark, dir, 1, 3)
+    assert(inc.count() == 25)
+    assert(inc.agg(min($"id"), max($"id")).as[(Long, Long)].head() == ((10L, 34L)))
+    // empty range
+    assert(Snapshots.readIncremental(spark, dir, 3, 3).count() == 0)
+    // a compact in-range is not an append: loud, not silently wrong
+    Snapshots.compactSnapshot(spark, dir)
+    intercept[IllegalArgumentException] {
+      Snapshots.readIncremental(spark, dir, 3, 4).count()
+    }
+  }
+
+  test("row-level CDC from the manifest diff: delete emits, compaction cancels, merge is delete+insert") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("snap").toString
+    Snapshots.commit(spark, dir, range(0, 10).repartition(1))
+    Snapshots.commit(spark, dir, range(10, 20).repartition(1)) // v2
+    Snapshots.deleteWhere(spark, dir, $"id" === 5L)            // v3
+    val cdc = Snapshots.changesBetween(spark, dir, 2, 3)
+    assert(cdc.count() == 1)
+    assert(cdc.select("id", "_change_type").as[(Long, String)].head() ==
+      ((5L, "delete")))
+    // compaction rewrites every file but changes no rows: CDC is empty
+    Snapshots.compactSnapshot(spark, dir) // v4
+    assert(Snapshots.changesBetween(spark, dir, 3, 4).count() == 0)
+    // merge: an update surfaces as its delete+insert pair
+    Snapshots.mergeInto(spark, dir, Seq((7L, "UP")).toDF("id", "s"), Seq("id")) // v5
+    val mc = Snapshots.changesBetween(spark, dir, 4, 5)
+      .select("id", "s", "_change_type").as[(Long, String, String)].collect().toSet
+    assert(mc == Set((7L, "r7", "delete"), (7L, "UP", "insert")))
+  }
+
+  test("streaming keyed upsert: per-epoch merge commits maintain a serving table; replayed epochs skip") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("snap").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    // three epochs with overlapping keys: last write per key must win
+    val epochs = Seq(
+      Seq((1L, "a1"), (2L, "b1")),
+      Seq((2L, "b2"), (3L, "c1")),
+      Seq((1L, "a3"), (4L, "d1")))
+    epochs.foreach { rows =>
+      mem.addData(rows: _*)
+      val q = Snapshots.streamMergeWriter(
+        mem.toDF().toDF("id", "s"), s"$dir/tbl", ckpt, Seq("id")).start()
+      q.awaitTermination()
+    }
+    val got = Snapshots.read(spark, s"$dir/tbl")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a3"), (2L, "b2"), (3L, "c1"), (4L, "d1")))
+    // one snapshot per epoch, each epoch-tagged
+    val ops = Snapshots.snapshots(spark, s"$dir/tbl").map(_.operation)
+    assert(ops == Seq("merge[epoch=0]", "merge[epoch=1]", "merge[epoch=2]"))
+    // a replayed epoch (checkpoint redelivery after a crash between
+    // commit and checkpoint advance) commits NOTHING new
+    val v = Snapshots.currentVersion(spark, s"$dir/tbl")
+    Snapshots.mergeEpoch(Seq((2L, "b2"), (3L, "c1")).toDF("id", "s"),
+      s"$dir/tbl", Seq("id"), batchId = 1L)
+    assert(Snapshots.currentVersion(spark, s"$dir/tbl") == v)
+    // time travel: the table AS OF epoch 1 shows epoch-1-era values
+    assert(Snapshots.readAt(spark, s"$dir/tbl", 2)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a1"), (2L, "b2"), (3L, "c1")))
+  }
+
+  test("additive schema evolution: new column reads null-filled on old files; time travel sees the old schema") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("snap").toString
+    Snapshots.commit(spark, dir, range(0, 5))
+    Snapshots.commit(spark, dir,
+      Seq((100L, "x", 42)).toDF("id", "s", "extra"))
+    val cur = Snapshots.read(spark, dir)
+    assert(cur.columns.toSet == Set("id", "s", "extra"))
+    assert(cur.filter($"extra".isNull).count() == 5)
+    assert(cur.filter($"extra" === 42).count() == 1)
+    // pre-evolution snapshot: narrow schema, no phantom column
+    assert(Snapshots.readAt(spark, dir, 1).columns.toSet == Set("id", "s"))
+  }
 }
