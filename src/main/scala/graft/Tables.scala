@@ -48,6 +48,17 @@ object Tables {
     else df
   }
 
+  /** Register every test table as a session temp view under its plain
+    * name, so `spark.sql("SELECT … FROM events JOIN …")` works directly
+    * — the ANSI-SQL entry point for users coming from the reference's
+    * DuckDB-over-the-lake read side (every `oracleSql` in the registry
+    * is runnable this way, modulo DuckDB-specific casts). Views go
+    * through [[t]], so the timestamp normalizations and native-function
+    * registration apply to the SQL surface too.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+
   /** Spread a table across the session's shuffle parallelism before a
     * compute-heavy per-row stage. The generated test tables are single
     * parquet files (= one input split), which would serialize per-row

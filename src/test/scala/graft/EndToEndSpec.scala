@@ -41,6 +41,27 @@ class EndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("registerViews: raw spark.sql over the plain table names, same plan as the DataFrame path") {
+    val sf = "/root/testdata/sf0.001"
+    Tables.registerViews(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS u
+        |FROM events WHERE event_type IN ('view', 'click')
+        |GROUP BY event_type""".stripMargin)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    val viaDf = Tables.events(spark, sf)
+      .filter(col("event_type").isin("view", "click"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("u"))
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(viaSql.nonEmpty && viaSql.sameElements(viaDf))
+    // the SQL surface reaches every table, including the vector side
+    assert(spark.sql("SELECT count(*) FROM embeddings").head().getLong(0) > 0)
+    assert(spark.sql(
+      "SELECT vec_dot(embedding, embedding) FROM embeddings LIMIT 1")
+      .head().getDouble(0) > 0.0)
+  }
+
   test("q_agg_sketch_rollup: unioned daily sketches bound the exact total distinct") {
     val sf = "/root/testdata/sf0.001"
     val row = SparkEntry.queries("q_agg_sketch_rollup")(spark, sf).collect().head

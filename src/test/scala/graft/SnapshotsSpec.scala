@@ -282,6 +282,45 @@ class SnapshotsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set((1L, "a1"), (2L, "b2"), (3L, "c1")))
   }
 
+  test("DML fuzz: a random append/merge/delete sequence matches a Map-model fold at every version") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val dir = Files.createTempDirectory("snap").toString
+    var model = Map.empty[Long, String]
+    val history = scala.collection.mutable.ArrayBuffer.empty[Map[Long, String]]
+    def df(rows: Seq[(Long, String)]) = rows.toDF("id", "s")
+    Snapshots.commit(spark, dir, df(Seq((0L, "seed"))))
+    model += 0L -> "seed"; history += model
+    for (step <- 1 to 12) {
+      rnd.nextInt(3) match {
+        case 0 => // append fresh keys
+          val rows = (0 to rnd.nextInt(3)).map(i =>
+            (step * 100L + i, s"a$step-$i"))
+          Snapshots.commit(spark, dir, df(rows))
+          model ++= rows
+        case 1 => // merge: update existing + insert new
+          val existing = rnd.shuffle(model.keys.toSeq).take(1 + rnd.nextInt(2))
+          val rows = existing.map(k => (k, s"up$step")) :+
+            ((step * 100L + 99L, s"ins$step"))
+          Snapshots.mergeInto(spark, dir, df(rows), Seq("id"))
+          model ++= rows
+        case 2 => // delete a key range
+          val cut = step * 100L
+          Snapshots.deleteWhere(spark, dir, $"id" < cut && $"id" % 3 === step % 3)
+          model = model.filterNot { case (k, _) => k < cut && k % 3 == step % 3 }
+      }
+      history += model
+      val got = Snapshots.read(spark, dir).as[(Long, String)].collect().toMap
+      assert(got == model, s"diverged at step $step")
+    }
+    // every historical version still replays its era's model exactly
+    history.zipWithIndex.foreach { case (m, i) =>
+      val got = Snapshots.readAt(spark, dir, i + 1L)
+        .as[(Long, String)].collect().toMap
+      assert(got == m, s"time travel to v${i + 1} diverged")
+    }
+  }
+
   test("additive schema evolution: new column reads null-filled on old files; time travel sees the old schema") {
     import spark.implicits._
     val dir = Files.createTempDirectory("snap").toString
