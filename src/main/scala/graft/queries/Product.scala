@@ -2239,7 +2239,58 @@ object Product {
       |SELECT src, dst, count(*)::BIGINT AS n
       |FROM e WHERE dst IS NOT NULL GROUP BY src, dst""".stripMargin
 
+  /** Q-PROD-42: funnel AGGREGATED BY GROUP — PostHog's "unique
+    * companies/teams" funnel mode: the greedy 3-step chain evaluated
+    * over each GROUP's pooled event stream (any member advances the
+    * group), keyed on the team slot from the P10 group-attribution
+    * pipe. The group dimension is tiny by construction, so every join
+    * after the attribution hop broadcasts.
+    */
+  def funnelGroups(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"))
+      .join(graft.ingest.IngestQueries.groupAttribution(s, d)
+        .select(col("event_id"), col("group1")), Seq("event_id"))
+    val s1 = base.filter(col("event_type") === "view")
+      .groupBy(col("group1")).agg(min(col("event_id")).as("view_eid"))
+    val s2 = base.filter(col("event_type") === "click")
+      .join(broadcast(s1), Seq("group1"))
+      .filter(col("event_id") > col("view_eid"))
+      .groupBy(col("group1")).agg(min(col("event_id")).as("click_eid"))
+    val s3 = base.filter(col("event_type") === "purchase")
+      .join(broadcast(s2), Seq("group1"))
+      .filter(col("event_id") > col("click_eid"))
+      .groupBy(col("group1")).agg(min(col("event_id")).as("purchase_eid"))
+    s1.join(s2, Seq("group1"), "left")
+      .join(s3, Seq("group1"), "left")
+      .select(col("group1"), col("view_eid"), col("click_eid"), col("purchase_eid"),
+        (lit(1) + when(col("click_eid").isNotNull, 1).otherwise(0) +
+          when(col("purchase_eid").isNotNull, 1).otherwise(0))
+          .cast(IntegerType).as("steps_reached"))
+  }
+
+  val funnelGroupsSql: String =
+    s"""WITH ga AS (${graft.ingest.IngestQueries.groupAttributionSql}),
+       |b AS (
+       |  SELECT e.event_id, e.event_type, ga.group1
+       |  FROM events e JOIN ga USING (event_id)),
+       |s1 AS (SELECT group1, min(event_id) AS view_eid FROM b
+       |       WHERE event_type = 'view' GROUP BY group1),
+       |s2 AS (SELECT b.group1, min(b.event_id) AS click_eid
+       |       FROM b JOIN s1 USING (group1)
+       |       WHERE b.event_type = 'click' AND b.event_id > s1.view_eid
+       |       GROUP BY b.group1),
+       |s3 AS (SELECT b.group1, min(b.event_id) AS purchase_eid
+       |       FROM b JOIN s2 USING (group1)
+       |       WHERE b.event_type = 'purchase' AND b.event_id > s2.click_eid
+       |       GROUP BY b.group1)
+       |SELECT s1.group1, s1.view_eid, s2.click_eid, s3.purchase_eid,
+       |  (1 + CASE WHEN s2.click_eid IS NOT NULL THEN 1 ELSE 0 END
+       |     + CASE WHEN s3.purchase_eid IS NOT NULL THEN 1 ELSE 0 END)::INT AS steps_reached
+       |FROM s1 LEFT JOIN s2 USING (group1) LEFT JOIN s3 USING (group1)""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_prod_funnel_groups", funnelGroups, Some(funnelGroupsSql)),
     Q("q_prod_trends", trends, Some(trendsSql)),
     Q("q_prod_trends_breakdown", trendsBreakdown, Some(trendsBreakdownSql)),
     Q("q_prod_breakdown", breakdown, Some(breakdownSql)),

@@ -4,7 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import Det._
 
 /** The declared relational analytics surface (SURVEY.md §2.B).
@@ -1349,8 +1349,13 @@ object Relational {
         when(col("n_a") === 0, lit("new"))
           .when(col("n_b") === 0, lit("dropped"))
           .when(col("nonnum_a") === 0 && col("nonnum_b") === 0 &&
-            abs(col("qsum_b") * col("n_a") - col("qsum_a") * col("n_b")) >
-              lit(ScanDriftTauMicro) * col("n_a") * col("n_b"), lit("mean_shift"))
+            // DECIMAL(38,0) cross-multiply: qsum·n is ~1e19 already at
+            // sf1 (long overflow, caught by the scale probe); DuckDB
+            // computes this in HUGEINT, decimal keeps the engines exact
+            abs(col("qsum_b").cast(DecimalType(38, 0)) * col("n_a") -
+              col("qsum_a").cast(DecimalType(38, 0)) * col("n_b")) >
+              lit(ScanDriftTauMicro).cast(DecimalType(38, 0)) * col("n_a") * col("n_b"),
+            lit("mean_shift"))
           .otherwise(lit("stable")).as("verdict"))
   }
 

@@ -518,6 +518,81 @@ object Snapshots {
       .filter(col(column) >= lo && col(column) <= hi)
   }
 
+  // ------------------------------------------------ write-audit-publish
+
+  private def stagedPath(dir: String, id: String) =
+    new HPath(dir, s"metadata/staged/$id.json")
+
+  /** WRITE-AUDIT-PUBLISH, step 1: write `df`'s data files and a
+    * STAGING manifest that no reader plans (readers list only
+    * `v<N>.manifest.json`) — the Iceberg WAP pattern a production
+    * ingest runs so a 100 TB batch is auditable BEFORE it becomes
+    * visible: stage, run the quality gates against [[readStaged]],
+    * then [[publishStaged]] (atomic, normal commit) or
+    * [[discardStaged]] (files become age-gated orphans for
+    * [[removeOrphans]]). Returns the stage id.
+    */
+  def stageWrite(spark: SparkSession, dir: String, df: DataFrame): String = {
+    val id = java.util.UUID.randomUUID().toString.take(12)
+    val dataRel = s"data/$id"
+    df.write.mode("overwrite").parquet(new HPath(dir, dataRel).toString)
+    val f = fs(spark, dir)
+    val files = f.listStatus(new HPath(dir, dataRel)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => s"$dataRel/${st.getPath.getName}")
+      .sorted
+    val node: ObjectNode = M.createObjectNode()
+    node.put("stage_id", id)
+    node.put("timestamp_ms", System.currentTimeMillis())
+    val arr: ArrayNode = node.putArray("files")
+    files.foreach(arr.add)
+    f.mkdirs(new HPath(dir, "metadata/staged"))
+    val out = f.create(stagedPath(dir, id), false)
+    try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
+    finally out.close()
+    id
+  }
+
+  private def stagedFiles(spark: SparkSession, dir: String, id: String): Seq[String] = {
+    val p = stagedPath(dir, id)
+    val f = fs(spark, dir)
+    require(f.exists(p), s"stage $id does not exist (published or discarded?)")
+    val in = f.open(p)
+    val bytes = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+      bos.toByteArray
+    } finally in.close()
+    M.readTree(bytes).get("files").elements().asScala.map(_.asText()).toSeq
+  }
+
+  /** The staged rows (audit view) — invisible to [[read]] until
+    * published.
+    */
+  def readStaged(spark: SparkSession, dir: String, stageId: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(
+      stagedFiles(spark, dir, stageId).map(r => new HPath(dir, r).toString): _*)
+
+  /** WAP step 3a: publish — the staged file list becomes a normal
+    * append commit (atomic manifest swap; zero data movement) and the
+    * staging manifest is consumed (a second publish of the same id
+    * fails loudly).
+    */
+  def publishStaged(spark: SparkSession, dir: String, stageId: String): Snapshot = {
+    val files = stagedFiles(spark, dir, stageId)
+    val snap = commitFiles(spark, dir, files, s"append[wap=$stageId]", replace = false)
+    fs(spark, dir).delete(stagedPath(dir, stageId), false)
+    snap
+  }
+
+  /** WAP step 3b: discard — drop the staging manifest; the data files
+    * are unreferenced and fall to [[removeOrphans]]' age gate.
+    */
+  def discardStaged(spark: SparkSession, dir: String, stageId: String): Unit = {
+    stagedFiles(spark, dir, stageId) // existence check, loud if missing
+    fs(spark, dir).delete(stagedPath(dir, stageId), false); ()
+  }
+
   /** Delete commit directories no manifest references and whose files
     * are older than `olderThanMs` — the lost-race data of failed
     * commits. The age threshold is the safety contract (Iceberg's
@@ -530,8 +605,16 @@ object Snapshots {
     val f = fs(spark, dir)
     val dataRoot = new HPath(dir, "data")
     if (!f.exists(dataRoot)) return Seq.empty
-    val referencedDirs = committedVersions(spark, dir)
-      .flatMap(v => readManifest(spark, dir, v).files)
+    // live references = every committed manifest PLUS in-flight WAP
+    // stages (a staged-but-unaudited batch must survive the sweep)
+    val stagedRoot = new HPath(dir, "metadata/staged")
+    val stagedRefs =
+      if (!f.exists(stagedRoot)) Seq.empty[String]
+      else f.listStatus(stagedRoot).toSeq.map(_.getPath.getName)
+        .filter(_.endsWith(".json")).map(_.stripSuffix(".json"))
+        .flatMap(id => stagedFiles(spark, dir, id))
+    val referencedDirs = (committedVersions(spark, dir)
+      .flatMap(v => readManifest(spark, dir, v).files) ++ stagedRefs)
       .map(_.split("/").take(2).mkString("/")).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     f.listStatus(dataRoot).toSeq

@@ -720,4 +720,75 @@ object Streaming {
           Iterator.single(next)
       }
   }
+
+  // ------------------------------------------------ streaming heavy hitters
+
+  /** One Misra–Gries summary: ≤ k counters, total terms processed, and
+    * the cumulative decrement `d` (so for every retained term,
+    * `counter ≤ true count ≤ counter + d` — the MG error envelope).
+    */
+  case class MgSummary(counters: Map[String, Long], processed: Long,
+      decremented: Long)
+
+  case class MgRow(bucket: Int, term: String, n: Long, processed: Long,
+      decremented: Long)
+
+  /** Merge one micro-batch's EXACT term counts into a capacity-`k`
+    * Misra–Gries summary — the summary-merge formulation (Agarwal et
+    * al. 2013): add counts, and if more than `k` counters survive,
+    * subtract the (k+1)-th largest (term-ascending tie-break, so the
+    * fold is bit-deterministic) from every counter and drop the
+    * non-positive. Batch counts are order-free, so the fold is
+    * invariant to intra-batch row order — only the batch SPLIT is part
+    * of the contract, exactly like the other streaming operators.
+    */
+  private[graft] def mgMerge(prev: MgSummary,
+      batch: Map[String, Long], k: Int): MgSummary = {
+    val merged = (prev.counters.keySet ++ batch.keySet).iterator
+      .map(t => t -> (prev.counters.getOrElse(t, 0L) + batch.getOrElse(t, 0L)))
+      .toMap
+    val processed = prev.processed + batch.valuesIterator.sum
+    if (merged.size <= k) MgSummary(merged, processed, prev.decremented)
+    else {
+      val cut = merged.toSeq.sortBy { case (t, n) => (-n, t) }.apply(k)._2
+      MgSummary(
+        merged.collect { case (t, n) if n - cut > 0 => t -> (n - cut) },
+        processed, prev.decremented + cut)
+    }
+  }
+
+  /** Streaming heavy hitters with BOUNDED state: terms hash-route to
+    * `buckets` disjoint Misra–Gries summaries of capacity `k` (state =
+    * buckets × k counters TOTAL, independent of stream cardinality —
+    * the stream-scale answer to the batch CMS/exact top-k pair,
+    * `q_text_ngrams_cms`). Because the bucket partition is disjoint,
+    * each summary's MG guarantee holds per bucket: every term with
+    * true count > processed_bucket/(k+1) is retained, and
+    * `n ≤ true ≤ n + decremented`. Each micro-batch re-emits the
+    * owning bucket's full summary (Update mode); the freshest rows per
+    * bucket (max `processed`) are the current answer.
+    *
+    * Input must carry a string `term` column. At 100 TB the per-batch
+    * exact counts are map-side combined before the k-bounded state
+    * ever sees them — the shuffle is (term, count) pairs, the state
+    * O(buckets·k).
+    */
+  def heavyHittersStream(terms: DataFrame, k: Int, buckets: Int): Dataset[MgRow] = {
+    import terms.sparkSession.implicits._
+    terms.select(col("term").cast("string")).as[String]
+      .groupByKey(t => math.floorMod(t.hashCode, buckets))
+      .flatMapGroupsWithState[MgSummary, MgRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (bucket: Int, it: Iterator[String], state: GroupState[MgSummary]) =>
+          val counts = it.foldLeft(Map.empty[String, Long]) {
+            (m, t) => m.updated(t, m.getOrElse(t, 0L) + 1L)
+          }
+          val next = mgMerge(
+            state.getOption.getOrElse(MgSummary(Map.empty, 0L, 0L)), counts, k)
+          state.update(next)
+          next.counters.iterator.map { case (t, n) =>
+            MgRow(bucket, t, n, next.processed, next.decremented)
+          }
+      }
+  }
 }

@@ -282,6 +282,36 @@ class SnapshotsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set((1L, "a1"), (2L, "b2"), (3L, "c1")))
   }
 
+  test("write-audit-publish: staged data is invisible until published; discard orphans it; sweep spares live stages") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("snap").toString
+    Snapshots.commit(spark, dir, range(0, 10))
+    // stage a batch: table unchanged, audit view sees it
+    val id = Snapshots.stageWrite(spark, dir, range(10, 15))
+    assert(Snapshots.read(spark, dir).count() == 10)
+    assert(Snapshots.readStaged(spark, dir, id).count() == 5)
+    // the in-flight stage survives an aggressive orphan sweep
+    assert(Snapshots.removeOrphans(spark, dir, olderThanMs = -1).isEmpty)
+    // audit passes → publish: atomic append, stage consumed
+    val snap = Snapshots.publishStaged(spark, dir, id)
+    assert(snap.operation == s"append[wap=$id]")
+    assert(Snapshots.read(spark, dir).count() == 15)
+    intercept[IllegalArgumentException] {
+      Snapshots.publishStaged(spark, dir, id) // double publish is loud
+    }
+    // the published WAP commit is a legal incremental-read append
+    assert(Snapshots.readIncremental(spark, dir, 1, 2).count() == 5)
+    // audit fails → discard: data never becomes visible, sweep reclaims
+    val bad = Snapshots.stageWrite(spark, dir, range(100, 103))
+    Snapshots.discardStaged(spark, dir, bad)
+    assert(Snapshots.read(spark, dir).count() == 15)
+    val swept = Snapshots.removeOrphans(spark, dir, olderThanMs = -1)
+    assert(swept == Seq(s"data/$bad"))
+    intercept[IllegalArgumentException] {
+      Snapshots.readStaged(spark, dir, bad)
+    }
+  }
+
   test("DML fuzz: a random append/merge/delete sequence matches a Map-model fold at every version") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

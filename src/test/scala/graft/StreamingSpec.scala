@@ -262,6 +262,65 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.length == 6) // both redeliveries collapsed
   }
 
+  test("streaming Misra-Gries heavy hitters: stream == model fold; coverage and error envelope hold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (k, buckets) = (4, 3)
+    // skewed vocabulary: two heavy terms, a mid tier, a long tail
+    val words = Seq.fill(40)("alpha") ++ Seq.fill(25)("beta") ++
+      Seq.fill(9)("gamma") ++ Seq.fill(7)("delta") ++
+      (0 until 30).map(i => s"tail${i % 15}")
+    val ordered = new scala.util.Random(7).shuffle(words)
+    val batches = ordered.grouped(40).toSeq
+    val mem = MemoryStream[String]
+    val q = Streaming.heavyHittersStream(mem.toDF().toDF("term"), k, buckets)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode(OutputMode.Update()).start()
+    val rows = try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      spark.table("hh_out").as[Streaming.MgRow].collect()
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS hh_out") }
+    // freshest summary per bucket = rows at that bucket's max processed
+    val finalRows = rows.groupBy(_.bucket).values.flatMap { rs =>
+      val top = rs.map(_.processed).max
+      rs.filter(_.processed == top)
+    }.toSeq
+    // 1. exact equality with the driver-side model fold on the same split
+    val model = scala.collection.mutable.Map.empty[Int, Streaming.MgSummary]
+    batches.foreach { b =>
+      b.groupBy(t => math.floorMod(t.hashCode, buckets)).foreach {
+        case (bk, ts) =>
+          val counts = ts.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+          model(bk) = Streaming.mgMerge(
+            model.getOrElse(bk, Streaming.MgSummary(Map.empty, 0L, 0L)), counts, k)
+      }
+    }
+    val gotByBucket = finalRows.groupBy(_.bucket).map { case (bk, rs) =>
+      bk -> rs.map(r => r.term -> r.n).toMap
+    }
+    assert(gotByBucket == model.map { case (bk, s) => bk -> s.counters }.toMap,
+      "streamed MG summaries diverged from the model fold")
+    // 2. MG guarantees vs the exact corpus counts
+    val exact = words.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    model.foreach { case (bk, s) =>
+      val bucketTerms = exact.keys.filter(t => math.floorMod(t.hashCode, buckets) == bk)
+      bucketTerms.foreach { t =>
+        val trueN = exact(t)
+        if (trueN > s.processed / (k + 1))
+          assert(s.counters.contains(t),
+            s"bucket $bk lost a guaranteed heavy hitter: $t ($trueN > ${s.processed}/${k + 1})")
+        s.counters.get(t).foreach { n =>
+          assert(n <= trueN && trueN <= n + s.decremented,
+            s"bucket $bk term $t: counter $n outside [n, n+d] of true $trueN")
+        }
+      }
+      assert(s.counters.size <= k, s"bucket $bk exceeded capacity")
+    }
+    // the two known heavy terms survive end-to-end
+    val kept = finalRows.map(_.term).toSet
+    assert(kept.contains("alpha") && kept.contains("beta"))
+  }
+
   test("transformWithState person fold agrees with fMGWS across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
