@@ -920,7 +920,52 @@ object Select {
        |    ELSE cum_target::DOUBLE / n_target::DOUBLE END AS target_recall
        |FROM cums JOIN t USING (rk)""".stripMargin
 
+  // -------------------------------------------------------- curriculum
+
+  /** Curriculum stages (short→long complexity proxy). */
+  val CurriculumStages = 4
+
+  /** Q-SEL-10: CURRICULUM ordering — after selection decides WHAT to
+    * train on, curriculum learning decides in what ORDER: rank the
+    * corpus by a complexity proxy (document length ascending, doc_id
+    * tie-break — the short-first schedule), cut the exact global rank
+    * into [[CurriculumStages]] equal stages, and assign a
+    * deterministic within-stage shard (content-hash, so stage files
+    * are reproducible). Emits per doc: rank, stage, shard, plus the
+    * stage boundary audit (stage = (rank−1)·S DIV N — exact integer
+    * quantiles, no float).
+    *
+    * Shape at 100 TB: the global rank is the [[graft.plans
+    * .BucketedOrder]] two-pass decomposition (never a single-partition
+    * window); everything downstream is map-only arithmetic on compact
+    * (doc_id, n_chars) rows.
+    */
+  def curriculum(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.par(Tables.documents(s, d))
+      .select(col("doc_id"), col("n_chars"))
+    val n = docs.count() // one count — the stage divisor (a literal)
+    graft.plans.BucketedOrder.withOrderStats(
+        docs, rangeKey = col("n_chars"),
+        order = Seq(col("n_chars"), col("doc_id")), rankCol = "rank")
+      .select(col("doc_id"), col("n_chars"), col("rank"),
+        expr(s"(rank - 1) * $CurriculumStages DIV ${math.max(n, 1L)}")
+          .cast(LongType).as("stage"),
+        (h60(col("doc_id").cast("string")) % 8).as("shard"))
+  }
+
+  val curriculumSql: String =
+    s"""WITH r AS (
+       |  SELECT doc_id, n_chars,
+       |    row_number() OVER (ORDER BY n_chars, doc_id) AS rank,
+       |    count(*) OVER () AS n
+       |  FROM documents)
+       |SELECT doc_id, n_chars, rank,
+       |  ((rank - 1) * $CurriculumStages // greatest(n, 1))::BIGINT AS stage,
+       |  ${h60Sql("doc_id::VARCHAR")} % 8 AS shard
+       |FROM r""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_corpus_curriculum", curriculum, Some(curriculumSql)),
     Q("q_corpus_lm_score", lmScore, Some(lmScoreSql)),
     Q("q_corpus_classifier", classifier, Some(classifierSql)),
     Q("q_corpus_classifier_eval", classifierEval, Some(classifierEvalSql)),

@@ -67,7 +67,10 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
         "q_sim_drift", "q_prod_trends_sampled", "q_prod_bounce",
         // round-13b: the binned breakdown's global-extent bin arithmetic
         // and decimal sums, and the k-NN graph's cosine-ranked windows
-        "q_prod_trends_binned", "q_sim_knn_graph")) {
+        "q_prod_trends_binned", "q_sim_knn_graph",
+        // curriculum: the BucketedOrder global rank must place every
+        // row identically regardless of parallelism
+        "q_corpus_curriculum")) {
       val a = runAt(2, q)
       val b = runAt(7, q)
       assert(a.nonEmpty, s"$q returned nothing")

@@ -282,6 +282,44 @@ class SnapshotsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set((1L, "a1"), (2L, "b2"), (3L, "c1")))
   }
 
+  test("CDC apply: a mirror fed only changesBetween deltas equals the source at every version") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("snap").toString
+    val src = s"$dir/src"
+    // a mixed history: appends, a COW delete, a merge, a compaction
+    Snapshots.commit(spark, src, range(0, 8).repartition(2))
+    Snapshots.commit(spark, src, range(8, 14).repartition(1))
+    Snapshots.deleteWhere(spark, src, $"id" % 4 === 1)
+    Snapshots.mergeInto(spark, src,
+      Seq((2L, "M2"), (50L, "M50")).toDF("id", "s"), Seq("id"))
+    Snapshots.compactSnapshot(spark, src)
+    Snapshots.commit(spark, src, range(60, 63))
+    // the consumer: replay insert/delete deltas into a multiset model
+    var mirror = Map.empty[(Long, String), Long] // row -> multiplicity
+    val versions = Snapshots.snapshots(spark, src).map(_.version)
+    var prev = 0L
+    versions.foreach { v =>
+      val changes =
+        if (prev == 0L) Snapshots.readAt(spark, src, v)
+          .withColumn("_change_type", lit("insert"))
+        else Snapshots.changesBetween(spark, src, prev, v)
+      changes.select($"id", $"s", $"_change_type")
+        .as[(Long, String, String)].collect().foreach {
+          case (id, s, "insert") =>
+            mirror = mirror.updated((id, s), mirror.getOrElse((id, s), 0L) + 1)
+          case (id, s, "delete") =>
+            val m = mirror((id, s)) - 1
+            mirror = if (m == 0) mirror - ((id, s)) else mirror.updated((id, s), m)
+          case other => fail(s"unexpected change row $other")
+        }
+      val expect = Snapshots.readAt(spark, src, v)
+        .as[(Long, String)].collect()
+        .groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+      assert(mirror == expect, s"mirror diverged from source at v$v")
+      prev = v
+    }
+  }
+
   test("write-audit-publish: staged data is invisible until published; discard orphans it; sweep spares live stages") {
     import spark.implicits._
     val dir = Files.createTempDirectory("snap").toString
