@@ -947,8 +947,13 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val st = new graft.streaming.IdentityMergeState(spark)
     val stQ = graft.streaming.IdentityMerge.run(
       toOps(memState.toDF()), st, s"$dir/ckpt_state")
+    // sink 3: the person SERVING table in the snapshot lake — one
+    // exactly-once keyed upsert per epoch (the table a /decide point
+    // lookup or a downstream batch job reads without touching state)
+    val servingDir = s"$dir/person_tbl"
+    var served = Set.empty[String]
     val liveDecisions = try {
-      phases.foreach { bodies =>
+      phases.zipWithIndex.foreach { case (bodies, epoch) =>
         memLake.addData(bodies: _*)
         val q = graft.sources.Lake.streamWriterObserved(
           canonical(memLake.toDF()), lakePath, s"$dir/ckpt_lake",
@@ -956,6 +961,18 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         q.awaitTermination()
         memState.addData(bodies: _*); stQ.processAllAvailable()
         st.saveDelta(stateDir)
+        // serving maintenance: upsert the live records, then delete the
+        // canonical ids an identity merge absorbed this epoch (an
+        // upsert alone would leave the merged-away person serving)
+        val live = st.persons().toDF()
+        graft.sources.Snapshots.mergeEpoch(
+          live, servingDir, Seq("canonical_id"), epoch.toLong)
+        val cur = live.select("canonical_id").collect().map(_.getString(0)).toSet
+        val absorbed = served -- cur
+        if (absorbed.nonEmpty)
+          graft.sources.Snapshots.deleteWhere(spark, servingDir,
+            col("canonical_id").isin(absorbed.toSeq: _*))
+        served = cur
       }
       decisions(st.persons().toDF()) // the /decide view over LIVE state
     } finally stQ.stop()
@@ -984,6 +1001,21 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "u1's unset plan did not surface in the decisions")
     assert(liveDecisions.exists(d => d.startsWith("anon-2|") || d.startsWith("u2|")),
       "merged persons missing from decisions")
+    // 3b. the snapshot-lake SERVING table equals the batch replay too
+    // (upsert + absorbed-key delete per epoch), with an epoch-tagged,
+    // time-travelable history and replay idempotence
+    val servedFinal = graft.sources.Snapshots.read(spark, servingDir)
+    assert(canonPersons(servedFinal) == canonPersons(batchPersons.toDF()),
+      "snapshot-lake person serving table diverged from batch replay")
+    val servingOps = graft.sources.Snapshots.snapshots(spark, servingDir)
+      .map(_.operation)
+    assert(servingOps.count(_.startsWith("merge[epoch=")) == 3,
+      s"expected 3 epoch merges in serving history: $servingOps")
+    val vBefore = graft.sources.Snapshots.currentVersion(spark, servingDir)
+    graft.sources.Snapshots.mergeEpoch( // replayed epoch: must be a no-op
+      servedFinal, servingDir, Seq("canonical_id"), 2L)
+    assert(graft.sources.Snapshots.currentVersion(spark, servingDir) == vBefore,
+      "replayed serving epoch committed a new snapshot")
     // 4. the lake landed every canonical event exactly once (the
     // in-phase duplicate collapsed), with per-epoch observed metrics
     val lake = graft.sources.Lake.readEvents(spark, lakePath)
