@@ -533,6 +533,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(partless.isEmpty, "VAD planned a partition-less window")
   }
 
+  test("round-13 additions: blocked candidate joins, broadcast extents, no cartesian") {
+    // k-NN graph + semantic decontam: candidates are cell/bucket
+    // equi-joins — the all-pairs product must never form
+    for (q <- Seq("q_sim_knn_graph", "q_corpus_decontam_sem")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$q degenerated to all-pairs:\n${p.take(1500)}")
+    }
+    // binned trends: the 1-row (lo, hi) extent broadcasts (BNLJ is the
+    // legal plan for a 1-row cross join; a cartesian is not)
+    val tb = plan(SparkEntry.queries("q_prod_trends_binned")(spark, sf))
+    assert(!tb.contains("CartesianProduct"), tb.take(1500))
+    assert(tb.contains("BroadcastNestedLoopJoin") || tb.contains("BroadcastHashJoin"),
+      s"extent join lost its broadcast:\n${tb.take(1500)}")
+    // group funnel: every post-attribution stage joins on the tiny
+    // group dimension — broadcast, never shuffled-both-sides
+    val fg = plan(SparkEntry.queries("q_prod_funnel_groups")(spark, sf))
+    assert(!fg.contains("CartesianProduct"), fg.take(1500))
+    assert(fg.contains("BroadcastHashJoin"),
+      s"group-funnel stage join lost its broadcast:\n${fg.take(1500)}")
+    // funnel IVM: user-keyed stages only; no cartesian anywhere
+    val fi = plan(SparkEntry.queries("q_prod_funnel_incremental")(spark, sf))
+    assert(!fi.contains("CartesianProduct"), fi.take(1500))
+  }
+
   /** Queries whose partition-less window is PROVABLY bounded — input
     * is a preceding `limit`, a fixed grid, or a V-row dimension
     * aggregate, never the raw input — with the justification inline so
