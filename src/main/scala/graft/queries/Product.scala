@@ -2289,7 +2289,66 @@ object Product {
        |     + CASE WHEN s3.purchase_eid IS NOT NULL THEN 1 ELSE 0 END)::INT AS steps_reached
        |FROM s1 LEFT JOIN s2 USING (group1) LEFT JOIN s3 USING (group1)""".stripMargin
 
+  /** Q-PROD-43: PATHS BETWEEN FUNNEL STEPS — PostHog's drill-down on a
+    * leaky funnel: for every user who converted view→click, the event
+    * paths they took strictly BETWEEN their two anchor events
+    * (edges over the events with view_eid ≤ id ≤ click_eid, endpoints
+    * included), counted across users. Answers "what did converters do
+    * between seeing and clicking".
+    *
+    * Shape at 100 TB: the anchor table is the funnel chain's user-keyed
+    * conditional mins; the between-slice is one user-keyed join +
+    * filter; edge emission is a window over the SAME user partitioning
+    * — the funnel family's one-shuffle discipline, edge rollup
+    * |types|²-bounded.
+    */
+  def pathsFunnel(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"))
+    val s1 = base.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("event_id")).as("view_eid"))
+    val s2 = base.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id"))
+      .filter(col("event_id") > col("view_eid"))
+      .groupBy(col("user_id")).agg(min(col("event_id")).as("click_eid"))
+    val anchors = s1.join(s2, Seq("user_id"))
+    val between = base.join(anchors, Seq("user_id"))
+      .filter(col("event_id") >= col("view_eid") &&
+        col("event_id") <= col("click_eid"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    between
+      .withColumn("next", lead(col("event_type"), 1).over(w))
+      .filter(col("next").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next").as("dst"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("u_users"))
+  }
+
+  val pathsFunnelSql: String =
+    """WITH b AS (SELECT user_id, event_type, event_id FROM events),
+      |s1 AS (SELECT user_id, min(event_id) AS view_eid FROM b
+      |       WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT b.user_id, min(b.event_id) AS click_eid
+      |       FROM b JOIN s1 USING (user_id)
+      |       WHERE b.event_type = 'click' AND b.event_id > s1.view_eid
+      |       GROUP BY b.user_id),
+      |a AS (SELECT s1.user_id, s1.view_eid, s2.click_eid
+      |      FROM s1 JOIN s2 USING (user_id)),
+      |bet AS (
+      |  SELECT b.user_id, b.event_type, b.event_id
+      |  FROM b JOIN a USING (user_id)
+      |  WHERE b.event_id >= a.view_eid AND b.event_id <= a.click_eid),
+      |e AS (
+      |  SELECT user_id, event_type AS src,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS dst
+      |  FROM bet)
+      |SELECT src, dst, count(*)::BIGINT AS n,
+      |  count(DISTINCT user_id)::BIGINT AS u_users
+      |FROM e WHERE dst IS NOT NULL GROUP BY src, dst""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_prod_paths_funnel", pathsFunnel, Some(pathsFunnelSql)),
     Q("q_prod_funnel_groups", funnelGroups, Some(funnelGroupsSql)),
     Q("q_prod_trends", trends, Some(trendsSql)),
     Q("q_prod_trends_breakdown", trendsBreakdown, Some(trendsBreakdownSql)),
