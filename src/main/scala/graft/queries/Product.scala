@@ -2347,7 +2347,99 @@ object Product {
       |  count(DISTINCT user_id)::BIGINT AS u_users
       |FROM e WHERE dst IS NOT NULL GROUP BY src, dst""".stripMargin
 
+  /** Q-PROD-44: INCREMENTAL retention maintenance — the third IVM
+    * instance (trends ✓ funnel ✓): never rescan history for the weekly
+    * retention triangle. Maintained state: the first-seen
+    * (user, week) pairs table and the user→cohort_week table. The
+    * arrival delta contributes (a) brand-new (user, week) activity
+    * pairs (anti-join against the state) and (b) cohorts for users
+    * first seen in the delta (`coalesce(hist cohort, delta min)` — a
+    * delta arriving after history can never move an existing cohort
+    * earlier; late data is the streaming re-anchor case, not this
+    * maintenance path). Per (cohort_week, week_offset): the merged
+    * distinct-user count plus the in-row gate that it equals the full
+    * recompute twin.
+    *
+    * Shape at 100 TB: the pairs table and every join key on user — one
+    * hash partitioning end-to-end (bucket the state tables on user and
+    * the exchanges disappear); the delta scan is partition-pruned; the
+    * triangle rollup is dimension-sized.
+    */
+  def retentionIncremental(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val mid = e.agg(floor(max(col("event_id")) / 2).cast(LongType).as("mid"))
+    val tagged = e.crossJoin(broadcast(mid))
+      .select(col("user_id"), expr(s"unix_micros(ts) DIV $WeekUs").as("week"),
+        (col("event_id") <= col("mid")).as("is_hist"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val histPairs = tagged.filter(col("is_hist"))
+      .select(col("user_id"), col("week")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val histCohort = histPairs.groupBy(col("user_id"))
+      .agg(min(col("week")).as("c_h"))
+    val deltaPairs = tagged.filter(!col("is_hist"))
+      .select(col("user_id"), col("week")).distinct()
+    val newPairs = deltaPairs.join(histPairs, Seq("user_id", "week"), "left_anti")
+    val mergedPairs = histPairs.unionByName(newPairs)
+    val cohort = histCohort
+      .join(deltaPairs.groupBy(col("user_id")).agg(min(col("week")).as("c_d")),
+        Seq("user_id"), "full")
+      .select(col("user_id"), coalesce(col("c_h"), col("c_d")).as("cohort_week"))
+    val merged = mergedPairs.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    // audit twin: the full recompute (test-scale only at 100 TB)
+    val weeksAll = tagged.select(col("user_id"), col("week")).distinct()
+    val full = weeksAll
+      .join(weeksAll.groupBy(col("user_id")).agg(min(col("week")).as("cw")),
+        Seq("user_id"))
+      .groupBy(col("cw").as("cohort_week"),
+        (col("week") - col("cw")).as("week_offset"))
+      .agg(count(lit(1)).as("n_full"))
+    merged.join(full, Seq("cohort_week", "week_offset"), "full")
+      .select(col("cohort_week"), col("week_offset"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"),
+        (col("n_users") <=> col("n_full")).as("consistent"))
+  }
+
+  val retentionIncrementalSql: String =
+    s"""WITH mid AS (SELECT max(event_id) // 2 AS mid FROM events),
+       |t AS (
+       |  SELECT user_id, epoch_us(ts) // $WeekUs AS week,
+       |    event_id <= mid.mid AS is_hist
+       |  FROM events CROSS JOIN mid),
+       |hp AS (SELECT DISTINCT user_id, week FROM t WHERE is_hist),
+       |hc AS (SELECT user_id, min(week) AS c_h FROM hp GROUP BY user_id),
+       |dp AS (SELECT DISTINCT user_id, week FROM t WHERE NOT is_hist),
+       |np AS (SELECT user_id, week FROM dp
+       |       EXCEPT SELECT user_id, week FROM hp),
+       |mp AS (SELECT user_id, week FROM hp UNION ALL SELECT user_id, week FROM np),
+       |dc AS (SELECT user_id, min(week) AS c_d FROM dp GROUP BY user_id),
+       |co AS (SELECT coalesce(hc.user_id, dc.user_id) AS user_id,
+       |         coalesce(hc.c_h, dc.c_d) AS cohort_week
+       |       FROM hc FULL JOIN dc ON hc.user_id = dc.user_id),
+       |m AS (
+       |  SELECT co.cohort_week, mp.week - co.cohort_week AS week_offset,
+       |    count(*)::BIGINT AS n_users
+       |  FROM mp JOIN co USING (user_id)
+       |  GROUP BY 1, 2),
+       |wa AS (SELECT DISTINCT user_id, week FROM t),
+       |f AS (
+       |  SELECT fw.cw AS cohort_week, wa.week - fw.cw AS week_offset,
+       |    count(*)::BIGINT AS n_full
+       |  FROM wa JOIN (SELECT user_id, min(week) AS cw FROM wa GROUP BY user_id) fw
+       |    USING (user_id)
+       |  GROUP BY 1, 2)
+       |SELECT coalesce(m.cohort_week, f.cohort_week) AS cohort_week,
+       |  coalesce(m.week_offset, f.week_offset) AS week_offset,
+       |  coalesce(m.n_users, 0)::BIGINT AS n_users,
+       |  m.n_users IS NOT DISTINCT FROM f.n_full AS consistent
+       |FROM m FULL JOIN f
+       |  ON m.cohort_week = f.cohort_week AND m.week_offset = f.week_offset""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_prod_retention_incremental", retentionIncremental, Some(retentionIncrementalSql)),
     Q("q_prod_paths_funnel", pathsFunnel, Some(pathsFunnelSql)),
     Q("q_prod_funnel_groups", funnelGroups, Some(funnelGroupsSql)),
     Q("q_prod_trends", trends, Some(trendsSql)),
