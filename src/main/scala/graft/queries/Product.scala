@@ -2247,10 +2247,14 @@ object Product {
     * after the attribution hop broadcasts.
     */
   def funnelGroups(s: SparkSession, d: String): DataFrame = {
+    // persist: three funnel stages read `base`; without the cache each
+    // stage re-runs the whole wire-derived attribution pipe (measured
+    // 6.3 s → the single-scan cost of its trends sibling)
     val base = Tables.events(s, d)
       .select(col("event_id"), col("event_type"))
       .join(graft.ingest.IngestQueries.groupAttribution(s, d)
         .select(col("event_id"), col("group1")), Seq("event_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val s1 = base.filter(col("event_type") === "view")
       .groupBy(col("group1")).agg(min(col("event_id")).as("view_eid"))
     val s2 = base.filter(col("event_type") === "click")
