@@ -1209,7 +1209,57 @@ object Similarity {
        |  FROM pairs)
        |SELECT src, dst, cosine, rank FROM r WHERE rank <= $KnnGraphK""".stripMargin
 
+  /** Edge-admission cosine for [[graphClusters]] (tighter than the
+    * graph's top-k membership, so clusters are genuine neighborhoods).
+    */
+  val GraphClusterTau = 0.4
+
+  /** Q-SIM-23: embedding CLUSTER DISCOVERY — connected components over
+    * the [[knnGraph]] edges with cosine ≥ [[GraphClusterTau]]: the
+    * unsupervised grouping step (topic islands, near-duplicate
+    * neighborhoods, modality clusters) a curation run reports from,
+    * distinct from [[Dedup.semantic]]'s drop decision. Reuses the SAME
+    * distributed CC operator as alias resolution and near-dup
+    * clustering ([[graft.state.IdentityResolver.components]]) — one
+    * operator, three domains. Every vector gets its cluster's min
+    * vec_id as the label (singletons label themselves).
+    *
+    * Shape at 100 TB: edges are K·N (graph-bounded, never pairs);
+    * component state is one (id, label) pair per CLUSTERED vector; the
+    * corpus side joins the component dimension broadcast.
+    */
+  def graphClusters(s: SparkSession, d: String): DataFrame = {
+    val edges = knnGraph(s, d)
+      .filter(col("cosine") >= GraphClusterTau)
+      .select(
+        format_string("%010d", col("src")).as("src"),
+        format_string("%010d", col("dst")).as("dst"))
+    val comp = graft.state.IdentityResolver.components(s, edges)
+    Tables.embeddings(s, d).select(col("vec_id"))
+      .join(broadcast(comp),
+        format_string("%010d", col("vec_id")) === col("id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("canonical").cast(LongType), col("vec_id")).as("cluster_id"))
+      .withColumn("is_rep", col("vec_id") === col("cluster_id"))
+  }
+
+  val graphClustersSql: String =
+    s"""WITH RECURSIVE g AS ($knnGraphSql),
+       |ed AS (SELECT src AS a, dst AS b FROM g WHERE cosine >= $GraphClusterTau
+       |       UNION SELECT dst, src FROM g WHERE cosine >= $GraphClusterTau),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM ed
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN ed e ON r.b = e.a),
+       |canon AS (SELECT a AS vec_id, least(a, min(b)) AS cluster_id
+       |          FROM reach GROUP BY a)
+       |SELECT em.vec_id,
+       |  coalesce(c.cluster_id, em.vec_id) AS cluster_id,
+       |  em.vec_id = coalesce(c.cluster_id, em.vec_id) AS is_rep
+       |FROM embeddings em LEFT JOIN canon c USING (vec_id)""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_sim_graph_clusters", graphClusters, Some(graphClustersSql)),
     Q("q_sim_knn_graph", knnGraph, Some(knnGraphSql)),
     Q("q_sim_topk", topK, Some(topKSql)),
     Q("q_sim_mips", mips, Some(mipsSql)),

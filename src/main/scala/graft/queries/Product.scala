@@ -2442,7 +2442,76 @@ object Product {
        |FROM m FULL JOIN f
        |  ON m.cohort_week = f.cohort_week AND m.week_offset = f.week_offset""".stripMargin
 
+  /** Q-PROD-45: lifecycle BY PERSON PROPERTY — [[lifecycle]] split by
+    * the replayed person-state `plan`, completing the state × product
+    * composition quartet (funnel ✓ retention ✓ trends ✓): per
+    * (plan, week, status) the new/returning/resurrecting/dormant user
+    * counts. Same one-window shape as [[lifecycle]]; the person
+    * dimension rides the user key.
+    */
+  def lifecycleCohort(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val persons = graft.state.StateQueries.pipePersons(s, d)
+      .select(
+        regexp_extract(col("canonical_id"), "([0-9]+)$", 1)
+          .cast(LongType).as("user_id"),
+        coalesce(col("plan"), lit("none")).as("plan"))
+    val weeks = Tables.events(s, d)
+      .select(col("user_id"), expr(s"unix_micros(ts) DIV $WeekUs").as("week"))
+      .distinct()
+      .join(persons, Seq("user_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("week"))
+    val lagged = weeks
+      .withColumn("prev_week", lag(col("week"), 1).over(w))
+      .withColumn("next_week", lead(col("week"), 1).over(w))
+    val maxWeek = weeks.agg(max(col("week")).as("max_week"))
+    val active = lagged.select(
+      col("plan"), col("week"),
+      when(col("prev_week").isNull, "new")
+        .when(col("week") - col("prev_week") === 1, "returning")
+        .otherwise("resurrecting").as("status"))
+    val dormant = lagged
+      .crossJoin(broadcast(maxWeek))
+      .filter(col("week") + 1 <= col("max_week") &&
+        (col("next_week").isNull || col("next_week") > col("week") + 1))
+      .select(col("plan"), (col("week") + 1).as("week"), lit("dormant").as("status"))
+    active.union(dormant)
+      .groupBy(col("plan"), col("week"), col("status"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val lifecycleCohortSql: String =
+    s"""WITH p AS (${graft.state.StateQueries.pipePersonsSql}),
+       |pu AS (
+       |  SELECT regexp_extract(canonical_id, '([0-9]+)$$', 1)::BIGINT AS user_id,
+       |    coalesce(plan, 'none') AS plan
+       |  FROM p),
+       |weeks AS (
+       |  SELECT DISTINCT e.user_id, epoch_us(e.ts) // $WeekUs AS week, pu.plan
+       |  FROM events e JOIN pu USING (user_id)),
+       |lagged AS (
+       |  SELECT user_id, plan, week,
+       |    lag(week)  OVER (PARTITION BY user_id ORDER BY week) AS prev_week,
+       |    lead(week) OVER (PARTITION BY user_id ORDER BY week) AS next_week
+       |  FROM weeks),
+       |mx AS (SELECT max(week) AS max_week FROM weeks),
+       |act AS (
+       |  SELECT plan, week,
+       |    CASE WHEN prev_week IS NULL THEN 'new'
+       |         WHEN week - prev_week = 1 THEN 'returning'
+       |         ELSE 'resurrecting' END AS status
+       |  FROM lagged),
+       |dor AS (
+       |  SELECT l.plan, l.week + 1 AS week, 'dormant' AS status
+       |  FROM lagged l, mx
+       |  WHERE l.week + 1 <= mx.max_week
+       |    AND (l.next_week IS NULL OR l.next_week > l.week + 1))
+       |SELECT plan, week, status, count(*)::BIGINT AS n_users
+       |FROM (SELECT * FROM act UNION ALL SELECT * FROM dor)
+       |GROUP BY plan, week, status""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_prod_lifecycle_cohort", lifecycleCohort, Some(lifecycleCohortSql)),
     Q("q_prod_retention_incremental", retentionIncremental, Some(retentionIncrementalSql)),
     Q("q_prod_paths_funnel", pathsFunnel, Some(pathsFunnelSql)),
     Q("q_prod_funnel_groups", funnelGroups, Some(funnelGroupsSql)),
