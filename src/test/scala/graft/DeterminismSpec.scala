@@ -70,7 +70,10 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
         "q_prod_trends_binned", "q_sim_knn_graph",
         // curriculum: the BucketedOrder global rank must place every
         // row identically regardless of parallelism
-        "q_corpus_curriculum")) {
+        "q_corpus_curriculum",
+        // graph clusters: CC labels over float-admitted edges must not
+        // depend on the edge emission order
+        "q_sim_graph_clusters")) {
       val a = runAt(2, q)
       val b = runAt(7, q)
       assert(a.nonEmpty, s"$q returned nothing")
