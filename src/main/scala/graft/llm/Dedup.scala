@@ -1066,7 +1066,60 @@ object Dedup {
       |  max(doc_id) AS max_doc
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** Prefix width (tokens) for [[prefixGroups]]. */
+  val PrefixW = 8
+
+  /** Q-DEDUP-19: PREFIX dedup — documents sharing their first
+    * [[PrefixW]] tokens (truncation/re-crawl/pagination near-dups:
+    * same page cut at different lengths — a class the symmetric
+    * shingle measures under-weigh and edit distance prices linearly).
+    * Groups by the prefix hash; per document: its group id (min
+    * doc_id), group size, and the keep bit (longest doc wins, doc_id
+    * tie-break — truncations drop, the fullest copy survives).
+    *
+    * Shape at 100 TB: one map pass hashes the 8-token prefix (the
+    * payload never shuffles — only (doc_id, prefix_h, n_chars)); one
+    * group-keyed window elects the keeper. Short docs (< [[PrefixW]]
+    * tokens) are their own group (prefix = all tokens, zero-padded
+    * width marker) — never cross-matched with longer docs.
+    */
+  def prefixGroups(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.par(Tables.documents(s, d))
+      .select(col("doc_id"), col("n_chars"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("n_chars"),
+        h60(concat_ws(" ",
+          slice(col("toks"), 1, PrefixW),
+          least(size(col("toks")), lit(PrefixW)).cast("string"))).as("prefix_h"))
+    val w = Window.partitionBy(col("prefix_h"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    docs
+      .withColumn("group_id", min(col("doc_id")).over(
+        Window.partitionBy(col("prefix_h"))))
+      .withColumn("group_size", count(lit(1)).over(
+        Window.partitionBy(col("prefix_h"))))
+      .withColumn("is_keeper", col("doc_id") === first(col("doc_id")).over(w))
+      .select(col("doc_id"), col("group_id"), col("group_size"), col("is_keeper"))
+  }
+
+  val prefixGroupsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, n_chars, ${tokensSql("text")} AS toks FROM documents),
+       |p AS (
+       |  SELECT doc_id, n_chars,
+       |    ${h60Sql(s"array_to_string(toks[1:$PrefixW], ' ') || ' ' || least(len(toks), $PrefixW)::VARCHAR")} AS prefix_h
+       |  FROM t)
+       |SELECT doc_id,
+       |  min(doc_id) OVER (PARTITION BY prefix_h) AS group_id,
+       |  count(*) OVER (PARTITION BY prefix_h)::BIGINT AS group_size,
+       |  doc_id = first_value(doc_id) OVER (PARTITION BY prefix_h
+       |    ORDER BY n_chars DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS is_keeper
+       |FROM p""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_dedup_prefix", prefixGroups, Some(prefixGroupsSql)),
     Q("q_dedup_exact", exact, Some(exactSql)),
     Q("q_dedup_ngram", ngramJaccard, Some(ngramJaccardSql)),
     Q("q_dedup_containment", containment, Some(containmentSql)),

@@ -1258,7 +1258,47 @@ object Similarity {
        |  em.vec_id = coalesce(c.cluster_id, em.vec_id) AS is_rep
        |FROM embeddings em LEFT JOIN canon c USING (vec_id)""".stripMargin
 
+  /** Radius for [[rangeSearch]]. */
+  val RangeTau = 0.3
+
+  /** Q-SIM-24: RANGE search — all neighbors within cosine ≥
+    * [[RangeTau]] per query vector (the ANN API complement of top-k:
+    * "everything this similar", not "the k most similar"), candidates
+    * restricted to the query's IVF cell (cross-cell recall is
+    * [[ivfMultiprobe]]'s dial). Emits one row per (query, match) with
+    * the exact cosine.
+    *
+    * Shape at 100 TB: queries broadcast with their probe cells;
+    * candidates are a cell equi-join; output is result-sized.
+    */
+  def rangeSearch(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.par(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+      .join(ivfAssign(s, d).select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("centroid_id").as("q_cell"))
+    e.join(broadcast(q),
+        col("centroid_id") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm"))).as("cosine"))
+      .filter(col("cosine") >= RangeTau)
+  }
+
+  val rangeSearchSql: String =
+    s"""WITH assign AS ($ivfAssignSql),
+       |e AS (
+       |  SELECT em.vec_id, em.embedding, ${l2normSql("em.embedding")} AS nrm, a.centroid_id
+       |  FROM embeddings em JOIN assign a ON em.vec_id = a.vec_id),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, centroid_id
+       |      FROM e WHERE vec_id % 50 = 0)
+       |SELECT q.q_id, e.vec_id,
+       |  ${dotSql("e.embedding", "q.q_emb")} / (e.nrm * q.q_nrm) AS cosine
+       |FROM e JOIN q ON e.centroid_id = q.centroid_id AND e.vec_id <> q.q_id
+       |WHERE ${dotSql("e.embedding", "q.q_emb")} / (e.nrm * q.q_nrm) >= $RangeTau""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_sim_range_search", rangeSearch, Some(rangeSearchSql)),
     Q("q_sim_graph_clusters", graphClusters, Some(graphClustersSql)),
     Q("q_sim_knn_graph", knnGraph, Some(knnGraphSql)),
     Q("q_sim_topk", topK, Some(topKSql)),

@@ -2510,7 +2510,43 @@ object Product {
        |FROM (SELECT * FROM act UNION ALL SELECT * FROM dor)
        |GROUP BY plan, week, status""".stripMargin
 
+  /** Q-PROD-46: stickiness BY PERSON PROPERTY — the active-days
+    * histogram split by the replayed person-state `plan` (the fifth
+    * insight type in the state × product composition family). Shape is
+    * [[stickiness]] with the user-dimension join riding the same user
+    * key.
+    */
+  def stickinessCohort(s: SparkSession, d: String): DataFrame = {
+    val persons = graft.state.StateQueries.pipePersons(s, d)
+      .select(
+        regexp_extract(col("canonical_id"), "([0-9]+)$", 1)
+          .cast(LongType).as("user_id"),
+        coalesce(col("plan"), lit("none")).as("plan"))
+    Tables.events(s, d)
+      .select(col("user_id"), expr(s"unix_micros(ts) DIV $DayUs").as("day"))
+      .distinct()
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_days"))
+      .join(persons, Seq("user_id"))
+      .groupBy(col("plan"), col("n_days"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val stickinessCohortSql: String =
+    s"""WITH p AS (${graft.state.StateQueries.pipePersonsSql}),
+       |pu AS (
+       |  SELECT regexp_extract(canonical_id, '([0-9]+)$$', 1)::BIGINT AS user_id,
+       |    coalesce(plan, 'none') AS plan
+       |  FROM p),
+       |days AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day FROM events),
+       |ud AS (SELECT user_id, count(*)::BIGINT AS n_days FROM days GROUP BY user_id)
+       |SELECT pu.plan, ud.n_days, count(*)::BIGINT AS n_users
+       |FROM ud JOIN pu USING (user_id)
+       |GROUP BY 1, 2""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_prod_stickiness_cohort", stickinessCohort, Some(stickinessCohortSql)),
     Q("q_prod_lifecycle_cohort", lifecycleCohort, Some(lifecycleCohortSql)),
     Q("q_prod_retention_incremental", retentionIncremental, Some(retentionIncrementalSql)),
     Q("q_prod_paths_funnel", pathsFunnel, Some(pathsFunnelSql)),

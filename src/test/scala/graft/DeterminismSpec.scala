@@ -73,7 +73,9 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
         "q_corpus_curriculum",
         // graph clusters: CC labels over float-admitted edges must not
         // depend on the edge emission order
-        "q_sim_graph_clusters")) {
+        "q_sim_graph_clusters",
+        // range search: per-pair cosine floats (dot/norm folds)
+        "q_sim_range_search")) {
       val a = runAt(2, q)
       val b = runAt(7, q)
       assert(a.nonEmpty, s"$q returned nothing")
