@@ -1850,9 +1850,16 @@ object Product {
     * (bucket the pairs table on user and the exchange disappears);
     * rollups are day-dimension-sized.
     */
-  def trendsIncremental(s: SparkSession, d: String): DataFrame = {
+  def trendsIncremental(s: SparkSession, d: String): DataFrame =
+    trendsIncrementalAt(s, d, 0.5)
+
+  /** [[trendsIncremental]] at an arbitrary split fraction (see
+    * [[funnelIncrementalAt]]).
+    */
+  private[graft] def trendsIncrementalAt(
+      s: SparkSession, d: String, frac: Double): DataFrame = {
     val e = Tables.events(s, d)
-    val mid = e.agg(floor(max(col("event_id")) / 2).cast(LongType).as("mid"))
+    val mid = e.agg(floor(max(col("event_id")) * frac).cast(LongType).as("mid"))
     val tagged = e.crossJoin(broadcast(mid))
       .select(to_date(col("ts")).as("day"), col("user_id"),
         (col("event_id") <= col("mid")).as("is_hist"))
@@ -2039,9 +2046,18 @@ object Product {
     * users-sized, the delta scan is partition-pruned, and only the
     * audit twin (test-scale) reads history.
     */
-  def funnelIncremental(s: SparkSession, d: String): DataFrame = {
+  def funnelIncremental(s: SparkSession, d: String): DataFrame =
+    funnelIncrementalAt(s, d, 0.5)
+
+  /** [[funnelIncremental]] at an arbitrary history/delta split point
+    * (fraction of the max event id). The in-row `consistent` gate must
+    * hold at EVERY split — OperatorFuzzSpec sweeps the boundaries
+    * (0 = everything is delta, 1 = everything is history).
+    */
+  private[graft] def funnelIncrementalAt(
+      s: SparkSession, d: String, frac: Double): DataFrame = {
     val e = Tables.events(s, d)
-    val mid = e.agg(floor(max(col("event_id")) / 2).cast(LongType).as("mid"))
+    val mid = e.agg(floor(max(col("event_id")) * frac).cast(LongType).as("mid"))
     val base = e.crossJoin(broadcast(mid))
       .select(col("user_id"), col("event_type"), col("event_id"),
         (col("event_id") <= col("mid")).as("is_hist"))
@@ -2369,9 +2385,16 @@ object Product {
     * the exchanges disappear); the delta scan is partition-pruned; the
     * triangle rollup is dimension-sized.
     */
-  def retentionIncremental(s: SparkSession, d: String): DataFrame = {
+  def retentionIncremental(s: SparkSession, d: String): DataFrame =
+    retentionIncrementalAt(s, d, 0.5)
+
+  /** [[retentionIncremental]] at an arbitrary split fraction (see
+    * [[funnelIncrementalAt]]).
+    */
+  private[graft] def retentionIncrementalAt(
+      s: SparkSession, d: String, frac: Double): DataFrame = {
     val e = Tables.events(s, d)
-    val mid = e.agg(floor(max(col("event_id")) / 2).cast(LongType).as("mid"))
+    val mid = e.agg(floor(max(col("event_id")) * frac).cast(LongType).as("mid"))
     val tagged = e.crossJoin(broadcast(mid))
       .select(col("user_id"), expr(s"unix_micros(ts) DIV $WeekUs").as("week"),
         (col("event_id") <= col("mid")).as("is_hist"))

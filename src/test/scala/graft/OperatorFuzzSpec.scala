@@ -727,4 +727,26 @@ class OperatorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("IVM trio holds at every history/delta split, including the empty boundaries") {
+    // the registered queries check ONE split (the midpoint); the
+    // incremental-merge algebra must hold wherever the ingestion
+    // boundary lands — 0.0 (no history: the delta branch IS the full
+    // computation) and 1.0 (no delta: the state table IS the answer)
+    // are the degenerate cases a wrong anti-join or coalesce order
+    // breaks first
+    val sf = "/root/testdata/sf0.001"
+    for (frac <- Seq(0.0, 0.1, 0.37, 0.5, 0.93, 1.0)) {
+      val f = Product.funnelIncrementalAt(spark, sf, frac)
+      assert(f.count() > 0, s"funnel IVM empty at frac=$frac")
+      assert(f.filter(!org.apache.spark.sql.functions.col("consistent")).count() == 0,
+        s"funnel IVM inconsistent at frac=$frac")
+      val t = Product.trendsIncrementalAt(spark, sf, frac)
+      assert(t.filter(!org.apache.spark.sql.functions.col("consistent")).count() == 0,
+        s"trends IVM inconsistent at frac=$frac")
+      val r = Product.retentionIncrementalAt(spark, sf, frac)
+      assert(r.filter(!org.apache.spark.sql.functions.col("consistent")).count() == 0,
+        s"retention IVM inconsistent at frac=$frac")
+    }
+  }
 }

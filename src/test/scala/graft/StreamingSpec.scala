@@ -788,6 +788,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(u.getResult.getEstimate == estOr, "final-sketch union diverged")
   }
 
+  test("streaming Misra-Gries: RocksDB state store == default store") {
+    def run(provider: Option[String]): Set[(Int, String, Long)] = {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      provider.foreach(p =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p))
+      try {
+        val words = (0 until 120).map(i => s"w${i % 17}") ++ Seq.fill(30)("hot")
+        val mem = MemoryStream[String]
+        val q = Streaming.heavyHittersStream(mem.toDF().toDF("term"), k = 4, buckets = 2)
+          .writeStream.format("memory").queryName("hh_rocks")
+          .outputMode(OutputMode.Update()).start()
+        try {
+          words.grouped(50).foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
+          val rows = spark.table("hh_rocks").as[Streaming.MgRow].collect()
+          rows.groupBy(_.bucket).values.flatMap { rs =>
+            val top = rs.map(_.processed).max
+            rs.filter(_.processed == top).map(r => (r.bucket, r.term, r.n))
+          }.toSet
+        } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS hh_rocks") }
+      } finally provider.foreach(_ =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))
+    }
+    val default = run(None)
+    val rocks = run(Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+    assert(default == rocks, "MG summaries diverged across state-store providers")
+    assert(default.exists(_._2 == "hot"))
+  }
+
   test("streaming priority sample: RocksDB state store == default store") {
     def run(provider: Option[String]): Set[(Long, Long, Double, Double, Double)] = {
       import spark.implicits._
