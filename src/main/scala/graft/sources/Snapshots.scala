@@ -57,7 +57,14 @@ object Snapshots {
       timestampMs: Long,
       operation: String,
       rowCount: Long,
-      files: Seq[String])
+      files: Seq[String],
+      /** Per-file INT64 column ranges, cached at commit time from the
+        * parquet footers (the Iceberg manifest-stats contract): rel
+        * path → column → (min, max). [[scanFiles]] prunes from THIS —
+        * no file is opened at plan time; files committed before stats
+        * existed simply have no entry (footer fallback).
+        */
+      stats: Map[String, Map[String, (Long, Long)]] = Map.empty)
 
   private val M = new ObjectMapper()
 
@@ -97,26 +104,58 @@ object Snapshots {
       bos.toByteArray
     } finally in.close()
     val n = M.readTree(bytes)
+    val stats: Map[String, Map[String, (Long, Long)]] =
+      Option(n.get("stats")).map { sn =>
+        sn.properties().asScala.map { e =>
+          e.getKey -> e.getValue.properties().asScala.map { c =>
+            c.getKey -> (c.getValue.get(0).asLong(), c.getValue.get(1).asLong())
+          }.toMap
+        }.toMap
+      }.getOrElse(Map.empty)
     Snapshot(
       version = n.get("version").asLong(),
       parentVersion = n.get("parent_version").asLong(),
       timestampMs = n.get("timestamp_ms").asLong(),
       operation = n.get("operation").asText(),
       rowCount = n.get("row_count").asLong(),
-      files = n.get("files").elements().asScala.map(_.asText()).toSeq)
+      files = n.get("files").elements().asScala.map(_.asText()).toSeq,
+      stats = stats)
   }
 
   /** Parquet-footer row count — metadata-only, no data pass (the
     * Iceberg manifest carries these per file; we read them from the
     * footers the files already have).
     */
-  private def footerRows(spark: SparkSession, dir: String, rel: String): Long = {
+  private def footerRows(spark: SparkSession, dir: String, rel: String): Long =
+    footerInfo(spark, dir, rel)._1
+
+  /** One footer open: (row count, INT64 column → (min, max) over all
+    * row groups). Read at COMMIT time and cached in the manifest, so
+    * [[scanFiles]] never opens a file to plan.
+    */
+  private def footerInfo(spark: SparkSession, dir: String, rel: String)
+      : (Long, Map[String, (Long, Long)]) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new HPath(dir, rel), conf))
-    try rd.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-    finally rd.close()
+    try {
+      val blocks = rd.getFooter.getBlocks.asScala
+      val rows = blocks.map(_.getRowCount).sum
+      val ranges = blocks.flatMap { b =>
+        b.getColumns.asScala.flatMap { c =>
+          Option(c.getStatistics).collect {
+            case s: org.apache.parquet.column.statistics.LongStatistics
+                if !s.isEmpty =>
+              c.getPath.toDotString -> (s.getMin, s.getMax)
+          }
+        }
+      }
+      val stats = ranges.groupBy(_._1).map { case (col, rs) =>
+        col -> (rs.map(_._2._1).min, rs.map(_._2._2).max)
+      }
+      (rows, stats)
+    } finally rd.close()
   }
 
   /** Write `df` as a new immutable commit directory and atomically
@@ -166,13 +205,27 @@ object Snapshots {
       val base: Seq[String] =
         if (replace) Seq.empty else parentSnap.map(_.files).getOrElse(Seq.empty)
       val files = base ++ newFiles
-      // appends reuse the parent's count: footers are read only for
-      // files NEW to this manifest (O(commit), not O(table))
-      val newRows = newFiles.map(footerRows(spark, dir, _)).sum
+      // footers are read only for files with no inherited manifest
+      // entry (O(commit), not O(table)): carried files keep the stats
+      // the commit that created them cached
+      val parentStats = parentSnap.map(_.stats).getOrElse(Map.empty)
+      val freshInfo: Map[String, (Long, Long, Map[String, (Long, Long)])] =
+        newFiles.filterNot(parentStats.contains).map { rel =>
+          val (r, st) = footerInfo(spark, dir, rel)
+          rel -> (r, r, st)
+        }.toMap
+      def rowsOf(rel: String): Long =
+        freshInfo.get(rel).map(_._1).getOrElse(footerRows(spark, dir, rel))
+      val newRows = newFiles.map(rowsOf).sum
       val rows =
         if (replace) newRows else parentSnap.map(_.rowCount).getOrElse(0L) + newRows
+      val stats: Map[String, Map[String, (Long, Long)]] =
+        files.flatMap { rel =>
+          freshInfo.get(rel).map(i => rel -> i._3)
+            .orElse(parentStats.get(rel).map(rel -> _))
+        }.toMap
       val snap = Snapshot(v, parent.getOrElse(0L), System.currentTimeMillis(),
-        operation, rows, files)
+        operation, rows, files, stats)
       val node: ObjectNode = M.createObjectNode()
       node.put("version", snap.version)
       node.put("parent_version", snap.parentVersion)
@@ -181,6 +234,15 @@ object Snapshots {
       node.put("row_count", snap.rowCount)
       val arr: ArrayNode = node.putArray("files")
       snap.files.foreach(arr.add)
+      val statsNode: ObjectNode = node.putObject("stats")
+      snap.files.foreach { rel =>
+        snap.stats.get(rel).foreach { cols =>
+          val f: ObjectNode = statsNode.putObject(rel)
+          cols.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+            val a: ArrayNode = f.putArray(c); a.add(lo); a.add(hi)
+          }
+        }
+      }
       val tmp = new HPath(dir, s"metadata/.v$v.tmp-${java.util.UUID.randomUUID()}")
       val out = f.create(tmp, false)
       try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
@@ -485,33 +547,29 @@ object Snapshots {
     * a superset guarantee, exactly parquet row-group skipping one
     * level up).
     *
-    * Footer stats are read at SCAN time here; the production form
-    * caches them in the manifest at commit (same contract — the spec
-    * pins prunedness, not the caching).
+    * Stats come from the MANIFEST (cached at commit time, one footer
+    * read per file ever); a file with no cached entry (pre-stats
+    * manifest) falls back to its footer at scan time. The spec proves
+    * the cache is actually used: a pruned file whose bytes have been
+    * corrupted on disk still plans fine — nothing opened it.
     */
   def scanFiles(spark: SparkSession, dir: String, column: String,
       lo: Long, hi: Long): DataFrame = {
     val cur = currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot under $dir"))
     val snap = readManifest(spark, dir, cur)
-    val conf = spark.sparkContext.hadoopConfiguration
     val survivors = snap.files.filter { rel =>
-      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new HPath(dir, rel), conf))
-      try {
-        val ranges = rd.getFooter.getBlocks.asScala.flatMap { b =>
-          b.getColumns.asScala
-            .find(_.getPath.toDotString == column)
-            .flatMap(c => Option(c.getStatistics))
-            .collect {
-              case s: org.apache.parquet.column.statistics.LongStatistics
-                  if !s.isEmpty => (s.getMin, s.getMax)
-            }
-        }
-        // no stats → cannot prove disjoint → keep (superset guarantee)
-        ranges.isEmpty || ranges.exists { case (mn, mx) => mx >= lo && mn <= hi }
-      } finally rd.close()
+      snap.stats.get(rel).flatMap(_.get(column)) match {
+        // manifest-cached range (commit-time footer read): plan-time
+        // pruning opens NO file — the Iceberg manifest-stats contract
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        // pre-stats manifest or a column without stats: one footer
+        // read; no stats at all → cannot prove disjoint → keep
+        // (superset guarantee)
+        case None =>
+          val (_, st) = footerInfo(spark, dir, rel)
+          st.get(column).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      }
     }
     if (survivors.isEmpty) read(spark, dir).filter(lit(false))
     else spark.read.parquet(survivors.map(r => new HPath(dir, r).toString): _*)

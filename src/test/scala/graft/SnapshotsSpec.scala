@@ -158,6 +158,19 @@ class SnapshotsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pruned.count() == full.count() && pruned.count() == 61)
     // empty intersection plans nothing and returns empty, not an error
     assert(Snapshots.scanFiles(spark, dir, "id", 1000, 2000).count() == 0)
+    // the manifest CARRIES the stats: every committed file has a cached
+    // id range, so planning never opens a file — proven by corrupting a
+    // pruned file's bytes on disk (a footer fallback would throw)
+    val snap = Snapshots.snapshots(spark, dir).last
+    assert(snap.files.forall(f => snap.stats.get(f).exists(_.contains("id"))),
+      s"manifest missing cached id ranges: ${snap.stats.keySet}")
+    val doomed = snap.files.find(f =>
+      snap.stats(f)("id")._2 < 120 || snap.stats(f)("id")._1 > 180).get
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, doomed), "garbage".getBytes)
+    val prunedAfter = Snapshots.scanFiles(spark, dir, "id", 120, 180)
+    assert(prunedAfter.count() == 61,
+      "scan planning touched a pruned file (manifest stats not used)")
   }
 
   test("published manifest wins over a stale claim: commit re-checks after locking") {
