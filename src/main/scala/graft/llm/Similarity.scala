@@ -5,7 +5,7 @@ import graft.queries.Q
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
 import Portable._
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
@@ -1133,8 +1133,13 @@ object Similarity {
         col("qsum_old"), col("qsum_new"),
         (col("qsum_new").cast(DoubleType) / col("n_new") -
           col("qsum_old").cast(DoubleType) / col("n_old")).as("shift_micro"),
-        (abs(col("qsum_new") * col("n_old") - col("qsum_old") * col("n_new")) >
-          lit(DriftTauMicro) * col("n_old") * col("n_new")).as("drifted"))
+        // DECIMAL(38,0) cross-multiply: qsum ~ N·1e6, so qsum·n
+        // overflows int64 around a few million vectors (scanDrift
+        // already widens for this reason; DuckDB computes in HUGEINT)
+        (abs(col("qsum_new").cast(DecimalType(38, 0)) * col("n_old") -
+          col("qsum_old").cast(DecimalType(38, 0)) * col("n_new")) >
+          lit(DriftTauMicro).cast(DecimalType(38, 0)) *
+            col("n_old") * col("n_new")).as("drifted"))
   }
 
   val driftSql: String =

@@ -48,6 +48,16 @@ object Snapshots {
 
   final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
+  /** A lock older than this is reclaimable: a healthy commit holds its
+    * lock for the duration of one manifest write (milliseconds), so a
+    * lock this stale belongs to a writer that crashed between claim and
+    * publish. Without reclamation every future commit computes the same
+    * next version, fails the claim, and the table is permanently
+    * unwritable. 15 min is far above any plausible manifest-write pause
+    * (GC, FS hiccup) and far below operational patience.
+    */
+  val LockStaleMs: Long = 15L * 60 * 1000
+
   /** One committed snapshot (metadata only — `files` are table-root
     * -relative parquet paths).
     */
@@ -64,7 +74,23 @@ object Snapshots {
         * no file is opened at plan time; files committed before stats
         * existed simply have no entry (footer fallback).
         */
-      stats: Map[String, Map[String, (Long, Long)]] = Map.empty)
+      stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+      /** Table properties, inherited parent→child through EVERY commit
+        * (compaction, delete, rollback included) and only overridden
+        * explicitly. Carries durable table-level state that must
+        * survive [[expire]] — e.g. the streaming epoch high-water mark
+        * ([[Snapshots.EpochHighWater]]), which makes exactly-once
+        * replay detection an O(1) read of the CURRENT manifest instead
+        * of a scan of all history (which expiry can truncate).
+        */
+      properties: Map[String, String] = Map.empty)
+
+  /** Property key: highest streaming batchId ever committed (append or
+    * merge epochs share one sequence per checkpoint — per table here).
+    * A replayed epoch has batchId <= this and SKIPS, even after the
+    * epoch's own manifest was expired.
+    */
+  private[sources] val EpochHighWater = "epoch.high-water"
 
   private val M = new ObjectMapper()
 
@@ -112,6 +138,10 @@ object Snapshots {
           }.toMap
         }.toMap
       }.getOrElse(Map.empty)
+    val props: Map[String, String] =
+      Option(n.get("properties")).map { pn =>
+        pn.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+      }.getOrElse(Map.empty)
     Snapshot(
       version = n.get("version").asLong(),
       parentVersion = n.get("parent_version").asLong(),
@@ -119,7 +149,8 @@ object Snapshots {
       operation = n.get("operation").asText(),
       rowCount = n.get("row_count").asLong(),
       files = n.get("files").elements().asScala.map(_.asText()).toSeq,
-      stats = stats)
+      stats = stats,
+      properties = props)
   }
 
   /** Parquet-footer row count — metadata-only, no data pass (the
@@ -167,7 +198,8 @@ object Snapshots {
     * exactly Iceberg's failed-commit story.
     */
   def commit(spark: SparkSession, dir: String, df: DataFrame,
-      operation: String = "append", replace: Boolean = false): Snapshot = {
+      operation: String = "append", replace: Boolean = false,
+      setProps: Map[String, String] = Map.empty): Snapshot = {
     val commitId = java.util.UUID.randomUUID().toString.take(12)
     val dataRel = s"data/$commitId"
     df.write.mode("overwrite").parquet(new HPath(dir, dataRel).toString)
@@ -176,7 +208,7 @@ object Snapshots {
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(st => s"$dataRel/${st.getPath.getName}")
       .sorted
-    commitFiles(spark, dir, newFiles, operation, replace)
+    commitFiles(spark, dir, newFiles, operation, replace, setProps)
   }
 
   /** Publish a manifest referencing `newFiles` (+ the parent's files
@@ -185,15 +217,29 @@ object Snapshots {
     * an atomic rename, so readers only ever see complete manifests.
     */
   private[sources] def commitFiles(spark: SparkSession, dir: String,
-      newFiles: Seq[String], operation: String, replace: Boolean): Snapshot = {
+      newFiles: Seq[String], operation: String, replace: Boolean,
+      setProps: Map[String, String] = Map.empty): Snapshot = {
     val f = fs(spark, dir)
     f.mkdirs(new HPath(dir, "metadata"))
     val parent = currentVersion(spark, dir)
     val v = parent.getOrElse(0L) + 1
     val lock = new HPath(dir, s"metadata/v$v.lock")
-    if (!f.createNewFile(lock))
-      throw new ConcurrentCommitException(
-        s"version $v already claimed (concurrent writer) — reread current and retry")
+    if (!f.createNewFile(lock)) {
+      // Claim failed. A LIVE competitor should win — but a lock left by
+      // a writer that crashed between claim and publish would otherwise
+      // wedge the table forever (no manifest ever appears at v, so
+      // every future commit recomputes v and loses). Reclaim iff the
+      // lock is stale AND v was never published, then retry the claim
+      // once; a fresh lock stays authoritative.
+      val stale = !f.exists(manifestPath(dir, v)) &&
+        (try f.getFileStatus(lock).getModificationTime <
+          System.currentTimeMillis() - LockStaleMs
+         catch { case _: java.io.FileNotFoundException => true })
+      val reclaimed = stale && f.delete(lock, false) && f.createNewFile(lock)
+      if (!reclaimed)
+        throw new ConcurrentCommitException(
+          s"version $v already claimed (concurrent writer) — reread current and retry")
+    }
     try {
       // the racing winner may have published v and released its lock
       // between our currentVersion read and our claim — the manifest,
@@ -224,8 +270,11 @@ object Snapshots {
           freshInfo.get(rel).map(i => rel -> i._3)
             .orElse(parentStats.get(rel).map(rel -> _))
         }.toMap
+      // properties inherit through every commit so durable table state
+      // (epoch high-water) survives compaction/rollback AND expiry
+      val props = parentSnap.map(_.properties).getOrElse(Map.empty) ++ setProps
       val snap = Snapshot(v, parent.getOrElse(0L), System.currentTimeMillis(),
-        operation, rows, files, stats)
+        operation, rows, files, stats, props)
       val node: ObjectNode = M.createObjectNode()
       node.put("version", snap.version)
       node.put("parent_version", snap.parentVersion)
@@ -241,6 +290,12 @@ object Snapshots {
           cols.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
             val a: ArrayNode = f.putArray(c); a.add(lo); a.add(hi)
           }
+        }
+      }
+      if (snap.properties.nonEmpty) {
+        val propsNode: ObjectNode = node.putObject("properties")
+        snap.properties.toSeq.sortBy(_._1).foreach { case (k, vv) =>
+          propsNode.put(k, vv)
         }
       }
       val tmp = new HPath(dir, s"metadata/.v$v.tmp-${java.util.UUID.randomUUID()}")
@@ -331,8 +386,11 @@ object Snapshots {
     // rewrite the surviving rows OF THE AFFECTED FILES only
     val commitId = java.util.UUID.randomUUID().toString.take(12)
     val dataRel = s"data/$commitId"
+    // SQL DELETE removes rows where pred IS TRUE; rows where it
+    // evaluates NULL must SURVIVE. A bare !pred maps NULL→NULL and the
+    // filter would silently drop them — keep rows where pred is not true.
     spark.read.parquet(affectedRel.map(r => new HPath(dir, r).toString): _*)
-      .filter(!pred)
+      .filter(!coalesce(pred, lit(false)))
       .write.mode("overwrite").parquet(new HPath(dir, dataRel).toString)
     val f = fs(spark, dir)
     val rewritten = f.listStatus(new HPath(dir, dataRel)).toSeq
@@ -357,7 +415,8 @@ object Snapshots {
     * Matched-row replacement is whole-row (UPDATE SET * semantics).
     */
   def mergeInto(spark: SparkSession, dir: String, source: DataFrame,
-      keyCols: Seq[String], operation: String = "merge"): Snapshot = {
+      keyCols: Seq[String], operation: String = "merge",
+      setProps: Map[String, String] = Map.empty): Snapshot = {
     require(keyCols.nonEmpty, "mergeInto needs at least one key column")
     val cur = readManifest(spark, dir, currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot under $dir")))
@@ -390,7 +449,7 @@ object Snapshots {
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(st => s"$dataRel/${st.getPath.getName}")
       .sorted
-    commitFiles(spark, dir, keep ++ rewritten, operation, replace = true)
+    commitFiles(spark, dir, keep ++ rewritten, operation, replace = true, setProps)
   }
 
   /** Exactly-once streaming MERGE — the keyed-upsert twin of
@@ -408,10 +467,13 @@ object Snapshots {
       batchId: Long): Unit = {
     val spark = batch.sparkSession
     val tag = s"merge[epoch=$batchId]"
-    if (snapshots(spark, dir).exists(_.operation == tag)) () // replayed epoch
+    val hwProps = Map(EpochHighWater -> batchId.toString)
+    if (epochAlreadyCommitted(spark, dir, batchId, tag)) () // replayed epoch
     else if (currentVersion(spark, dir).isEmpty) {
-      commit(spark, dir, batch, operation = tag); ()
-    } else { mergeInto(spark, dir, batch, keyCols, operation = tag); () }
+      commit(spark, dir, batch, operation = tag, setProps = hwProps); ()
+    } else {
+      mergeInto(spark, dir, batch, keyCols, operation = tag, setProps = hwProps); ()
+    }
   }
 
   /** Streaming sink driving [[mergeEpoch]] — upsert-by-key per epoch. */
@@ -468,13 +530,30 @@ object Snapshots {
     val to = readManifest(spark, dir, toVersion)
     val onlyFrom = from.files.diff(to.files)
     val onlyTo = to.files.diff(from.files)
+    // mergeSchema: an additive schema-evolution commit means the two
+    // sides' files can carry different widths — each side must read
+    // with the merged schema (as readAt does) or exceptAll throws
     def rows(rels: Seq[String]): DataFrame =
       if (rels.isEmpty) read(spark, dir).filter(lit(false))
-      else spark.read.parquet(rels.map(r => new HPath(dir, r).toString): _*)
-    val ins = rows(onlyTo).exceptAll(rows(onlyFrom))
-      .withColumn("_change_type", lit("insert"))
-    val del = rows(onlyFrom).exceptAll(rows(onlyTo))
-      .withColumn("_change_type", lit("delete"))
+      else spark.read.option("mergeSchema", "true")
+        .parquet(rels.map(r => new HPath(dir, r).toString): _*)
+    val insRaw = rows(onlyTo)
+    val delRaw = rows(onlyFrom)
+    // align columns across the evolution boundary: null-fill whichever
+    // side is narrower so exceptAll compares the union schema (an old
+    // row's missing column IS null post-evolution — same as readAt)
+    val allCols = (insRaw.columns ++ delRaw.columns).distinct
+    val typeOf = (insRaw.schema.fields ++ delRaw.schema.fields)
+      .map(fd => fd.name -> fd.dataType).toMap
+    def widen(df: DataFrame): DataFrame = {
+      val have = df.columns.toSet
+      df.select(allCols.map(c =>
+        if (have(c)) col(c) else lit(null).cast(typeOf(c)).as(c)): _*)
+    }
+    val insW = widen(insRaw)
+    val delW = widen(delRaw)
+    val ins = insW.exceptAll(delW).withColumn("_change_type", lit("insert"))
+    val del = delW.exceptAll(insW).withColumn("_change_type", lit("delete"))
     ins.unionByName(del)
   }
 
@@ -533,9 +612,29 @@ object Snapshots {
   def commitEpoch(batch: DataFrame, dir: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val tag = s"append[epoch=$batchId]"
-    if (snapshots(spark, dir).exists(_.operation == tag)) () // replayed epoch
-    else { commit(spark, dir, batch, operation = tag); () }
+    if (epochAlreadyCommitted(spark, dir, batchId, tag)) () // replayed epoch
+    else {
+      commit(spark, dir, batch, operation = tag,
+        setProps = Map(EpochHighWater -> batchId.toString)); ()
+    }
   }
+
+  /** Replay detection for epoch commits. Primary check: the epoch
+    * high-water property on the CURRENT manifest — O(1), and immune to
+    * [[expire]] truncating the manifest whose operation tag carried the
+    * epoch (re-committing an expired-but-real epoch would duplicate
+    * data). Checkpointed batchIds are strictly monotonic per sink, so
+    * `batchId <= hw` ⇔ replayed. Legacy fallback (tables whose current
+    * manifest predates the property): the old operation-tag scan.
+    */
+  private def epochAlreadyCommitted(spark: SparkSession, dir: String,
+      batchId: Long, tag: String): Boolean =
+    currentVersion(spark, dir).exists { cur =>
+      readManifest(spark, dir, cur).properties.get(EpochHighWater) match {
+        case Some(hw) => batchId <= hw.toLong
+        case None => snapshots(spark, dir).exists(_.operation == tag)
+      }
+    }
 
   /** Stats-pruned scan — the manifest-side partition/file pruning a
     * catalog lake does before Spark ever lists a file: drop every data
@@ -675,7 +774,23 @@ object Snapshots {
       .flatMap(v => readManifest(spark, dir, v).files) ++ stagedRefs)
       .map(_.split("/").take(2).mkString("/")).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
-    f.listStatus(dataRoot).toSeq
+    // stale commit locks (writer crashed between claim and publish, and
+    // no manifest ever appeared at that version) are orphans too — sweep
+    // them so they can't accumulate; a reclaim in commitFiles handles
+    // the live path, this handles housekeeping
+    val meta = new HPath(dir, "metadata")
+    val staleLocks =
+      if (!f.exists(meta)) Seq.empty[String]
+      else f.listStatus(meta).toSeq
+        .filter { st =>
+          val n = st.getPath.getName
+          st.isFile && n.startsWith("v") && n.endsWith(".lock") &&
+            st.getModificationTime < System.currentTimeMillis() - LockStaleMs &&
+            !f.exists(new HPath(dir,
+              s"metadata/${n.stripSuffix(".lock")}.manifest.json"))
+        }
+        .map { st => f.delete(st.getPath, false); s"metadata/${st.getPath.getName}" }
+    staleLocks ++ f.listStatus(dataRoot).toSeq
       .filter(st => st.isDirectory &&
         !referencedDirs.contains(s"data/${st.getPath.getName}") &&
         f.listStatus(st.getPath).forall(_.getModificationTime < cutoff))

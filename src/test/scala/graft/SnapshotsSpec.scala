@@ -415,4 +415,106 @@ class SnapshotsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // pre-evolution snapshot: narrow schema, no phantom column
     assert(Snapshots.readAt(spark, dir, 1).columns.toSet == Set("id", "s"))
   }
+
+  test("DELETE keeps NULL-predicate rows: SQL semantics remove only pred IS TRUE") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("snap").toString
+    // nullable column in the predicate, co-located in ONE file with
+    // matching rows so the COW rewrite must evaluate the predicate on
+    // the NULL rows (a !pred filter would silently drop them)
+    val rows = Seq((1L, Some(5)), (2L, None), (3L, Some(99)), (4L, None))
+      .toDF("id", "v").repartition(1)
+    Snapshots.commit(spark, dir, rows)
+    Snapshots.deleteWhere(spark, dir, $"v" < 10) // matches only id=1
+    val got = Snapshots.read(spark, dir).select($"id").as[Long].collect().toSet
+    assert(got == Set(2L, 3L, 4L),
+      s"rows with NULL predicate value must survive DELETE, got $got")
+  }
+
+  test("stale commit lock is reclaimed: a crashed writer cannot wedge the table forever") {
+    val dir = Files.createTempDirectory("snap").toString
+    Snapshots.commit(spark, dir, range(0, 5))
+    // a writer crashed between claim and publish: lock exists, no
+    // manifest ever appears at v2, and the lock has aged past the TTL
+    val lock = new java.io.File(s"$dir/metadata/v2.lock")
+    assert(lock.createNewFile())
+    assert(lock.setLastModified(
+      System.currentTimeMillis() - Snapshots.LockStaleMs - 60_000L))
+    // the next commit reclaims the stale lock and lands at v2
+    val snap = Snapshots.commit(spark, dir, range(5, 10))
+    assert(snap.version == 2L)
+    assert(Snapshots.read(spark, dir).count() == 10)
+    // a FRESH lock (live competitor) is still authoritative
+    val fresh = new java.io.File(s"$dir/metadata/v3.lock")
+    assert(fresh.createNewFile())
+    intercept[Snapshots.ConcurrentCommitException](
+      Snapshots.commit(spark, dir, range(10, 11)))
+    fresh.delete()
+    // housekeeping: removeOrphans sweeps a stale lock too
+    val stale = new java.io.File(s"$dir/metadata/v3.lock")
+    assert(stale.createNewFile())
+    assert(stale.setLastModified(
+      System.currentTimeMillis() - Snapshots.LockStaleMs - 60_000L))
+    val swept = Snapshots.removeOrphans(spark, dir, olderThanMs = 3600_000L)
+    assert(swept.contains("metadata/v3.lock") && !stale.exists())
+  }
+
+  test("epoch replay detection survives expire: high-water mark lives on the current manifest") {
+    val dir = Files.createTempDirectory("snap").toString
+    Snapshots.commitEpoch(range(0, 10), dir, batchId = 0)
+    Snapshots.commitEpoch(range(10, 20), dir, batchId = 1)
+    Snapshots.commitEpoch(range(20, 30), dir, batchId = 2)
+    // expire the manifests whose operation tags carried epochs 0 and 1
+    Snapshots.expire(spark, dir, keepLast = 1)
+    assert(Snapshots.snapshots(spark, dir).size == 1)
+    // a checkpoint replay of an EXPIRED epoch must still be a no-op —
+    // the tag is gone from history, the property is not
+    Snapshots.commitEpoch(range(90, 99), dir, batchId = 1)
+    assert(Snapshots.read(spark, dir).count() == 30,
+      "replayed epoch re-committed after expiry (duplicate data)")
+    // the high-water survives non-epoch commits (compaction) too
+    Snapshots.compactSnapshot(spark, dir)
+    Snapshots.commitEpoch(range(90, 99), dir, batchId = 2)
+    assert(Snapshots.read(spark, dir).count() == 30)
+    // a genuinely new epoch still commits and advances the mark
+    Snapshots.commitEpoch(range(30, 35), dir, batchId = 3)
+    assert(Snapshots.read(spark, dir).count() == 35)
+    // mergeEpoch shares the same contract
+    val mdir = Files.createTempDirectory("snap").toString
+    Snapshots.mergeEpoch(range(0, 5), mdir, Seq("id"), batchId = 0)
+    Snapshots.mergeEpoch(range(5, 8), mdir, Seq("id"), batchId = 1)
+    Snapshots.expire(spark, mdir, keepLast = 1)
+    Snapshots.mergeEpoch(range(50, 60), mdir, Seq("id"), batchId = 0)
+    assert(Snapshots.read(spark, mdir).count() == 8,
+      "replayed merge epoch re-applied after expiry")
+  }
+
+  test("CDC across additive schema evolution: sides align on the merged schema") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("snap").toString
+    Snapshots.commit(spark, dir, range(0, 5).repartition(1))            // v1 narrow
+    Snapshots.commit(spark, dir,
+      Seq((100L, "x", 42)).toDF("id", "s", "extra").repartition(1))     // v2 wide
+    // v1→v2 delta spans the evolution boundary: the insert side is wide,
+    // the (empty) delete side must still align without throwing
+    val cdc = Snapshots.changesBetween(spark, dir, 1, 2)
+    assert(cdc.columns.toSet == Set("id", "s", "extra", "_change_type"))
+    assert(cdc.count() == 1)
+    assert(cdc.select($"id", $"extra", $"_change_type")
+      .as[(Long, Int, String)].head() == ((100L, 42, "insert")))
+    // compaction across the boundary: the FROM side mixes narrow and
+    // wide files in ONE read — without mergeSchema that read plans a
+    // single file's schema and exceptAll throws (or silently drops
+    // `extra`); with it, old rows read extra=null, matching the
+    // compacted file, and everything cancels
+    Snapshots.compactSnapshot(spark, dir)                               // v3
+    assert(Snapshots.changesBetween(spark, dir, 2, 3).count() == 0,
+      "compaction across schema evolution must emit no row changes")
+    // and a delete after compaction still isolates exactly its row
+    Snapshots.deleteWhere(spark, dir, $"id" === 2L)                     // v4
+    val cdc2 = Snapshots.changesBetween(spark, dir, 3, 4)
+    val del = cdc2.filter($"_change_type" === "delete")
+      .select($"id").as[Long].collect().toSet
+    assert(del == Set(2L), s"expected exactly the deleted row, got $del")
+  }
 }
