@@ -60,9 +60,24 @@ FINDINGS = {
         "audit aggregate; output stays 1 row, cost tracks candidates",
 }
 
+# Driver-heap contract (VERDICT r13 item 7): the budgeted-collect sites
+# record the bytes they ACTUALLY retained (graft.HeapWatermark, emitted
+# by Bench as heap_watermarks). Assert each site under the documented
+# 512 MiB LocalHeapBudget at 10x data — measured, not estimated.
+HEAP_BUDGET = 512 * 1024 * 1024
+watermarks = dev.get("heap_watermarks", {})
+heap_breaches = sorted(
+    s for s, b in watermarks.items() if b > HEAP_BUDGET)
+jvm_peaks = [p.get("jvm_heap_peak_mb") for p in dev.get("env", {}).get("passes", [])
+             if isinstance(p, dict) and p.get("jvm_heap_peak_mb") is not None]
+
 doc = {
     "metric": "sf1_scale_probe",
     "findings": {q: FINDINGS.get(q, "unexplained - investigate") for q in flagged},
+    "heap_watermarks_bytes": watermarks,
+    "heap_budget_bytes": HEAP_BUDGET,
+    "heap_breaches": heap_breaches,
+    "jvm_heap_peak_mb": max(jvm_peaks) if jvm_peaks else None,
     "sf": dev.get("sf"),
     "scale_vs_baseline": 10,
     "ratio_bar": RATIO_BAR,
@@ -83,3 +98,11 @@ print(f"wrote {out}: {len(queries)} queries, total {doc['total_sf1_sec']}s "
       f"({doc['total_sf1_sec']/max(doc['total_sf01_min_sec'],0.001):.1f}x the sf0.1 minima sum), "
       f"oracle {doc['n_oracle_pass']} pass / {doc['n_oracle_fail']} fail, "
       f"flagged: {flagged or 'none'}")
+if watermarks:
+    mx = max(watermarks.values())
+    print(f"driver collect high-water: {mx >> 20} MiB across {len(watermarks)} sites "
+          f"(budget {HEAP_BUDGET >> 20} MiB); jvm heap peak "
+          f"{doc['jvm_heap_peak_mb']} MB")
+if heap_breaches:
+    sys.exit(f"HEAP BUDGET BREACH at 10x data: {heap_breaches} — the bounded-driver "
+             "contract failed measured; move the site to the distributed path")

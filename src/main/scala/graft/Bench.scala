@@ -27,6 +27,45 @@ import org.apache.spark.sql.SparkSession
   * fast one, warm or cold.
   */
 object Bench {
+
+  /** Query currently inside the timers — the attribution key for
+    * runtime-captured WindowExec warnings (local mode: execution is
+    * synchronous inside `run`, so the volatile read is exact).
+    */
+  @volatile private var currentQuery: String = "setup"
+
+  /** query name → count of "No Partition Defined" WindowExec warnings
+    * that fired while it ran.
+    */
+  private val windowWarns =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
+
+  /** Capture WindowExec's single-partition warning per query (VERDICT
+    * r13 item 2): the expected warns map to
+    * [[graft.plans.BoundedWindows]]' justified bounded inputs; a warn
+    * from any OTHER query means a new unbounded window reached runtime
+    * — fail the run instead of letting it hide in the log tail. This
+    * also covers plans the PlanSpec static walk can't see (foreachBatch
+    * bodies, streaming micro-batches).
+    */
+  private def installWindowWarnCapture(): Unit = {
+    import org.apache.logging.log4j.LogManager
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Property
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val app = new AbstractAppender("graftWindowWarnGate", null, null, true,
+        Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+        if (e.getLoggerName.endsWith("WindowExec") &&
+            e.getMessage.getFormattedMessage.contains("No Partition Defined"))
+          windowWarns.merge(currentQuery, 1, (a, b) => a + b)
+    }
+    app.start()
+    ctx.getConfiguration.getRootLogger.addAppender(app, null, null)
+    ctx.updateLoggers()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -37,13 +76,20 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
-      // 132 queries × 2 passes compile >>100 generated classes; the
-      // default 100-entry codegen cache evicts between passes and the
-      // largest classes (PQ/LSH expression trees) recompile at 3-4×
-      // their run time — pass2 looked "slower" for pure Janino reasons
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // The 251-query registry plans ~3,300 wholestage-codegen units
+      // per pass (measured, SPARK_GRAFT_CODEGEN_TRACE r14). A cache
+      // smaller than the working set is WORSE than useless under the
+      // bench's cyclic access pattern: LRU over a 3,300-unit cycle with
+      // 2,000 entries evicts every entry before its reuse — measured
+      // 3,466/3,244/3,281 compiles across three passes, i.e. a ~0% hit
+      // rate and tens of seconds of Janino per pass that CPU contention
+      // amplifies (the r13 q_ingest_browser bimodality). 10k entries
+      // covers the registry with headroom; class memory is trivial next
+      // to the 128 GiB heap.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    installWindowWarnCapture()
 
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -80,10 +126,26 @@ object Bench {
       catch { case _: Throwable => "" }
     val passLog = scala.collection.mutable.ArrayBuffer.empty[String]
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // per-query micro-batch DATA seconds, one entry per pass (only for
+    // queries whose harness meters a "data" phase — the q_stream_* /
+    // pipe_stream_merge drive loops)
+    val dataSecs = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Double]]
     val byPass: Seq[Seq[(String, Double)]] = (1 to passes).map { pass =>
       val started = System.currentTimeMillis()
       val la0 = loadavg()
+      HeapWatermark.resetJvmPeaks()
       val timed = names.filter(n => pass == passes || !onePass(n)).map { name =>
+        currentQuery = name
+        PhaseMeter.reset()
+        // codegen forensics (dev, SPARK_GRAFT_CODEGEN_TRACE): Janino
+        // compile count/source bytes per query per pass — a nonzero
+        // count on a WARM pass means the 2000-entry codegen cache
+        // evicted this query's classes and it paid a recompile
+        val cgTrace = sys.env.contains("SPARK_GRAFT_CODEGEN_TRACE")
+        import org.apache.spark.metrics.source.CodegenMetrics
+        val cc0 = if (cgTrace) CodegenMetrics.METRIC_COMPILATION_TIME.getCount else 0L
+        val cs0 = if (cgTrace) CodegenMetrics.METRIC_SOURCE_CODE_SIZE.getCount else 0L
         val t0 = System.nanoTime()
         try run(SparkEntry.queries(name)(spark, sfDir)) catch {
           case e: Throwable =>
@@ -92,6 +154,19 @@ object Bench {
                 Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(200))
         }
         val dt = (System.nanoTime() - t0) / 1e9
+        if (cgTrace) {
+          val cc = CodegenMetrics.METRIC_COMPILATION_TIME.getCount - cc0
+          val cs = CodegenMetrics.METRIC_SOURCE_CODE_SIZE.getCount - cs0
+          if (cc > 0 || dt > 2.0)
+            System.err.println(f"[cg-trace] pass$pass $name dt=$dt%.2fs compiles=$cc srcs=$cs")
+        }
+        // stream decomposition: harness drive loops metered their
+        // micro-batch execution as "data"; wall − data = machinery floor
+        PhaseMeter.snapshot.get("data").foreach { ds =>
+          dataSecs.getOrElseUpdate(name,
+            scala.collection.mutable.ArrayBuffer.empty[Double]) += ds
+        }
+        currentQuery = "between"
         // reclaim per-query persisted blocks: timings stay independent —
         // no eviction churn from blocks a finished query left behind
         Tables.releaseCaches(spark)
@@ -100,7 +175,7 @@ object Bench {
       // contention forensics: a drifted total should be attributable to
       // the box at a glance (loadavg spans, wall timestamps per pass),
       // not inferred from per-query minima archaeology across rounds
-      passLog += s"""{"pass":$pass,"start_ms":$started,"end_ms":${System.currentTimeMillis()},"loadavg_start":"$la0","loadavg_end":"${loadavg()}"}"""
+      passLog += s"""{"pass":$pass,"start_ms":$started,"end_ms":${System.currentTimeMillis()},"loadavg_start":"$la0","loadavg_end":"${loadavg()}","jvm_heap_peak_mb":${HeapWatermark.jvmHeapPeakBytes >> 20}}"""
       timed
     }
     def median(xs: Seq[Double]): Double = {
@@ -141,7 +216,19 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":\"" + jstr(v) + "\"" }
         .mkString("{", ",", "}")
       val env = s""""env":{"cpus":"$cpus","available_processors":${Runtime.getRuntime.availableProcessors()},"passes":${passLog.mkString("[", ",", "]")}}"""
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${m(best)},$ps,"failures":$fs,$env,"sf":"$sfDir"}"""
+      // stream decomposition (VERDICT r13 item 5): per metered query the
+      // raw per-pass micro-batch DATA seconds — wall − data = machinery
+      // floor (MemoryStream transport, checkpoint dirs, sink setup) that
+      // amortizes away on a real long-running stream
+      val sd = dataSecs
+        .map { case (k, vs) => "\"" + k + "\":" + vs.mkString("[", ",", "]") }
+        .mkString("{", ",", "}")
+      // measured driver-collect high-water per site (HeapWatermark):
+      // the bounded-driver contract as a number the sf1 probe asserts
+      val hw = HeapWatermark.snapshot.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${m(best)},$ps,"stream_data":$sd,"heap_watermarks":$hw,"failures":$fs,$env,"sf":"$sfDir"}"""
     }
     // the committed baseline artifact records FULL runs only — a
     // SPARK_GRAFT_ONLY dev subset writes to bench_dev.json so it can
@@ -198,14 +285,27 @@ object Bench {
       val sfMatch = root.path("source_sf").asText("") == sfDir
       if (sfMatch) {
         val budgets = root.path("budgets")
+        val dataBudgets = root.path("data_budgets")
+        // metered stream queries gate on their fastest DATA time: the
+        // machinery floor (checkpoint/MemoryStream setup) is noisy and
+        // amortizes at production scale, so a wall budget there either
+        // flakes or hides a plan regression under the floor
+        val dataBreaches = dataSecs.toSeq.flatMap { case (n, vs) =>
+          val b = dataBudgets.path(n)
+          if (!b.isMissingNode && vs.min > b.asDouble())
+            Some(s""""$n":{"data_sec":${fmt(vs.min)},"budget":${b.asDouble()}}""")
+          else None
+        }
         // gate on the fastest pass (see `fastest` above): bimodality-
-        // robust, still trips on every-pass regressions
+        // robust, still trips on every-pass regressions. Queries with a
+        // data budget are gated above on the data statistic instead.
         val breaches = best.flatMap { case (n, _) =>
           val t = fastest(n)
           val b = budgets.path(n)
-          if (!b.isMissingNode && t > b.asDouble()) Some(s""""$n":{"sec":${fmt(t)},"budget":${b.asDouble()}}""")
+          if (!b.isMissingNode && !dataBudgets.path(n).isMissingNode) None
+          else if (!b.isMissingNode && t > b.asDouble()) Some(s""""$n":{"sec":${fmt(t)},"budget":${b.asDouble()}}""")
           else None
-        }
+        } ++ dataBreaches
         // a regression that leaves ONE pass fast (cold-pass-only, or
         // masked by caching) can never trip the min-based hard gate —
         // surface it as a non-fatal MEDIAN warning so slow-mode and
@@ -213,10 +313,14 @@ object Bench {
         // reintroducing the bimodality flakes the min gate fixed
         best.foreach { case (n, med) =>
           val b = budgets.path(n)
-          if (!b.isMissingNode && med > b.asDouble() && fastest(n) <= b.asDouble())
+          if (!b.isMissingNode && dataBudgets.path(n).isMissingNode &&
+              med > b.asDouble() && fastest(n) <= b.asDouble())
             System.err.println(s"""[bench-warn] median over budget (fastest pass ok): {"$n":{"median":${fmt(med)},"fastest":${fmt(fastest(n))},"budget":${b.asDouble()}}}""")
         }
-        val unguarded = best.collect { case (n, _) if budgets.path(n).isMissingNode => n }
+        val unguarded = best.collect {
+          case (n, _) if budgets.path(n).isMissingNode &&
+            dataBudgets.path(n).isMissingNode => n
+        }
         if (unguarded.nonEmpty)
           System.err.println(s"[bench-guard] unguarded (no budget entry — rerun the full " +
             s"bench and scripts/make_budgets.py, commit both): ${unguarded.mkString(",")}")
@@ -229,6 +333,29 @@ object Bench {
         gateFailed ||= breaches.nonEmpty || totalBreach || unguarded.nonEmpty
       } else System.err.println(
         s"[bench-guard] budgets are for ${root.path("source_sf").asText("")}, run is $sfDir — gate skipped")
+    }
+    // runtime window-warn gate (VERDICT r13 item 2): every captured
+    // "No Partition Defined" WindowExec warning must be attributable to
+    // a BoundedWindows-whitelisted query — a new unbounded window can't
+    // hide among the expected warn noise. Applies to dev subsets too
+    // (the warn is plan-shaped, not timing-shaped).
+    {
+      import scala.jdk.CollectionConverters._
+      val warned = windowWarns.asScala.toSeq.sortBy(_._1)
+      val illegal = warned.filterNot { case (n, _) =>
+        graft.plans.BoundedWindows.justification.contains(n) ||
+          n == "setup" || n == "between"
+      }
+      warned.collect { case (n, c) if !illegal.exists(_._1 == n) =>
+        System.err.println(s"[bench-window] expected bounded single-partition window: $n x$c")
+      }
+      if (illegal.nonEmpty) {
+        System.err.println(
+          "[bench-guard] UNWHITELISTED partition-less WindowExec at runtime " +
+            "(add a justified bound to graft.plans.BoundedWindows or fix the plan): " +
+            illegal.map { case (n, c) => s"$n x$c" }.mkString(", "))
+        gateFailed = true
+      }
     }
     // a crash is unambiguous regardless of warm/cold timing, so it fails
     // SUBSET (dev) runs too — with a distinct exit code (2) so a dev

@@ -20,7 +20,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // same rationale as Bench: >100 generated classes across the
       // query population; the default cache evicts and recompiles
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -59,6 +59,7 @@ object IngestQueries {
     */
   def capture(s: SparkSession, d: String): DataFrame = {
     val ctx = IngestContext(
+      now = Normalizer.DetClock,
       headerApiKey = lit("hdr-key"),
       sentAtHeader = date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
     Normalizer.ingest(captureInput(s, d), col("body"), ctx)
@@ -104,7 +105,7 @@ object IngestQueries {
     val in = wireInput(s, d)
       .withColumn("body", Codecs.decodeToString(col("payload"), col("method")))
     Normalizer.ingest(in.select(col("event_id"), col("mode"), col("body")),
-        col("body"), IngestContext())
+        col("body"), Normalizer.detContext)
       .select(col("event_id"), col("mode"), col("event"), col("distinct_id"))
   }
 
@@ -146,7 +147,7 @@ object IngestQueries {
     * into items (`extractors.rs:457-505,593-631`).
     */
   def form(s: SparkSession, d: String): DataFrame =
-    Normalizer.ingest(formInput(s, d), col("body"), IngestContext())
+    Normalizer.ingest(formInput(s, d), col("body"), Normalizer.detContext)
       .select(col("event_id"), col("mode"), col("event"), col("distinct_id"),
         col("api_key"))
 
@@ -194,7 +195,7 @@ object IngestQueries {
     * (lib.rs:500-581).
     */
   def browser(s: SparkSession, d: String): DataFrame =
-    Normalizer.ingest(browserInput(s, d), col("body"), IngestContext())
+    Normalizer.ingest(browserInput(s, d), col("body"), Normalizer.detContext)
       .select(
         element_at(col("extra"), "eid").cast(LongType).as("event_id"),
         col("event"), col("distinct_id"), col("api_key"),
@@ -255,7 +256,7 @@ object IngestQueries {
     * (lib.rs:1447-1592), group-identify distinct_id:=group_key.
     */
   def batch(s: SparkSession, d: String): DataFrame =
-    Normalizer.ingest(batchInput(s, d), col("body"), IngestContext())
+    Normalizer.ingest(batchInput(s, d), col("body"), Normalizer.detContext)
       .select(col("batch_id"), col("item_idx"), col("kind"), col("event"),
         col("distinct_id"), col("api_key"))
 
@@ -292,7 +293,8 @@ object IngestQueries {
     * (header_value trim+non-empty filter).
     */
   def enrichQ(s: SparkSession, d: String): DataFrame = {
-    val ctx = IngestContext(requestIp = concat(lit("ip-"), col("user_id")),
+    val ctx = IngestContext(now = Normalizer.DetClock,
+      requestIp = concat(lit("ip-"), col("user_id")),
       geo = Seq(
         "$geoip_country_code" -> lit("DE"),
         "cf_ray" -> concat(lit("ray-"), col("user_id") % 100),
@@ -358,7 +360,7 @@ object IngestQueries {
     * configured positional columns (lib.rs:1378-1391).
     */
   def groups(s: SparkSession, d: String): DataFrame =
-    Normalizer.ingest(groupsInput(s, d), col("body"), IngestContext())
+    Normalizer.ingest(groupsInput(s, d), col("body"), Normalizer.detContext)
       .select(col("distinct_id").cast(LongType).as("event_id"),
         col("group0"), col("group1"), col("group2"))
 
@@ -416,6 +418,7 @@ object IngestQueries {
     */
   def session(s: SparkSession, d: String): DataFrame = {
     val ctx = IngestContext(
+      now = Normalizer.DetClock,
       headerApiKey = when(col("event_id") % 2 === 0, concat(lit("hk-"), col("user_id"))),
       sentAtHeader = date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
     Normalizer.sessionIntake(sessionInput(s, d), col("body"), ctx)

@@ -37,6 +37,28 @@ object Normalizer {
       geoJson: Seq[(String, Column)] = Nil,
       groupTypes: Seq[String] = EventSchema.defaultGroupTypes)
 
+  /** Deterministic ingest clock for the REGISTRY/bench paths.
+    *
+    * `current_timestamp()` is folded to a fresh literal on every
+    * execution (Catalyst's ComputeCurrentTime), so a plan containing it
+    * generates DIFFERENT source each run — a guaranteed Janino codegen-
+    * cache miss. The ingest projection is one of the widest generated
+    * classes in the registry, and re-compiling it every pass is pure
+    * overhead that CPU contention amplifies (the r13 `q_ingest_browser`
+    * 7× median bimodality: ~10 recompiles per pass per ingest query,
+    * cheap on a quiet box, multi-second under load). `created_at` is
+    * never oracle-projected, so the registry queries pin the clock;
+    * PRODUCTION ingest keeps the `current_timestamp()` default — there
+    * a streaming micro-batch re-plans anyway and the stamp must be real
+    * server time.
+    */
+  val DetClock: Column = to_timestamp(lit("2024-02-01 00:00:00"))
+
+  /** [[IngestContext]] with the deterministic clock — what every
+    * registered query uses (see [[DetClock]]).
+    */
+  def detContext: IngestContext = IngestContext(now = DetClock)
+
   /** Deterministic uuid (v5-style, md5-based) — replaces the
     * reference's random v4 (`pipeline.rs:188`) so that replays are
     * idempotent and the lake's `dropDuplicates("uuid")` dedup works.

@@ -142,6 +142,10 @@ object IdentityResolver {
     val maxLocalEdges = math.min(localHeapBudget / 160L, Int.MaxValue - 1L).toInt
     val quickCap = math.min(maxLocalEdges.toLong, quickProbeEdges).toInt
     val head = undirected.take(quickCap + 1)
+    // measured watermark for the bench artifact: what this take
+    // actually retained on the driver (HeapWatermark, VERDICT r13 #7)
+    graft.HeapWatermark.record("identity_resolver.quick_probe",
+      estimatedHeapBytes(head.length.toLong, idChars(head)))
 
     if (head.length <= quickCap) {
       if (estimatedHeapBytes(head.length, idChars(head)) <= localHeapBudget) {
@@ -163,6 +167,9 @@ object IdentityResolver {
           estimatedHeapBytes(probe.getLong(0), probe.getLong(1)) <= localHeapBudget) {
         val pairs = undirected.take(probe.getLong(0).toInt)
           .map(r => (r.getString(0), r.getString(1))).toSeq
+        graft.HeapWatermark.record("identity_resolver.local_edges",
+          estimatedHeapBytes(pairs.length.toLong,
+            pairs.iterator.map(p => p._1.length.toLong + p._2.length).sum))
         undirected.unpersist()
         return localPath(pairs)
       }

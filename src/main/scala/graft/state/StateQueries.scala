@@ -403,7 +403,7 @@ object StateQueries {
   def pipeWire(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val canonical = graft.ingest.Normalizer.ingest(
-      wireBodies(s, d), col("body"), graft.ingest.Normalizer.IngestContext())
+      wireBodies(s, d), col("body"), graft.ingest.Normalizer.detContext)
     val ops = PersonOpExtract
       .fromCanonical(canonical, element_at(col("extra"), "eid").cast(LongType))
       .as[PersonOp]
@@ -475,7 +475,7 @@ object StateQueries {
   def pipeStreamMerge(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val canonical = graft.ingest.Normalizer.ingest(
-      wireBodies(s, d), col("body"), graft.ingest.Normalizer.IngestContext())
+      wireBodies(s, d), col("body"), graft.ingest.Normalizer.detContext)
     val ops = PersonOpExtract
       .fromCanonical(canonical, element_at(col("extra"), "eid").cast(LongType))
       .as[PersonOp]
@@ -545,7 +545,7 @@ object StateQueries {
     // persist the minimal canonical projection: the extraction reads it
     // twice (groupidentify branch + $group_set branch)
     val canonical = graft.ingest.Normalizer.ingest(
-        groupWireBodies(s, d), col("body"), graft.ingest.Normalizer.IngestContext())
+        groupWireBodies(s, d), col("body"), graft.ingest.Normalizer.detContext)
       .select(col("event"), col("properties"), col("extra"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ops = GroupOpExtract

@@ -154,7 +154,14 @@ final class IdentityMergeState(
         s"(${driverHeapBudget >> 20} MiB). The per-epoch driver-resident " +
         "dimension premise no longer holds at this id cardinality — resolve identities in " +
         "batch via IdentityResolver.components (distributed fixpoint) instead, or raise the budget.")
-    rdd.collect()
+    val arr = rdd.collect()
+    // measured watermark: the bytes model applied to the rows ACTUALLY
+    // retained (count + exact char sum of the collected array) — the
+    // bench artifact carries the per-site maxima (HeapWatermark)
+    graft.HeapWatermark.record(s"identity_merge.$what",
+      IdentityResolver.estimatedHeapBytes(arr.length.toLong,
+        arr.iterator.map(chars).sum))
+    arr
   }
 
   /** Fold one micro-batch of ops into the state. Idempotent by
@@ -547,7 +554,10 @@ object IdentityMerge {
           .distinct.sliding(2).map(p => (p.head, p.last)).toSeq
       }
     cuts.zipWithIndex.foreach { case ((lo, hi), i) =>
-      st.processBatch(opsDf.filter(col("ord") > lo && col("ord") <= hi), i.toLong)
+      // metered as "data": the incremental fold itself, vs the harness
+      // checkpoint/minmax floor above (Bench stream decomposition)
+      graft.PhaseMeter.time("data")(
+        st.processBatch(opsDf.filter(col("ord") > lo && col("ord") <= hi), i.toLong))
     }
     ckptRdds.foreach(_.unpersist(blocking = false))
     st

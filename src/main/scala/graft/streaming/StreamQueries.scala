@@ -63,7 +63,9 @@ object StreamQueries {
     val out = try {
       batches.foreach { b =>
         mem.addData(b: _*)
-        q.processAllAvailable()
+        // metered as "data": the actual micro-batch execution — Bench
+        // separates this from the harness/transport floor (PhaseMeter)
+        graft.PhaseMeter.time("data")(q.processAllAvailable())
       }
       s.table(name).localCheckpoint(true)
     } finally { q.stop() }
@@ -212,7 +214,7 @@ object StreamQueries {
       docs.grouped(math.max(1, docs.length / chunks + 1)).foreach { ch =>
         val in = ch.toSet
         mem.addData(bandRows.filter(t => in(t._1)).toSeq: _*)
-        q.processAllAvailable()
+        graft.PhaseMeter.time("data")(q.processAllAvailable())
       }
       s.table(name).as[(Long, Int, Long)].collect()
     } finally { q.stop(); s.sql(s"DROP TABLE IF EXISTS $name") }
@@ -250,7 +252,7 @@ object StreamQueries {
     val picks = try {
       rows.sortBy(_._1).grouped(math.max(1, rows.length / chunks + 1)).foreach { ch =>
         mem.addData(ch.toSeq: _*)
-        q.processAllAvailable()
+        graft.PhaseMeter.time("data")(q.processAllAvailable())
       }
       s.table(name).as[Streaming.SamplePick].collect()
     } finally { q.stop(); s.sql(s"DROP TABLE IF EXISTS $name") }

@@ -87,6 +87,59 @@ class FlagSpec extends AnyFunSuite {
     assert(!enabled(bad, ctx("email" -> JStr("anything")))) // bad pattern → false
   }
 
+  /** The regex DIALECT contract (F6): our evaluator is `java.util.regex`
+    * with `find()` semantics and invalid-pattern → false
+    * (FlagEval.valueRegex); the reference evaluates the same pattern
+    * strings with Rust's `regex` crate (feature_flags.rs regex op).
+    * Each construct below is pinned as AGREE (identical verdict in both
+    * engines) or DIVERGE (the verdict OUR engine gives, with the Rust
+    * behavior documented inline) — so a flag author consulting this
+    * table knows exactly which patterns port cleanly.
+    */
+  test("regex dialect matrix: Java vs Rust `regex` crate, construct by construct") {
+    def m(p: String, s: String) = enabled(
+      boolFlag("f", PropertyFilter("v", JStr(p), operator = Some("regex"))),
+      ctx("v" -> JStr(s)))
+    // AGREE — shared core syntax, identical verdicts in both dialects
+    assert(m("^a+b$", "aab") && !m("^a+b$", "ab c")) // anchors + repeat
+    assert(m("(?i)HELLO", "say hello"))              // inline flags
+    assert(m("\\bword\\b", "a word here"))           // word boundary
+    assert(m("a{2,3}", "caaat"))                     // bounded repetition
+    assert(m("\\p{L}+", "héllo"))                    // unicode letter class
+    assert(m("colou?r", "color") && m("colou?r", "colour")) // optional
+    assert(m("(cat|dog)s?", "two dogs"))             // alternation + group
+    // DIVERGE — Rust `regex` has no backtracking engine: lookaround and
+    // backreferences are COMPILE ERRORS there (the reference's eval sees
+    // an invalid pattern → no match); Java compiles and evaluates them.
+    // Our verdict is Java's:
+    assert(m("foo(?=bar)", "foobar"))   // lookahead: Java true, Rust false
+    assert(m("foo(?!bar)", "foobaz"))   // negative lookahead: Java true, Rust false
+    assert(m("(?<=foo)bar", "foobar"))  // lookbehind: Java true, Rust false
+    assert(m("(a)\\1", "aa"))           // backreference: Java true, Rust false
+    // DIVERGE — compiles in BOTH dialects but MEANS different things:
+    // Java parses [[:alpha:]] as a nested class of the literal chars
+    // {':','a','l','p','h'}; Rust as POSIX alpha. Verdicts split on a
+    // non-alphabetic haystack:
+    assert(m("[[:alpha:]]+", "abc"))    // both true (for different reasons)
+    assert(m("[[:alpha:]]+", ":::"))    // Java TRUE (':' in class), Rust FALSE
+    // DIVERGE — \d/\w are ASCII in Java, Unicode in Rust:
+    assert(!m("^\\d$", "٣"))       // Arabic-Indic ٣: Java false, Rust true
+    // DIVERGE — '$' before a trailing newline: Java's default '$' also
+    // matches before a final line terminator; Rust's matches only at
+    // end of haystack:
+    assert(m("c$", "abc\n"))            // Java true, Rust false
+    // DIVERGE — script classes spell differently: Java wants IsGreek
+    // (bare Greek is an unknown property → invalid → false); Rust wants
+    // bare Greek (IsGreek is the error there):
+    assert(!m("\\p{Greek}+", "αβγ"))    // Java invalid → false; Rust true
+    assert(m("\\p{IsGreek}+", "αβγ"))   // Java true; Rust invalid → false
+    // AGREE on verdict, differ on COST: Rust is linear-time (DFA/NFA),
+    // Java backtracks — a pathological pattern agrees on the answer but
+    // can blow up Java's matcher on a long non-matching haystack; flag
+    // authors must avoid nested-quantifier shapes:
+    assert(m("(a+)+$", "aaaa"))
+  }
+
   test("gt/gte/lt/lte numeric coercion incl. numeric strings and bools") {
     def f(op: String, v: JsonV) = boolFlag("f", PropertyFilter("n", v, operator = Some(op)))
     assert(enabled(f("gt", JNum(5)), ctx("n" -> JStr("10"))))

@@ -557,22 +557,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!fi.contains("CartesianProduct"), fi.take(1500))
   }
 
-  /** Queries whose partition-less window is PROVABLY bounded — input
-    * is a preceding `limit`, a fixed grid, or a V-row dimension
-    * aggregate, never the raw input — with the justification inline so
-    * a new entry has to argue its bound. Everything else must use
-    * [[graft.plans.BucketedOrder]] (or a keyed window).
+  /** Queries whose partition-less window is PROVABLY bounded — now
+    * maintained in MAIN ([[graft.plans.BoundedWindows]]) so the bench's
+    * runtime warn-capture gate asserts against the very same list this
+    * static gate uses (VERDICT r13 item 2).
     */
-  private val boundedWindowJustification: Map[String, String] = Map(
-    "q_corpus_temperature" -> "2 windows over the per-SOURCE count aggregate (V rows)",
-    "q_ingest_quota" -> "median rank over the (org × day) rollup — 20 × days dimension rows",
-    "q_corpus_weighted_sample" -> "tau window AFTER .limit(SampleK+1) — k+1 rows",
-    "q_flag_bootstrap" -> "CI rank over the 200-replicate dimension (BootReplicates rows)",
-    "q_sim_index_stats" -> "cell-balance window over the K-centroid aggregate (K rows)",
-    "q_text_mix" -> "mixTargets window over the per-LANG count aggregate (V rows)",
-    "q_text_mix_topk" -> "same mixTargets V-row window",
-    "q_text_search" -> "per-query rank AFTER .limit(SearchTopK) — k rows, 3 queries",
-    "q_text_vocab" -> "id assignment AFTER .limit(VocabSize) — V rows (Heaps-bounded)")
+  private val boundedWindowJustification: Map[String, String] =
+    graft.plans.BoundedWindows.justification
 
   test("registry-wide: no partition-less window over unbounded input") {
     // `OVER (ORDER BY …)` with no PARTITION BY plans a single task

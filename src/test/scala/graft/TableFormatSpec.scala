@@ -1,0 +1,83 @@
+package graft
+
+import graft.sources.{IcebergFormat, SnapshotsFormat, TableFormat}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.Files
+
+/** The TableFormat CONTRACT, run against every implementation that is
+  * present (VERDICT r13 item 3): Snapshots always; Iceberg when its
+  * runtime jars exist (cancelled in this offline container — the same
+  * suite is a deployment's smoke test the day the jars arrive).
+  * SnapshotsSpec continues to test the manifest format's own extended
+  * surface (WAP, stats pruning, CDC, epochs) directly.
+  */
+class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def range(a: Int, b: Int) = {
+    import spark.implicits._
+    (a until b).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+  }
+
+  /** One handle per (impl, test) — a fresh temp dir for Snapshots; an
+    * Iceberg impl would mint a fresh catalog table name instead.
+    */
+  private def contract(name: String, fmt: TableFormat, freshTable: () => String,
+      guard: () => Boolean = () => true): Unit =
+    test(s"$name: append/read/time-travel/delete/merge/rollback contract") {
+      assume(guard(), s"$name runtime not on the classpath — cancelled")
+      import spark.implicits._
+      val t = freshTable()
+      // append commits accumulate
+      fmt.append(spark, t, range(0, 10))
+      fmt.append(spark, t, range(10, 30))
+      assert(fmt.read(spark, t).count() == 30)
+      val versionsAfterAppends = fmt.versions(spark, t)
+      assert(versionsAfterAppends.size == 2)
+      assert(fmt.currentVersion(spark, t).contains(versionsAfterAppends.last))
+      // time travel to the first commit
+      assert(fmt.readAt(spark, t, versionsAfterAppends.head).count() == 10)
+      assert(fmt.readAsOf(spark, t, System.currentTimeMillis()).count() == 30)
+      // DELETE removes only pred IS TRUE
+      fmt.deleteWhere(spark, t, col("id") < 5)
+      assert(fmt.read(spark, t).count() == 25)
+      assert(fmt.read(spark, t).filter(col("id") < 5).count() == 0)
+      // MERGE: update one, insert one
+      fmt.mergeInto(spark, t, Seq((7L, "UP"), (100L, "NEW")).toDF("id", "s"), Seq("id"))
+      val after = fmt.read(spark, t)
+      assert(after.count() == 26)
+      assert(after.filter($"id" === 7L).select("s").as[String].head() == "UP")
+      // compaction changes no rows
+      fmt.compact(spark, t, files = 1)
+      assert(fmt.read(spark, t).count() == 26)
+      // rollback to pre-delete: contents restored, history intact
+      fmt.rollback(spark, t, versionsAfterAppends.last)
+      assert(fmt.read(spark, t).count() == 30)
+      // replace overwrites everything
+      fmt.replace(spark, t, range(500, 503))
+      assert(fmt.read(spark, t).select(min($"id")).as[Long].head() == 500L)
+      // expire keeps the table readable
+      fmt.expire(spark, t, keepLast = 1)
+      assert(fmt.read(spark, t).count() == 3)
+    }
+
+  contract("snapshots", SnapshotsFormat,
+    () => Files.createTempDirectory("tfmt").toString)
+
+  // activates when Iceberg runtime jars + a 'graft_it' catalog conf
+  // exist; in this offline container it reports cancelled, not passed
+  contract("iceberg", IcebergFormat,
+    () => s"graft_it.db.t${java.lang.Long.toHexString(System.nanoTime())}",
+    guard = () => IcebergFormat.available)
+}
