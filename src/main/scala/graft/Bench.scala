@@ -254,6 +254,24 @@ object Bench {
     }
     val qs = entries.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"others":${fmt(others)},"nq":${names.size},"sf":"$sfDir"}""")
+    // cross-round trend in the run log (VERDICT r13 item 9): totals per
+    // committed BENCH_r*.json artifact plus this run, so drift across
+    // rounds is one glance in CI output (scripts/bench_trend.py is the
+    // detailed ratio report)
+    try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val hist = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+        .sortBy(_.getName.stripPrefix("BENCH_r").stripSuffix(".json").toInt)
+        .flatMap { f =>
+          val n = om.readTree(f)
+          val p = n.path("parsed")
+          if (p.isMissingNode || p.path("value").isMissingNode) None
+          else Some(s""""r${n.path("n").asText()}":{"sec":${p.path("value").asDouble()},"nq":${p.path("nq").asInt()}}""")
+        }
+      if (hist.nonEmpty)
+        System.err.println(s"""{"metric":"bench_trend",${hist.mkString(",")},"this_run":{"sec":${fmt(total)},"nq":${names.size}}}""")
+    } catch { case _: Throwable => }
     spark.stop()
 
     // a throwing query is a hard failure on full runs: it was timed as

@@ -45,6 +45,50 @@ object Lake {
   def readEvents(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** JSON payload columns eligible for the Variant at-rest layout. */
+  private val JsonCols = Seq("properties", "person_properties", "group_properties")
+
+  /** Batch append with the VARIANT at-rest layout (SURVEY §4, measured
+    * round 14): the JSON payload columns are parsed ONCE here —
+    * `parse_json` at commit time — and land as parquet `VariantType`
+    * columns, so every downstream probe is a `variant_get` against
+    * pre-parsed bytes instead of a `get_json_object` re-parse.
+    * Measured 1.2–1.8× on props-heavy scans, growing with data
+    * (`graft.VariantProbe`: 1.95 s → 1.09 s single-probe at 1M rows).
+    * `try_parse_json` keeps ingest total: a malformed payload lands as
+    * a NULL variant (the row survives; the string layout would have
+    * carried the broken text into every downstream parse instead).
+    *
+    * Reader contract: probe with `variant_get(col, "$.k", type)`;
+    * [[probeJson]] writes queries that run against EITHER layout, so
+    * adopting the layout is a write-path switch, not a query rewrite.
+    */
+  def writeEventsVariant(events: DataFrame, path: String,
+      dedup: Boolean = true): Unit = {
+    val base = if (dedup) events.dropDuplicates("uuid") else events
+    val converted = JsonCols.filter(base.columns.contains)
+      .foldLeft(base)((df, c) => df.withColumn(c, try_parse_json(col(c))))
+    withPartition(converted)
+      .write
+      .partitionBy(PartitionCol)
+      .mode("append")
+      .parquet(path)
+  }
+
+  /** Layout-agnostic JSON probe: `variant_get` when the column landed
+    * as Variant ([[writeEventsVariant]]), `get_json_object` + cast when
+    * it is the string layout — one probe spelling for query authors,
+    * whichever layout the table was written with.
+    */
+  def probeJson(df: DataFrame, column: String, jsonPath: String,
+      targetType: String): Column =
+    df.schema(column).dataType match {
+      case _: org.apache.spark.sql.types.VariantType =>
+        variant_get(col(column), jsonPath, targetType)
+      case _ =>
+        get_json_object(col(column), jsonPath).cast(targetType)
+    }
+
   /** Compaction (the parquet analogue of Iceberg's
     * `rewrite_data_files`): rewrite each date-partition's accumulated
     * small files into one file — streaming appends produce a file per

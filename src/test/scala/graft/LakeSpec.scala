@@ -45,6 +45,41 @@ class LakeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("event_date") === "2024-03-05").count() == 1)
   }
 
+  test("variant at-rest layout: probes agree with the string layout; malformed JSON survives as NULL variant") {
+    import org.apache.spark.sql.types.VariantType
+    val sdir = Files.createTempDirectory("lake_s").toString
+    val vdir = Files.createTempDirectory("lake_v").toString
+    val events = canonical(
+      """{"event":"a","distinct_id":"d1","timestamp":"2024-03-01T00:00:00Z","properties":{"k":7,"s":"x"}}""",
+      """{"event":"b","distinct_id":"d2","timestamp":"2024-03-02T00:00:00Z","properties":{"k":9}}""")
+    Lake.writeEvents(events, sdir)
+    Lake.writeEventsVariant(events, vdir)
+    val s = Lake.readEvents(spark, sdir)
+    val v = Lake.readEvents(spark, vdir)
+    // the payload column landed as a real parquet VariantType
+    assert(v.schema("properties").dataType.isInstanceOf[VariantType],
+      s"expected VariantType, got ${v.schema("properties").dataType}")
+    // one probe spelling, either layout, same answers
+    def probed(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("distinct_id"),
+        Lake.probeJson(df, "properties", "$.k", "long").as("k"),
+        Lake.probeJson(df, "properties", "$.s", "string").as("sv"))
+      .collect().map(r => (r.getString(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(probed(s) == probed(v))
+    assert(probed(v) == Set(("d1", 7L, Some("x")), ("d2", 9L, None)))
+    // partition layout unchanged: pruning still works on the variant lake
+    assert(v.filter(col("event_date") === "2024-03-01").count() == 1)
+    // a malformed payload survives ingest as a NULL variant row
+    import spark.implicits._
+    val broken = events.limit(1)
+      .withColumn("properties", lit("{not json"))
+      .withColumn("uuid", lit("u-broken"))
+    Lake.writeEventsVariant(broken, vdir)
+    val vb = Lake.readEvents(spark, vdir)
+    assert(vb.count() == 3)
+    assert(vb.filter(col("properties").isNull).count() == 1)
+  }
+
   test("idempotent replay: duplicate uuids dropped within an append") {
     val dir = Files.createTempDirectory("lake").toString
     val events = canonical(
