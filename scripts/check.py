@@ -30,8 +30,17 @@ def main(sf_dir, out_dir):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # optional: regex filter + reverse order, so two instances can sweep
+    # a long (sf1) registry from both ends concurrently — DuckDB's heavy
+    # recursive-CTE queries leave most cores idle
+    import re as _re
+    name_re = sys.argv[3] if len(sys.argv) > 3 and sys.argv[3] != "-" else None
+    reverse = "--reverse" in sys.argv
+    items = sorted(oracles.items(), reverse=reverse)
+    if name_re:
+        items = [(n, s) for n, s in items if _re.search(name_re, n)]
     n_pass = n_fail = 0
-    for name, sql in sorted(oracles.items()):
+    for name, sql in items:
         try:
             exp = con.sql(sql).fetchall()
             cols_exp = [d[0] for d in con.sql(sql).description]

@@ -58,6 +58,21 @@ FINDINGS = {
         "form (q_dedup_clusters) at scale, pair lists for sampled audits",
     "q_dedup_lsh_audit": "same candidate-pair density growth inside the "
         "audit aggregate; output stays 1 row, cost tracks candidates",
+    # r14 full-registry additions, all the same two classes:
+    "q_dedup_containment": "inverted-shingle intersection cost is "
+        "sum(df(shingle)^2); the synthetic 30-token vocab makes shingle "
+        "doc-frequency grow ~linearly with corpus, so the self-join is "
+        "corpus-quadratic. Production corpora have power-law shingle df; "
+        "the standard mitigation (hot-shingle df cap) changes semantics, "
+        "so the exact form stays the audit and LSH blocking is the scale path",
+    "q_dedup_ngram": "same inverted-shingle df^2 growth as "
+        "q_dedup_containment (shared index shape)",
+    "q_dedup_cosine": "LABELED brute baseline (onePass tier): exact "
+        "all-pairs cosine audit for its LSH-blocked twin — "
+        "work-quadratic by definition; the twin is the scale path",
+    "q_sim_binary": "labeled brute baseline: exact Hamming scan over "
+        "all vectors auditing the 1-bit quantization ladder — "
+        "work-quadratic by definition",
 }
 
 # Driver-heap contract (VERDICT r13 item 7): the budgeted-collect sites

@@ -802,7 +802,15 @@ object Similarity {
       .withColumn("n_max", max(col("n_cell")).over(wAll))
       .select(col("centroid_id"), col("n_cell"), col("n_cells"),
         (col("n_cell").cast(DoubleType) / col("n_total").cast(DoubleType)).as("share"),
-        (col("qsum").cast(DoubleType) / col("n_cell").cast(DoubleType)).as("mean_qerr"),
+        // round(…, 9): the sf1 probe caught a 1-ulp divergence here —
+        // one row's dist2 can quantize differently at the 12th decimal
+        // between the engines' double→decimal casts, shifting qsum by
+        // 1e-12 and the mean by ~1 ulp at 2400-row cells. round() on
+        // near-identical doubles is pinned half-away-from-zero in both
+        // engines (the q_sim_quant discipline); 9 decimals keeps every
+        // meaningful digit of a ~1.6 qerr.
+        round(col("qsum").cast(DoubleType) / col("n_cell").cast(DoubleType), 9)
+          .as("mean_qerr"),
         ((col("n_max") * col("n_cells")).cast(DoubleType) /
           col("n_total").cast(DoubleType)).as("balance"))
   }
@@ -830,7 +838,7 @@ object Similarity {
        |  FROM per)
        |SELECT centroid_id, n_cell, n_cells,
        |  n_cell::DOUBLE / n_total::DOUBLE AS share,
-       |  qsum::DOUBLE / n_cell::DOUBLE AS mean_qerr,
+       |  round(qsum::DOUBLE / n_cell::DOUBLE, 9) AS mean_qerr,
        |  (n_max * n_cells)::DOUBLE / n_total::DOUBLE AS balance
        |FROM g""".stripMargin
   }
