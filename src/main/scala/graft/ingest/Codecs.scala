@@ -295,7 +295,16 @@ object Codecs {
   val hmacSha256Udf = udf((secret: String, data: Array[Byte]) => hmacSha256Hex(secret, data))
   val verifySigUdf = udf((secret: String, data: Array[Byte], sig: String) => verifySignature(secret, data, sig))
 
-  /** Decode a (possibly compressed) payload column to a UTF-8 string. */
+  /** Decode a (possibly compressed) payload column to a UTF-8 string.
+    *
+    * ND-marked (the function is pure; the marker is an optimizer
+    * fence): the decoded body feeds the whole ingest chain, and a
+    * deterministic UDF alias gets re-inlined into every downstream
+    * reference by CollapseProject — measured as 41 decompress calls
+    * per row on the wire path. The fence pins one evaluation per row.
+    */
   def decodeToString(data: Column, method: Column): Column =
-    decodeAutoUdf(data, method).cast("string")
+    decodeAutoNdUdf(data, method).cast("string")
+
+  private val decodeAutoNdUdf = decodeAutoUdf.asNondeterministic()
 }

@@ -100,7 +100,14 @@ object Normalizer {
       body.contains("\"data\"") || body.contains("\"compression")
 
   def decodeEnvelope(body: Column, isForm: Column = lit(false)): Column =
-    when(needsEnvelopeDecode(body, isForm), Codecs.normalizeEnvelopeUdf(body, isForm))
+    // the ND-marked UDF (pure; marker = optimizer fence): a
+    // deterministic UDF alias gets inlined by CollapseProject into
+    // EVERY downstream reference — measured 41 decode calls PER ROW
+    // through the ingest chain (itemsArray probes, envelope fallbacks,
+    // sent_at/api_key gates) before the fence. With it, the decoded
+    // envelope materializes once per row and everything downstream
+    // reads the attribute.
+    when(needsEnvelopeDecode(body, isForm), decodeEnvelopeNdUdf(body, isForm))
       .otherwise(body)
 
   // ------------------------------------------------- S4/S5: item explode
@@ -130,8 +137,13 @@ object Normalizer {
     * through [[deadLetters]] for the reject stream.
     */
   def explodeItems(df: DataFrame, body: Column): DataFrame =
+    // itemsArray reads the ENVELOPE ATTRIBUTE, not the body expression:
+    // referencing the expression again would re-evaluate it per probe
+    // (for a UDF-decoded body that's the 41-calls-per-row trap the
+    // decodeEnvelope fence exists to stop — one alias, one evaluation,
+    // every downstream consumer reads the column)
     df.withColumn("envelope", body)
-      .withColumn("__items", itemsArray(body))
+      .withColumn("__items", itemsArray(col("envelope")))
       .select(col("*"), posexplode(col("__items")).as(Seq("item_idx", "item")))
       .drop("__items")
 
