@@ -1118,7 +1118,94 @@ object Dedup {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS is_keeper
        |FROM p""".stripMargin
 
+  // --------------------------------------------------------------- CDC
+
+  /** CDC gram width (rolling window) and boundary divisor (expected
+    * chunk length ≈ divisor chars). */
+  val CdcK = 8
+  val CdcDiv = 32
+
+  /** Q-DEDUP-CDC: content-defined chunking dedup (the rsync/LBFS/
+    * restic boundary scheme applied to text): a chunk boundary falls
+    * after position i whenever the rolling hash of the last [[CdcK]]
+    * chars satisfies `h % CdcDiv == 0`, so boundaries survive
+    * insertions/deletions — unlike fixed-width blocks, a one-char edit
+    * reshapes at most the chunk it lands in. Chunks are content-hashed
+    * and deduplicated across the corpus; the per-doc report gives the
+    * chunk-level containment that whole-doc hashing misses (partial
+    * overlap from boilerplate headers, quoted replies, re-crawls).
+    *
+    * Shape at 100 TB: chunking is a map-only codegen'd expression per
+    * doc (no UDF), and the text is scanned ONCE — postings collapse to
+    * the compact (chunk_hash, doc_id) pair table first (map-side
+    * partial agg), the doc-frequency comes from a chash-partitioned
+    * window over those pairs (one row per pair ⇒ count(*) IS the
+    * distinct-doc df), and only 24-byte rows ever shuffle. The naive
+    * df-rollup-then-join form reads the corpus twice.
+    */
+  def cdc(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = length(col("text"))
+    // boundary positions: i in [CdcK, L] where h60 of the trailing
+    // K-gram divides CdcDiv; guarded — Spark's sequence(K, L) counts
+    // DOWN when L < K, so short docs get the empty boundary list.
+    val bnds = when(L >= CdcK,
+        filter(sequence(lit(CdcK), L), i =>
+          h60(col("text").substr(i - (CdcK - 1), lit(CdcK))) % CdcDiv === 0))
+      .otherwise(array().cast("array<int>"))
+    val cuts = concat(array(lit(0)), bnds, array(L))
+    val chunks = filter(
+      transform(sequence(lit(1), size(col("cuts")) - 1), j =>
+        col("text").substr(element_at(col("cuts"), j) + 1,
+          element_at(col("cuts"), j + 1) - element_at(col("cuts"), j))),
+      c => length(c) > 0)
+    val pairs = Tables.par(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"), cuts.as("cuts"))
+      .select(col("doc_id"), explode(chunks).as("chunk"))
+      .select(col("doc_id"), h60(col("chunk")).as("chash"),
+        length(col("chunk")).cast(LongType).as("clen"))
+      .groupBy(col("chash"), col("doc_id"))
+      .agg(count(lit(1)).as("k"), sum(col("clen")).as("chars"))
+    pairs
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("chash"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("k")).as("n_chunks"),
+        coalesce(sum(when(col("df") >= 2, col("k"))), lit(0L)).as("n_shared"),
+        coalesce(sum(when(col("df") >= 2, col("chars"))), lit(0L)).as("shared_chars"),
+        sum(col("chars")).as("total_chars"))
+  }
+
+  val cdcSql: String = {
+    val gram = h60Sql(s"substr(text, i - ${CdcK - 1}, $CdcK)")
+    s"""WITH base AS (SELECT doc_id, text, len(text) AS L FROM documents),
+       |cut AS (
+       |  SELECT doc_id, text,
+       |    list_concat(list_concat([0],
+       |      CASE WHEN L >= $CdcK
+       |           THEN list_filter(generate_series($CdcK, L), i -> $gram % $CdcDiv = 0)
+       |           ELSE [] END), [L]) AS cuts
+       |  FROM base),
+       |ch AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(list_transform(generate_series(1, len(cuts) - 1),
+       |      j -> substr(text, cuts[j] + 1, cuts[j + 1] - cuts[j])),
+       |      c -> len(c) > 0)) AS chunk
+       |  FROM cut),
+       |post AS (
+       |  SELECT doc_id, ${h60Sql("chunk")} AS chash, len(chunk)::BIGINT AS clen
+       |  FROM ch),
+       |df AS (SELECT chash, count(DISTINCT doc_id) AS df FROM post GROUP BY 1)
+       |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+       |  count(*) FILTER (WHERE df >= 2)::BIGINT AS n_shared,
+       |  coalesce(sum(clen) FILTER (WHERE df >= 2), 0)::BIGINT AS shared_chars,
+       |  sum(clen)::BIGINT AS total_chars
+       |FROM post JOIN df USING (chash)
+       |GROUP BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q_dedup_cdc", cdc, Some(cdcSql)),
     Q("q_dedup_prefix", prefixGroups, Some(prefixGroupsSql)),
     Q("q_dedup_exact", exact, Some(exactSql)),
     Q("q_dedup_ngram", ngramJaccard, Some(ngramJaccardSql)),

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType}
 import Det._
 
 /** Product-analytics queries over the event stream — the workloads the
@@ -2568,7 +2568,110 @@ object Product {
        |FROM ud JOIN pu USING (user_id)
        |GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- anomaly
+
+  /** Q-PROD-ANOM: volume anomaly detection on the daily event series
+    * (PostHog trends alerting / anomaly alerts): each day's total
+    * event count is tested against its trailing window of the 7
+    * previous OBSERVED days — flagged when |x − mean| > 3σ. The test
+    * runs in EXACT integer arithmetic (no sqrt, no double
+    * accumulation): with n trailing counts, S = Σc, Q = Σc², the 3σ
+    * verdict is algebraically `(n·x − S)² > 9·(n·Q − S²)` — both sides
+    * are integers, so the engines agree bit-for-bit. The
+    * cross-multiplied squares run in DECIMAL(38,0) (DuckDB: HUGEINT):
+    * at production volumes a daily count of 10¹⁰ puts (n·x − S)² at
+    * ~10²² — past int64, far inside 38 digits.
+    *
+    * Shape at 100 TB: one partial+final count over the fact scan; the
+    * rolling window runs over the per-DAY rollup — a calendar-bounded
+    * dimension (≤ 366·years rows), whitelisted in
+    * [[graft.plans.BoundedWindows]]. Emitted sums stay BIGINT (audit
+    * columns); only the verdict needs the wide arithmetic.
+    */
+  def anomaly(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = DecimalType(38, 0)
+    val w = Window.orderBy(col("day")).rowsBetween(-7, -1)
+    val nX = col("win_n").cast(d38) * col("cnt") - col("win_sum")
+    val nVar = col("win_n").cast(d38) * col("win_sum2") -
+      col("win_sum").cast(d38) * col("win_sum")
+    Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("win_n", count(lit(1)).over(w))
+      .withColumn("win_sum", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("win_sum2",
+        coalesce(sum(col("cnt") * col("cnt")).over(w), lit(0L)))
+      .select(col("day"), col("cnt"), col("win_n"), col("win_sum"), col("win_sum2"),
+        (col("win_n") === 7 && nX * nX > lit(9).cast(d38) * nVar).as("anomaly"))
+  }
+
+  val anomalySql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS cnt
+      |  FROM events GROUP BY 1),
+      |w AS (
+      |  SELECT day, cnt,
+      |    count(*) OVER win AS win_n,
+      |    coalesce(sum(cnt) OVER win, 0) AS win_sum,
+      |    coalesce(sum(cnt * cnt) OVER win, 0) AS win_sum2
+      |  FROM daily
+      |  WINDOW win AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT day, cnt, win_n::BIGINT AS win_n, win_sum::BIGINT AS win_sum,
+      |  win_sum2::BIGINT AS win_sum2,
+      |  (win_n = 7 AND
+      |   (win_n * cnt - win_sum) * (win_n * cnt - win_sum)
+      |     > 9 * (win_n * win_sum2 - win_sum * win_sum)) AS anomaly
+      |FROM w""".stripMargin
+
+  // ------------------------------------------------------------- entry/exit
+
+  /** Q-PROD-EE: entry/exit analysis (the PostHog web-analytics
+    * entry-page/exit-page rollup, expressed over event types): for
+    * every gap-session (the shared [[sessionized]] definition), the
+    * first and last event type — deterministic (us, event_id)
+    * tie-break — then session counts per (day, entry, exit) cell,
+    * where the day is the session's start day.
+    *
+    * Shape at 100 TB: the sessionization window and the per-session
+    * min_by/max_by aggregate share ONE user-keyed partitioning (no
+    * second shuffle); the final rollup shuffles only the
+    * (day × entry × exit) dimension cells.
+    */
+  def entryExit(s: SparkSession, d: String): DataFrame = {
+    val sess = sessionized(s, d)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        expr("min_by(event_type, (us, event_id))").as("entry_type"),
+        expr("max_by(event_type, (us, event_id))").as("exit_type"),
+        min(col("us")).as("start_us"))
+    sess
+      .groupBy(to_date(timestamp_micros(col("start_us"))).as("day"),
+        col("entry_type"), col("exit_type"))
+      .agg(count(lit(1)).as("n_sessions"))
+  }
+
+  val entryExitSql: String =
+    s"""WITH $sessionizedCte,
+       |se AS (
+       |  SELECT user_id, session_id, event_type, us,
+       |    row_number() OVER (PARTITION BY user_id, session_id
+       |                       ORDER BY us, event_id) AS rn,
+       |    count(*) OVER (PARTITION BY user_id, session_id) AS cnt
+       |  FROM sess),
+       |ee AS (
+       |  SELECT user_id, session_id,
+       |    max(CASE WHEN rn = 1 THEN event_type END) AS entry_type,
+       |    max(CASE WHEN rn = cnt THEN event_type END) AS exit_type,
+       |    min(us) AS start_us
+       |  FROM se GROUP BY user_id, session_id)
+       |SELECT CAST(make_timestamp(start_us) AS DATE) AS day,
+       |  entry_type, exit_type, count(*)::BIGINT AS n_sessions
+       |FROM ee GROUP BY 1, 2, 3""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_prod_anomaly", anomaly, Some(anomalySql)),
+    Q("q_prod_entry_exit", entryExit, Some(entryExitSql)),
     Q("q_prod_stickiness_cohort", stickinessCohort, Some(stickinessCohortSql)),
     Q("q_prod_lifecycle_cohort", lifecycleCohort, Some(lifecycleCohortSql)),
     Q("q_prod_retention_incremental", retentionIncremental, Some(retentionIncrementalSql)),

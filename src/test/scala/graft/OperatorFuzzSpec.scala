@@ -728,6 +728,131 @@ class OperatorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("CDC chunking == brute-force rolling-hash chunker on random collision-heavy text") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    // tiny alphabet → many shared K-grams → boundaries AND cross-doc
+    // shared chunks both occur often; lengths straddle the K=8 guard
+    val alpha = "abcde "
+    val docs = (1L to 120L).map { id =>
+      val n = rnd.nextInt(60) // 0..59 chars — includes len < K docs
+      (id, (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    }.filter(_._2.nonEmpty)
+    val dir = Files.createTempDirectory("cdcfuzz").toString
+    docs.map { case (id, t) => (id, t, "en", "fuzz", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def h60(sx: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(sx.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    def chunksOf(t: String): Seq[String] = {
+      val k = Dedup.CdcK
+      val bnds =
+        if (t.length >= k)
+          (k to t.length).filter(i => h60(t.substring(i - k, i)) % Dedup.CdcDiv == 0)
+        else Seq.empty
+      val cuts = 0 +: bnds :+ t.length
+      cuts.sliding(2).map { case Seq(a, b) => t.substring(a, b) }.filter(_.nonEmpty).toSeq
+    }
+    val post = docs.flatMap { case (id, t) => chunksOf(t).map(c => (id, h60(c), c.length.toLong)) }
+    // invariant: chunks reassemble the doc exactly
+    docs.foreach { case (id, t) => assert(chunksOf(t).mkString == t, s"doc $id reassembly") }
+    val dfm = post.groupBy(_._2).map { case (h, ps) => h -> ps.map(_._1).distinct.size }
+    val expected = post.groupBy(_._1).map { case (id, ps) =>
+      (id, ps.size.toLong,
+        ps.count(p => dfm(p._2) >= 2).toLong,
+        ps.filter(p => dfm(p._2) >= 2).map(_._3).sum,
+        ps.map(_._3).sum)
+    }.toSet
+
+    val got = Dedup.cdc(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected)
+  }
+
+  test("anomaly verdict == brute-force BigInt 3-sigma on a random daily series") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val base = 1704067200000000L // 2024-01-01 in epoch micros
+    // 40 days, mostly-quiet counts with occasional spikes so both
+    // verdict branches fire; a few days skipped (rows-window semantics)
+    val dayCnt = (0 until 40).filter(_ => rnd.nextInt(10) > 0).map { dday =>
+      val cnt = if (rnd.nextInt(8) == 0) 200 + rnd.nextInt(100) else 10 + rnd.nextInt(5)
+      (dday, cnt)
+    }
+    var eid = 0L
+    val events = dayCnt.flatMap { case (dday, cnt) =>
+      (0 until cnt).map { j =>
+        eid += 1
+        (eid, new Timestamp((base + dday * 86400000000L + j * 1000000L) / 1000),
+          (j % 7).toLong, "view", 1.0, "{}")
+      }
+    }
+    val dir = Files.createTempDirectory("anomfuzz").toString
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val series = dayCnt.sortBy(_._1).map(_._2.toLong)
+    val expected = series.zipWithIndex.map { case (x, i) =>
+      val w = series.slice(math.max(0, i - 7), i)
+      val n = BigInt(w.size)
+      val sm = w.map(BigInt(_)).sum
+      val q = w.map(c => BigInt(c) * c).sum
+      val lhs = (n * x - sm).pow(2)
+      val rhs = 9 * (n * q - sm * sm)
+      (x, w.size.toLong, sm.toLong, w.map(c => c * c).sum,
+        w.size == 7 && lhs > rhs)
+    }.toSet
+    val got = Product.anomaly(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .toSet
+    assert(got == expected)
+  }
+
+  test("entry/exit == brute-force per-session first/last on random event streams") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4321)
+    val base = 1704067200000000L
+    val types = Vector("view", "click", "purchase", "signup")
+    val events = (1L to 500L).map { eid =>
+      val user = rnd.nextInt(15).toLong
+      val us = base + rnd.nextInt(4) * Product.SessionGapUs +
+        rnd.nextLong(3 * Product.SessionGapUs)
+      (eid, us, user, types(rnd.nextInt(types.size)))
+    }
+    val dir = Files.createTempDirectory("eefuzz").toString
+    events.map { case (eid, us, u, ty) =>
+      (eid, new Timestamp(us / 1000), u, ty, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    // brute: same gap splitter as the session fuzz, then (first, last)
+    // by (us, event_id) and the session-start day
+    val expected = events.groupBy(_._3).toSeq.flatMap { case (_, evs) =>
+      val sorted = evs.sortBy(e => (e._2, e._1))
+      val sessions = sorted.foldLeft(List.empty[List[(Long, Long, String)]] -> Long.MinValue) {
+        case ((acc, prevUs), (eid, us, _, ty)) =>
+          val acc2 =
+            if (acc.isEmpty || us - prevUs > Product.SessionGapUs)
+              List((eid, us, ty)) :: acc
+            else ((eid, us, ty) :: acc.head) :: acc.tail
+          (acc2, us)
+      }._1.map(_.reverse)
+      sessions.map { ss =>
+        val day = java.time.Instant.ofEpochSecond(ss.head._2 / 1000000L)
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+        (day, ss.head._3, ss.last._3)
+      }
+    }.groupBy(identity).map { case (k, g) => (k._1, k._2, k._3, g.size.toLong) }.toSet
+
+    val got = Product.entryExit(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+  }
+
   test("IVM trio holds at every history/delta split, including the empty boundaries") {
     // the registered queries check ONE split (the midpoint); the
     // incremental-merge algebra must hold wherever the ingestion
