@@ -57,6 +57,16 @@ def main(out, sources):
     base["queries_max"] = {q: round(t, 3) for q, t in sorted(observed_max.items())}
     base["value"] = round(sum(base["queries"].values()), 3)
     base["merged_from_runs"] = len(runs)
+    # metered stream queries: carry every observed DATA pass across the
+    # folded runs (make_budgets.py takes the min) — without this a query
+    # added mid-round loses its data budget and falls back to the noisy
+    # wall gate
+    sd = {}
+    for r in runs:
+        for q, passes in r.get("stream_data", {}).items():
+            sd.setdefault(q, []).extend(round(p, 3) for p in passes)
+    if sd:
+        base["stream_data"] = {q: sorted(v) for q, v in sorted(sd.items())}
     # carry each folded run's contention forensics (loadavg spans, pass
     # wall timestamps, run total) so a drifted round total is
     # attributable to the box at a glance; inputs that were themselves

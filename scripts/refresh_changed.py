@@ -36,6 +36,11 @@ def main(baseline_path, runs_arg, names):
             sys.exit(f"refusing: {q} absent from every given run")
         base["queries"][q] = round(min(vals), 3)
         base.setdefault("queries_max", {})[q] = round(max(maxes), 3)
+        # a changed metered stream query: its DATA passes must come from
+        # the new code's runs only, same as the wall numbers
+        sd = [round(p, 3) for r in runs for p in r.get("stream_data", {}).get(q, [])]
+        if sd:
+            base.setdefault("stream_data", {})[q] = sorted(sd)
     base["value"] = round(sum(base["queries"].values()), 3)
     with open(baseline_path, "w") as f:
         json.dump(base, f, indent=1, sort_keys=True)

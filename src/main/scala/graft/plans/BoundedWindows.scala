@@ -20,6 +20,7 @@ object BoundedWindows {
   val justification: Map[String, String] = Map(
     "q_corpus_temperature" -> "2 windows over the per-SOURCE count aggregate (V rows)",
     "q_prod_anomaly" -> "rolling 7-day stats over the per-DAY rollup — calendar-bounded (≤366·years rows)",
+    "q_stream_anomaly" -> "the same day-rollup verdict window over the watermark-finalized daily series",
     "q_ingest_quota" -> "median rank over the (org × day) rollup — 20 × days dimension rows",
     "q_corpus_weighted_sample" -> "tau window AFTER .limit(SampleK+1) — k+1 rows",
     "q_flag_bootstrap" -> "CI rank over the 200-replicate dimension (BootReplicates rows)",

@@ -2588,16 +2588,25 @@ object Product {
     * [[graft.plans.BoundedWindows]]. Emitted sums stay BIGINT (audit
     * columns); only the verdict needs the wide arithmetic.
     */
-  def anomaly(s: SparkSession, d: String): DataFrame = {
+  def anomaly(s: SparkSession, d: String): DataFrame =
+    anomalyVerdict(
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt")))
+
+  /** The 3σ verdict over a (day, cnt) daily rollup — THE single
+    * definition of the alerting rule, shared by the batch query and
+    * the streaming twin (`q_stream_anomaly` applies it to the
+    * watermark-finalized series) so the rule cannot drift.
+    */
+  def anomalyVerdict(daily: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d38 = DecimalType(38, 0)
     val w = Window.orderBy(col("day")).rowsBetween(-7, -1)
     val nX = col("win_n").cast(d38) * col("cnt") - col("win_sum")
     val nVar = col("win_n").cast(d38) * col("win_sum2") -
       col("win_sum").cast(d38) * col("win_sum")
-    Tables.events(s, d)
-      .groupBy(to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("cnt"))
+    daily
       .withColumn("win_n", count(lit(1)).over(w))
       .withColumn("win_sum", coalesce(sum(col("cnt")).over(w), lit(0L)))
       .withColumn("win_sum2",

@@ -422,6 +422,37 @@ object StreamQueries {
       edges.select(col("from_type"), col("to_type")))
   }
 
+  /** Q-STR-11 (streaming anomaly alerting, driver-checked): the daily
+    * volume series maintained by a watermarked 1-day tumbling window
+    * ([[Streaming.dailyTotals]]) run through REAL micro-batches with
+    * the usual straggler injection, then the shared 3σ integer verdict
+    * ([[graft.queries.Product.anomalyVerdict]]) evaluated over the
+    * finalized series. The watermark delay (45 days) is wider than the
+    * corpus span, so no straggler is ever dropped and the finalized
+    * counts equal the batch rollup exactly; the far-future sentinel
+    * advances the watermark past every real day (its own window never
+    * finalizes, so it needs no filtering). Oracle:
+    * `q_prod_anomaly`'s SQL verbatim — streaming == batch is the
+    * alerting contract.
+    */
+  def anomaly(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val evDf = Tables.events(s, d).select(col("ts"), col("event_id"))
+    val nRows = evDf.count()
+    require(nRows * 24L <= graft.state.IdentityResolver.LocalHeapBudget,
+      s"streaming anomaly harness: $nRows event rows exceed the MemoryStream driver " +
+        "budget; at this scale feed the rollup from readStream against the wire log.")
+    val rows = evDf.collect().map(r => (r.getTimestamp(0), r.getLong(1)))
+      .sortBy(_._2) // event ids are time-monotone: chunks arrive in event-time order
+    val maxTs = rows.map(_._1.getTime).max
+    val sentinel = (new java.sql.Timestamp(maxTs + 365L * 86400000L), -1L)
+    val batches = stragglerBatches(rows.toSeq,
+      (e: (java.sql.Timestamp, Long)) => e._2, sentinel)
+    graft.queries.Product.anomalyVerdict(
+      driveBatches(s, batches, Seq("ts", "event_id"),
+        Streaming.dailyTotals(_, delay = "45 days")))
+  }
+
   val lateSql: String =
     """WITH o AS (
       |  SELECT epoch_us(ts) AS ts_us, event_id, event_type,
@@ -465,5 +496,6 @@ object StreamQueries {
     Q("q_stream_dedup", dedup, Some(dedupSql)),
     Q("q_stream_late", late, Some(lateSql)),
     Q("q_stream_funnel", funnel, Some(graft.queries.Product.funnelSql)),
-    Q("q_stream_paths", paths, Some(graft.queries.Product.pathsMarkovSql)))
+    Q("q_stream_paths", paths, Some(graft.queries.Product.pathsMarkovSql)),
+    Q("q_stream_anomaly", anomaly, Some(graft.queries.Product.anomalySql)))
 }

@@ -56,6 +56,22 @@ object Streaming {
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n_kept"))
 
+  /** Daily total-volume rollup for the streaming anomaly alert: a
+    * 1-day tumbling window in Append mode emits a day only once its
+    * end passes the watermark — the alert rule downstream sees each
+    * day exactly once, FINALIZED. The delay is chosen by the caller:
+    * wider than the worst expected straggle ⇒ the finalized series
+    * equals the batch rollup bit-for-bit (the q_stream_anomaly
+    * contract); a production deployment trades that for state with a
+    * 1–2 day delay and accepts the q_stream_late-style drop audit.
+    */
+  def dailyTotals(events: DataFrame, delay: String): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(to_date(col("window.start")).as("day"), col("cnt"))
+
   /** Sliding windows (6h length, 3h slide → 2 windows per event). */
   def slidingCounts(events: DataFrame): DataFrame =
     events
