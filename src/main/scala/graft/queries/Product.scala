@@ -2633,6 +2633,60 @@ object Product {
       |     > 9 * (win_n * win_sum2 - win_sum * win_sum)) AS anomaly
       |FROM w""".stripMargin
 
+  // -------------------------------------------------------------- forecast
+
+  /** Q-PROD-FCST: trend forecasting baselines with an integer-exact
+    * backtest (the projection line under PostHog's trends, and the
+    * reference series the anomaly rule is judged against): per day,
+    * (a) the seasonal-naive forecast — the count exactly 7 CALENDAR
+    * days earlier (a self-join on the day dimension, NULL when that
+    * day is absent), and (b) the smoothed form — the mean of the up
+    * to 4 previous OBSERVED same-weekday counts. Errors are emitted
+    * divisionless so everything stays int64-exact: `sn_abs_err =
+    * |cnt − sn_forecast|` and `sw_err_x_n = |cnt·sw_n − sw_sum|`
+    * (the mean error cross-multiplied by its denominator).
+    *
+    * Shape at 100 TB: one partial+final count over the fact scan;
+    * the self-join and the weekday-partitioned window both run on the
+    * calendar-bounded day rollup (≤366·years rows, 7-key partitions —
+    * no single-partition window, no whitelist needed).
+    */
+  def forecast(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(dayofweek(col("day"))).orderBy(col("day"))
+      .rowsBetween(-4, -1)
+    val sn = daily.select(date_add(col("day"), 7).as("day"),
+      col("cnt").as("sn_forecast"))
+    daily
+      .withColumn("sw_n", count(lit(1)).over(w))
+      .withColumn("sw_sum", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .join(sn, Seq("day"), "left")
+      .select(col("day"), col("cnt"), col("sn_forecast"),
+        abs(col("cnt") - col("sn_forecast")).as("sn_abs_err"),
+        col("sw_n"), col("sw_sum"),
+        abs(col("cnt") * col("sw_n") - col("sw_sum")).as("sw_err_x_n"))
+  }
+
+  val forecastSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS cnt
+      |  FROM events GROUP BY 1),
+      |w AS (
+      |  SELECT day, cnt,
+      |    count(*) OVER win AS sw_n,
+      |    coalesce(sum(cnt) OVER win, 0) AS sw_sum
+      |  FROM daily
+      |  WINDOW win AS (PARTITION BY dayofweek(day) ORDER BY day
+      |                 ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING))
+      |SELECT w.day, w.cnt, f.cnt AS sn_forecast,
+      |  abs(w.cnt - f.cnt) AS sn_abs_err,
+      |  w.sw_n::BIGINT AS sw_n, w.sw_sum::BIGINT AS sw_sum,
+      |  abs(w.cnt * w.sw_n - w.sw_sum)::BIGINT AS sw_err_x_n
+      |FROM w LEFT JOIN daily f ON f.day + 7 = w.day""".stripMargin
+
   // ------------------------------------------------------------- entry/exit
 
   /** Q-PROD-EE: entry/exit analysis (the PostHog web-analytics
@@ -2680,6 +2734,7 @@ object Product {
 
   val all: Seq[Q] = Seq(
     Q("q_prod_anomaly", anomaly, Some(anomalySql)),
+    Q("q_prod_forecast", forecast, Some(forecastSql)),
     Q("q_prod_entry_exit", entryExit, Some(entryExitSql)),
     Q("q_prod_stickiness_cohort", stickinessCohort, Some(stickinessCohortSql)),
     Q("q_prod_lifecycle_cohort", lifecycleCohort, Some(lifecycleCohortSql)),

@@ -811,6 +811,43 @@ class OperatorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
   }
 
+  test("forecast == brute-force calendar d-7 + same-weekday trailing window on a gappy series") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2025)
+    val base = 1704067200000000L // 2024-01-01 (Monday) in epoch micros
+    // 60 days with ~25% gaps: the calendar join must miss absent d-7
+    // days while the weekday window skips over them
+    val dayCnt = (0 until 60).filter(_ => rnd.nextInt(4) > 0)
+      .map(dd => (dd, 5 + rnd.nextInt(20)))
+    var eid = 0L
+    val events = dayCnt.flatMap { case (dd, cnt) =>
+      (0 until cnt).map { j =>
+        eid += 1
+        (eid, new Timestamp((base + dd * 86400000000L + j * 1000000L) / 1000),
+          (j % 5).toLong, "view", 1.0, "{}")
+      }
+    }
+    val dir = Files.createTempDirectory("fcstfuzz").toString
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val byDay = dayCnt.toMap
+    val expected = dayCnt.map { case (dd, cnt) =>
+      val sn = byDay.get(dd - 7).map(_.toLong)
+      val sw = dayCnt.filter(o => o._1 < dd && (dd - o._1) % 7 == 0)
+        .sortBy(_._1).takeRight(4).map(_._2.toLong)
+      (cnt.toLong, sn, sn.map(f => math.abs(cnt - f)),
+        sw.size.toLong, sw.sum, math.abs(cnt * sw.size - sw.sum))
+    }.toSet
+    val got = Product.forecast(spark, dir).collect()
+      .map(r => (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSet
+    assert(got == expected)
+  }
+
   test("entry/exit == brute-force per-session first/last on random event streams") {
     import spark.implicits._
     val rnd = new scala.util.Random(4321)
