@@ -2653,16 +2653,26 @@ object Product {
     */
   def forecast(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // persisted: the V-row day rollup feeds BOTH the weekday window and
+    // the d-7 self-join — without it the events scan runs twice (the
+    // trends precedent; no exchange reuse for a reused intermediate)
     val daily = Tables.events(s, d)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy(dayofweek(col("day"))).orderBy(col("day"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one materialized dow column + both window aggregates in ONE
+    // select: per-withColumn `dayofweek(day)` aliases get distinct
+    // attribute ids, defeating CollapseWindow (two Window ops, two
+    // sorts, two exchanges for the same spec)
+    val w = Window.partitionBy(col("dow")).orderBy(col("day"))
       .rowsBetween(-4, -1)
     val sn = daily.select(date_add(col("day"), 7).as("day"),
       col("cnt").as("sn_forecast"))
     daily
-      .withColumn("sw_n", count(lit(1)).over(w))
-      .withColumn("sw_sum", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("dow", dayofweek(col("day")))
+      .select(col("day"), col("cnt"),
+        count(lit(1)).over(w).as("sw_n"),
+        coalesce(sum(col("cnt")).over(w), lit(0L)).as("sw_sum"))
       .join(sn, Seq("day"), "left")
       .select(col("day"), col("cnt"), col("sn_forecast"),
         abs(col("cnt") - col("sn_forecast")).as("sn_abs_err"),
