@@ -49,6 +49,19 @@ object StreamQueries {
     * callers own chunking/straggler/sentinel policy — this owns the
     * delicate sink/loop/cleanup plumbing.
     */
+  /** Shuffle/state partition count for the MemoryStream drive loops.
+    * Every stateful operator materializes one state-store instance PER
+    * shuffle partition PER micro-batch — at the harness's ~100k-row
+    * micro-batches, 32 partitions means the floor is state-store
+    * open/commit and task scheduling, not data. 8 keeps the plan
+    * multi-partition (partition-invariance still exercised) at a
+    * fraction of the per-batch overhead. A production deployment sizes
+    * this to the cluster (state scales out with partitions); this
+    * constant is harness-scale tuning, not a semantics knob — the
+    * oracle gates prove results are partition-count-invariant.
+    */
+  private val DrivePartitions = 8
+
   private def driveBatches[A: org.apache.spark.sql.Encoder](
       s: SparkSession, batches: Seq[Seq[A]], cols: Seq[String],
       build: DataFrame => DataFrame): DataFrame = {
@@ -57,9 +70,16 @@ object StreamQueries {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val mem = MemoryStream[A]
     val name = "sink_" + java.lang.Long.toHexString(System.nanoTime())
-    val q = build(mem.toDF().toDF(cols: _*))
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).start()
+    // the streaming query fixes its shuffle-partition count at start;
+    // restore the session conf right after so downstream batch rollups
+    // keep the session's parallelism
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", DrivePartitions.toString)
+    val q = try {
+      build(mem.toDF().toDF(cols: _*))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     val out = try {
       batches.foreach { b =>
         mem.addData(b: _*)
