@@ -73,6 +73,21 @@ FINDINGS = {
     "q_sim_binary": "labeled brute baseline: exact Hamming scan over "
         "all vectors auditing the 1-bit quantization ladder — "
         "work-quadratic by definition",
+    # r14 second-window additions — the sf0.1 minima tightened ~2.5x
+    # after the codegen-cache fixes, so the ratio bar now catches the
+    # two remaining members of the same two classes:
+    "q_dedup_minhash_pairs": "result-quadratic pair-LIST enumeration "
+        "over LSH band candidates (the q_dedup_simhash_pairs class): "
+        "planted near-dup density makes verified pairs grow "
+        "~quadratically with corpus; the cluster form "
+        "(q_dedup_clusters) is the scale path, pair lists are sampled "
+        "audits",
+    "q_sim_matryoshka": "the COARSE stage is a full prefix-dot scan "
+        "per query (N^2/47 16-dim dots via broadcast join — no index), "
+        "pinning MRL rerank semantics against an exact coarse ranking; "
+        "at scale the coarse stage runs through the indexed paths "
+        "(q_sim_ivf_search / q_sim_project_search) and only the "
+        "rerank's candidate set survives",
 }
 
 # Driver-heap contract (VERDICT r13 item 7): the budgeted-collect sites
