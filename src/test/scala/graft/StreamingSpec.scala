@@ -680,6 +680,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rocks.sortBy(_.version) == hdfs.sortBy(_.version))
   }
 
+  private def runDailyTotals(provider: Option[String]): Set[(String, Long)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    provider.foreach(p =>
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", p))
+    try {
+      val mem = MemoryStream[(java.sql.Timestamp, Long)]
+      val q = Streaming.dailyTotals(mem.toDF().toDF("ts", "event_id"), delay = "45 days")
+        .writeStream.format("memory").queryName("dtot")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val base = 1704067200000L // 2024-01-01 in epoch ms
+        def ev(day: Int, i: Int, id: Long) =
+          (new java.sql.Timestamp(base + day * 86400000L + i * 1000L), id)
+        // out-of-order arrival: a day-0 straggler lands AFTER day 2 has
+        // been seen; the 45-day delay must keep it (no drop)
+        mem.addData(ev(0, 0, 1), ev(1, 0, 2), ev(2, 0, 3)); q.processAllAvailable()
+        mem.addData(ev(0, 1, 4), ev(2, 1, 5)); q.processAllAvailable()
+        // far-future sentinel advances the watermark past every real
+        // day; its own window must NOT emit (end > watermark)
+        mem.addData(ev(400, 0, 99)); q.processAllAvailable()
+        spark.table("dtot").collect()
+          .map(r => (r.getDate(0).toString, r.getLong(1))).toSet
+      } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS dtot") }
+    } finally provider.foreach(_ =>
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))
+  }
+
+  test("streaming daily totals: finalized series == batch rollup under both state stores") {
+    // the q_stream_anomaly substrate: Append-mode 1-day windows emit
+    // each day exactly once with its FINAL count — stragglers folded,
+    // sentinel window withheld — identically under both providers
+    val expected = Set(("2024-01-01", 2L), ("2024-01-02", 1L), ("2024-01-03", 2L))
+    assert(runDailyTotals(None) == expected)
+    assert(runDailyTotals(Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+      == expected)
+  }
+
   test("LSH admission gate: crafted buckets — shared bucket rejects, fresh buckets admit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
