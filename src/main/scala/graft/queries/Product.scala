@@ -2629,8 +2629,8 @@ object Product {
       |SELECT day, cnt, win_n::BIGINT AS win_n, win_sum::BIGINT AS win_sum,
       |  win_sum2::BIGINT AS win_sum2,
       |  (win_n = 7 AND
-      |   (win_n * cnt - win_sum) * (win_n * cnt - win_sum)
-      |     > 9 * (win_n * win_sum2 - win_sum * win_sum)) AS anomaly
+      |   (win_n::HUGEINT * cnt - win_sum) * (win_n::HUGEINT * cnt - win_sum)
+      |     > 9::HUGEINT * (win_n::HUGEINT * win_sum2 - win_sum::HUGEINT * win_sum)) AS anomaly
       |FROM w""".stripMargin
 
   // -------------------------------------------------------------- forecast

@@ -465,6 +465,19 @@ object StreamQueries {
     val rows = evDf.collect().map(r => (r.getTimestamp(0), r.getLong(1)))
       .sortBy(_._2) // event ids are time-monotone: chunks arrive in event-time order
     val maxTs = rows.map(_._1.getTime).max
+    // The streaming == batch contract silently depends on the fixture
+    // span staying under the watermark delay: a one-chunk-late straggler
+    // can be up to the full corpus span late, and past the delay it
+    // would be DROPPED — the oracle gate would then fail as a confusing
+    // count mismatch. Make the precondition loud instead (one day of
+    // margin for the window-end vs event-time offset).
+    val minTs = rows.map(_._1.getTime).min
+    val spanDays = (maxTs - minTs) / 86400000L
+    require(spanDays <= 44L,
+      s"streaming anomaly harness: events span $spanDays days but the 45-day " +
+        "watermark only guarantees no-straggler-dropped (streaming == batch) " +
+        "below it; widen the delay in Streaming.dailyTotals' caller to cover " +
+        "the fixture span plus margin.")
     val sentinel = (new java.sql.Timestamp(maxTs + 365L * 86400000L), -1L)
     val batches = stragglerBatches(rows.toSeq,
       (e: (java.sql.Timestamp, Long)) => e._2, sentinel)
