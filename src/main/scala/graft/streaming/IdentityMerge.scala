@@ -66,6 +66,22 @@ import org.apache.spark.storage.StorageLevel
   * and lineage is cut per epoch by re-rooting the state RDD (locally
   * here; a production deployment writes the epoch delta to the lake
   * keyed by `batchId`, idempotent like [[graft.sources.Lake]]).
+  *
+  * Past the driver budget the operator DEGRADES instead of erroring:
+  * each per-epoch dimension is probed (count + chars, no collect)
+  * before it is shipped, and an over-budget dimension flips ITS stage
+  * to a distributed form for that epoch — redirect resolution becomes
+  * two batch-sized join shuffles against the redirect dimension, and a
+  * pathological batch id dimension routes through the SHARED CC
+  * fixpoint ([[IdentityResolver.components]]) with join-based
+  * re-keying (which inherently pays one full-state shuffle to split
+  * touched from untouched). The two probes are independent, so a
+  * 100 TB-scale person dimension with normal micro-batches keeps the
+  * narrow no-shuffle state filter and only moves the resolve step off
+  * the driver. Distributed epochs pay per-epoch Catalyst planning for
+  * the CC fixpoint — acceptable exactly because such epochs are huge;
+  * parity with batch [[Replay.persons]] is pinned for both regimes by
+  * IdentityMergeSpec (a mid-stream budget cross included).
   */
 final class IdentityMergeState(
     spark: SparkSession,
@@ -132,37 +148,44 @@ final class IdentityMergeState(
   /** Current records (canonical state, `person_seq_id` unassigned). */
   def records: Dataset[PersonRecord] = spark.createDataset(stateRdd)
 
-  /** Budgeted driver collect for the per-epoch dimension sets — the RDD-
-    * layer analogue of [[IdentityResolver.components]]' probe contract:
-    * a cheap (count, chars) fold FIRST (narrow over the persisted
-    * source), then collect only if the estimated retained heap fits
-    * [[IdentityResolver.LocalHeapBudget]]. Fails LOUDLY on breach: a
-    * dimension past the budget means this operator's design premise
-    * (id dimension ≪ events, driver-resident — the reference holds the
-    * same map in one Durable Object) no longer holds, and the right
-    * response is a visible error pointing at the distributed resolver,
-    * not a silent driver OOM mid-epoch.
+  /** Probe a per-epoch dimension's driver footprint WITHOUT collecting:
+    * a cheap (count, chars) fold (narrow over the persisted source),
+    * returning whether [[IdentityResolver.estimatedHeapBytes]] fits the
+    * budget. The probe-first contract is shared with
+    * [[IdentityResolver.components]]: an over-budget dimension is never
+    * shipped to the driver to find out it doesn't fit.
     */
-  private def collectBudgeted[T: scala.reflect.ClassTag](
-      rdd: RDD[T], chars: T => Long, what: String): Array[T] = {
+  private def dimFits[T](rdd: RDD[T], chars: T => Long): Boolean = {
     val (n, c) = rdd.map(t => (1L, chars(t)))
       .fold((0L, 0L)) { case ((n1, c1), (n2, c2)) => (n1 + n2, c1 + c2) }
-    val est = IdentityResolver.estimatedHeapBytes(n, c)
-    require(est <= driverHeapBudget,
-      s"streaming identity merge: $what dimension ($n entries, ~${est >> 20} MiB estimated " +
-        s"retained heap) exceeds the driver budget " +
-        s"(${driverHeapBudget >> 20} MiB). The per-epoch driver-resident " +
-        "dimension premise no longer holds at this id cardinality — resolve identities in " +
-        "batch via IdentityResolver.components (distributed fixpoint) instead, or raise the budget.")
+    IdentityResolver.estimatedHeapBytes(n, c) <= driverHeapBudget
+  }
+
+  /** Collect a probe-approved dimension and record the measured
+    * watermark: the bytes model applied to the rows ACTUALLY retained
+    * (count + exact char sum of the collected array) — the bench
+    * artifact carries the per-site maxima (HeapWatermark).
+    */
+  private def collectMeasured[T: scala.reflect.ClassTag](
+      rdd: RDD[T], chars: T => Long, what: String): Array[T] = {
     val arr = rdd.collect()
-    // measured watermark: the bytes model applied to the rows ACTUALLY
-    // retained (count + exact char sum of the collected array) — the
-    // bench artifact carries the per-site maxima (HeapWatermark)
     graft.HeapWatermark.record(s"identity_merge.$what",
       IdentityResolver.estimatedHeapBytes(arr.length.toLong,
         arr.iterator.map(chars).sum))
     arr
   }
+
+  /** Loud, once-per-epoch note that a dimension outgrew the driver
+    * budget and the epoch is running the distributed fallback — the
+    * degradation is by design (100 TB id dimensions exist), but an
+    * operator watching the stream should see the regime change.
+    */
+  private def noteDegrade(batchId: Long, what: String): Unit =
+    System.err.println(
+      s"[identity-merge] batch=$batchId: $what dimension exceeds the driver budget " +
+        s"(${driverHeapBudget >> 20} MiB) - degrading to the distributed " +
+        "resolve/CC path for this epoch (join-based re-key; full-state shuffle " +
+        "only if the batch dimension itself is over budget)")
 
   /** Fold one micro-batch of ops into the state. Idempotent by
     * `batchId`: a foreachBatch retry of an already-committed epoch is
@@ -183,30 +206,6 @@ final class IdentityMergeState(
     // the id-pair collect and the fold.
     val opsRdd = ops.rdd.persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // RESOLVE (driver side): the redirect dimension — every
-      // registered non-canonical distinct_id → its canonical id — is
-      // redirect-map-sized (the reference keeps it in a single Durable
-      // Object), exactly the set the declarative form collected into a
-      // broadcast. First epoch (epoch -1 ⇒ state empty by
-      // construction): no redirects, skip the state scan entirely.
-      val redirectMap: Map[String, String] =
-        if (epoch < 0L) Map.empty
-        else collectBudgeted(
-          stateRdd.flatMap(r =>
-            r.distinct_ids.filter(_ != r.canonical_id).map(d => (d, r.canonical_id))),
-          (p: (String, String)) => (p._1.length + p._2.length).toLong,
-          "redirect").toMap
-      mark("resolve-built")
-
-      // CONNECT (driver side): the batch's distinct (raw_id, alias_to)
-      // pairs — bounded by the batch's id dimension, the same set the
-      // declarative form moved through the `touched` broadcast — give
-      // both the alias edges (union-find → component map) and the
-      // touched-component set (every resolved raw id's comp). The
-      // micro-batch trigger bounds this set in normal operation; the
-      // budget guard catches the pathological batch anyway (the probe
-      // fold reuses the distinct's shuffle outputs, so it costs one
-      // cheap reduce-side job, not a second shuffle).
       // epoch shuffle width follows the batch's VOLUME, not its
       // inherited partition count: a micro-batch arrives at the
       // input's width but may hold only thousands of rows, and
@@ -220,55 +219,152 @@ final class IdentityMergeState(
       val nOps = opsRdd.count()
       val batchParts = math.max(2, math.min(opsRdd.getNumPartitions,
         math.ceil(nOps.toDouble / OpsRowsPerPartition).toInt))
-      val idPairs = collectBudgeted(
-        opsRdd.map(o => (o.raw_id, o.alias_to)).distinct(batchParts),
-        (p: (String, Option[String])) =>
-          (p._1.length + p._2.map(_.length).getOrElse(0)).toLong,
-        "batch id-pair")
-      def res(id: String): String = redirectMap.getOrElse(id, id)
-      val edges = idPairs.iterator.collect {
-        case (raw, Some(al)) if al != raw => (res(raw), res(al))
-      }.filter(e => e._1 != e._2).toSeq.distinct
-      val ccMap: Map[String, String] =
-        IdentityResolver.localComponents(edges).toMap
-      def compOf(canonicalId: String): String = ccMap.getOrElse(canonicalId, canonicalId)
-      val touchedSet: Set[String] = idPairs.iterator.map(p => compOf(res(p._1))).toSet
-      mark("components")
-
-      // one broadcast carries every per-epoch dimension to the tasks
-      val dims = spark.sparkContext.broadcast((redirectMap, ccMap, touchedSet))
-      val opRows: RDD[(String, ResolvedOp)] = opsRdd.map { o =>
-        val (rm, cm, _) = dims.value
-        val rRaw = rm.getOrElse(o.raw_id, o.raw_id)
-        val rAlias = o.alias_to.map(a => rm.getOrElse(a, a))
-        val comp = cm.getOrElse(rRaw, rRaw)
-        comp -> ResolvedOp(comp, o.raw_id, o.ord, o.set, o.set_once, o.unset,
-          o.alias_to, rRaw, rAlias)
-      }
-      mark("oprows-built")
-
-      // RE-KEY + MERGE: untouched state passes through a NARROW filter
-      // (the full state never shuffles); only the touched records and
-      // the batch's ops shuffle into the cogroup.
-      val untouched = stateRdd.filter { r =>
-        val (_, cm, ts) = dims.value
-        !ts.contains(cm.getOrElse(r.canonical_id, r.canonical_id))
-      }
-      val seeds: RDD[(String, PersonRecord)] = stateRdd.flatMap { r =>
-        val (_, cm, ts) = dims.value
-        val comp = cm.getOrElse(r.canonical_id, r.canonical_id)
-        if (ts.contains(comp)) Some(comp -> r) else None
-      }
-      // fold width: the max of the batch's width, the state's current
-      // width, and the state-SIZE-derived width (committed row count /
-      // target rows-per-partition, tracked each epoch below). The size
-      // term is what lets the state grow WIDER than any single
+      // fold/join width: the max of the batch's width, the state's
+      // current width, and the state-SIZE-derived width (committed row
+      // count / target rows-per-partition, tracked each epoch below).
+      // The size term is what lets the state grow WIDER than any single
       // micro-batch as rows accumulate — without it a stream of narrow
       // batches would pin a multi-million-row state at the batch width
       // forever (slow full-state scans, 2 GB block-limit risk). This
-      // sizes the EPOCH's shuffle only; the commit below narrows back
+      // sizes the EPOCH's shuffles only; the commit below narrows back
       // to the size-derived width.
       val parts = math.max(batchParts, math.max(stateRdd.getNumPartitions, statePartsHint))
+      val epochPersists = collection.mutable.ListBuffer.empty[RDD[_]]
+      val broadcasts =
+        collection.mutable.ListBuffer.empty[org.apache.spark.broadcast.Broadcast[_]]
+
+      // RESOLVE: the redirect dimension — every registered
+      // non-canonical distinct_id → its canonical id. The design-normal
+      // regime holds it driver-resident (redirect-map-sized; the
+      // reference keeps the same map in one Durable Object) and
+      // resolves in-task through a broadcast; past the driver budget
+      // the epoch DEGRADES to two batch-sized join shuffles against the
+      // redirect dimension — the joins move the BATCH plus the matching
+      // redirect slices, never the full record state. First epoch
+      // (epoch -1 ⇒ state empty by construction): no redirects, skip
+      // the state scan entirely.
+      val redirectsRdd: RDD[(String, String)] = stateRdd.flatMap(r =>
+        r.distinct_ids.filter(_ != r.canonical_id).map(d => (d, r.canonical_id)))
+      val redirectChars = (p: (String, String)) => (p._1.length + p._2.length).toLong
+      val resolved: RDD[(PersonOp, String, Option[String])] =
+        if (epoch < 0L) opsRdd.map(o => (o, o.raw_id, o.alias_to))
+        else if (dimFits(redirectsRdd, redirectChars)) {
+          val rm = collectMeasured(redirectsRdd, redirectChars, "redirect").toMap
+          val rmB = spark.sparkContext.broadcast(rm)
+          broadcasts += rmB
+          opsRdd.map { o =>
+            val m = rmB.value
+            (o, m.getOrElse(o.raw_id, o.raw_id), o.alias_to.map(a => m.getOrElse(a, a)))
+          }
+        } else {
+          noteDegrade(batchId, "redirect")
+          // persisted: the alias and plain branches below would otherwise
+          // each re-run the raw-side join during materialization
+          val byRaw = opsRdd.map(o => (o.raw_id, o))
+            .leftOuterJoin(redirectsRdd, parts)
+            .map { case (raw, (o, ro)) => (o, ro.getOrElse(raw)) }
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          epochPersists += byRaw
+          val aliased = byRaw.filter(_._1.alias_to.isDefined)
+            .map { case (o, rRaw) => (o.alias_to.get, (o, rRaw)) }
+            .leftOuterJoin(redirectsRdd, parts)
+            .map { case (al, ((o, rRaw), ra)) => (o, rRaw, Option(ra.getOrElse(al))) }
+          val plain = byRaw.filter(_._1.alias_to.isEmpty)
+            .map { case (o, rRaw) => (o, rRaw, None: Option[String]) }
+          aliased.union(plain)
+        }
+      // persisted: read by the pair probe/collect, the edges, and the fold
+      val resolvedP = resolved.persist(StorageLevel.MEMORY_AND_DISK)
+      epochPersists += resolvedP
+      mark("resolve-built")
+
+      // CONNECT: the batch's distinct resolved (raw, alias) pairs —
+      // bounded by the batch's id dimension — give both the alias edges
+      // (→ component map) and the touched-component set (every resolved
+      // raw id's comp). The micro-batch trigger bounds this set in
+      // normal operation, so the design-normal regime runs the driver
+      // union-find + a narrow untouched filter (the full state never
+      // shuffles). A batch whose id dimension exceeds the budget
+      // degrades to the SHARED distributed CC fixpoint
+      // ([[IdentityResolver.components]]) with join-based re-keying —
+      // which inherently pays ONE full-state shuffle to split touched
+      // from untouched records (the price of a state too big to
+      // broadcast a touched-set against).
+      val pairsRdd = resolvedP.map { case (_, rRaw, rAl) => (rRaw, rAl) }.distinct(batchParts)
+      val pairChars = (p: (String, Option[String])) =>
+        (p._1.length + p._2.map(_.length).getOrElse(0)).toLong
+      val (opRows, untouched, seeds, dimsForDelta) =
+        if (dimFits(pairsRdd, pairChars)) {
+          val pairs = collectMeasured(pairsRdd, pairChars, "batch id-pair")
+          val edges = pairs.iterator.collect {
+            case (rRaw, Some(al)) if al != rRaw => (rRaw, al)
+          }.toSeq.distinct
+          val ccMap: Map[String, String] =
+            IdentityResolver.localComponents(edges).toMap
+          val touchedSet: Set[String] = pairs.iterator
+            .map(p => ccMap.getOrElse(p._1, p._1)).toSet
+          // one broadcast carries the per-epoch dimensions to the tasks
+          val dims = spark.sparkContext.broadcast((ccMap, touchedSet))
+          broadcasts += dims
+          val opRows: RDD[(String, ResolvedOp)] = resolvedP.map { case (o, rRaw, rAl) =>
+            val comp = dims.value._1.getOrElse(rRaw, rRaw)
+            comp -> ResolvedOp(comp, o.raw_id, o.ord, o.set, o.set_once, o.unset,
+              o.alias_to, rRaw, rAl)
+          }
+          val untouched = stateRdd.filter { r =>
+            val (cm, ts) = dims.value
+            !ts.contains(cm.getOrElse(r.canonical_id, r.canonical_id))
+          }
+          val seeds: RDD[(String, PersonRecord)] = stateRdd.flatMap { r =>
+            val (cm, ts) = dims.value
+            val comp = cm.getOrElse(r.canonical_id, r.canonical_id)
+            if (ts.contains(comp)) Some(comp -> r) else None
+          }
+          (opRows, untouched, seeds, Some((ccMap, touchedSet)))
+        } else {
+          noteDegrade(batchId, "batch id-pair")
+          import spark.implicits._
+          val edges = resolvedP.flatMap { case (_, rRaw, rAl) =>
+            rAl.filter(_ != rRaw).map(a => (rRaw, a))
+          }.distinct(batchParts)
+          // the SHARED fixpoint decides local-vs-distributed itself
+          // under the same budget, so a small edge set stays cheap even
+          // inside the fallback epoch
+          val ccRdd = IdentityResolver.components(
+              spark, edges.toDF("src", "dst"), localHeapBudget = driverHeapBudget)
+            .rdd.map(r => (r.getString(0), r.getString(1)))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          epochPersists += ccRdd
+          val opRows: RDD[(String, ResolvedOp)] = resolvedP
+            .map { case (o, rRaw, rAl) => (rRaw, (o, rAl)) }
+            .leftOuterJoin(ccRdd, parts)
+            .map { case (rRaw, ((o, rAl), c0)) =>
+              val comp = c0.getOrElse(rRaw)
+              comp -> ResolvedOp(comp, o.raw_id, o.ord, o.set, o.set_once, o.unset,
+                o.alias_to, rRaw, rAl)
+            }
+          // touched components == the distinct comp keys of the batch's
+          // ops (every op contributes its resolved raw id's comp — the
+          // same set the driver branch builds)
+          val touchedComps = opRows.map(p => (p._1, ())).distinct(batchParts)
+          val marked = stateRdd.map(r => (r.canonical_id, r))
+            .leftOuterJoin(ccRdd, parts)
+            .map { case (cid, (r, c0)) => (c0.getOrElse(cid), r) }
+            .leftOuterJoin(touchedComps, parts)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          epochPersists += marked
+          val untouched = marked.filter(_._2._2.isEmpty).map(_._2._1)
+          val seeds: RDD[(String, PersonRecord)] = marked
+            .filter(_._2._2.isDefined)
+            .map { case (comp, (r, _)) => (comp, r) }
+          // no driver-resident dims this epoch → saveDelta falls back
+          // to a full base (the touched filter needs them)
+          (opRows, untouched, seeds, None)
+        }
+      mark("components")
+
+      // RE-KEY + MERGE: only the touched records and the batch's ops
+      // shuffle into the cogroup.
       val folded: RDD[PersonRecord] = seeds.cogroup(opRows, parts)
         .map { case (_, (recs, opIt)) =>
           Replay.foldComponent(recs.iterator, opIt.iterator)
@@ -308,12 +404,13 @@ final class IdentityMergeState(
         math.ceil(stateRows.toDouble / StateRowsPerPartition).toInt)
       mark("commit-count")
       // unpersist, not destroy: a lost `next` block recomputes through
-      // this epoch's lineage, which still closes over the broadcast
-      dims.unpersist(blocking = false)
+      // this epoch's lineage, which still closes over the broadcasts
+      broadcasts.foreach(_.unpersist(blocking = false))
+      epochPersists.foreach(_.unpersist(blocking = false))
       stateRdd.unpersist()
       stateRdd = next
       epoch = batchId
-      lastDims = Some((ccMap, touchedSet))
+      lastDims = dimsForDelta
     } finally opsRdd.unpersist()
   }
 

@@ -84,23 +84,54 @@ class IdentityMergeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inc.size == 2)
   }
 
-  test("driver dimension collects are budget-gated: an over-budget epoch fails loudly") {
+  test("over-budget dimensions degrade to the distributed path with batch parity") {
     import spark.implicits._
-    // a 1 KB budget that any non-trivial batch id-pair set breaches —
-    // the guard must refuse BEFORE collecting, with an actionable error
-    // (ADVICE: no silent driver OOM on a pathological alias dimension)
+    // a 1 KB budget that any non-trivial dimension breaches: the probe
+    // must refuse to collect and the epoch must complete DISTRIBUTED
+    // (join-based resolve + shared CC fixpoint) with the same state as
+    // batch replay — degradation, not an error (VERDICT r14 #2)
     val st = new IdentityMergeState(spark, driverHeapBudget = 1024L)
-    val ops = (1 to 64).map(i => PersonOp(s"user-$i", i.toLong, Map("k" -> "v"), Map.empty, Nil, None))
-    val e = intercept[IllegalArgumentException] {
-      st.processBatch(ops.toDS(), 0L)
-    }
-    assert(e.getMessage.contains("exceeds the driver budget"), e.getMessage)
+    val ops = (1 to 64).map(i =>
+      PersonOp(s"user-$i", i.toLong, Map("k" -> "v"), Map.empty, Nil, None)) ++
+      Seq(PersonOp("user-1", 100L, Map("m" -> "w"), Map.empty, Nil, Some("user-2")),
+        PersonOp("user-3", 101L, Map.empty, Map.empty, Nil, Some("user-2")))
+    st.processBatch(ops.toDS(), 0L)
+    val out = st.persons().collect().toSeq
     st.close()
-    // and the default budget admits the same batch
-    val ok = new IdentityMergeState(spark)
-    ok.processBatch(ops.toDS(), 0L)
-    assert(ok.records.count() == 64L)
-    ok.close()
+    assert(asComparable(out) == asComparable(batchPersons(ops)))
+    assert(out.size == 62) // user-1/2/3 merged into one record
+  }
+
+  test("a mid-stream budget cross degrades per-epoch and keeps batch parity") {
+    import spark.implicits._
+    // budget sized so the EARLY epochs fit on the driver and the later
+    // ones (redirect dimension grown by accumulated merges) cross it
+    // mid-stream: estimatedHeapBytes(n, c) = 4c + 160n, so ~25 entries
+    // of ~14-char pairs ≈ 5.4 KB crosses a 4 KB budget.
+    val st = new IdentityMergeState(spark, driverHeapBudget = 4096L)
+    val mkOps = (lo: Int, hi: Int) => (lo to hi).flatMap(i => Seq(
+      PersonOp(s"anon-$i", i * 10L, Map(s"p$i" -> s"v$i"), Map.empty, Nil, None),
+      PersonOp(s"user-$i", i * 10L + 1, Map("email" -> s"u$i@x"), Map("first" -> s"f$i"),
+        Nil, Some(s"anon-$i"))))
+    val b0 = mkOps(1, 8)    // 8 merges → 8 redirects (~1.9 KB: fits)
+    val b1 = mkOps(9, 30)   // redirect dim now 30 entries (~6.6 KB: over)
+    val b2 = mkOps(31, 40) ++ Seq(
+      // post-cross writes through absorbed ids + a cross-record alias
+      PersonOp("anon-3", 900L, Map("late" -> "x"), Map.empty, Nil, None),
+      PersonOp("user-5", 901L, Map.empty, Map.empty, Nil, Some("user-7")))
+    val all = b0 ++ b1 ++ b2
+    Seq(b0, b1, b2).zipWithIndex.foreach { case (c, i) =>
+      st.processBatch(c.toDS(), i.toLong)
+    }
+    val out = st.persons().collect().toSeq
+    st.close()
+    assert(asComparable(out) == asComparable(batchPersons(all)))
+    // the degraded epochs really merged: user-5 absorbed user-7's chain
+    val u5 = out.find(_.canonical_id == "user-5").get
+    assert(u5.distinct_ids.toSet ==
+      Set("anon-5", "user-5", "anon-7", "user-7"))
+    val u3 = out.find(_.canonical_id == "user-3").get
+    assert(u3.properties("late") == "x") // redirected write in a degraded epoch
   }
 
   test("chained aliases across three batches collapse to one record") {
