@@ -224,6 +224,24 @@ object Dedup {
       .select(col("doc_id"), col("pos").as("band"), col("col").as("band_hash"))
   }
 
+  /** [[minhashBands]] over an already-materialized (doc_id, sh) shingle
+    * table — `hp ≡ transform(sh, h60 % P31)` by construction (both are
+    * `shingles3(toks)` hashed elementwise), so a caller that needs the
+    * shingle table ANYWAY (pairs' exact-Jaccard verify, the audit's
+    * inverted index) derives the bands from its persisted copy instead
+    * of paying the tokenize+shingle scan a second time. Same fencing
+    * discipline: `hp` materializes in its own projection so the 32
+    * permutation folds reference a plain attribute.
+    */
+  private def bandsFromShingles(shDocs: DataFrame): DataFrame = {
+    val sig = shDocs
+      .select(col("doc_id"), transform(col("sh"), sv => h60(sv) % P31).as("hp"))
+      .select(col("doc_id"), signature(col("hp")).as("sig"))
+    sig.select(col("doc_id"),
+        posexplode(array((0 until Bands).map(b => bandHash(col("sig"), b)): _*)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_hash"))
+  }
+
   val minhashBandsSql: String = {
     val sig = signatureSql(hashedShinglesSql)
     val bands = (0 until Bands).map(b => bandHashSql("sig", b)).mkString(", ")
@@ -359,18 +377,21 @@ object Dedup {
     * at 100 TB the band join shuffles (doc_id, int64) pairs only.
     */
   def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    // cache the signature table: both sides of the band self-join (and
-    // a possible broadcast build) would otherwise recompute the whole
-    // shingle+signature pipeline
-    val bands = minhashBands(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE tokenize+shingle pass: the persisted shingle table feeds both
+    // the exact-Jaccard verify AND the band derivation (hp ≡
+    // transform(sh, h60 % P31) by construction — see
+    // [[bandsFromShingles]]); bands cached too because both sides of
+    // the band self-join (and a possible broadcast build) read it
+    val docs = shingleDocs(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = bandsFromShingles(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
-    val docs = shingleDocs(s, d)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cand
       .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
       .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
@@ -413,7 +434,12 @@ object Dedup {
     * everything; the plan is identical either way.
     */
   def lshAudit(s: SparkSession, d: String): DataFrame = {
-    val bands = minhashBands(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one tokenize+shingle pass shared by the candidate and truth sides
+    // (see [[minhashPairs]]/[[bandsFromShingles]])
+    val docs = shingleDocs(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = bandsFromShingles(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
@@ -421,8 +447,6 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
       .withColumn("is_cand", lit(1L))
-    val docs = shingleDocs(s, d)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), h60(col("s")).as("hs"))
     val sizes = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
