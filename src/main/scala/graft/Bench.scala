@@ -87,6 +87,17 @@ object Bench {
       // covers the registry with headroom; class memory is trivial next
       // to the 128 GiB heap.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // Spark 4's codegen cache key is (context classloader weakref,
+      // source), and STREAMING queries execute under a per-query
+      // artifact-isolation classloader — so every MemoryStream drive
+      // recompiled its entire source set per pass (measured r15:
+      // 20-29 identical-source Janino compiles per stream query per
+      // pass, ~137/pass across the 7 drive-loop queries; CodegenDiff
+      // q_stream_anomaly build2: 20 -> 0 with isolation off). This
+      // session adds no per-session artifacts, so isolation buys
+      // nothing here; a multi-tenant deployment that calls addArtifact
+      // should leave the default and accept per-query recompiles.
+      .config("spark.sql.artifact.isolation.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     installWindowWarnCapture()
@@ -131,6 +142,11 @@ object Bench {
     // pipe_stream_merge drive loops)
     val dataSecs = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.ArrayBuffer[Double]]
+    // per-query streaming STATE high-waters (VERDICT r14 #8): rows /
+    // bytes (+ RocksDB SST bytes when that provider runs) from
+    // StreamingQueryProgress.stateOperators, max-merged across passes
+    val stateHi = scala.collection.mutable.LinkedHashMap
+      .empty[String, Map[String, Long]]
     val byPass: Seq[Seq[(String, Double)]] = (1 to passes).map { pass =>
       val started = System.currentTimeMillis()
       val la0 = loadavg()
@@ -138,6 +154,7 @@ object Bench {
       val timed = names.filter(n => pass == passes || !onePass(n)).map { name =>
         currentQuery = name
         PhaseMeter.reset()
+        StateMeter.reset()
         // codegen forensics (dev, SPARK_GRAFT_CODEGEN_TRACE): Janino
         // compile count/source bytes per query per pass — a nonzero
         // count on a WARM pass means the 2000-entry codegen cache
@@ -165,6 +182,12 @@ object Bench {
         PhaseMeter.snapshot.get("data").foreach { ds =>
           dataSecs.getOrElseUpdate(name,
             scala.collection.mutable.ArrayBuffer.empty[Double]) += ds
+        }
+        val st = StateMeter.snapshot
+        if (st.nonEmpty) {
+          val prev = stateHi.getOrElse(name, Map.empty)
+          stateHi(name) = (prev.keySet ++ st.keySet).map(k =>
+            k -> math.max(prev.getOrElse(k, 0L), st.getOrElse(k, 0L))).toMap
         }
         currentQuery = "between"
         // reclaim per-query persisted blocks: timings stay independent —
@@ -228,7 +251,14 @@ object Bench {
       val hw = HeapWatermark.snapshot.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${m(best)},$ps,"stream_data":$sd,"heap_watermarks":$hw,"failures":$fs,$env,"sf":"$sfDir"}"""
+      // streaming state-store size high-waters per metered query: the
+      // number that says whether watermark/TTL eviction bounds state
+      val ss = stateHi
+        .map { case (k, m2) => "\"" + k + "\":" + m2.toSeq.sorted
+          .map { case (mk, mv) => "\"" + mk + "\":" + mv }
+          .mkString("{", ",", "}") }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${m(best)},$ps,"stream_data":$sd,"stream_state":$ss,"heap_watermarks":$hw,"failures":$fs,$env,"sf":"$sfDir"}"""
     }
     // the committed baseline artifact records FULL runs only — a
     // SPARK_GRAFT_ONLY dev subset writes to bench_dev.json so it can

@@ -68,6 +68,19 @@ object CodegenDiff {
       // Legitimate adaptivity, not a cache bug — the bench's residual
       // warm-pass compiles are this plus streaming watermark literals.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // UNTRUNCATED source logging: the default 1000-line cap makes two
+      // DIFFERENT large sources (streaming agg easily exceeds it) appear
+      // byte-identical to the capture, which would misattribute a
+      // legitimate literal-differing recompile as a cache bug
+      .config("spark.sql.codegen.logging.maxLines", "-1")
+      // r15 finding: Spark 4's codegen cache key is (context classloader
+      // weakref, source). Streaming queries run under a per-query
+      // artifact-isolation classloader, so EVERY new streaming query
+      // recompiles its whole source set against a fresh key — identical
+      // sources, zero "fresh" diffs. GRAFT_CGDIFF_ISOLATION=1 restores
+      // the default to reproduce that behavior.
+      .config("spark.sql.artifact.isolation.enabled",
+        sys.env.contains("GRAFT_CGDIFF_ISOLATION").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     installCapture()
@@ -91,6 +104,40 @@ object CodegenDiff {
     val aSet = a.toSet
     val fresh = b.filterNot(aSet.contains)
     println(s"[cgdiff] build2 sources not seen in build1: ${fresh.size} / ${b.size}")
+    // IDENTICAL sources recompiled on build 2 = cache misses on an
+    // unchanged key — name the generated classes so the cause can be
+    // attributed (r15 finding: the streaming path's per-micro-batch
+    // recompiles are this class, NOT literal-differing sources)
+    val stale = b.filter(aSet.contains)
+    if (stale.nonEmpty) {
+      val byClass = stale.flatMap(_.linesIterator
+          .find(l => l.contains("class ") && l.contains("extends"))
+          .map(_.trim.take(100)))
+        .groupBy(identity).view.mapValues(_.size).toSeq.sortBy(-_._2)
+      println(s"[cgdiff] build2 IDENTICAL-source recompiles by class:")
+      byClass.foreach { case (cls, n) => println(s"[cgdiff]   $n x $cls") }
+      // same class appearing with ≥2 DISTINCT sources inside one build =
+      // a per-execution literal stamped into the code (the watermark
+      // class); print the differing lines to name the literal
+      stale.groupBy(_.linesIterator
+          .find(l => l.contains("class ") && l.contains("extends"))
+          .getOrElse("?"))
+        .values.filter(g => g.distinct.size > 1).take(3)
+        .foreach { g =>
+          val Seq(x, y) = g.distinct.take(2)
+          x.linesIterator.zip(y.linesIterator).zipWithIndex
+            .filter { case ((p, r), _) => p != r }.take(3)
+            .foreach { case ((p, r), i) =>
+              println(s"[cgdiff] same-class source drift line $i:\n" +
+                s"  A: ${p.trim.take(160)}\n  B: ${r.trim.take(160)}")
+            }
+        }
+      // duplicate compiles of one source WITHIN build 1 say the miss
+      // already happens inside a single run (not a cross-run effect)
+      val dup1 = a.groupBy(identity).view.mapValues(_.size).filter(_._2 > 1)
+      println(s"[cgdiff] build1 within-run duplicate compiles: " +
+        s"${dup1.values.sum - dup1.size} extra over ${dup1.size} sources")
+    }
     fresh.take(2).foreach { src =>
       // nearest build-1 source by line-prefix overlap, then diff lines
       val best = a.maxByOption(x =>

@@ -21,6 +21,8 @@ object Verify {
       // same rationale as Bench: >100 generated classes across the
       // query population; the default cache evicts and recompiles
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // and the streaming-query classloader re-key fix (see Bench)
+      .config("spark.sql.artifact.isolation.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -86,6 +86,7 @@ object StreamQueries {
         // metered as "data": the actual micro-batch execution — Bench
         // separates this from the harness/transport floor (PhaseMeter)
         graft.PhaseMeter.time("data")(q.processAllAvailable())
+        graft.StateMeter.record(q)
       }
       s.table(name).localCheckpoint(true)
     } finally { q.stop() }
@@ -235,6 +236,7 @@ object StreamQueries {
         val in = ch.toSet
         mem.addData(bandRows.filter(t => in(t._1)).toSeq: _*)
         graft.PhaseMeter.time("data")(q.processAllAvailable())
+        graft.StateMeter.record(q)
       }
       s.table(name).as[(Long, Int, Long)].collect()
     } finally { q.stop(); s.sql(s"DROP TABLE IF EXISTS $name") }
@@ -273,6 +275,7 @@ object StreamQueries {
       rows.sortBy(_._1).grouped(math.max(1, rows.length / chunks + 1)).foreach { ch =>
         mem.addData(ch.toSeq: _*)
         graft.PhaseMeter.time("data")(q.processAllAvailable())
+        graft.StateMeter.record(q)
       }
       s.table(name).as[Streaming.SamplePick].collect()
     } finally { q.stop(); s.sql(s"DROP TABLE IF EXISTS $name") }
