@@ -71,6 +71,62 @@ trait TableFormat {
     * reclaim data files only they referenced.
     */
   def expire(spark: SparkSession, table: String, keepLast: Int): Unit
+
+  // ----- incremental / CDC (VERDICT r14 #6: the full snapshot surface
+  // ----- is part of the CONTRACT, not a Snapshots-only extension)
+
+  /** Incremental APPEND scan: the rows added by the snapshots in
+    * (`fromVersion`, `toVersion`]. Throws if the range contains a
+    * non-append snapshot — row-level deltas of rewrites are
+    * [[changesBetween]]'s job (the Iceberg incremental-scan split).
+    */
+  def readIncremental(spark: SparkSession, table: String,
+      fromVersion: Long, toVersion: Long): DataFrame
+
+  /** Row-level CDC between two committed versions: each changed row
+    * with `_change_type` `insert`/`delete` (an update appears as its
+    * delete+insert pair); rows carried unchanged (compaction) emit
+    * nothing.
+    */
+  def changesBetween(spark: SparkSession, table: String,
+      fromVersion: Long, toVersion: Long): DataFrame
+
+  // ----- write-audit-publish staging
+
+  /** Stage `df` durably WITHOUT making it visible to [[read]]; returns
+    * the stage id the audit step passes to [[readStaged]] and then
+    * [[publishStaged]]/[[discardStaged]]. Implementations may require
+    * the table to already exist (Iceberg WAP does).
+    */
+  def stageWrite(spark: SparkSession, table: String, df: DataFrame): String
+
+  /** The staged rows (exactly as [[publishStaged]] would commit them). */
+  def readStaged(spark: SparkSession, table: String, stageId: String): DataFrame
+
+  /** Atomically commit a staged write (zero data movement). */
+  def publishStaged(spark: SparkSession, table: String, stageId: String): Unit
+
+  /** Drop a staged write that failed its audit; never becomes visible. */
+  def discardStaged(spark: SparkSession, table: String, stageId: String): Unit
+
+  // ----- exactly-once streaming epochs
+
+  /** Idempotent epoch APPEND: commit `df` tagged with `batchId`; a
+    * failure-replayed epoch (same `batchId`, checkpoint-monotonic per
+    * sink) finds its tag already committed and SKIPS. Replay detection
+    * must survive [[expire]] (an expiry-proof high-water, not a scan of
+    * retained history).
+    */
+  def commitEpoch(spark: SparkSession, table: String, df: DataFrame,
+      batchId: Long): Unit
+
+  /** Idempotent epoch keyed UPSERT — the [[mergeInto]] twin of
+    * [[commitEpoch]]: how a streaming pipeline maintains a keyed
+    * serving table. Duplicate keys within one batch must be resolved
+    * upstream (the micro-batch is the unit of last-write-wins).
+    */
+  def mergeEpoch(spark: SparkSession, table: String, df: DataFrame,
+      keyCols: Seq[String], batchId: Long): Unit
 }
 
 /** The offline implementation — delegates to [[Snapshots]]' manifest
@@ -103,6 +159,26 @@ object SnapshotsFormat extends TableFormat {
     { Snapshots.compactSnapshot(spark, table, files); () }
   def expire(spark: SparkSession, table: String, keepLast: Int): Unit =
     { Snapshots.expire(spark, table, keepLast); () }
+  def readIncremental(spark: SparkSession, table: String,
+      fromVersion: Long, toVersion: Long): DataFrame =
+    Snapshots.readIncremental(spark, table, fromVersion, toVersion)
+  def changesBetween(spark: SparkSession, table: String,
+      fromVersion: Long, toVersion: Long): DataFrame =
+    Snapshots.changesBetween(spark, table, fromVersion, toVersion)
+  def stageWrite(spark: SparkSession, table: String, df: DataFrame): String =
+    Snapshots.stageWrite(spark, table, df)
+  def readStaged(spark: SparkSession, table: String, stageId: String): DataFrame =
+    Snapshots.readStaged(spark, table, stageId)
+  def publishStaged(spark: SparkSession, table: String, stageId: String): Unit =
+    { Snapshots.publishStaged(spark, table, stageId); () }
+  def discardStaged(spark: SparkSession, table: String, stageId: String): Unit =
+    Snapshots.discardStaged(spark, table, stageId)
+  def commitEpoch(spark: SparkSession, table: String, df: DataFrame,
+      batchId: Long): Unit =
+    Snapshots.commitEpoch(df, table, batchId)
+  def mergeEpoch(spark: SparkSession, table: String, df: DataFrame,
+      keyCols: Seq[String], batchId: Long): Unit =
+    Snapshots.mergeEpoch(df, table, keyCols, batchId)
 }
 
 /** The production mapping onto a REAL Iceberg catalog — written
@@ -170,4 +246,137 @@ object IcebergFormat extends TableFormat {
   def expire(spark: SparkSession, table: String, keepLast: Int): Unit =
     { spark.sql(s"CALL ${catalogOf(table)}.system.expire_snapshots" +
         s"(table => '$table', retain_last => $keepLast)"); () }
+
+  def readIncremental(spark: SparkSession, table: String,
+      fromVersion: Long, toVersion: Long): DataFrame =
+    // Iceberg's incremental append scan: start exclusive, end inclusive
+    // — same (from, to] contract as Snapshots; throws on a non-append
+    // snapshot in range, same split
+    spark.read.format("iceberg")
+      .option("start-snapshot-id", fromVersion.toString)
+      .option("end-snapshot-id", toVersion.toString)
+      .load(table)
+
+  def changesBetween(spark: SparkSession, table: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val view = s"graft_chg_${java.lang.Long.toHexString(System.nanoTime())}"
+    spark.sql(
+      s"""CALL ${catalogOf(table)}.system.create_changelog_view(
+         |  table => '$table',
+         |  options => map('start-snapshot-id', '$fromVersion',
+         |                 'end-snapshot-id', '$toVersion'),
+         |  changelog_view => '$view')""".stripMargin)
+    // normalize to the contract's lowercase insert/delete (Iceberg may
+    // emit UPDATE_BEFORE/UPDATE_AFTER when identifier columns are set —
+    // an update IS its delete+insert pair, same as Snapshots)
+    spark.table(view)
+      .withColumn("_change_type",
+        when(col("_change_type").isin("INSERT", "UPDATE_AFTER"), lit("insert"))
+          .otherwise(lit("delete")))
+      .drop("_change_ordinal", "_commit_snapshot_id")
+  }
+
+  /** WAP id → its staged (unreferenced) snapshot id, from the snapshots
+    * metadata table's summary map.
+    */
+  private def stagedSnapshotId(spark: SparkSession, table: String,
+      stageId: String): Long = {
+    import org.apache.spark.sql.functions.{col, element_at}
+    val rows = spark.read.table(s"$table.snapshots")
+      .filter(element_at(col("summary"), "wap.id") === stageId)
+      .select("snapshot_id").collect()
+    require(rows.nonEmpty, s"no staged snapshot with wap.id=$stageId in $table")
+    rows.head.getLong(0)
+  }
+
+  def stageWrite(spark: SparkSession, table: String, df: DataFrame): String = {
+    // Iceberg WAP: the table must exist and carry write.wap.enabled;
+    // the append under spark.wap.id lands as an UNREFERENCED snapshot
+    // (invisible to reads) until cherry-picked
+    val id = s"wap_${java.lang.Long.toHexString(System.nanoTime())}"
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('write.wap.enabled'='true')")
+    spark.conf.set("spark.wap.id", id)
+    try df.writeTo(table).append()
+    finally spark.conf.unset("spark.wap.id")
+    id
+  }
+
+  def readStaged(spark: SparkSession, table: String, stageId: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    // the staged snapshot's view of the table MINUS the published
+    // current = exactly the staged rows; Iceberg's WAP snapshot is
+    // current-plus-staged, so except against current
+    val staged = spark.read
+      .option("snapshot-id", stagedSnapshotId(spark, table, stageId).toString)
+      .table(table)
+    staged.exceptAll(spark.read.table(table)).select(staged.columns.map(col): _*)
+  }
+
+  def publishStaged(spark: SparkSession, table: String, stageId: String): Unit =
+    { spark.sql(s"CALL ${catalogOf(table)}.system.cherrypick_snapshot" +
+        s"('$table', ${stagedSnapshotId(spark, table, stageId)})"); () }
+
+  def discardStaged(spark: SparkSession, table: String, stageId: String): Unit =
+    { spark.sql(s"CALL ${catalogOf(table)}.system.expire_snapshots" +
+        s"(table => '$table', " +
+        s"snapshot_ids => ARRAY(${stagedSnapshotId(spark, table, stageId)}))"); () }
+
+  private val HighWaterProp = "graft.epoch.high-water"
+
+  /** Expiry-proof epoch replay detection: primary check is the table
+    * property high-water (survives expire_snapshots); fallback is the
+    * retained snapshots' summary tag. Checkpointed batchIds are
+    * strictly monotonic per sink, so `batchId <= hw` ⇔ replayed — the
+    * same two-tier contract the offline format implements.
+    */
+  private def epochCommitted(spark: SparkSession, table: String,
+      batchId: Long): Boolean = {
+    import org.apache.spark.sql.functions.{col, element_at, max}
+    if (!spark.catalog.tableExists(table)) return false
+    val hw = spark.sql(s"SHOW TBLPROPERTIES $table")
+      .filter(col("key") === HighWaterProp)
+      .select("value").collect().headOption
+      .flatMap(r => r.getString(0).toLongOption)
+    hw match {
+      case Some(w) => batchId <= w
+      case None =>
+        val tagged = spark.read.table(s"$table.snapshots")
+          .select(element_at(col("summary"), "graft.epoch").cast("long").as("e"))
+          .agg(max(col("e"))).collect().head
+        !tagged.isNullAt(0) && batchId <= tagged.getLong(0)
+    }
+  }
+
+  private def setHighWater(spark: SparkSession, table: String, batchId: Long): Unit =
+    { spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+        s"('$HighWaterProp'='$batchId')"); () }
+
+  def commitEpoch(spark: SparkSession, table: String, df: DataFrame,
+      batchId: Long): Unit =
+    if (!epochCommitted(spark, table, batchId)) {
+      // the snapshot-property tag rides the SAME commit as the data, so
+      // a crash before the (separate) property bump still leaves the
+      // replay detectable via the summary fallback — no duplicate append
+      if (spark.catalog.tableExists(table))
+        df.writeTo(table)
+          .option("snapshot-property.graft.epoch", batchId.toString).append()
+      else
+        df.writeTo(table)
+          .option("snapshot-property.graft.epoch", batchId.toString).create()
+      setHighWater(spark, table, batchId)
+    }
+
+  def mergeEpoch(spark: SparkSession, table: String, df: DataFrame,
+      keyCols: Seq[String], batchId: Long): Unit =
+    if (!epochCommitted(spark, table, batchId)) {
+      // MERGE INTO cannot carry a snapshot property; the high-water bump
+      // is a separate metadata commit. The gap is safe: a checkpoint
+      // replay re-runs the SAME batch, and a keyed upsert of identical
+      // rows is idempotent — state converges, then the bump lands.
+      if (spark.catalog.tableExists(table))
+        mergeInto(spark, table, df, keyCols)
+      else df.writeTo(table).create()
+      setHighWater(spark, table, batchId)
+    }
 }

@@ -72,12 +72,70 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(fmt.read(spark, t).count() == 3)
     }
 
+  /** The r14-widened half of the contract (VERDICT r14 #6): the
+    * incremental/CDC/WAP/exactly-once-epoch surface that was
+    * Snapshots-only is part of the trait now — one spec, every
+    * implementation.
+    */
+  private def extendedContract(name: String, fmt: TableFormat,
+      freshTable: () => String, guard: () => Boolean = () => true): Unit =
+    test(s"$name: incremental/CDC/WAP/epoch contract") {
+      assume(guard(), s"$name runtime not on the classpath — cancelled")
+      import spark.implicits._
+      val t = freshTable()
+      // exactly-once epoch appends: a replayed epoch skips
+      fmt.commitEpoch(spark, t, range(0, 10), 0L)
+      fmt.commitEpoch(spark, t, range(10, 20), 1L)
+      fmt.commitEpoch(spark, t, range(10, 20), 1L) // checkpoint replay
+      assert(fmt.read(spark, t).count() == 20)
+      val vs = fmt.versions(spark, t)
+      assert(vs.size == 2)
+      // incremental append scan covers exactly (v0, v1]
+      assert(fmt.readIncremental(spark, t, vs.head, vs.last).count() == 10)
+      assert(fmt.readIncremental(spark, t, vs.head, vs.last)
+        .select(min(col("id"))).as[Long].head() == 10L)
+      // row-level CDC across a COW delete: 5 deletes, 0 inserts
+      fmt.deleteWhere(spark, t, col("id") >= 15)
+      val vs2 = fmt.versions(spark, t)
+      val chg = fmt.changesBetween(spark, t, vs.last, vs2.last)
+      assert(chg.filter(col("_change_type") === "delete").count() == 5)
+      assert(chg.filter(col("_change_type") === "insert").count() == 0)
+      // WAP: staged rows invisible until published, then atomic
+      val sid = fmt.stageWrite(spark, t, range(100, 103))
+      assert(fmt.read(spark, t).count() == 15)
+      assert(fmt.readStaged(spark, t, sid).count() == 3)
+      fmt.publishStaged(spark, t, sid)
+      assert(fmt.read(spark, t).count() == 18)
+      // discarded stage never becomes visible
+      val sid2 = fmt.stageWrite(spark, t, range(200, 205))
+      fmt.discardStaged(spark, t, sid2)
+      assert(fmt.read(spark, t).count() == 18)
+      // exactly-once keyed epoch merge: upsert semantics + replay skip
+      val mt = freshTable()
+      fmt.mergeEpoch(spark, mt, Seq((1L, "a"), (2L, "b")).toDF("id", "s"), Seq("id"), 0L)
+      fmt.mergeEpoch(spark, mt, Seq((2L, "B"), (3L, "c")).toDF("id", "s"), Seq("id"), 1L)
+      // a replayed epoch with (hypothetically) different content must
+      // SKIP — the tag, not the rows, decides
+      fmt.mergeEpoch(spark, mt, Seq((2L, "Z"), (3L, "z")).toDF("id", "s"), Seq("id"), 1L)
+      val m = fmt.read(spark, mt).as[(Long, String)].collect().toMap
+      assert(m == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+      // the replay guard survives expiry (expiry-proof high-water)
+      fmt.expire(spark, mt, keepLast = 1)
+      fmt.mergeEpoch(spark, mt, Seq((9L, "X")).toDF("id", "s"), Seq("id"), 0L)
+      assert(fmt.read(spark, mt).count() == 3) // epoch 0 replay skipped
+    }
+
   contract("snapshots", SnapshotsFormat,
+    () => Files.createTempDirectory("tfmt").toString)
+  extendedContract("snapshots", SnapshotsFormat,
     () => Files.createTempDirectory("tfmt").toString)
 
   // activates when Iceberg runtime jars + a 'graft_it' catalog conf
   // exist; in this offline container it reports cancelled, not passed
   contract("iceberg", IcebergFormat,
+    () => s"graft_it.db.t${java.lang.Long.toHexString(System.nanoTime())}",
+    guard = () => IcebergFormat.available)
+  extendedContract("iceberg", IcebergFormat,
     () => s"graft_it.db.t${java.lang.Long.toHexString(System.nanoTime())}",
     guard = () => IcebergFormat.available)
 }
