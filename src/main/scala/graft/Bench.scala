@@ -113,6 +113,7 @@ object Bench {
     // the timers silently measure the generator instead of the engine
     graft.ingest.IngestQueries.prepare(spark, sfDir)
     graft.state.StateQueries.prepare(spark, sfDir)
+    graft.queries.VariantQueries.prepare(spark, sfDir)
     // warm-scratch gate (names self-registered at scratch call sites)
     val cold = Tables.coldScratch(sfDir)
     require(cold.isEmpty, s"scratch inputs not materialized: ${cold.mkString(",")}")

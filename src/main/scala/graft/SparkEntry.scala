@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Product, Q, Relational}
+import graft.queries.{Product, Q, Relational, VariantQueries}
 import graft.flags.FlagQueries
 import graft.ingest.IngestQueries
 import graft.llm.{Bpe, Corpus, Dedup, KMeans, Multimodal, PQ, Select, Similarity, TextOps, Unigram, WordPiece}
@@ -21,7 +21,7 @@ object SparkEntry {
   def registry: Seq[Q] =
     Relational.all ++ Product.all ++ TextOps.all ++ Bpe.all ++ Unigram.all ++ WordPiece.all ++ Dedup.all ++ Similarity.all ++ KMeans.all ++ PQ.all ++ Corpus.all ++ Select.all ++
       Multimodal.all ++ IngestQueries.all ++ StateQueries.all ++ FlagQueries.all ++
-      StreamQueries.all
+      StreamQueries.all ++ VariantQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
