@@ -101,9 +101,23 @@ heap_breaches = sorted(
 jvm_peaks = [p.get("jvm_heap_peak_mb") for p in dev.get("env", {}).get("passes", [])
              if isinstance(p, dict) and p.get("jvm_heap_peak_mb") is not None]
 
+# SAMPLED-TIER DEMOTION (VERDICT r14 #7): the 8 diagnosed members of
+# the two known classes (result-quadratic pair enumeration, labeled
+# brute baselines) are excluded from the sf1 run via SPARK_GRAFT_SKIP —
+# their sampled scale IS sf0.1, where they stay fully oracle- and
+# budget-gated every round; the probe validates their scale-path twins
+# (clusters / lsh_gate / ivf / project_search), which run in full.
+# Each carries its FINDINGS diagnosis in the artifact either way.
+DEMOTED_SAMPLED = [
+    "q_dedup_simhash_pairs", "q_dedup_lsh_audit", "q_dedup_containment",
+    "q_dedup_ngram", "q_dedup_cosine", "q_sim_binary",
+    "q_dedup_minhash_pairs", "q_sim_matryoshka"]
+
 doc = {
     "metric": "sf1_scale_probe",
     "findings": {q: FINDINGS.get(q, "unexplained - investigate") for q in flagged},
+    "demoted_sampled": {q: FINDINGS[q] for q in DEMOTED_SAMPLED
+                        if q not in dev["queries"]},
     "heap_watermarks_bytes": watermarks,
     "heap_budget_bytes": HEAP_BUDGET,
     "heap_breaches": heap_breaches,

@@ -121,8 +121,22 @@ object Bench {
 
     // dev loop only (driver sets no filter): time a subset by substring
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    // SAMPLED-TIER DEMOTION (VERDICT r14 #7, sf1 probe only — never set
+    // on gated sf0.1 runs): exact names to exclude. The 8 diagnosed
+    // result-quadratic / labeled-brute queries exist as sampled audits
+    // of their scale-path twins; their sampled scale IS sf0.1, where
+    // they stay fully oracle- and budget-gated every round. Running
+    // them at 10x data re-measures a diagnosed n^2 on purpose (~140 s
+    // of Spark + most of the DuckDB sweep's recursive-CTE/pair-dump
+    // grind); the probe exists to validate the scale-path twins.
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    if (skip.nonEmpty)
+      System.err.println(s"[bench] demoted to sampled tier (skipped): " +
+        skip.toSeq.sorted.mkString(","))
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.contains)))
+      .filterNot(skip.contains)
     // 1-PASS TIER: the labeled brute/exact baselines. Their blocked
     // twins (LSH/IVF/banded) are the scale path and keep the 3-pass
     // fastest-gate; a brute baseline exists to audit its twin in-row,
@@ -264,7 +278,9 @@ object Bench {
     // the committed baseline artifact records FULL runs only — a
     // SPARK_GRAFT_ONLY dev subset writes to bench_dev.json so it can
     // never silently replace the cross-round comparison point
-    val outFile = if (only.isEmpty) "bench_full.json" else "bench_dev.json"
+    // a skip-demoted run is a subset too: it must never replace the
+    // committed full baseline
+    val outFile = if (only.isEmpty && skip.isEmpty) "bench_full.json" else "bench_dev.json"
     try {
       val w = new java.io.PrintWriter(outFile)
       try w.println(fullJson) finally w.close()
@@ -329,7 +345,7 @@ object Bench {
     // separately at exit (code 2, any run — see the exit logic)
     val budgetFile = new java.io.File("bench_budgets.json")
     var gateFailed = false
-    if (only.isEmpty && passes >= 2 && budgetFile.exists()) {
+    if (only.isEmpty && skip.isEmpty && passes >= 2 && budgetFile.exists()) {
       val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(budgetFile)
       val sfMatch = root.path("source_sf").asText("") == sfDir
       if (sfMatch) {

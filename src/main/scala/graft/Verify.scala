@@ -12,6 +12,10 @@ object Verify {
       case Some(pats) => name => pats.split(",").exists(name.contains)
       case None => _ => true
     }
+    // sampled-tier demotion for the sf1 probe (exact names; see Bench —
+    // the driver's gated runs never set this)
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,7 +30,8 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(q => filter(q._1)).foreach { case (name, fn) =>
+    SparkEntry.queries.filter(q => filter(q._1) && !skip.contains(q._1))
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
