@@ -313,7 +313,7 @@ object FlagQueries {
     */
   def flagCohort(s: SparkSession, d: String): DataFrame = {
     GraftExtensions.register(s)
-    val persons = graft.state.StateQueries.pipePersons(s, d)
+    val persons = graft.state.StateQueries.personDim(s, d)
     val props = map_filter(map(
       lit("plan"), col("plan"),
       lit("last_event"), col("last_event"),

@@ -169,7 +169,7 @@ object Product {
     * funnel stages already share); the rollup is |plans|-row.
     */
   def funnelCohort(s: SparkSession, d: String): DataFrame = {
-    val persons = graft.state.StateQueries.pipePersons(s, d)
+    val persons = graft.state.StateQueries.personDim(s, d)
       .select(
         regexp_extract(col("canonical_id"), "([0-9]+)$", 1)
           .cast(LongType).as("user_id"),
@@ -209,7 +209,7 @@ object Product {
     * zero-fill grid from a 1-row bounds aggregate.
     */
   def trendsCohort(s: SparkSession, d: String): DataFrame = {
-    val persons = graft.state.StateQueries.pipePersons(s, d)
+    val persons = graft.state.StateQueries.personDim(s, d)
       .select(
         regexp_extract(col("canonical_id"), "([0-9]+)$", 1)
           .cast(LongType).as("user_id"),
@@ -330,7 +330,7 @@ object Product {
     * onto the plan × triangle-sized rollup.
     */
   def retentionCohort(s: SparkSession, d: String): DataFrame = {
-    val persons = graft.state.StateQueries.pipePersons(s, d)
+    val persons = graft.state.StateQueries.personDim(s, d)
       .select(
         regexp_extract(col("canonical_id"), "([0-9]+)$", 1)
           .cast(LongType).as("user_id"),
@@ -2474,7 +2474,7 @@ object Product {
     */
   def lifecycleCohort(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val persons = graft.state.StateQueries.pipePersons(s, d)
+    val persons = graft.state.StateQueries.personDim(s, d)
       .select(
         regexp_extract(col("canonical_id"), "([0-9]+)$", 1)
           .cast(LongType).as("user_id"),
@@ -2540,7 +2540,7 @@ object Product {
     * key.
     */
   def stickinessCohort(s: SparkSession, d: String): DataFrame = {
-    val persons = graft.state.StateQueries.pipePersons(s, d)
+    val persons = graft.state.StateQueries.personDim(s, d)
       .select(
         regexp_extract(col("canonical_id"), "([0-9]+)$", 1)
           .cast(LongType).as("user_id"),

@@ -45,7 +45,7 @@ object VariantQueries {
     */
   private def personsPv(s: SparkSession, d: String): DataFrame =
     Tables.scratch(s, d, "persons_pv") {
-      graft.state.StateQueries.pipePersons(s, d)
+      graft.state.StateQueries.personDim(s, d)
         .select(col("canonical_id"),
           to_json(struct(col("plan"), col("last_event"), col("first_et"),
             col("first_plan"))).as("props_json"))
