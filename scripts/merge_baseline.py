@@ -67,6 +67,18 @@ def main(out, sources):
             sd.setdefault(q, []).extend(round(p, 3) for p in passes)
     if sd:
         base["stream_data"] = {q: sorted(v) for q, v in sorted(sd.items())}
+    # streaming state-store high-waters (rows/bytes/SST per metered
+    # query, r15): carry the max across runs so the committed baseline
+    # keeps the state-growth record the per-run artifacts measure
+    ss = {}
+    for r in runs:
+        for q, m in r.get("stream_state", {}).items():
+            cur = ss.setdefault(q, {})
+            for k, v in m.items():
+                cur[k] = max(v, cur.get(k, v))
+    if ss:
+        base["stream_state"] = {q: dict(sorted(m.items()))
+                                for q, m in sorted(ss.items())}
     # carry each folded run's contention forensics (loadavg spans, pass
     # wall timestamps, run total) so a drifted round total is
     # attributable to the box at a glance; inputs that were themselves
