@@ -761,11 +761,13 @@ object Dedup {
     * cells (Abbas et al. 2023: cluster the embedding space, then
     * deduplicate WITHIN each cluster only). Candidates come from a
     * self-join on the IVF cell id ([[Similarity.ivfAssign]], the same
-    * deterministic quantizer the ANN queries share), so candidate
-    * count is Σ|cell|² ≈ N²/c — never the all-pairs product — and the
-    * exact cosine verifies every pair (no false positives; cross-cell
-    * near-dups are the recall trade, tunable via cluster count /
-    * multi-assign). Keep rule: a vector is dropped when a same-cell
+    * deterministic CORPUS-SCALED quantizer the ANN queries share:
+    * c = max(8, ceil(N/[[Portable.CellTarget]])), so candidate count is
+    * Σ|cell|² ≈ N·256 — linear in the corpus, never the all-pairs
+    * product — and the exact cosine verifies every pair (no false
+    * positives; cross-cell near-dups are the recall trade, tunable via
+    * the per-cell target / multi-assign). Keep rule: a vector is
+    * dropped when a same-cell
     * neighbor with cosine ≥ 0.4 and a smaller vec_id exists (the
     * paper keeps a per-group representative; min-id is the
     * deterministic, oracle-checkable election of it).

@@ -186,7 +186,7 @@ object Multimodal {
           (r.doc_id, h.map(_ / n).toSeq)
         }
       }.toDF("doc_id", "feat")
-    val c = Tables.embeddings(s, d).filter(col("vec_id") < 8)
+    val c = Tables.embeddings(s, d).filter(col("vec_id") < Portable.nCells(s, d))
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
     val d2 = Portable.dist2(col("feat"), col("c_emb"))
     val w = org.apache.spark.sql.expressions.Window
@@ -199,14 +199,14 @@ object Multimodal {
   }
 
   val mediaEmbedSql: String =
-    """WITH m AS (
+    s"""WITH m AS (
       |  SELECT doc_id,
       |    list_transform(generate_series(0, 63), j ->
       |      len(list_filter(generate_series(1, len(text)),
       |        i -> ascii(substr(text, i, 1)) % 64 = j))::DOUBLE
       |      / greatest(len(text), 1)) AS feat
       |  FROM documents),
-      |c AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+      |c AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < ${Portable.cellCountSql()}),
       |scored AS (
       |  SELECT doc_id, centroid_id,
       |    list_reduce(list_transform(generate_series(1, 64), i ->
@@ -300,9 +300,9 @@ object Multimodal {
       element_at(typedLit(Seq("image", "audio", "video")),
         (col("doc_id") % 3 + 1).cast("int")).as("kind"))
     val e = Tables.par(Tables.embeddings(s, d)).select(col("vec_id"), col("embedding"))
-    val c = e.filter(col("vec_id") < 8)
+    val c = e.filter(col("vec_id") < Portable.nCells(s, d))
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
-    // nearest-of-8 coarse cell, rank-1 per vector (broadcast centroids)
+    // nearest coarse cell, rank-1 per vector (broadcast centroids)
     def nearestCell(df: DataFrame): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(col("d2"), col("centroid_id"))
@@ -336,7 +336,7 @@ object Multimodal {
        |  SELECT doc_id, ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS kind
        |  FROM documents),
        |e AS (SELECT vec_id, embedding FROM embeddings),
-       |c AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM e WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM e WHERE vec_id < ${cellCountSql()}),
        |img AS (
        |  SELECT e.vec_id, e.embedding FROM e
        |  JOIN meta ON e.vec_id = meta.doc_id WHERE meta.kind = 'image'),

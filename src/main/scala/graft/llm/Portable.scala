@@ -104,4 +104,57 @@ object Portable {
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
   def l2normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+
+  /** Per-cell size target for the IVF coarse quantizer shared by the
+    * whole ANN/blocked-dedup family ([[graft.llm.Similarity.ivfAssign]],
+    * SemDeDup, k-NN graph, hard negatives, range search, IVF-PQ,
+    * cross-modal search). The cell count SCALES WITH THE CORPUS:
+    *
+    *   c = max(8, ceil(N / CellTarget))
+    *
+    * so expected cell population stays ≈ [[CellTarget]] however large N
+    * grows, which keeps every Σ|cell|² consumer (all-pairs WITHIN a
+    * cell) LINEAR in the corpus — Σ|cell|² ≈ N·CellTarget — instead of
+    * the N²/c a frozen cell count degrades to. The max(8, ·) floor
+    * pins the small-fixture behavior (every committed oracle at
+    * N ≤ 2048 sees exactly the historical 8 cells), so the mechanism
+    * scales while the fixtures stay bit-stable.
+    *
+    * 256 is a power of two on purpose: `N / 256.0` is exact in binary
+    * floating point, so Spark's `ceil(count / 256.0)` and DuckDB's
+    * `CEIL(COUNT(*) / 256.0)` can never round differently.
+    *
+    * Assignment cost is N·c distance evaluations against a broadcast
+    * seed table (c·dim·4 B — 400 KB at N=200k, still only ~25 MB at
+    * N=10M). Past ~1e8 vectors a production index would swap the flat
+    * scan for a two-level (coarse √c × residual) assignment with the
+    * same emitted cell ids; the flat scan is used here because it is
+    * exact, oracle-checkable, and broadcast-sized through every scale
+    * this engine is measured at.
+    */
+  val CellTarget = 256
+
+  /** Memoized per-(session, dir) embeddings row count backing the
+    * corpus-scaled cell count. One tiny count job per dir per JVM —
+    * metered like every driver-side materialization (8 bytes).
+    */
+  private val embCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Corpus-scaled IVF cell count for the embeddings table under `d`. */
+  def nCells(s: org.apache.spark.sql.SparkSession, d: String): Long = {
+    val n = embCounts.computeIfAbsent(d, _ => {
+      graft.HeapWatermark.record("ivf_cell_count", 8L)
+      graft.Tables.embeddings(s, d).count()
+    })
+    math.max(8L, math.ceil(n.toDouble / CellTarget).toLong)
+  }
+
+  /** DuckDB rendering of the corpus-scaled cell count (a scalar
+    * subquery, so the oracle derives c from the same table the Spark
+    * side counted). `src` must be the UNFILTERED embeddings relation
+    * the Spark side sized against.
+    */
+  def cellCountSql(src: String = "embeddings"): String =
+    s"(SELECT GREATEST(8, CAST(CEIL(COUNT(*) / $CellTarget.0) AS BIGINT)) FROM $src)"
 }

@@ -150,12 +150,17 @@ object Similarity {
     s"SELECT vec_id, label, (${bucketSqlExpr("embedding")}) AS bucket FROM embeddings"
 
   /** Q-SIM-3: IVF coarse quantizer — assign each vector to its nearest
-    * of 8 centroids (L2²; centroids = vec_id < 8 for determinism).
+    * seed centroid (L2²; seeds = the [[Portable.nCells]] lowest vec_ids
+    * for determinism). The cell count is CORPUS-SCALED —
+    * c = max(8, ceil(N/[[Portable.CellTarget]])) — so expected cell
+    * population stays ≈256 at any N and every within-cell pair consumer
+    * (SemDeDup, k-NN graph, hard negatives, range search) stays linear
+    * in the corpus; see [[Portable.CellTarget]] for the full contract.
     * Centroids broadcast; assignment is map-only + a rank-1 window.
     */
   def ivfAssign(s: SparkSession, d: String): DataFrame = {
     val e = Tables.par(Tables.embeddings(s, d)).select(col("vec_id"), col("embedding"))
-    val c = e.filter(col("vec_id") < 8)
+    val c = e.filter(col("vec_id") < nCells(s, d))
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
     val d2 = dist2(col("embedding"), col("c_emb"))
     val w = Window.partitionBy("vec_id").orderBy(col("dist2"), col("centroid_id"))
@@ -172,7 +177,7 @@ object Similarity {
         |  (embedding[i]::DOUBLE - c_emb[i]::DOUBLE) * (embedding[i]::DOUBLE - c_emb[i]::DOUBLE)),
         |  (x, y) -> x + y)""".stripMargin
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-       |c AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM e WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM e WHERE vec_id < ${cellCountSql()}),
        |scored AS (SELECT vec_id, centroid_id, $d2 AS dist2 FROM e, c)
        |SELECT vec_id, centroid_id, dist2 FROM (
        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, centroid_id) AS rn
@@ -364,7 +369,7 @@ object Similarity {
     */
   private def ivfDistances(s: SparkSession, d: String): DataFrame = {
     val e = Tables.par(Tables.embeddings(s, d)).select(col("vec_id"), col("embedding"))
-    val c = e.filter(col("vec_id") < 8)
+    val c = e.filter(col("vec_id") < nCells(s, d))
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
     val d2 = dist2(col("embedding"), col("c_emb"))
     e.crossJoin(broadcast(c))
@@ -404,7 +409,7 @@ object Similarity {
         |  (embedding[i]::DOUBLE - c_emb[i]::DOUBLE) * (embedding[i]::DOUBLE - c_emb[i]::DOUBLE)),
         |  (x, y) -> x + y)""".stripMargin
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-       |c AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM e WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM e WHERE vec_id < ${cellCountSql()}),
        |dists AS (
        |  SELECT vec_id, embedding, centroid_id, $d2 AS dist2,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY $d2, centroid_id) AS rn
@@ -755,7 +760,7 @@ object Similarity {
         |  (embedding[i]::DOUBLE - c_emb[i]::DOUBLE) * (embedding[i]::DOUBLE - c_emb[i]::DOUBLE)),
         |  (x, y) -> x + y)""".stripMargin
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-       |c AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM e WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM e WHERE vec_id < ${cellCountSql()}),
        |assign AS (
        |  SELECT vec_id, centroid_id, dist2 FROM (
        |    SELECT vec_id, centroid_id, $d2 AS dist2,
@@ -821,7 +826,7 @@ object Similarity {
         |  (embedding[i]::DOUBLE - c_emb[i]::DOUBLE) * (embedding[i]::DOUBLE - c_emb[i]::DOUBLE)),
         |  (x, y) -> x + y)""".stripMargin
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-       |c AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM e WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM e WHERE vec_id < ${cellCountSql()}),
        |assign AS (
        |  SELECT vec_id, centroid_id, dist2 FROM (
        |    SELECT vec_id, centroid_id, $d2 AS dist2,
@@ -848,9 +853,10 @@ object Similarity {
     * DIFFERENT label (the "looks like X, isn't X" pairs a retrieval /
     * embedding trainer mines between epochs; in-batch negatives are too
     * easy, brute all-pairs too expensive). Candidates are restricted to
-    * the anchor's IVF cell under the frozen `vec_id < 8` quantizer —
-    * the same single-probe blocking as [[ivfSearch]], so each anchor
-    * scores ~N/K vectors, and the label filter rides the join.
+    * the anchor's IVF cell under the shared corpus-scaled quantizer
+    * ([[ivfAssign]]) — the same single-probe blocking as [[ivfSearch]],
+    * so each anchor scores ≈[[Portable.CellTarget]] vectors at any
+    * corpus size, and the label filter rides the join.
     *
     * Shape at 100 TB: cell assignment is the broadcast-K map pass;
     * anchors broadcast onto the cell-partitioned index side; ranks are
@@ -905,14 +911,14 @@ object Similarity {
     * retrain trigger.
     *
     * Shape at 100 TB: the delta pass touches ONLY the arrival
-    * partition (map-only against 8 broadcast centroids + one K-row
+    * partition (map-only against the broadcast seed table + one K-row
     * aggregate); the base per-cell stats (population, max radius) are
     * the index's stored metadata — recomputed here only because the
     * oracle must derive them from the same parquet.
     */
   def ivfIncremental(s: SparkSession, d: String): DataFrame = {
     val e = Tables.par(Tables.embeddings(s, d)).select(col("vec_id"), col("embedding"))
-    val c = e.filter(col("vec_id") < 8)
+    val c = e.filter(col("vec_id") < nCells(s, d))
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
     val w = Window.partitionBy("vec_id").orderBy(col("dist2"), col("centroid_id"))
     def assignTo(part: DataFrame): DataFrame = part
@@ -944,7 +950,7 @@ object Similarity {
         |  (embedding[i]::DOUBLE - c_emb[i]::DOUBLE) * (embedding[i]::DOUBLE - c_emb[i]::DOUBLE)),
         |  (x, y) -> x + y)""".stripMargin
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-       |c AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM e WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM e WHERE vec_id < ${cellCountSql()}),
        |assign AS (
        |  SELECT vec_id, centroid_id, dist2 FROM (
        |    SELECT e.vec_id, centroid_id, $d2 AS dist2,
@@ -1088,7 +1094,7 @@ object Similarity {
         |  (embedding[i]::DOUBLE - c_emb[i]::DOUBLE) * (embedding[i]::DOUBLE - c_emb[i]::DOUBLE)),
         |  (x, y) -> x + y)""".stripMargin
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-       |c AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM e WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM e WHERE vec_id < ${cellCountSql()}),
        |assigned AS (SELECT vec_id, centroid_id AS cell, dist2 FROM (
        |  SELECT vec_id, centroid_id, $d2 AS dist2,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY $d2, centroid_id) AS rn
@@ -1181,9 +1187,10 @@ object Similarity {
     * [[KnnGraphK]] nearest neighbors (exact cosine, deterministic
     * tie-break) among its IVF-cell mates: the build step for
     * graph-based ANN serving (NSW/HNSW layers), graph clustering, and
-    * label propagation. Candidates come from the shared coarse
-    * quantizer ([[ivfAssign]]), so the pair space is Σ|cell|² ≈ N²/c,
-    * never all-pairs; cross-cell edges are the recall trade the
+    * label propagation. Candidates come from the shared corpus-scaled
+    * coarse quantizer ([[ivfAssign]]: c = max(8, ceil(N/256)), so the
+    * pair space is Σ|cell|² ≈ N·[[Portable.CellTarget]] — LINEAR in the
+    * corpus, never all-pairs; cross-cell edges are the recall trade the
     * multiprobe queries quantify.
     *
     * Shape at 100 TB: one equi-join on `centroid_id` (AQE handles the

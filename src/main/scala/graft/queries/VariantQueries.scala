@@ -147,12 +147,25 @@ object VariantQueries {
           .as("variant_matches"): _*)
   }
 
-  val scanDriftVariantSql: String = {
-    val base = Relational.scanDriftSql
+  /** Splice `insert` into composed oracle SQL at the UNIQUE `marker` —
+    * guarded, because these twins extend another query's committed SQL
+    * by text: if a later edit to the embedded base SQL introduced a
+    * second occurrence of the marker, a silent first-match splice would
+    * corrupt the oracle (r15 advisor). Literal (non-regex) matching.
+    */
+  private def spliceOnce(base: String, marker: String, replacement: String): String = {
+    val first = base.indexOf(marker)
+    require(first >= 0, s"oracle splice marker '$marker' not found")
+    require(base.indexOf(marker, first + 1) < 0,
+      s"oracle splice marker '$marker' occurs more than once — splice point ambiguous")
+    base.substring(0, first) + replacement + base.substring(first + marker.length)
+  }
+
+  val scanDriftVariantSql: String =
     // same aggregate, one extra constant column — the in-row gate must
     // read TRUE everywhere for the hash to match
-    base.replaceFirst("AS verdict", "AS verdict, TRUE AS variant_matches")
-  }
+    spliceOnce(Relational.scanDriftSql,
+      "AS verdict", "AS verdict, TRUE AS variant_matches")
 
   /** Q-FLAG-COHORT over stored Variant: the flag backfill evaluated
     * over person properties rebuilt from `get_json_object` (string
@@ -179,8 +192,8 @@ object VariantQueries {
   }
 
   val flagCohortVariantSql: String =
-    FlagQueries.flagCohortSql.replaceFirst("FROM p",
-      ", TRUE AS variant_matches\nFROM p")
+    spliceOnce(FlagQueries.flagCohortSql,
+      "FROM p", ", TRUE AS variant_matches\nFROM p")
 
   val all: Seq[Q] = Seq(
     Q("q_fn_json_variant", fnJsonVariant, Some(fnJsonVariantSql)),

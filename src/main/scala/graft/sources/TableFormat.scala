@@ -290,17 +290,25 @@ object IcebergFormat extends TableFormat {
     rows.head.getLong(0)
   }
 
-  def stageWrite(spark: SparkSession, table: String, df: DataFrame): String = {
-    // Iceberg WAP: the table must exist and carry write.wap.enabled;
-    // the append under spark.wap.id lands as an UNREFERENCED snapshot
-    // (invisible to reads) until cherry-picked
-    val id = s"wap_${java.lang.Long.toHexString(System.nanoTime())}"
-    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('write.wap.enabled'='true')")
-    spark.conf.set("spark.wap.id", id)
-    try df.writeTo(table).append()
-    finally spark.conf.unset("spark.wap.id")
-    id
-  }
+  def stageWrite(spark: SparkSession, table: String, df: DataFrame): String =
+    // Iceberg keys WAP staging off the SESSION-global spark.wap.id, so
+    // two concurrent stageWrite calls on one SparkSession would tag one
+    // append with the other's id (the r15 advisor's race) — serialize
+    // the set→append→unset critical section per JVM. Cross-session
+    // staging is unaffected (each session has its own conf); callers
+    // needing concurrent staging should use cloned sessions
+    // (spark.newSession()), which this lock intentionally doesn't block.
+    synchronized {
+      // Iceberg WAP: the table must exist and carry write.wap.enabled;
+      // the append under spark.wap.id lands as an UNREFERENCED snapshot
+      // (invisible to reads) until cherry-picked
+      val id = s"wap_${java.lang.Long.toHexString(System.nanoTime())}"
+      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('write.wap.enabled'='true')")
+      spark.conf.set("spark.wap.id", id)
+      try df.writeTo(table).append()
+      finally spark.conf.unset("spark.wap.id")
+      id
+    }
 
   def readStaged(spark: SparkSession, table: String, stageId: String): DataFrame = {
     import org.apache.spark.sql.functions.col
@@ -324,11 +332,24 @@ object IcebergFormat extends TableFormat {
 
   private val HighWaterProp = "graft.epoch.high-water"
 
-  /** Expiry-proof epoch replay detection: primary check is the table
-    * property high-water (survives expire_snapshots); fallback is the
-    * retained snapshots' summary tag. Checkpointed batchIds are
-    * strictly monotonic per sink, so `batchId <= hw` ⇔ replayed — the
-    * same two-tier contract the offline format implements.
+  /** Expiry-proof epoch replay detection: committed ⇔
+    * `batchId <= max(property high-water, max retained summary tag)`.
+    *
+    * BOTH tiers are consulted because [[commitEpoch]] tags the DATA
+    * commit with the summary property and bumps the table-property
+    * high-water in a SEPARATE metadata commit — a crash between the two
+    * leaves hw = N−1 while epoch N's data is already in the table, and
+    * a checkpoint replay of batch N deciding from the property alone
+    * would append the epoch AGAIN (the r15 advisor's duplicate-row
+    * hole). The property is the expiry-proof floor (survives
+    * expire_snapshots); the summary tag covers the crash window while
+    * its snapshot is retained — and a tagged snapshot only lacks its
+    * property bump for the instant between the two commits, so expiry
+    * racing exactly that window would require expiring the newest
+    * snapshot, which retain-last semantics never do. Checkpointed
+    * batchIds are strictly monotonic per sink, same contract as the
+    * offline format (which sets the property atomically with the data
+    * commit and needs no second tier).
     */
   private def epochCommitted(spark: SparkSession, table: String,
       batchId: Long): Boolean = {
@@ -338,13 +359,12 @@ object IcebergFormat extends TableFormat {
       .filter(col("key") === HighWaterProp)
       .select("value").collect().headOption
       .flatMap(r => r.getString(0).toLongOption)
-    hw match {
-      case Some(w) => batchId <= w
-      case None =>
-        val tagged = spark.read.table(s"$table.snapshots")
-          .select(element_at(col("summary"), "graft.epoch").cast("long").as("e"))
-          .agg(max(col("e"))).collect().head
-        !tagged.isNullAt(0) && batchId <= tagged.getLong(0)
+    if (hw.exists(batchId <= _)) true
+    else {
+      val tagged = spark.read.table(s"$table.snapshots")
+        .select(element_at(col("summary"), "graft.epoch").cast("long").as("e"))
+        .agg(max(col("e"))).collect().head
+      !tagged.isNullAt(0) && batchId <= tagged.getLong(0)
     }
   }
 

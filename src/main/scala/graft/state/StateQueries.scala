@@ -408,9 +408,26 @@ object StateQueries {
     * redundant ~10-20 s replay, round 15). Content is byte-identical
     * to [[pipePersons]] (deterministic replay), so every consumer's
     * oracle is unchanged.
+    *
+    * CACHE INVALIDATION (r15 advisor): `Tables.scratch` is a
+    * materialize-once-per-machine cache designed for deterministic
+    * synthesized INPUTS; this is the one site caching ENGINE OUTPUT, so
+    * the key must change whenever the replay could. The key carries
+    * (a) [[PersonDimVersion]] — bump it with any semantic change to
+    * Replay/PersonOpExtract/IdentityResolver — and (b) a hash of the
+    * replay's output schema, so column/type changes invalidate without
+    * anyone remembering to bump. Without this, 8+ consumer queries
+    * would silently verify against a stale dimension until
+    * /tmp/graft_synth is cleared by hand.
     */
-  def personDim(s: SparkSession, d: String): DataFrame =
-    graft.Tables.scratch(s, d, "person_dim")(pipePersons(s, d))
+  private val PersonDimVersion = 1
+
+  def personDim(s: SparkSession, d: String): DataFrame = {
+    val dim = pipePersons(s, d)
+    val schemaHash = Integer.toHexString(
+      dim.schema.map(f => s"${f.name}:${f.dataType.sql}").mkString(",").hashCode)
+    graft.Tables.scratch(s, d, s"person_dim_v${PersonDimVersion}_$schemaHash")(dim)
+  }
 
   /** Q-PIPE-5 (T1 end-to-end): wire payloads → REAL ingest
     * (explode/classify/canonical) → REAL PersonOp extraction
