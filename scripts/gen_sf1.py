@@ -1,8 +1,8 @@
 #!/usr/bin/env python3
-"""Generate the sf1.0 scale-probe fixtures (10x sf0.1) for the heavy
-tables — events, documents, embeddings — plus sf0.1 copies of the
-dimension/TPC-H tables, into an sf-dir layout Verify/Bench/check.py
-can point at directly.
+"""Generate scale-probe fixtures (SCALE x sf0.1; SCALE=10 -> sf1,
+SCALE=100 -> sf10) for the heavy tables — events, documents,
+embeddings — plus sf0.1 copies of the dimension/TPC-H tables, into an
+sf-dir layout Verify/Bench/check.py can point at directly.
 
 Seed-deterministic (seed=42), matched to the driver fixtures'
 measured shapes (schemas, value distributions, monotone event ts,
@@ -11,7 +11,7 @@ probe, not a correctness oracle transfer: check.py re-derives the
 DuckDB oracle on this same data, so the probe is self-consistent; the
 distributions only need to stress the same plan shapes 10x harder.
 
-Usage: python3 scripts/gen_sf1.py [outDir]   (default: testdata_sf1)
+Usage: python3 scripts/gen_sf1.py [outDir] [scale]   (default: testdata_sf1 10)
 """
 import os
 import shutil
@@ -23,7 +23,7 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "testdata_sf1"
-SCALE = 10
+SCALE = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
 N_EVENTS = 100_000 * SCALE
 N_USERS = 1_500 * SCALE

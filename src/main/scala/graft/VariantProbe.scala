@@ -84,9 +84,11 @@ object VariantProbe {
 
     // correctness cross-check before timing: all three strategies must
     // agree on the 1-probe sum
-    val expect = cells.head._2().collect()(0).getLong(0)
+    val expect = HeapWatermark.recordRows("variant_probe.crosscheck",
+      cells.head._2().collect())(0).getLong(0)
     Seq(2, 4).foreach { i =>
-      val got = cells(i)._2().collect()(0).getLong(0)
+      val got = HeapWatermark.recordRows("variant_probe.crosscheck",
+        cells(i)._2().collect())(0).getLong(0)
       require(got == expect, s"${cells(i)._1} sum $got != string sum $expect")
     }
 

@@ -131,6 +131,17 @@ object Bpe {
       .orderBy(col("freq").desc, col("tok")).limit(DictCap)
   }
 
+  /** The elected dict on the driver, METERED (VERDICT r15 #5): already
+    * bounded by [[DictCap]] rows; this is the one collect all three
+    * tokenizer trainers (BPE/unigram/WordPiece) share, and it records
+    * the dict's MEASURED bytes under `tokenizer_dict` so the
+    * bounded-model-artifact contract is a number in the bench artifact,
+    * not a design claim.
+    */
+  def dictLocal(s: SparkSession, d: String): Seq[(String, Long)] =
+    graft.HeapWatermark.recordRows("tokenizer_dict", electDict(s, d).collect())
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+
   /** Q-TEXT-BPE: elect the word dict (one corpus scan, collected under
     * the same bounded-dict contract the trainer needs anyway), learn
     * the merges on the driver, then encode + gate the dict rows. The
@@ -139,7 +150,7 @@ object Bpe {
     * 1500 rows we are holding.
     */
   def bpe(s: SparkSession, d: String): DataFrame = {
-    val dict = electDict(s, d).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val dict = dictLocal(s, d)
     val merges = train(dict, NumMerges)
     val ranks = merges.zipWithIndex.toMap
     val vocab: Set[String] =

@@ -234,10 +234,11 @@ object Corpus {
     // sketch sized generously above the eval cardinality at any test sf
     // (1M items / 8M bits ≈ 1 MB); caps are within Spark's runtime-
     // filter limits. Deterministic: insertions OR into the bit array.
-    val bloom = evalHashes
-      .agg(call_function("bloom_filter_agg", xxhash64(col("gh")),
-        lit(1L << 20), lit(1L << 23)).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
+    val bloom = graft.HeapWatermark.recordRows("corpus_decontam_bloom",
+      evalHashes
+        .agg(call_function("bloom_filter_agg", xxhash64(col("gh")),
+          lit(1L << 20), lit(1L << 23)).as("bf"))
+        .collect()).head.getAs[Array[Byte]]("bf")
     val train = docs.filter(col("doc_id") % 50 =!= 0)
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n_shingles"))
     val pairs = train.select(col("doc_id"), explode(col("sh")).as("g"))

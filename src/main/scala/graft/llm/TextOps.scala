@@ -550,16 +550,17 @@ object TextOps {
       .select(col("doc_id"), toks.as("toks"))
       .select(explode(bigrams).as("ngram"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val row = grams.agg(
+    val row = graft.HeapWatermark.recordRows("ngrams_cms_sketch", grams.agg(
       expr(s"count_min_sketch(ngram, ${CmsEps}d, ${CmsConfidence}d, $CmsSeed)").as("cms"),
-      count(lit(1)).as("total")).head()
+      count(lit(1)).as("total")).collect()).head
     val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("cms")))
     val total = row.getLong(1)
     val bound = 3.0 * CmsEps * total + 8
-    val top = grams.groupBy(col("ngram")).agg(count(lit(1)).as("tf"))
-      .orderBy(col("tf").desc, col("ngram")).limit(NgramTopK)
-      .collect()
+    val top = graft.HeapWatermark.recordRows("ngrams_cms_topk",
+      grams.groupBy(col("ngram")).agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("ngram")).limit(NgramTopK)
+        .collect())
     top.toSeq.map { r =>
       val (g, tf) = (r.getString(0), r.getLong(1))
       val est = cms.estimateCount(g)

@@ -193,7 +193,7 @@ object Unigram {
     * the dict rows and emit the correctness gates in-row.
     */
   def unigram(s: SparkSession, d: String): DataFrame = {
-    val dict = Bpe.electDict(s, d).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val dict = Bpe.dictLocal(s, d)
     val probs = train(dict)
     val probsBc = s.sparkContext.broadcast(probs)
     val encodeUdf = udf { (w: String) => segment(w, probsBc.value) }
@@ -235,7 +235,7 @@ object Unigram {
     */
   def unigramEncode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val dict = Bpe.electDict(s, d).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val dict = Bpe.dictLocal(s, d)
     val probs = train(dict)
     val probsBc = s.sparkContext.broadcast(probs)
     graft.Tables.par(graft.Tables.documents(s, d))

@@ -143,7 +143,7 @@ object WordPiece {
     * likelihood merges on the driver, encode + gate the dict rows.
     */
   def wordpiece(s: SparkSession, d: String): DataFrame = {
-    val dict = Bpe.electDict(s, d).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val dict = Bpe.dictLocal(s, d)
     val merges = train(dict, NumMerges)
     val vocab = vocabOf(dict, merges)
     val vocabBc = s.sparkContext.broadcast(vocab)
@@ -180,7 +180,7 @@ object WordPiece {
     */
   def wordpieceEncode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val dict = Bpe.electDict(s, d).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val dict = Bpe.dictLocal(s, d)
     val vocab = vocabOf(dict, train(dict, NumMerges))
     val vocabBc = s.sparkContext.broadcast(vocab)
     Tables.par(Tables.documents(s, d))

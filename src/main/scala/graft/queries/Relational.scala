@@ -905,6 +905,8 @@ object Relational {
         it.foreach { case (k, a, b) => if (a) sa.update(k); if (b) sb.update(k) }
         Iterator((true, sa.compact().toByteArray), (false, sb.compact().toByteArray))
       }(encOut).collect()
+    graft.HeapWatermark.record("theta_sketch_partials",
+      partials.foldLeft(0L)((a, p) => a + 17L + p._2.length))
     val ua = SetOperation.builder().setLogNominalEntries(ThetaLgK).buildUnion()
     val ub = SetOperation.builder().setLogNominalEntries(ThetaLgK).buildUnion()
     partials.foreach { case (isA, bytes) =>

@@ -31,10 +31,31 @@ object Lake {
     events.withColumn(PartitionCol,
       to_date(coalesce(col("timestamp"), col("created_at"))))
 
-  /** Batch append of canonical events. */
-  def writeEvents(events: DataFrame, path: String, dedup: Boolean = true): Unit = {
+  /** JSON payload columns eligible for the Variant at-rest layout. */
+  private val JsonCols = Seq("properties", "person_properties", "group_properties")
+
+  /** The DEFAULT at-rest conversion (SURVEY §4, adopted r16): parse the
+    * JSON payload columns once at commit so they land as parquet
+    * `VariantType` — every downstream probe is a `variant_get` against
+    * pre-parsed bytes instead of a `get_json_object` re-parse.
+    * `try_parse_json` keeps ingest total: a malformed payload lands as
+    * a NULL variant (the row survives; the string layout would have
+    * carried the broken text into every downstream parse instead).
+    */
+  private def toAtRest(df: DataFrame): DataFrame =
+    JsonCols.filter(df.columns.contains)
+      .foldLeft(df)((d, c) => d.withColumn(c, try_parse_json(col(c))))
+
+  /** Batch append of canonical events. Variant-at-rest by default (the
+    * §4 decision, twin-gated in r15: `q_*_variant` prove probe
+    * equivalence row-for-row); `variantAtRest = false` keeps the string
+    * layout for oracle fixtures and layout comparisons. Readers probe
+    * through [[probeJson]], which serves either layout.
+    */
+  def writeEvents(events: DataFrame, path: String, dedup: Boolean = true,
+      variantAtRest: Boolean = true): Unit = {
     val base = if (dedup) events.dropDuplicates("uuid") else events
-    withPartition(base)
+    withPartition(if (variantAtRest) toAtRest(base) else base)
       .write
       .partitionBy(PartitionCol)
       .mode("append")
@@ -44,9 +65,6 @@ object Lake {
   /** Read the lake back (partition pruning on `event_date`). */
   def readEvents(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
-
-  /** JSON payload columns eligible for the Variant at-rest layout. */
-  private val JsonCols = Seq("properties", "person_properties", "group_properties")
 
   /** Batch append with the VARIANT at-rest layout (SURVEY §4, measured
     * round 14): the JSON payload columns are parsed ONCE here —
@@ -64,16 +82,8 @@ object Lake {
     * adopting the layout is a write-path switch, not a query rewrite.
     */
   def writeEventsVariant(events: DataFrame, path: String,
-      dedup: Boolean = true): Unit = {
-    val base = if (dedup) events.dropDuplicates("uuid") else events
-    val converted = JsonCols.filter(base.columns.contains)
-      .foldLeft(base)((df, c) => df.withColumn(c, try_parse_json(col(c))))
-    withPartition(converted)
-      .write
-      .partitionBy(PartitionCol)
-      .mode("append")
-      .parquet(path)
-  }
+      dedup: Boolean = true): Unit =
+    writeEvents(events, path, dedup, variantAtRest = true)
 
   /** Layout-agnostic JSON probe: `variant_get` when the column landed
     * as Variant ([[writeEventsVariant]]), `get_json_object` + cast when
@@ -139,8 +149,10 @@ object Lake {
     val conf = spark.sparkContext.hadoopConfiguration
     val lake = spark.read.parquet(path)
     val subj = subjects.select(col(key)).distinct()
-    val affectedRaw = lake.join(broadcast(subj), Seq(key), "left_semi")
-      .select(col(PartitionCol)).distinct().collect().map(r => Option(r.get(0)))
+    val affectedRaw = graft.HeapWatermark.recordRows(
+      "delete_sweep_partitions",
+      lake.join(broadcast(subj), Seq(key), "left_semi")
+        .select(col(PartitionCol)).distinct().collect()).map(r => Option(r.get(0)))
     // a null partition (Hive default dir) cannot be expressed by the
     // string filters below — if any subject row lives there, that
     // partition joins the rewrite set too (copying it through would be
@@ -241,7 +253,7 @@ object Lake {
     }
     spark.listenerManager.register(listener)
     try {
-      withPartition(events.dropDuplicates("uuid"))
+      withPartition(toAtRest(events.dropDuplicates("uuid")))
         .observe(obsName,
           count(lit(1)).as("n_rows"),
           sum(when(col("distinct_id").isNull || col("distinct_id") === "", 1L)
@@ -303,7 +315,7 @@ object Lake {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        withPartition(batch.dropDuplicates("uuid"))
+        withPartition(toAtRest(batch.dropDuplicates("uuid")))
           .write
           .partitionBy(PartitionCol)
           .mode("overwrite")

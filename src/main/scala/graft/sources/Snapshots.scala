@@ -372,9 +372,11 @@ object Snapshots {
     val cur = readManifest(spark, dir, currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot under $dir")))
     val df = read(spark, dir)
-    val affectedUris = df.filter(pred)
-      .select(input_file_name().as("f")).distinct()
-      .collect().map(_.getString(0)).toSet // bounded by file count
+    val affectedUris = graft.HeapWatermark.recordRows(
+      "snapshots.delete_affected_files",
+      df.filter(pred)
+        .select(input_file_name().as("f")).distinct()
+        .collect()).map(_.getString(0)).toSet // bounded by file count
     // suffix-match on the commit-relative path: input_file_name's URI
     // rendering (file:/// vs file:/) varies by FS; the
     // data/<commit-uuid>/<name> tail is unique by construction
@@ -427,10 +429,12 @@ object Snapshots {
     require(srcKeys.count() == source.count(),
       s"mergeInto source has duplicate keys on (${keyCols.mkString(",")})")
     val df = read(spark, dir)
-    val affectedUris = df.select(keys :+ input_file_name().as("f"): _*)
-      .join(srcKeys, keyCols)
-      .select(col("f")).distinct()
-      .collect().map(_.getString(0)).toSet // bounded by file count
+    val affectedUris = graft.HeapWatermark.recordRows(
+      "snapshots.merge_affected_files",
+      df.select(keys :+ input_file_name().as("f"): _*)
+        .join(srcKeys, keyCols)
+        .select(col("f")).distinct()
+        .collect()).map(_.getString(0)).toSet // bounded by file count
     val affectedRel = cur.files.filter(rel =>
       affectedUris.exists(_.endsWith("/" + rel)))
     val keep = cur.files.diff(affectedRel)

@@ -212,9 +212,10 @@ object IcebergFormat extends TableFormat {
   def currentVersion(spark: SparkSession, table: String): Option[Long] =
     versions(spark, table).lastOption
   def versions(spark: SparkSession, table: String): Seq[Long] =
-    spark.read.table(s"$table.snapshots")
-      .orderBy("committed_at")
-      .select("snapshot_id").collect().map(_.getLong(0)).toSeq
+    graft.HeapWatermark.recordRows("iceberg.versions",
+      spark.read.table(s"$table.snapshots")
+        .orderBy("committed_at")
+        .select("snapshot_id").collect()).map(_.getLong(0)).toSeq
   def readAt(spark: SparkSession, table: String, version: Long): DataFrame =
     spark.read.option("snapshot-id", version).table(table)
   def readAsOf(spark: SparkSession, table: String, tsMs: Long): DataFrame =
@@ -283,9 +284,10 @@ object IcebergFormat extends TableFormat {
   private def stagedSnapshotId(spark: SparkSession, table: String,
       stageId: String): Long = {
     import org.apache.spark.sql.functions.{col, element_at}
-    val rows = spark.read.table(s"$table.snapshots")
-      .filter(element_at(col("summary"), "wap.id") === stageId)
-      .select("snapshot_id").collect()
+    val rows = graft.HeapWatermark.recordRows("iceberg.staged_snapshot",
+      spark.read.table(s"$table.snapshots")
+        .filter(element_at(col("summary"), "wap.id") === stageId)
+        .select("snapshot_id").collect())
     require(rows.nonEmpty, s"no staged snapshot with wap.id=$stageId in $table")
     rows.head.getLong(0)
   }
@@ -355,15 +357,17 @@ object IcebergFormat extends TableFormat {
       batchId: Long): Boolean = {
     import org.apache.spark.sql.functions.{col, element_at, max}
     if (!spark.catalog.tableExists(table)) return false
-    val hw = spark.sql(s"SHOW TBLPROPERTIES $table")
-      .filter(col("key") === HighWaterProp)
-      .select("value").collect().headOption
+    val hw = graft.HeapWatermark.recordRows("iceberg.epoch_high_water",
+      spark.sql(s"SHOW TBLPROPERTIES $table")
+        .filter(col("key") === HighWaterProp)
+        .select("value").collect()).headOption
       .flatMap(r => r.getString(0).toLongOption)
     if (hw.exists(batchId <= _)) true
     else {
-      val tagged = spark.read.table(s"$table.snapshots")
-        .select(element_at(col("summary"), "graft.epoch").cast("long").as("e"))
-        .agg(max(col("e"))).collect().head
+      val tagged = graft.HeapWatermark.recordRows("iceberg.epoch_summary_tag",
+        spark.read.table(s"$table.snapshots")
+          .select(element_at(col("summary"), "graft.epoch").cast("long").as("e"))
+          .agg(max(col("e"))).collect()).head
       !tagged.isNullAt(0) && batchId <= tagged.getLong(0)
     }
   }

@@ -122,9 +122,10 @@ object IdentityResolver {
         if (labelOf eq IdentityLabel) identity
         else {
           val ids = pairs.flatMap(p => Seq(p._1, p._2)).distinct
-          ids.toDF("id")
-            .select(col("id"), labelOf(col("id")).cast("string").as("lbl"))
-            .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+          graft.HeapWatermark.recordRows("identity_resolver.local_labels",
+            ids.toDF("id")
+              .select(col("id"), labelOf(col("id")).cast("string").as("lbl"))
+              .collect()).map(r => r.getString(0) -> r.getString(1)).toMap
         }
       localComponents(pairs, lbl).toDF("id", "canonical")
     }

@@ -348,8 +348,10 @@ object Replay {
     */
   def personSnapshot(persons: Dataset[PersonRecord], distinctId: String): Option[PersonRecord] = {
     import persons.sparkSession.implicits._
-    persons.filter(p => p.distinct_ids.contains(distinctId) || p.canonical_id == distinctId)
-      .collect().headOption
+    graft.HeapWatermark.recordRows("person_snapshot_point_read",
+      persons.filter(p =>
+        p.distinct_ids.contains(distinctId) || p.canonical_id == distinctId)
+        .collect()).headOption
   }
 
   /** Replay group ops: last-write-wins per-key upsert in `ord` order

@@ -640,7 +640,8 @@ object IdentityMerge {
     // arithmetic ord cuts from one cheap min/max agg (parity holds for
     // ANY ord-respecting split, so there is no reason to pay a
     // quantile pass for balanced batch sizes)
-    val mm = opsDf.agg(min(col("ord")), max(col("ord"))).head()
+    val mm = graft.HeapWatermark.recordRows("identity_merge.ord_minmax",
+      opsDf.agg(min(col("ord")), max(col("ord"))).collect()).head
     mark("minmax")
     val cuts: Seq[(Double, Double)] =
       if (mm.isNullAt(0) || chunks <= 1) Seq((Double.NegativeInfinity, Double.PositiveInfinity))

@@ -223,7 +223,8 @@ object StreamQueries {
       s"streaming LSH gate harness: $nRows band rows exceed the MemoryStream driver " +
         s"budget (${graft.state.IdentityResolver.LocalHeapBudget >> 20} MiB); at this scale " +
         "feed the gate from readStream against the lake instead of the harness transport.")
-    val bandRows = bandsDf.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val bandRows = graft.HeapWatermark.recordRows("stream_harness.lsh_bands",
+      bandsDf.collect()).map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     bandsDf.unpersist()
     val mem = MemoryStream[(Long, Int, Long)]
     val name = "lsh_gate_sink_" + java.lang.Long.toHexString(System.nanoTime())
@@ -238,7 +239,8 @@ object StreamQueries {
         graft.PhaseMeter.time("data")(q.processAllAvailable())
         graft.StateMeter.record(q)
       }
-      s.table(name).as[(Long, Int, Long)].collect()
+      graft.HeapWatermark.recordRows("stream_harness.sink",
+        s.table(name).as[(Long, Int, Long)].collect())
     } finally { q.stop(); s.sql(s"DROP TABLE IF EXISTS $name") }
     // one shared verdict definition with the batch gate and its oracle
     graft.llm.Dedup.gateVerdicts(
@@ -265,7 +267,8 @@ object StreamQueries {
       s"streaming sample harness: $nRows weight rows exceed the MemoryStream driver " +
         s"budget (${graft.state.IdentityResolver.LocalHeapBudget >> 20} MiB); at this scale " +
         "feed the sampler from readStream against the lake instead of the harness transport.")
-    val rows = wDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rows = graft.HeapWatermark.recordRows("stream_harness.sample_weights",
+      wDf.collect()).map(r => (r.getLong(0), r.getLong(1)))
     val mem = MemoryStream[(Long, Long)]
     val name = "sample_sink_" + java.lang.Long.toHexString(System.nanoTime())
     val q = Streaming.prioritySampleStream(mem.toDS())
@@ -277,7 +280,8 @@ object StreamQueries {
         graft.PhaseMeter.time("data")(q.processAllAvailable())
         graft.StateMeter.record(q)
       }
-      s.table(name).as[Streaming.SamplePick].collect()
+      graft.HeapWatermark.recordRows("stream_harness.sink",
+        s.table(name).as[Streaming.SamplePick].collect())
     } finally { q.stop(); s.sql(s"DROP TABLE IF EXISTS $name") }
     val last = if (picks.isEmpty) 0L else picks.map(_.ver).max
     s.createDataset(picks.filter(_.ver == last).toSeq)
@@ -312,7 +316,8 @@ object StreamQueries {
       s"streaming dedup harness: $nRows event rows exceed the MemoryStream driver " +
         s"budget (${graft.state.IdentityResolver.LocalHeapBudget >> 20} MiB); at this scale " +
         "feed the dedup from readStream against the wire log instead of the harness transport.")
-    val rows = evDf.collect().map(r =>
+    val rows = graft.HeapWatermark.recordRows("stream_harness.events",
+      evDf.collect()).map(r =>
       (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
       .sortBy(_._2) // event ids are time-monotone: chunks arrive in event-time order
     val chunked = chunk3(rows)
@@ -358,7 +363,8 @@ object StreamQueries {
     require(nRows * 48L <= graft.state.IdentityResolver.LocalHeapBudget,
       s"late-audit harness: $nRows event rows exceed the MemoryStream driver budget; " +
         "at this scale feed the audit from readStream against the wire log instead.")
-    val rows = evDf.collect().map(r =>
+    val rows = graft.HeapWatermark.recordRows("stream_harness.events",
+      evDf.collect()).map(r =>
       (r.getTimestamp(0), r.getLong(1), r.getString(2)))
       .sortBy(_._2) // event ids are time-monotone: chunks arrive in event-time order
     val maxTs = rows.last._1
@@ -396,7 +402,8 @@ object StreamQueries {
     require(nRows * 56L <= graft.state.IdentityResolver.LocalHeapBudget,
       s"streaming funnel harness: $nRows event rows exceed the MemoryStream driver " +
         "budget; at this scale feed the funnel from readStream against the wire log.")
-    val rows = evDf.collect().map(r =>
+    val rows = graft.HeapWatermark.recordRows("stream_harness.events",
+      evDf.collect()).map(r =>
       (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getString(3)))
       .sortBy(_._2) // event ids are time-monotone: chunks arrive in event-time order
     val maxTs = rows.map(_._1.getTime).max
@@ -430,7 +437,8 @@ object StreamQueries {
     require(nRows * 56L <= graft.state.IdentityResolver.LocalHeapBudget,
       s"streaming paths harness: $nRows event rows exceed the MemoryStream driver " +
         "budget; at this scale feed the edges from readStream against the wire log.")
-    val rows = evDf.collect().map(r =>
+    val rows = graft.HeapWatermark.recordRows("stream_harness.events",
+      evDf.collect()).map(r =>
       (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getString(3)))
       .sortBy(_._2) // event ids are time-monotone: chunks arrive in event-time order
     val maxTs = rows.map(_._1.getTime).max
@@ -465,7 +473,8 @@ object StreamQueries {
     require(nRows * 24L <= graft.state.IdentityResolver.LocalHeapBudget,
       s"streaming anomaly harness: $nRows event rows exceed the MemoryStream driver " +
         "budget; at this scale feed the rollup from readStream against the wire log.")
-    val rows = evDf.collect().map(r => (r.getTimestamp(0), r.getLong(1)))
+    val rows = graft.HeapWatermark.recordRows("stream_harness.events",
+      evDf.collect()).map(r => (r.getTimestamp(0), r.getLong(1)))
       .sortBy(_._2) // event ids are time-monotone: chunks arrive in event-time order
     val maxTs = rows.map(_._1.getTime).max
     // The streaming == batch contract silently depends on the fixture

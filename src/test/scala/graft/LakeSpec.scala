@@ -52,7 +52,9 @@ class LakeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val events = canonical(
       """{"event":"a","distinct_id":"d1","timestamp":"2024-03-01T00:00:00Z","properties":{"k":7,"s":"x"}}""",
       """{"event":"b","distinct_id":"d2","timestamp":"2024-03-02T00:00:00Z","properties":{"k":9}}""")
-    Lake.writeEvents(events, sdir)
+    // string layout is now the explicit OPT-OUT (variant is the default
+    // at-rest layout since r16); the comparison needs one of each
+    Lake.writeEvents(events, sdir, variantAtRest = false)
     Lake.writeEventsVariant(events, vdir)
     val s = Lake.readEvents(spark, sdir)
     val v = Lake.readEvents(spark, vdir)
