@@ -413,21 +413,22 @@ object StateQueries {
     * materialize-once-per-machine cache designed for deterministic
     * synthesized INPUTS; this is the one site caching ENGINE OUTPUT, so
     * the key must change whenever the replay could. The key carries
-    * (a) [[PersonDimVersion]] — bump it with any semantic change to
-    * Replay/PersonOpExtract/IdentityResolver — and (b) a hash of the
-    * replay's output schema, so column/type changes invalidate without
-    * anyone remembering to bump. Without this, 8+ consumer queries
-    * would silently verify against a stale dimension until
-    * /tmp/graft_synth is cleared by hand.
+    * [[PersonDimVersion]] — BUMP IT with any semantic or schema change
+    * to Replay/PersonOpExtract/IdentityResolver or the replay's output
+    * projection. Without this, 8+ consumer queries would silently
+    * verify against a stale dimension until /tmp/graft_synth is cleared
+    * by hand. (A schema-hash key was tried first and reverted: merely
+    * CONSTRUCTING the replay frame to read its schema runs jobs —
+    * `RDD.zipWithIndex` inside [[Replay.persons]] computes partition
+    * counts eagerly — so every WARM consumer paid a full ~2 s replay
+    * per call, measured at sf0.1 across all 8 cohort insights. The
+    * version literal keeps the warm path a pure parquet scan; the
+    * `pipePersons` argument is by-name and never builds when warm.)
     */
   private val PersonDimVersion = 1
 
-  def personDim(s: SparkSession, d: String): DataFrame = {
-    val dim = pipePersons(s, d)
-    val schemaHash = Integer.toHexString(
-      dim.schema.map(f => s"${f.name}:${f.dataType.sql}").mkString(",").hashCode)
-    graft.Tables.scratch(s, d, s"person_dim_v${PersonDimVersion}_$schemaHash")(dim)
-  }
+  def personDim(s: SparkSession, d: String): DataFrame =
+    graft.Tables.scratch(s, d, s"person_dim_v$PersonDimVersion")(pipePersons(s, d))
 
   /** Q-PIPE-5 (T1 end-to-end): wire payloads → REAL ingest
     * (explode/classify/canonical) → REAL PersonOp extraction
