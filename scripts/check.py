@@ -8,8 +8,13 @@ parquet tables as DuckDB views, runs each oracle SQL, and compares
 (row count, column names, sorted values) against the parquet the Spark
 Verify main wrote. NOT part of the Scala library — python/duckdb are
 driver-side tools.
+
+GRAFT_CHECK_TIMEOUT=<seconds> bounds each ORACLE query (sf10 probe:
+DuckDB's interpreted list_reduce distance folds grind on the 200k-vec
+IVF CTEs); a timed-out query prints TIMEOUT and counts neither pass
+nor fail — the probe artifact records it as unswept.
 """
-import json, math, sys
+import json, math, os, sys, threading
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -39,11 +44,26 @@ def main(sf_dir, out_dir):
     items = sorted(oracles.items(), reverse=reverse)
     if name_re:
         items = [(n, s) for n, s in items if _re.search(name_re, n)]
-    n_pass = n_fail = 0
+    timeout = float(os.environ.get("GRAFT_CHECK_TIMEOUT", "0")) or None
+    n_pass = n_fail = n_timeout = 0
     for name, sql in items:
         try:
-            exp = con.sql(sql).fetchall()
-            cols_exp = [d[0] for d in con.sql(sql).description]
+            timer = None
+            if timeout:
+                timer = threading.Timer(timeout, con.interrupt)
+                timer.start()
+            try:
+                exp = con.sql(sql).fetchall()
+                cols_exp = [d[0] for d in con.sql(sql).description]
+            except (duckdb.InterruptException, RuntimeError) as ix:
+                if timer and not timer.is_alive():
+                    print(f"TIMEOUT {name}: oracle exceeded {timeout:.0f}s in DuckDB")
+                    n_timeout += 1
+                    continue
+                raise ix
+            finally:
+                if timer:
+                    timer.cancel()
             got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             got = got_rel.fetchall()
             cols_got = [d[0] for d in got_rel.description]
@@ -66,7 +86,8 @@ def main(sf_dir, out_dir):
         except Exception as ex:
             print(f"ERROR {name}: {ex}")
             n_fail += 1
-    print(f"== {n_pass} pass, {n_fail} fail ==")
+    tmo = f", {n_timeout} oracle-timeout" if n_timeout else ""
+    print(f"== {n_pass} pass, {n_fail} fail{tmo} ==")
     return 1 if n_fail else 0
 
 
