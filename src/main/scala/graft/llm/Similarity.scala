@@ -1070,7 +1070,7 @@ object Similarity {
     */
   def outliers(s: SparkSession, d: String): DataFrame = {
     val e = Tables.par(Tables.embeddings(s, d)).select(col("vec_id"), col("embedding"))
-    val c = e.filter(col("vec_id") < 8)
+    val c = e.filter(col("vec_id") < nCells(s, d))
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
     val w = Window.partitionBy("vec_id").orderBy(col("dist2"), col("centroid_id"))
     val assigned = e.crossJoin(broadcast(c))
