@@ -55,16 +55,17 @@ object KMeans {
 
   val Iters = 2
 
-  /** One ASSIGN step: nearest centroid per vector. `cents`: (centroid_id, c). */
-  private def assign(e: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("dist2"), col("centroid_id"))
-    e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("centroid_id"),
-        dist2(col("embedding"), col("c")).as("dist2"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id"), col("dist2"))
-  }
+  /** One ASSIGN step: nearest centroid per vector. `cents`:
+    * (centroid_id, c). Narrow output (vec_id, centroid_id, dist2) via
+    * the shared map-side argmin ([[Similarity.nearestCentroid]]) — the
+    * N·K scored rows reduce inside the scan tasks instead of sorting
+    * through a window shuffle (that shape cost each Lloyd's round an
+    * N·K-row exchange once K became corpus-scaled); [[recenter]]'s
+    * caller rejoins the embedding by vec_id when the fold needs it.
+    */
+  private def assign(e: DataFrame, cents: DataFrame): DataFrame =
+    Similarity.nearestCentroid(
+      e, cents.select(col("centroid_id"), col("c").as("c_emb")))
 
   /** One cell member as it reaches the UPDATE fold (embedding already
     * widened float→double — exact — so the fold adds doubles, the same
@@ -142,7 +143,7 @@ object KMeans {
       .select(col("vec_id").as("centroid_id"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("c"))
     for (_ <- 1 to Iters) {
-      val next = recenter(assign(e, cents))
+      val next = recenter(assign(e, cents).join(e, Seq("vec_id")))
       // re-root on the collected K rows: the index artifact is K·dim
       // doubles — each iteration (and every downstream consumer) then
       // plans against a literal centroid table, not the full lineage

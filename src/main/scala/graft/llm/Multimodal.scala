@@ -188,14 +188,7 @@ object Multimodal {
       }.toDF("doc_id", "feat")
     val c = Tables.embeddings(s, d).filter(col("vec_id") < Portable.nCells(s, d))
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
-    val d2 = Portable.dist2(col("feat"), col("c_emb"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("dist2"), col("centroid_id"))
-    feats.crossJoin(broadcast(c))
-      .select(col("doc_id"), col("centroid_id"), d2.as("dist2"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("centroid_id"), col("dist2"))
+    Similarity.nearestCentroid(feats, c, id = "doc_id", vec = "feat")
   }
 
   val mediaEmbedSql: String =
@@ -302,16 +295,12 @@ object Multimodal {
     val e = Tables.par(Tables.embeddings(s, d)).select(col("vec_id"), col("embedding"))
     val c = e.filter(col("vec_id") < Portable.nCells(s, d))
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
-    // nearest coarse cell, rank-1 per vector (broadcast centroids)
-    def nearestCell(df: DataFrame): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("d2"), col("centroid_id"))
-      df.crossJoin(broadcast(c))
-        .withColumn("d2", dist2(col("embedding"), col("c_emb")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .drop("c_emb", "d2", "rn")
-    }
+    // nearest coarse cell per vector — shared map-side argmin (narrow),
+    // embedding rejoined by vec_id for the scoring stage
+    def nearestCell(df: DataFrame): DataFrame =
+      Similarity.nearestCentroid(df, c)
+        .select(col("vec_id"), col("centroid_id"))
+        .join(df, Seq("vec_id"))
     val images = nearestCell(
         e.join(meta.filter(col("kind") === "image"), e("vec_id") === meta("doc_id"))
           .select(col("vec_id"), col("embedding")))

@@ -149,6 +149,35 @@ object Similarity {
   val lshBucketsSql: String =
     s"SELECT vec_id, label, (${bucketSqlExpr("embedding")}) AS bucket FROM embeddings"
 
+  /** Nearest-centroid argmin against a broadcast centroid table,
+    * WITHOUT a rank window. The window form shuffles every one of the
+    * N·c scored rows (hash-partition by vec_id, then sort) just to keep
+    * rank 1 per vector — with the corpus-scaled cell count that is
+    * 156M rows at sf10 and N²/256 asymptotically, and it was the single
+    * biggest superlinear term the sf10 probe surfaced. The argmin is a
+    * plain aggregate: `min(struct(dist2, centroid_id))` is the
+    * lexicographic (dist2 ASC, centroid_id ASC) minimum — exactly the
+    * rank-1 row of the window it replaces, bit-identical — and Spark
+    * reduces it map-side (partial min per vector inside each scan
+    * task), so the exchange carries ONE 24-byte row per vector instead
+    * of c. The scored frame stays narrow on purpose (id, centroid_id,
+    * dist2): callers that need the vector itself rejoin on `id` — an
+    * N-row equi-join is noise next to an N·c-row sort.
+    *
+    * `e` must carry (`id`, `vec`); `c` must carry (centroid_id, c_emb).
+    * Output: (`id`, centroid_id, dist2). Oracle SQL is unchanged — the
+    * rank-1 window there reads the same argmin off ~256-row cells.
+    */
+  private[llm] def nearestCentroid(e: DataFrame, c: DataFrame,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame =
+    e.crossJoin(broadcast(c))
+      .select(col(id), col("centroid_id"),
+        dist2(col(vec), col("c_emb")).as("dist2"))
+      .groupBy(col(id))
+      .agg(min(struct(col("dist2"), col("centroid_id"))).as("m"))
+      .select(col(id), col("m.centroid_id").as("centroid_id"),
+        col("m.dist2").as("dist2"))
+
   /** Q-SIM-3: IVF coarse quantizer — assign each vector to its nearest
     * seed centroid (L2²; seeds = the [[Portable.nCells]] lowest vec_ids
     * for determinism). The cell count is CORPUS-SCALED —
@@ -156,19 +185,14 @@ object Similarity {
     * population stays ≈256 at any N and every within-cell pair consumer
     * (SemDeDup, k-NN graph, hard negatives, range search) stays linear
     * in the corpus; see [[Portable.CellTarget]] for the full contract.
-    * Centroids broadcast; assignment is map-only + a rank-1 window.
+    * Centroids broadcast; assignment is map-only + a map-side argmin
+    * ([[nearestCentroid]] — the N·c scored rows never cross a shuffle).
     */
   def ivfAssign(s: SparkSession, d: String): DataFrame = {
     val e = Tables.par(Tables.embeddings(s, d)).select(col("vec_id"), col("embedding"))
     val c = e.filter(col("vec_id") < nCells(s, d))
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
-    val d2 = dist2(col("embedding"), col("c_emb"))
-    val w = Window.partitionBy("vec_id").orderBy(col("dist2"), col("centroid_id"))
-    e.crossJoin(broadcast(c))
-      .select(col("vec_id"), col("centroid_id"), d2.as("dist2"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("centroid_id"), col("dist2"))
+    nearestCentroid(e, c)
   }
 
   val ivfAssignSql: String = {
@@ -364,34 +388,35 @@ object Similarity {
        |  FROM scored) WHERE rank <= 5""".stripMargin
   }
 
-  /** Per-(vector, centroid) distances — the shared scoring stage of
-    * assignment and multi-probe.
-    */
-  private def ivfDistances(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.par(Tables.embeddings(s, d)).select(col("vec_id"), col("embedding"))
-    val c = e.filter(col("vec_id") < nCells(s, d))
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
-    val d2 = dist2(col("embedding"), col("c_emb"))
-    e.crossJoin(broadcast(c))
-      .select(col("vec_id"), col("embedding"), col("centroid_id"), d2.as("dist2"))
-  }
-
   /** Q-SIM-7: multi-probe IVF search (nprobe=2) — each query scans its
     * TWO nearest cells instead of one, recovering the cell-boundary
     * recall loss for 2× candidate cost (per-query work ≈ 2N/c). The
     * vector corpus side stays single-assigned; only the probe side
     * fans out — the standard IVF recall/latency dial.
+    *
+    * Shape: corpus assignment is the shared map-side argmin
+    * ([[nearestCentroid]]); the nprobe=2 ranking only ever exists for
+    * the QUERY side, which is filtered to N/50 vectors BEFORE scoring —
+    * the previous form ranked all N vectors' distance lists through two
+    * full N·c windows behind a persisted (N·c)-row cache, which is what
+    * the sf10 probe measured at 395 s. The remaining window sorts
+    * (N/50)·c narrow rows — 3.1M at sf10.
     */
   def ivfMultiprobe(s: SparkSession, d: String): DataFrame = {
-    val dists = ivfDistances(s, d)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("dist2"), col("centroid_id"))
-    val assign = dists.withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
+    val e = Tables.par(Tables.embeddings(s, d)).select(col("vec_id"), col("embedding"))
+    val c = e.filter(col("vec_id") < nCells(s, d))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val assign = nearestCentroid(e, c).select(col("vec_id"), col("centroid_id"))
+      .join(e, Seq("vec_id"))
       .select(col("vec_id"), col("embedding"), col("centroid_id"),
         l2norm(col("embedding")).as("nrm"))
-    val probes = dists.withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") <= 2 && col("vec_id") % 50 === 0)
+    val qe = e.filter(col("vec_id") % 50 === 0)
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("dist2"), col("centroid_id"))
+    val probes = qe.crossJoin(broadcast(c))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        dist2(col("embedding"), col("c_emb")).as("dist2"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= 2)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         l2norm(col("embedding")).as("q_nrm"), col("centroid_id").as("probe"))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
@@ -920,14 +945,7 @@ object Similarity {
     val e = Tables.par(Tables.embeddings(s, d)).select(col("vec_id"), col("embedding"))
     val c = e.filter(col("vec_id") < nCells(s, d))
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
-    val w = Window.partitionBy("vec_id").orderBy(col("dist2"), col("centroid_id"))
-    def assignTo(part: DataFrame): DataFrame = part
-      .crossJoin(broadcast(c))
-      .select(col("vec_id"), col("centroid_id"),
-        dist2(col("embedding"), col("c_emb")).as("dist2"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("centroid_id"), col("dist2"))
+    def assignTo(part: DataFrame): DataFrame = nearestCentroid(part, c)
     val base = assignTo(e.filter(col("vec_id") % 10 =!= 9))
       .groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("n_base"), max(col("dist2")).as("max_d2_base"))
@@ -1063,20 +1081,16 @@ object Similarity {
     * partition-less window ever plans.
     *
     * Shape at 100 TB: centroids broadcast (k-bounded), the residual is
-    * a map-only codegen'd fold + per-vector rank-1 window (vec-keyed),
-    * and the global rank is two bucketed passes — every stage hash-
-    * partitioned. The count rides the same bucket table (no second
-    * scan of the corpus for `n`).
+    * a map-only codegen'd fold + the map-side argmin
+    * ([[nearestCentroid]]), and the global rank is two bucketed
+    * passes — every stage hash-partitioned. The count rides the same
+    * bucket table (no second scan of the corpus for `n`).
     */
   def outliers(s: SparkSession, d: String): DataFrame = {
     val e = Tables.par(Tables.embeddings(s, d)).select(col("vec_id"), col("embedding"))
     val c = e.filter(col("vec_id") < nCells(s, d))
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
-    val w = Window.partitionBy("vec_id").orderBy(col("dist2"), col("centroid_id"))
-    val assigned = e.crossJoin(broadcast(c))
-      .select(col("vec_id"), col("centroid_id"), dist2(col("embedding"), col("c_emb")).as("dist2"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val assigned = nearestCentroid(e, c)
       .select(col("vec_id"), col("centroid_id").as("cell"), col("dist2"))
     val ranked = graft.plans.BucketedOrder.withOrderStats(
       assigned, rangeKey = col("dist2"),
