@@ -233,7 +233,7 @@ object Dedup {
     * discipline: `hp` materializes in its own projection so the 32
     * permutation folds reference a plain attribute.
     */
-  private def bandsFromShingles(shDocs: DataFrame): DataFrame = {
+  private[graft] def bandsFromShingles(shDocs: DataFrame): DataFrame = {
     val sig = shDocs
       .select(col("doc_id"), transform(col("sh"), sv => h60(sv) % P31).as("hp"))
       .select(col("doc_id"), signature(col("hp")).as("sig"))
@@ -370,11 +370,49 @@ object Dedup {
        |WHERE jaccard >= 0.8""".stripMargin
   }
 
+  /** Fat-bucket cap for the PAIR-FORMING band-join consumers
+    * ([[minhashPairs]] → clusters/keep-best, [[editPairs]]). A band
+    * hash shared by more than [[FatBucketCap]] documents is a band
+    * COLLISION cluster, not near-dup evidence — its membership grows
+    * linearly with the corpus, so its pair product grows quadratically
+    * while carrying ~zero precision. Measured at the sf10 probe
+    * (500k docs): uncapped candidates 20.2M vs 1.29M at cap 256
+    * (15.6×), with 2272 of 2278 exact-Jaccard-verified pairs retained —
+    * the 0.26% recall loss is the standard LSH trade, and genuinely
+    * identical fat clusters are the EXACT-dedup operator's job
+    * (`q_dedup_exact` runs upstream of near-dup in a real pipeline).
+    * With the cap, candidates are bounded by rows·cap — linear in the
+    * corpus. Every fixture at sf ≤ 1 is bit-unchanged (max observed
+    * bucket there is 108 < 256); the oracle applies the identical cap.
+    * [[lshAudit]] deliberately stays UNCAPPED — it is the instrument
+    * that measures raw candidate quality (including what a cap or band
+    * retune would discard), sampled in production by design.
+    */
+  val FatBucketCap = 256
+
+  /** Drop (band, band_hash) buckets larger than [[FatBucketCap]] —
+    * one compact-key aggregate + equi-join, linear in the band table.
+    */
+  private[graft] def capBuckets(bands: DataFrame): DataFrame =
+    bands.join(
+      bands.groupBy(col("band"), col("band_hash"))
+        .agg(count(lit(1)).as("__bn")).filter(col("__bn") <= FatBucketCap)
+        .select(col("band"), col("band_hash")),
+      Seq("band", "band_hash"))
+
+  /** DuckDB rendering of [[capBuckets]] given a bands CTE name. */
+  private def capBucketsSql(b: String): String =
+    s"""SELECT $b.* FROM $b JOIN (
+       |  SELECT band, band_hash FROM $b GROUP BY 1, 2
+       |  HAVING count(*) <= $FatBucketCap) __g USING (band, band_hash)""".stripMargin
+
   /** Q-DEDUP-4: full MinHash-LSH dedup — candidates from the band-hash
-    * equi-join, then **verified** with exact Jaccard (so LSH recall
-    * gaps can't produce false positives). Output = confirmed near-dup
-    * pairs with their band support. The all-pairs product never forms:
-    * at 100 TB the band join shuffles (doc_id, int64) pairs only.
+    * equi-join over [[capBuckets]]-filtered buckets, then **verified**
+    * with exact Jaccard (so LSH recall gaps can't produce false
+    * positives). Output = confirmed near-dup pairs with their band
+    * support. The all-pairs product never forms: at 100 TB the band
+    * join shuffles (doc_id, int64) pairs only, and the fat-bucket cap
+    * keeps the candidate count linear in the corpus.
     */
   def minhashPairs(s: SparkSession, d: String): DataFrame = {
     // ONE tokenize+shingle pass: the persisted shingle table feeds both
@@ -384,7 +422,7 @@ object Dedup {
     // the band self-join (and a possible broadcast build) read it
     val docs = shingleDocs(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = bandsFromShingles(docs)
+    val bands = capBuckets(bandsFromShingles(docs))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bands.as("a")
       .join(bands.as("b"),
@@ -403,7 +441,8 @@ object Dedup {
 
   val minhashPairsSql: String = {
     val sh = shingles3Sql(tokensSql("text"))
-    s"""WITH b AS ($minhashBandsSql),
+    s"""WITH b0 AS ($minhashBandsSql),
+       |b AS (${capBucketsSql("b0")}),
        |cand AS (
        |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b, count(*) AS n_bands
        |  FROM b a JOIN b b2 ON a.band = b2.band AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id
@@ -695,8 +734,11 @@ object Dedup {
       format_string("%010d", col("doc_a")).as("src"),
       format_string("%010d", col("doc_b")).as("dst"))
     val comp = graft.state.IdentityResolver.components(s, pairs)
+    // no broadcast hint: the component table is one row per PAIRED doc,
+    // which grows with the corpus (near-dup rate × N) — AQE broadcasts
+    // it while it is small and falls back to a shuffle join at scale
     Tables.documents(s, d).select(col("doc_id"))
-      .join(broadcast(comp), format_string("%010d", col("doc_id")) === col("id"), "left")
+      .join(comp, format_string("%010d", col("doc_id")) === col("id"), "left")
       .select(col("doc_id"),
         coalesce(col("canonical").cast(LongType), col("doc_id")).as("cluster_id"))
       .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
@@ -996,7 +1038,8 @@ object Dedup {
     * multi-byte corpus changes only the ORACLE, not this plan.
     */
   def editPairs(s: SparkSession, d: String): DataFrame = {
-    val bands = minhashBands(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = capBuckets(minhashBands(s, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
@@ -1019,7 +1062,8 @@ object Dedup {
   }
 
   val editPairsSql: String =
-    s"""WITH b AS ($minhashBandsSql),
+    s"""WITH b0 AS ($minhashBandsSql),
+       |b AS (${capBucketsSql("b0")}),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
        |  FROM b a JOIN b b2 ON a.band = b2.band AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id),

@@ -106,4 +106,19 @@ class DedupSpansSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getDouble(5) == 1.0)
     }
   }
+
+  test("fat-bucket cap drops only buckets past FatBucketCap") {
+    import spark.implicits._
+    // one bucket exactly at the cap (kept whole), one a single member
+    // past it (dropped whole), one small (kept)
+    val atCap = (1 to Dedup.FatBucketCap).map(i => (i.toLong, 0, 7L))
+    val past = (1 to Dedup.FatBucketCap + 1).map(i => (1000L + i, 1, 9L))
+    val small = Seq((1L, 2, 11L), (2L, 2, 11L))
+    val bands = (atCap ++ past ++ small).toDF("doc_id", "band", "band_hash")
+    val kept = Dedup.capBuckets(bands)
+      .groupBy("band").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(kept == Map(0 -> Dedup.FatBucketCap.toLong, 2 -> 2L),
+      s"cap must drop the oversized bucket whole and keep the rest: $kept")
+  }
 }
