@@ -422,8 +422,13 @@ object Dedup {
     // the band self-join (and a possible broadcast build) read it
     val docs = shingleDocs(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = capBuckets(bandsFromShingles(docs))
+    // persist the RAW bands, then cap: capBuckets reads its input twice
+    // (bucket-size aggregate + the equi-join back), and the signature
+    // derivation (32 permutation folds over md5'd shingles) must not
+    // run once per side
+    val bands0 = bandsFromShingles(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = capBuckets(bands0)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
@@ -1038,8 +1043,11 @@ object Dedup {
     * multi-byte corpus changes only the ORACLE, not this plan.
     */
   def editPairs(s: SparkSession, d: String): DataFrame = {
-    val bands = capBuckets(minhashBands(s, d))
+    // same persist-then-cap order as minhashPairs: the raw band table
+    // materializes once, the cap's two reads hit the cache
+    val bands0 = minhashBands(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = capBuckets(bands0)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
