@@ -296,8 +296,15 @@ object Dedup {
           .otherwise(col("text")).as("text"))
     val newDocs = base.filter(col("doc_id") % 17 === 3 || col("doc_id") % 11 === 5)
       .select(col("doc_id"), col("text"))
-    val prevBands = textBands(prevDocs).persist(mem)
-    val newBands = textBands(newDocs).persist(mem)
+    // fat-bucket cap on BOTH band tables (ADVICE r16): without it a fat
+    // band bucket in the standing prior-snapshot index makes candPrev
+    // grow with |slice| × |bucket| — the same superlinear candidate wall
+    // capBuckets bounds for minhashPairs resurfaces on the re-crawl
+    // path. Raw bands persist first (capBuckets reads its input twice);
+    // the oracle applies the identical cap. Fixtures at sf ≤ 1 are
+    // bit-unchanged (max bucket there is far below the cap).
+    val prevBands = capBuckets(textBands(prevDocs).persist(mem))
+    val newBands = capBuckets(textBands(newDocs).persist(mem))
     val candPrev = newBands.as("a")
       .join(prevBands.as("p"),
         col("a.band") === col("p.band") && col("a.band_hash") === col("p.band_hash") &&
@@ -341,8 +348,10 @@ object Dedup {
        |newd AS (
        |  SELECT doc_id, text FROM documents
        |  WHERE doc_id % 17 = 3 OR doc_id % 11 = 5),
-       |pb AS (${bandCte("prevd")}),
-       |nb AS (${bandCte("newd")}),
+       |pb0 AS (${bandCte("prevd")}),
+       |pb AS (${capBucketsSql("pb0")}),
+       |nb0 AS (${bandCte("newd")}),
+       |nb AS (${capBucketsSql("nb0")}),
        |cand AS (
        |  SELECT new_id, matched_id, TRUE AS vs_prev, n_bands FROM (
        |    SELECT a.doc_id AS new_id, p.doc_id AS matched_id, count(*) AS n_bands
@@ -371,7 +380,10 @@ object Dedup {
   }
 
   /** Fat-bucket cap for the PAIR-FORMING band-join consumers
-    * ([[minhashPairs]] → clusters/keep-best, [[editPairs]]). A band
+    * ([[minhashPairs]] → clusters/keep-best, [[editPairs]], and since
+    * r17 [[incremental]] — both the standing prior-snapshot index and
+    * the new-slice bands, closing the re-crawl-path candidate wall the
+    * r16 ADVICE flagged). A band
     * hash shared by more than [[FatBucketCap]] documents is a band
     * COLLISION cluster, not near-dup evidence — its membership grows
     * linearly with the corpus, so its pair product grows quadratically
@@ -388,7 +400,12 @@ object Dedup {
     * that measures raw candidate quality (including what a cap or band
     * retune would discard), sampled in production by design.
     */
-  val FatBucketCap = 256
+  // `final` matters: this must be a compile-time constant. incrementalSql
+  // is a val declared ABOVE this one, and Scala object vals initialize in
+  // declaration order — a plain val here reads as 0 inside any earlier
+  // val's initializer (it rendered `HAVING count(*) <= 0` into the
+  // incremental oracle and emptied it; caught by the r17 oracle drive).
+  final val FatBucketCap = 256
 
   /** Drop (band, band_hash) buckets larger than [[FatBucketCap]] —
     * one compact-key aggregate + equi-join, linear in the band table.

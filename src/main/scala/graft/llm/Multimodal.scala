@@ -296,11 +296,19 @@ object Multimodal {
     val c = e.filter(col("vec_id") < Portable.nCells(s, d))
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
     // nearest coarse cell per vector — shared map-side argmin (narrow),
-    // embedding rejoined by vec_id for the scoring stage
-    def nearestCell(df: DataFrame): DataFrame =
-      Similarity.nearestCentroid(df, c)
+    // embedding rejoined by vec_id for the scoring stage. The input is
+    // PERSISTED first (minhashPairs' persist-then-reuse convention,
+    // reclaimed by Tables.releaseCaches): nearestCentroid's output is
+    // rejoined against its own input, so an unpersisted frame evaluates
+    // its subtree twice — for the images side that recomputed the
+    // embeddings⋈metadata filter join (ADVICE r16; 8 parquet scans in
+    // the before plan, 4 after — plans/r17/q_media_search_*.txt).
+    def nearestCell(df: DataFrame): DataFrame = {
+      val in = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Similarity.nearestCentroid(in, c)
         .select(col("vec_id"), col("centroid_id"))
-        .join(df, Seq("vec_id"))
+        .join(in, Seq("vec_id"))
+    }
     val images = nearestCell(
         e.join(meta.filter(col("kind") === "image"), e("vec_id") === meta("doc_id"))
           .select(col("vec_id"), col("embedding")))
