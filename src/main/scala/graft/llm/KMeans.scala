@@ -153,7 +153,10 @@ object KMeans {
       cents = s.createDataFrame(
         s.sparkContext.parallelize(rows, 1), next.schema)
     }
+    // persisted: the final N·c assignment feeds BOTH the cell-size
+    // aggregate and the output join — unpersisted it computed twice (r17)
     val fin = assign(e, cents).select(col("vec_id"), col("centroid_id"), col("dist2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = fin.groupBy(col("centroid_id")).agg(count(lit(1)).as("n_cell"))
     fin
       .join(broadcast(sizes), Seq("centroid_id"))

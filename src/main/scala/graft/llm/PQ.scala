@@ -101,7 +101,12 @@ object PQ {
     val c0 = subs.filter(col("vec_id") < Kc)
       .select(col("m"), col("vec_id").as("cid"),
         transform(col("sub"), x => x.cast(DoubleType)).as("c"))
+    // persisted: c1 is M·Kc rows but its subtree is the full training
+    // assignment (N·M subvectors scored + recentred) — both the encode
+    // pass and the query lookup table read it, so unpersisted the
+    // training pass ran twice (r17)
     val c1 = recenter(assign(subs, c0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val enc = assign(subs, c1).select(col("vec_id"), col("m"), col("cid").as("code"))
     val qsubs = subs.filter(col("vec_id") % QueryEvery === 0)
       .select(col("vec_id").as("q_id"), col("m"), col("sub").as("q_sub"))
@@ -145,7 +150,10 @@ object PQ {
     */
   def pqIvfSearch(s: SparkSession, d: String): DataFrame = {
     val (enc, lut) = trained(s, d)
+    // persisted: the coarse assignment feeds both the code side and the
+    // query side — unpersisted the N·c argmin computed twice (r17)
     val cells = Similarity.ivfAssign(s, d).select(col("vec_id"), col("centroid_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qCells = cells.select(col("vec_id").as("q_id"), col("centroid_id").as("q_cell"))
     val encCell = enc.join(cells, Seq("vec_id"))
     val lutCell = lut.join(qCells, Seq("q_id"))

@@ -126,11 +126,24 @@ object Portable {
     *
     * Assignment cost is N·c distance evaluations against a broadcast
     * seed table (c·dim·4 B — 400 KB at N=200k, still only ~25 MB at
-    * N=10M). Past ~1e8 vectors a production index would swap the flat
-    * scan for a two-level (coarse √c × residual) assignment with the
-    * same emitted cell ids; the flat scan is used here because it is
-    * exact, oracle-checkable, and broadcast-sized through every scale
-    * this engine is measured at.
+    * N=10M). The N²/256 compute is a real cliff past ~1e8 vectors, but
+    * the two-level (coarse √c × residual) assignment earlier rounds
+    * sketched as the production fix was MEASURED in r17 and rejected:
+    * on this corpus (uniform random unit vectors, the isotropic
+    * worst case) triangle-inequality pruning is void — at sf10
+    * (c=782, g=28 coarse groups over the seed centroids) the group
+    * radii are ≈1.31 while query→coarse distances are ≈1.41, so the
+    * bound max(0, d−r) ≤ min(d+r) admits 28 of 28 groups for EVERY
+    * sampled vector, making the exact two-level N·(g+c) — strictly
+    * slower than the flat N·c. An approximate two-level (descend to the
+    * nearest coarse group only) changes the emitted cell ids, i.e. the
+    * operator's results, which is an index-quality trade for the
+    * index-build contract to make explicitly — not a transparent
+    * optimization this oracle-gated operator may take. Production
+    * guidance past 1e8 vectors: train the quantizer on a sample (the
+    * k-means operator already bounds its iterations that way) or adopt
+    * an explicitly approximate assignment with its recall measured by
+    * the recall-matrix operator, and accept the changed cell ids.
     */
   val CellTarget = 256
 

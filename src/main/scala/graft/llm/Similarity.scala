@@ -216,9 +216,14 @@ object Similarity {
     */
   def ivfSearch(s: SparkSession, d: String): DataFrame = {
     val assign = ivfAssign(s, d).select(col("vec_id"), col("centroid_id"))
+    // persisted: `e` feeds BOTH the query side and the corpus side of
+    // the cell join, and its subtree contains the N·c assignment —
+    // unpersisted it computed twice (the quantIvfSearch/lshSearch
+    // convention, reclaimed by Tables.releaseCaches; r17)
     val e = Tables.par(Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
       .join(assign, Seq("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("centroid_id").as("q_cell"))
@@ -889,10 +894,13 @@ object Similarity {
     */
   def hardNegatives(s: SparkSession, d: String): DataFrame = {
     val assign = ivfAssign(s, d).select(col("vec_id"), col("centroid_id"))
+    // persisted: anchor side + index side both read `e`, whose subtree
+    // contains the N·c assignment — unpersisted it computed twice (r17)
     val e = Tables.par(Tables.embeddings(s, d))
       .select(col("vec_id"), col("label"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
       .join(assign, Seq("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = e.filter(col("vec_id") % 53 === 7)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
@@ -1090,8 +1098,13 @@ object Similarity {
     val e = Tables.par(Tables.embeddings(s, d)).select(col("vec_id"), col("embedding"))
     val c = e.filter(col("vec_id") < nCells(s, d))
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    // persisted: the N·c assignment feeds BucketedOrder (which reads its
+    // input three times) AND the `n` count — unpersisted it computed 4×
+    // (r17; BucketedOrder also persists internally, which dedupes to
+    // this same cache entry)
     val assigned = nearestCentroid(e, c)
       .select(col("vec_id"), col("centroid_id").as("cell"), col("dist2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ranked = graft.plans.BucketedOrder.withOrderStats(
       assigned, rangeKey = col("dist2"),
       order = Seq(col("dist2").asc, col("vec_id").asc), rankCol = "rk")
@@ -1306,9 +1319,13 @@ object Similarity {
     * candidates are a cell equi-join; output is result-sized.
     */
   def rangeSearch(s: SparkSession, d: String): DataFrame = {
+    // persisted: query side + candidate side both read `e`, whose
+    // subtree contains the N·c assignment — unpersisted it computed
+    // twice (r17)
     val e = Tables.par(Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
       .join(ivfAssign(s, d).select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("centroid_id").as("q_cell"))

@@ -90,6 +90,15 @@ object BucketedOrder {
       cums: Seq[(String, String)] = Nil,
       rankCol: String = "rk",
       buckets: Int = DefaultBuckets): DataFrame = {
+    // The decomposition reads `df` THREE times (the min/max range
+    // aggregate, the per-bucket totals, and the final offsets join) —
+    // persist it so the input subtree computes once instead of three
+    // times (r17; q_sim_outliers fed the N·c nearest-centroid argmin in
+    // here and paid it 3×). MEMORY_AND_DISK, reclaimed by the harness's
+    // Tables.releaseCaches; persisting an already-cached frame is a
+    // CacheManager no-op, so callers that persist their own input
+    // (q_prod_range_join) are unaffected.
+    val dfc = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keyD = rangeKey.cast("double")
     // NaN keys are excluded from the range (Spark's min/max treat NaN as
     // the LARGEST double, so one NaN key would poison __hi → every row's
@@ -101,7 +110,7 @@ object BucketedOrder {
     // `.desc` orders NaN first while the sentinel sorts last) — the same
     // caveat class as the null/desc_nulls_first note below.
     val keyFinite = when(isnan(keyD), lit(null)).otherwise(keyD)
-    val mm = df.agg(min(keyFinite).as("__lo"), max(keyFinite).as("__hi"))
+    val mm = dfc.agg(min(keyFinite).as("__lo"), max(keyFinite).as("__hi"))
     // weakly monotone in keyD; the hi==lo degenerate case (all keys
     // equal) puts everything in bucket 0 — still correct, the within-
     // bucket tie-breaks carry the whole order. NULL range keys go to
@@ -111,7 +120,7 @@ object BucketedOrder {
     // −1 sorts before every real bucket, matching ASC NULLS FIRST; a
     // DESC caller (negated rangeKey) whose keys can be null must flip
     // to `desc_nulls_first` in `order` to stay consistent.
-    val bucketed = df.crossJoin(broadcast(mm))
+    val bucketed = dfc.crossJoin(broadcast(mm))
       .withColumn("__bucket",
         when(keyD.isNull, lit(-1L))
           .when(isnan(keyD), lit(buckets.toLong))
