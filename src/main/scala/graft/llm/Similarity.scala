@@ -639,12 +639,36 @@ object Similarity {
         col("nrm").as("q_nrm"), col("pnrm").as("q_pnrm")) ++
         (0 until ProjK).map(j => col(s"p$j").as(s"qp$j")): _*)
     val pdot = (0 until ProjK).map(j => col(s"p$j") * col(s"qp$j")).reduceLeft(_ + _)
-    val wCoarse = Window.partitionBy("q_id").orderBy(col("pcos").desc, col("vec_id"))
+    // COARSE SHORTLIST as a bounded per-query top-k aggregate
+    // ([[graft.functions.TopKDoubleAggregator]], the domainTopK shape)
+    // instead of a rank window: the coarse pass scores ALL N candidates
+    // per query BY DESIGN (JL cuts per-pair cost, not candidate count),
+    // so the window form shuffled and sorted N·|queries| rows — 800M at
+    // sf10, where one 32-partition sort exhausted execution memory
+    // (SparkOutOfMemoryError, r17 sf10 probe). The aggregate keeps at
+    // most [[ProjShortlist]] rows per (input partition, query) map-side
+    // and O(k) state per query on the reduce side; only vec_ids ride —
+    // no embedding payloads in the coarse pass at all. Order is
+    // bit-identical to the window's (pcos DESC, vec_id ASC): the key is
+    // −pcos under TotalOrdering (−0.0/0.0 preserved; NaN — reachable
+    // only from a zero projection norm, which poisons the exact cosine
+    // identically — maps to −∞ = the window's NaN-first DESC position).
+    val topk = udaf(new graft.functions.TopKDoubleAggregator(ProjShortlist))
+    val qNarrow = q.select(
+      Seq(col("q_id"), col("q_pnrm")) ++ (0 until ProjK).map(j => col(s"qp$j")): _*)
+    val pcos = pdot / (col("pnrm") * col("q_pnrm"))
+    val key = when(isnan(pcos), lit(Double.NegativeInfinity)).otherwise(-pcos)
+    val short = e
+      .select(Seq(col("vec_id"), col("pnrm")) ++ (0 until ProjK).map(j => col(s"p$j")): _*)
+      .join(broadcast(qNarrow), col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"))
+      .agg(topk(key, col("vec_id")).as("top"))
+      .select(col("q_id"), explode(col("top")).as("c"))
+      .select(col("q_id"), col("c").getField("_2").as("vec_id"))
     val wExact = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
-    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("pcos", pdot / (col("pnrm") * col("q_pnrm")))
-      .withColumn("crank", row_number().over(wCoarse))
-      .filter(col("crank") <= ProjShortlist)
+    short
+      .join(e.select(col("vec_id"), col("embedding"), col("nrm")), Seq("vec_id"))
+      .join(broadcast(q.select(col("q_id"), col("q_emb"), col("q_nrm"))), Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
         (dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm"))).as("cosine"))
       .withColumn("rank", row_number().over(wExact).cast("long"))
