@@ -98,6 +98,18 @@ object Bench {
       // nothing here; a multi-tenant deployment that calls addArtifact
       // should leave the default and accept per-query recompiles.
       .config("spark.sql.artifact.isolation.enabled", "false")
+      // ObjectHashAggregate falls back to SORT-based aggregation once
+      // its hash map holds this many distinct keys (default 128 — sized
+      // for unbounded collect_list buffers). Every typed aggregator in
+      // this engine is k-BOUNDED (TopKAggregator/TopKDoubleAggregator:
+      // O(k) per group by construction), so the fallback only re-
+      // introduces the full-input sort the aggregate exists to avoid —
+      // at the sf10 probe, q_sim_project_search's 4 000 query groups
+      // tripped the 128-key default and the "bounded" shortlist
+      // degraded into an 800M-row sort (heap OOM). 64k keys × k-capped
+      // buffers is ~MBs per task. Production sizes this the same way
+      // (keys-per-task × bounded buffer, not the collect_list default).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     installWindowWarnCapture()

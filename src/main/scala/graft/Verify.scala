@@ -27,6 +27,10 @@ object Verify {
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       // and the streaming-query classloader re-key fix (see Bench)
       .config("spark.sql.artifact.isolation.enabled", "false")
+      // k-bounded typed aggregators must not fall back to sort-based
+      // aggregation on key count (see Bench — the 128-key default is
+      // sized for unbounded collect buffers, not O(k) top-k state)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
