@@ -718,6 +718,19 @@ object Similarity {
     */
   def recallMatrix(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // Register the shared N·c coarse assignment as a cache BEFORE the
+    // method builders run: ivfSearch's cached corpus frame and
+    // ivfMultiprobe's corpus side each contain this exact logical
+    // subtree, so the CacheManager substitutes both at plan time and
+    // the assignment (the family's dominant compute — ~156M vec_dist2
+    // calls per evaluation at sf10 geometry) materializes ONCE inside
+    // the matrix instead of twice. The registered q_sim_ivf_search /
+    // q_sim_ivf_multiprobe plans are untouched — this cache exists only
+    // for the matrix's composition and is released by
+    // Tables.releaseCaches like every other per-query persist (§5).
+    val sharedAssign = ivfAssign(s, d)
+      .select(col("vec_id"), col("centroid_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exact = topK(s, d).filter(col("rank") <= 5)
       .select(col("q_id"), col("vec_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
