@@ -304,7 +304,12 @@ object Dedup {
     // the oracle applies the identical cap. Fixtures at sf ≤ 1 are
     // bit-unchanged (max bucket there is far below the cap).
     val prevBands = capBuckets(textBands(prevDocs).persist(mem))
-    val newBands = capBuckets(textBands(newDocs).persist(mem))
+    // the CAPPED new-slice bands are consumed three times (the prev
+    // probe plus both sides of the new-slice self-join) — persist the
+    // capped frame too (ADVICE r17), or the cap's bucket-count
+    // aggregate and equi-join recompute per consumer; the raw persist
+    // underneath stays because capBuckets reads its input twice
+    val newBands = capBuckets(textBands(newDocs).persist(mem)).persist(mem)
     val candPrev = newBands.as("a")
       .join(prevBands.as("p"),
         col("a.band") === col("p.band") && col("a.band_hash") === col("p.band_hash") &&
