@@ -653,6 +653,14 @@ object Similarity {
     // −pcos under TotalOrdering (−0.0/0.0 preserved; NaN — reachable
     // only from a zero projection norm, which poisons the exact cosine
     // identically — maps to −∞ = the window's NaN-first DESC position).
+    // The NaN→−∞ mapping WOULD collide with a genuine pcos = +∞
+    // candidate (both key −∞, tie-broken by vec_id, whereas the window
+    // ordered NaN strictly before +∞) — unreachable here because pcos
+    // is finite-or-NaN by construction: every term is a finite-vector
+    // dot over finite inputs divided by a finite norm product, which
+    // can overflow only to NaN via 0/0, never to ±∞ at 64 dims of
+    // unit-scale doubles. Documented per ADVICE r17 rather than
+    // "fixed": a sub-−∞ sentinel does not exist in doubles.
     val topk = udaf(new graft.functions.TopKDoubleAggregator(ProjShortlist))
     val qNarrow = q.select(
       Seq(col("q_id"), col("q_pnrm")) ++ (0 until ProjK).map(j => col(s"qp$j")): _*)

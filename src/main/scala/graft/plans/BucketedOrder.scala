@@ -81,6 +81,17 @@ object BucketedOrder {
     * @param cums      outputName → LONG input column to prefix-sum
     *                  (inclusive of the current row)
     * @param rankCol   output name for the 1-based global rank
+    *
+    * CACHE LIFECYCLE: this method persists `df` (MEMORY_AND_DISK) and
+    * never unpersists it — the returned plan reads the cache lazily, so
+    * an eager unpersist here would defeat the reuse. The CALLER's
+    * harness owns reclamation: the Bench/Verify loops call
+    * `Tables.releaseCaches(spark)` after every query (the engine-wide
+    * persist convention). A long-lived session embedding this operator
+    * outside those harnesses must do the same or it accumulates one
+    * cache entry per call. Persisting an already-cached frame is a
+    * CacheManager no-op, so callers that persist their own input
+    * (q_prod_range_join) are unaffected.
     */
   def withOrderStats(
       df: DataFrame,
