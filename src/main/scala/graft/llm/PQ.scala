@@ -144,32 +144,81 @@ object PQ {
     (enc, lut)
   }
 
-  /** ADC top-[[TopK]] per query: M lookups pivoted to fixed columns so
-    * the sum adds in declared subspace order (exact,
-    * partitioning-independent). `cellJoin` optionally restricts
-    * candidates (the IVF composition).
+  /** Codes pivoted wide: ONE row per vector with [[M]] fixed code
+    * columns (`c0..c{M-1}`) — the literal compressed index row
+    * (M·log₂Kc bits of payload). The long (vec_id, m, code) form made
+    * the ADC join emit one row per (candidate, query, subspace) —
+    * N·M·|queries| rows (6.4 B at sf10, where the downstream
+    * (q_id, vec_id) hash aggregate + per-query rank-window sort
+    * OOM'd the probe JVM after 629 s). Wide codes make the scoring
+    * join emit one row per (candidate, query) and the ADC sum a plain
+    * projection — no per-pair aggregation at all (§2.3: shuffle/score
+    * keys and codes, never re-expand by M).
     */
-  private def adcTopK(joined: DataFrame): DataFrame = {
+  private def encWide(enc: DataFrame): DataFrame = {
     val pivots = (0 until M).map(m =>
-      max(when(col("sm") === m, col("pdist"))).as(s"p$m"))
-    val adc = (0 until M).map(m => col(s"p$m")).reduce(_ + _)
-    val w = Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))
-    joined
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(pivots.head, pivots.tail: _*)
-      .select(col("q_id"), col("vec_id"), adc.as("adc"))
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= TopK)
-      .select(col("q_id"), col("rank"), col("vec_id"), col("adc"))
+      max(when(col("m") === m, col("code"))).as(s"c$m"))
+    enc.groupBy(col("vec_id")).agg(pivots.head, pivots.tail: _*)
   }
 
-  /** Q-SIM-10: exact all-candidate ADC (the labeled baseline). */
+  /** Per-query ADC lookup table as ONE array column:
+    * `lut_arr[m·Kc + cid + 1] = pdist(q, m, cid)` — M·Kc doubles per
+    * query (the classic ADC table layout), broadcast to the scorers.
+    */
+  private def lutWide(lut: DataFrame): DataFrame = {
+    val pivots = (0 until M).flatMap(m => (0 until Kc).map(c =>
+      max(when(col("m") === m && col("cid") === c, col("pdist"))).as(s"t${m}_$c")))
+    lut.groupBy(col("q_id"))
+      .agg(pivots.head, pivots.tail: _*)
+      .select(col("q_id"), array((0 until M).flatMap(m =>
+        (0 until Kc).map(c => col(s"t${m}_$c"))): _*).as("lut_arr"))
+  }
+
+  /** The ADC sum for one (candidate codes, query `lut_arr`) row: M
+    * array lookups added in DECLARED subspace order — term m is the
+    * identical pdist double the previous pivoted-column form summed as
+    * `p0 + … + p{M-1}` (same values, same left-associated add order:
+    * bit-identical, PQSpec-pinned).
+    */
+  private def adcExpr: Column =
+    (0 until M).map(m =>
+      element_at(col("lut_arr"), (col(s"c$m") + lit(m * Kc + 1)).cast("int")))
+      .reduceLeft(_ + _)
+
+  /** ADC top-[[TopK]] per query over `scored` = (q_id, vec_id, adc):
+    * a bounded per-query top-k aggregate
+    * ([[graft.functions.TopKDoubleAggregator]], min-k by
+    * (adc, vec_id) under TotalOrdering — adc is finite by construction:
+    * sums of squared finite-float distances) instead of the previous
+    * rank window, which shuffled and sorted every scored row of every
+    * query — N·|queries| rows for the all-candidate baseline, the same
+    * shape whose 32-partition sort OOM'd q_sim_project_search at sf10
+    * (r17). The aggregate carries ≤[[TopK]] rows per (partition, query)
+    * map-side and O(k) state per query on the reduce side; the buffer
+    * comes back SORTED by (adc, vec_id), so `rank = position + 1` is
+    * exactly the window's `row_number` over (adc ASC, vec_id ASC).
+    */
+  private def adcTopK(scored: DataFrame): DataFrame = {
+    val topk = udaf(new graft.functions.TopKDoubleAggregator(TopK))
+    scored
+      .groupBy(col("q_id"))
+      .agg(topk(col("adc"), col("vec_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "c")))
+      .select(col("q_id"), (col("i") + 1).cast(LongType).as("rank"),
+        col("c").getField("_2").as("vec_id"), col("c").getField("_1").as("adc"))
+  }
+
+  /** Q-SIM-10: exact all-candidate ADC (the labeled baseline). Every
+    * query scores every candidate BY CONTRACT, so the scoring join is
+    * N·|queries| rows — but as a broadcast of |queries| lut arrays
+    * streamed against the N wide code rows (no shuffle, no sort, no
+    * per-pair aggregation), reduced map-side by the bounded top-k.
+    */
   def pqSearch(s: SparkSession, d: String): DataFrame = {
     val (enc, lut) = trained(s, d)
     adcTopK(
-      enc.join(broadcast(lut), col("code") === lut("cid") && enc("m") === lut("m"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"), enc("m").as("sm"), col("pdist")))
+      encWide(enc).join(broadcast(lutWide(lut)), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), adcExpr.as("adc")))
   }
 
   /** Q-SIM-11: IVF-PQ — ADC over the query's coarse cell only. Each
@@ -184,14 +233,12 @@ object PQ {
     val cells = Similarity.ivfAssign(s, d).select(col("vec_id"), col("centroid_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qCells = cells.select(col("vec_id").as("q_id"), col("centroid_id").as("q_cell"))
-    val encCell = enc.join(cells, Seq("vec_id"))
-    val lutCell = lut.join(qCells, Seq("q_id"))
+    val encCell = encWide(enc).join(cells, Seq("vec_id"))
+    val lutCell = lutWide(lut).join(qCells, Seq("q_id"))
     adcTopK(
       encCell.join(broadcast(lutCell),
-          col("code") === lutCell("cid") && encCell("m") === lutCell("m") &&
-            col("centroid_id") === col("q_cell"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"), encCell("m").as("sm"), col("pdist")))
+          col("centroid_id") === col("q_cell") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), adcExpr.as("adc")))
   }
 
   /** Shared oracle body; `ivf` adds the coarse-cell restriction. */
